@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns + typed metadata structs, processed by Arrow-batched pandas
+iterators (`mapInPandas`).
+
+North-star operator (absent from the reference). The actual codec
+libraries (Pillow/ffmpeg/librosa) are NOT in this environment, so the
+decode kernels are STUBS — deterministic fakes clearly marked below —
+while everything Spark-side is real and tested: schema contract,
+binary column handling, Arrow batch shape, partition-parallel UDF
+signature. Swapping a stub for a real decoder changes only the inner
+`_decode_*_bytes` function.
+
+Scale notes: binary payloads ride the normal columnar path (parquet
+binary + Arrow). Keep batches bounded via
+spark.sql.execution.arrow.maxRecordsPerBatch when payloads are large;
+partition the table by size bucket so one task never holds a skewed
+set of 100 MB blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _decode_image_bytes(payload: bytes) -> tuple[int, int, str]:
+    """STUB decode: a real build calls PIL.Image.open here. The fake is
+    deterministic in the payload so tests are stable."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty image payload")
+    # deterministic fake dimensions derived from content length/bytes
+    w = 16 + (len(payload) % 1024)
+    h = 16 + (payload[0] if len(payload) > 0 else 0)
+    return w, h, "RGB"
+
+
+def attach_binary_column(df: DataFrame, source_col: str, out_col: str = "payload") -> DataFrame:
+    """Treat an existing column's bytes as the opaque media payload —
+    the ingestion shim used by tests (real pipelines read binary
+    parquet/`binaryFile` format directly)."""
+    return df.withColumn(out_col, F.col(source_col).cast(BinaryType()))
+
+
+def extract_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode-and-describe over mapInPandas: per Arrow batch, run the
+    decode kernel and emit typed metadata. Output schema = input cols
+    (minus payload) + IMAGE_META_SCHEMA fields."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(list(keep) + list(IMAGE_META_SCHEMA.fields))
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf[payload_col]
+            meta = [_decode_image_bytes(bytes(p)) for p in payloads]
+            out = pdf.drop(columns=[payload_col])
+            out["width"] = [m[0] for m in meta]
+            out["height"] = [m[1] for m in meta]
+            out["mode"] = [m[2] for m in meta]
+            out["n_bytes"] = [len(bytes(p)) for p in payloads]
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, payload_col: str = "payload", every_n: int = 10) -> DataFrame:
+    """Video frame-sampling STUB: real impl shells to ffmpeg per batch;
+    the fake emits (frame_idx, frame_bytes=slice) rows, exercising the
+    1->N explode shape a real sampler produces."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        list(keep)
+        + [StructField("frame_idx", IntegerType()), StructField("frame", BinaryType())]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = bytes(rec.pop(payload_col))
+                n_frames = max(1, len(payload) // max(every_n, 1))
+                for i in range(min(n_frames, 8)):
+                    r = dict(rec)
+                    r["frame_idx"] = i
+                    r["frame"] = payload[i * every_n : (i + 1) * every_n]
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio feature STUB (real impl: librosa/torchaudio). Deterministic
+    fake: duration ~ byte length, 'rms' ~ mean byte value."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        list(keep)
+        + [StructField("duration_ms", LongType()), StructField("rms", LongType())]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            payloads = pdf[payload_col].map(bytes)
+            out = pdf.drop(columns=[payload_col])
+            out["duration_ms"] = payloads.map(lambda b: len(b) * 8)
+            out["rms"] = payloads.map(lambda b: sum(b) // max(len(b), 1))
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)

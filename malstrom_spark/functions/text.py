@@ -1,0 +1,122 @@
+"""Text analysis for large-scale training-data pipelines.
+
+The reference has no scalar-function library at all (SURVEY §2.8) —
+users call arbitrary Rust in closures. Here every text metric is a
+native Column expression (JVM-side, whole-stage codegen, zero Python)
+so a 100 TB `documents` scan stays vectorized end to end.
+
+Ops: tokenization, token/char counts, ratio-based quality scoring,
+n-gram/stopword language ID, md5 document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the heuristic language ID.
+# Deterministic and oracle-reproducible (plain set intersection).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "les", "et", "des", "un", "est"],
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical form used by
+    fingerprinting and dedup so near-identical docs collide."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_tokens(col: Column) -> Column:
+    """BPE-ish tokenization: words, numbers, or single punctuation
+    marks — the regex analog of a GPT-2-style pre-tokenizer."""
+    return F.regexp_extract_all(col, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("long")
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII letters or space."""
+    kept = F.length(F.regexp_replace(col, r"[^A-Za-z ]", ""))
+    return kept / F.greatest(F.length(col), F.lit(1))
+
+
+def digit_count(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[^0-9]", "")).cast("long")
+
+
+def avg_token_len(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.greatest(F.size(t), F.lit(1))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_MARKERS["en"]
+    t = F.split(F.trim(F.lower(col)), r"\s+")
+    hits = F.size(F.filter(t, lambda x: x.isin(sw)))
+    return hits.cast("double") / F.greatest(F.size(t), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: favors mid-length docs with
+    high alpha ratio and moderate average token length. Pure per-row
+    double arithmetic — deterministic and engine-portable."""
+    n_tok = token_count(col).cast("double")
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    alpha_term = alpha_ratio(col)
+    atl = avg_token_len(col)
+    atl_term = F.lit(1.0) - F.least(F.abs(atl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+    return (length_term + alpha_term + atl_term) / F.lit(3.0)
+
+
+def lang_guess(col: Column) -> Column:
+    """Marker-set language ID: the language with the most marker-word
+    hits wins; ties broken by fixed language order; no hits -> 'und'."""
+    t = F.split(F.trim(F.lower(col)), r"\s+")
+    scores = {
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    guess = F.lit("und")
+    # Reverse order so earlier languages win ties via later when() override.
+    for lang in reversed(list(scores)):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    return F.when(best <= 0, F.lit("und")).otherwise(guess)
+
+
+def fingerprint(col: Column) -> Column:
+    """Stable 128-bit document fingerprint: md5 of the normalized text.
+    md5 (not xxhash) so external oracles can reproduce it."""
+    return F.md5(normalize_text(col))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "token_count": token_count(c),
+            "char_count": char_count(c),
+            "alpha_ratio": alpha_ratio(c),
+            "digit_count": digit_count(c),
+            "avg_token_len": avg_token_len(c),
+            "stopword_ratio": stopword_ratio(c),
+            "quality_score": quality_score(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

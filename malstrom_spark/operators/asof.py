@@ -1,0 +1,99 @@
+"""As-of join (point-in-time join) — absent from both the reference
+(SURVEY §2.8) and core Spark; a required primitive for event/feature
+alignment at scale.
+
+Semantics: for each left row, attach the single right row with the
+same key and the greatest right_ts <= left_ts ('backward' strategy).
+Ties on right_ts break by the largest tiebreak column, making results
+deterministic.
+
+Two physical strategies, chosen by the caller:
+- 'join': equi-join on key + ts filter + struct-max aggregation.
+  Right side ideally broadcast. Best when right rows per key are few
+  (dimension snapshots). All native ops -> codegen, no Python.
+- 'pandas': co-grouped `pd.merge_asof` per key. One shuffle per side,
+  then per-key sorted merge in Arrow batches. Best when both sides
+  are large but per-key groups fit a task (classic tick-data shape).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None = None,
+    strategy: str = "join",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    keys = [key] if isinstance(key, str) else list(key)
+    if strategy == "join":
+        return _asof_via_join(
+            left, right, keys, left_ts, right_ts, list(right_cols), tiebreak, broadcast_right
+        )
+    if strategy == "pandas":
+        return _asof_via_pandas(left, right, keys, left_ts, right_ts, list(right_cols))
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _asof_via_join(left, right, keys, left_ts, right_ts, right_cols, tiebreak, broadcast_right):
+    lid = "__asof_lid"
+    l = left.withColumn(lid, F.monotonically_increasing_id())
+    r = right.select(*keys, right_ts, *[c for c in right_cols if c not in keys and c != right_ts])
+    if broadcast_right:
+        r = F.broadcast(r)
+    cond = [l[k] == r[k] for k in keys] + [r[right_ts] <= l[left_ts]]
+    joined = l.join(r, cond, "left")
+    # pick the max (right_ts, tiebreak, payload...) struct per left row
+    struct_cols = [r[right_ts].alias("__ts")]
+    if tiebreak:
+        struct_cols.append(r[tiebreak].alias("__tb"))
+    struct_cols += [r[c].alias(c) for c in right_cols]
+    pick = F.max(F.struct(*struct_cols)).alias("__best")
+    out = joined.groupBy(l[lid]).agg(
+        *[F.first(l[c]).alias(c) for c in left.columns], pick
+    )
+    proj = [F.col(c) for c in left.columns] + [F.col(f"__best.{c}").alias(c) for c in right_cols]
+    return out.select(*proj)
+
+
+def _asof_via_pandas(left, right, keys, left_ts, right_ts, right_cols):
+    import pandas as pd
+
+    out_fields = list(left.schema.fields) + [
+        f for f in right.schema.fields if f.name in right_cols and f.name not in left.columns
+    ]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(out_fields)
+    extra = [f.name for f in out_fields[len(left.schema.fields):]]
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+        if r_pdf.empty:
+            out = l_sorted.copy()
+            for c in extra:
+                out[c] = None
+            return out
+        r_sorted = r_pdf.sort_values(right_ts, kind="mergesort")[[right_ts, *[c for c in extra if c != right_ts]]]
+        merged = pd.merge_asof(
+            l_sorted, r_sorted, left_on=left_ts, right_on=right_ts, direction="backward"
+        )
+        return merged[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )

@@ -1,0 +1,104 @@
+"""Event time / watermark operators (reference SURVEY §2.5, §4.3).
+
+- assign_timestamps      -> reference operators/time/assign_timestamps.rs:21-63
+- limit_out_of_orderness -> reference operators/time/generate_epochs.rs:134-151
+- generate_epochs late-split -> generate_epochs.rs:39-127 + time/util.rs
+
+Epoch semantics map as: epoch T (no future records <= T) == Spark
+watermark; `Timestamp::MAX` end-of-stream == bounded input +
+availableNow trigger. The reference supports arbitrary ordered types
+as timestamps (types/time.rs:6-17); Spark watermarks need
+TimestampType, so `as_event_time` adapts integer/date logical times to
+epoch timestamps (documented convention, SURVEY §4.3.2).
+
+The one semantic delta needing real code: the reference's
+`generate_epochs` returns an (on_time, late) stream PAIR
+(generate_epochs.rs:44,124-126) while Spark silently drops late rows.
+`split_late` reproduces the side output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_timestamps(df: DataFrame, expr: Column | str, ts_col: str = "event_ts") -> DataFrame:
+    """Set the event-time column (assign_timestamps.rs:21-63).
+
+    The reference drops all prior epochs when timestamps are
+    reassigned; the Spark analog is simply that any previous
+    `withWatermark` applies to the old column — re-call
+    `limit_out_of_orderness` after this, as the reference's
+    `NeedsEpochs` return type forces."""
+    e = F.expr(expr) if isinstance(expr, str) else expr
+    return df.withColumn(ts_col, e)
+
+
+def as_event_time(df: DataFrame, numeric_col: str, ts_col: str = "event_ts") -> DataFrame:
+    """Adapter: integer/offset logical time -> TimestampType
+    (SURVEY §4.3.2; reference uses Kafka offsets as time,
+    malstrom-kafka/src/source.rs:79-81). Seconds-since-epoch scale."""
+    return df.withColumn(ts_col, F.timestamp_seconds(F.col(numeric_col)))
+
+
+def limit_out_of_orderness(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Bounded-disorder watermark: epoch = max_seen_ts - delay
+    (generate_epochs.rs:134-151) == exactly `withWatermark`.
+
+    On a batch DataFrame this is a no-op marker (batch has no
+    watermark), kept so the same pipeline definition runs both modes.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def split_late(
+    df: DataFrame,
+    ts_col: str,
+    delay_expr: str,
+    order_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(on_time, late) split for batch replays (generate_epochs.rs:44).
+
+    A record is late iff its event time is <= the frontier
+    (max event time seen so far in arrival order, minus the bound) at
+    the moment it arrives — reference rule in time/util.rs
+    `handle_maybe_late_msg`. `order_cols` define arrival order (default:
+    the current row order is unknowable in batch, so an explicit
+    arrival column is required).
+
+    `delay_expr` is a SQL interval expression, e.g. "INTERVAL 10 MINUTES".
+    """
+    if not order_cols:
+        raise ValueError("split_late needs explicit arrival-order columns in batch mode")
+    w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
+    frontier = F.max(ts_col).over(w) - F.expr(delay_expr)
+    flagged = df.withColumn("__late", F.col(ts_col) <= frontier)
+    on_time = flagged.filter(~F.coalesce("__late", F.lit(False))).drop("__late")
+    late = flagged.filter(F.coalesce("__late", F.lit(False))).drop("__late")
+    return on_time, late
+
+
+def inspect_frontier_listener(fn):
+    """Observe watermark progress (inspect_frontier.rs:15-46) via a
+    StreamingQueryListener reading progress.eventTime['watermark']."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _FrontierListener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            wm = (event.progress.eventTime or {}).get("watermark")
+            if wm is not None:
+                fn(wm)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    return _FrontierListener()

@@ -1,0 +1,228 @@
+"""LLM-data-pipeline query surface: text analysis, deduplication,
+similarity search over the driver's `documents` and `embeddings`
+tables. Oracles are pure-SQL re-derivations in DuckDB where the
+algorithm is portable; hash-based ops (MinHash/SimHash, xxhash64
+inside) get rows-only checks, with their *verification* stages
+(exact Jaccard / Hamming) oracle-checked separately where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import dedup, multimodal, similarity, text
+from . import register, table
+
+
+# ------------------------------------------------- text statistics
+@register(
+    "doc_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count,
+           CAST(length(text) AS BIGINT) AS char_count,
+           CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS alpha_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_count,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_text_stats(spark, sf_dir):
+    """Text-analysis operators (functions/text.py): token/char counts,
+    alpha ratio, digit count, md5 fingerprint — all native Column
+    exprs, zero Python, so the 100 TB scan stays in codegen."""
+    docs = table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(c).alias("token_count"),
+        text.char_count(c).alias("char_count"),
+        text.alpha_ratio(c).alias("alpha_ratio"),
+        text.digit_count(c).alias("digit_count"),
+        text.fingerprint(c).alias("fingerprint"),
+    )
+
+
+# ------------------------------------------------- language ID
+@register(
+    "doc_lang_guess",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'),
+            ['the','and','of','to','a','in','is'])) AS s_en,
+        len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'),
+            ['el','la','de','que','y','en','los'])) AS s_es,
+        len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'),
+            ['der','die','und','das','ist','ein','nicht'])) AS s_de,
+        len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'),
+            ['le','la','les','et','des','un','est'])) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS lang_guess
+    FROM scored
+    """,
+)
+def doc_lang_guess(spark, sf_dir):
+    """Heuristic language ID (functions/text.py lang_guess): marker-set
+    intersection scoring, fixed tie order en>es>de>fr."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+# ------------------------------------------------- exact dedup
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup (functions/dedup.py exact_dedup): one shuffle on the
+    md5 fingerprint, min-id survivor per duplicate group."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id")
+
+
+# ------------------------------------------------- near-dup: jaccard verify
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based signatures are not DuckDB-reproducible;
+    # the LSH *candidate* set is verified with exact Jaccard below, so
+    # output pairs are true near-dups by construction (rows-only check).
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline (functions/dedup.py): shingle ->
+    32-perm signature -> 8-band buckets -> exact-Jaccard verify >=0.5."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs_minhash(
+        docs, "doc_id", n_hashes=32, n_bands=8, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based; rows-only
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3 (functions/
+    dedup.py simhash_near_dups): 16-bit chunk banding + bit_count."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------- ngram jaccard (portable)
+@register(
+    "doc_pair_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(
+                 regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), '\\s+')) - 2, 1) + 1),
+               i -> concat_ws(' ',
+                 string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), '\\s+')[i],
+                 string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), '\\s+')[i+1],
+                 string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), '\\s+')[i+2])
+             )) AS sh
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """,
+)
+def doc_pair_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity on a bounded probe set (doc_id <
+    40) — the oracle-checkable verify kernel that MinHash-LSH composes
+    with at scale."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return dedup.ngram_jaccard(pairs, docs, "doc_id")
+
+
+# ------------------------------------------------- similarity search
+@register(
+    "similarity_topk_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT q_id, c_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      FROM q, c
+      WHERE q_id <> c_id
+    ), ranked AS (
+      SELECT q_id, c_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k (functions/similarity.py cosine_topk):
+    broadcast query set, native zip_with/aggregate dot products, window
+    top-k. sim rounded to 6dp for engine portability of the float sum."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = similarity.cosine_topk(queries, corpus, k=6)
+    # exclude self-match then re-rank to top5
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    out = (
+        out.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+    return out.select("q_id", "c_id", F.round("sim", 6).alias("sim"), "rank")
+
+
+@register("similarity_ann_lsh", oracle=None)
+def similarity_ann_lsh(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH buckets (functions/
+    similarity.py lsh_topk) — the 100 TB scale path; rows-only check
+    (approximation is engine-specific by design)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return similarity.lsh_topk(queries, corpus, dim=64, k=5, n_planes=8).select(
+        "q_id", "c_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
+# ------------------------------------------------- multimodal plumbing
+@register("multimodal_image_meta", oracle=None)
+def multimodal_image_meta(spark, sf_dir):
+    """Multimodal column plumbing (functions/multimodal.py): documents'
+    text bytes stand in for image payloads; metadata extraction runs
+    through the real mapInPandas/Arrow path (decode kernel is the
+    documented stub)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = multimodal.attach_binary_column(docs, "text").drop("text")
+    return multimodal.extract_image_meta(with_payload).orderBy("doc_id")

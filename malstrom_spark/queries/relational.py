@@ -1,0 +1,605 @@
+"""Relational query surface (SURVEY §2.8: everything the reference
+lacks and Spark provides natively — joins, aggregation, window
+functions, sorts, set ops, scalar functions — exercised over the
+driver's TPC-H-ish tables with DuckDB oracles).
+
+Engine-portability rules used throughout (see queries/__init__):
+- money sums -> SUM(CAST(expr AS DECIMAL(28,s))) then cast DOUBLE:
+  exact arithmetic, identical bits in Spark and DuckDB.
+- averages -> exact decimal sum divided by count, in double.
+- counts/ranks -> cast to BIGINT on both sides.
+- timestamps in outputs -> formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..operators import asof, stateful, windows
+from ..stream import Stream
+from . import register, table
+
+
+def dsum(col: Column, scale: int = 6) -> Column:
+    """Exact distributed sum: decimal accumulate, double result."""
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------- q1
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate. Filter + 2-col grouping
+    push into the parquet scan; sums are partial-aggregated map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q3
+@register(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    Customer side is broadcast (small after the segment filter)."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- q5
+@register(
+    "q5_region_nation_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation    ON n_regionkey = r_regionkey
+    JOIN customer  ON c_nationkey = n_nationkey
+    JOIN orders    ON o_custkey   = c_custkey
+    JOIN lineitem  ON l_orderkey  = o_orderkey
+    JOIN supplier  ON s_suppkey   = l_suppkey AND s_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name
+    """,
+)
+def q5_region_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join. All dimensions broadcast; the
+    only shuffle is lineitem->orders and the final aggregation."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+# ------------------------------------------------------- window rank
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def top3_orders_per_customer(spark, sf_dir):
+    """Window-function surface (reference absent, SURVEY §2.8):
+    top-k-per-group via row_number — single hash shuffle on custkey."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ------------------------------------------------------ semi join q4
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """Semi-join surface: EXISTS -> left_semi join."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ------------------------------------------------------- anti join
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti-join surface: NOT EXISTS -> left_anti join."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ------------------------------------------------- agg variety
+@register(
+    "segment_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_stats(spark, sf_dir):
+    """Aggregation library surface: count/distinct/sum/min/max/avg in
+    one pass (avg as exact-sum / count for portability)."""
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            dsum(F.col("c_acctbal"), 2).alias("sum_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .withColumn("avg_bal", F.col("sum_bal") / F.col("n_customers"))
+    )
+
+
+# ------------------------------------------------- rollup
+@register(
+    "rollup_order_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_counts(spark, sf_dir):
+    """Grouping-sets surface: ROLLUP with subtotal + grand-total rows."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), 2).alias("total")
+    )
+
+
+# ------------------------------------------------- set ops
+@register(
+    "high_value_active_custkeys",
+    oracle="""
+    (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+     INTERSECT
+     SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def high_value_active_custkeys(spark, sf_dir):
+    """Set-operation surface: INTERSECT + EXCEPT."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    positive = cust.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return big.intersect(positive).subtract(building)
+
+
+# ------------------------------------------------- scalar functions
+@register(
+    "part_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_u,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           SUBSTR(p_type, 1, 5) AS type5,
+           p_size * 2 AS size2,
+           p_retailprice * 1.1 AS price_up,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS name_snake
+    FROM part
+    WHERE p_size % 2 = 0
+    """,
+)
+def part_scalar_functions(spark, sf_dir):
+    """Scalar string/math surface — per-row FP is deterministic, no
+    rounding games needed. Exercises the Stream map/filter path."""
+    part = Stream.from_parquet(spark, f"{sf_dir}/part.parquet")
+    out = part.filter(F.col("p_size") % 2 == 0).map(
+        {
+            "brand_u": F.upper("p_brand"),
+            "name_len": F.length("p_name").cast("long"),
+            "type5": F.substring("p_type", 1, 5),
+            "size2": F.col("p_size") * 2,
+            "price_up": F.col("p_retailprice") * 1.1,
+            "brand_type": F.concat_ws(":", "p_brand", "p_type"),
+            "name_snake": F.regexp_replace("p_name", " ", "_"),
+        }
+    )
+    return out.df.select(
+        "p_partkey", "brand_u", "name_len", "type5", "size2", "price_up", "brand_type", "name_snake"
+    )
+
+
+# ------------------------------------------------- date functions
+@register(
+    "order_date_parts",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def order_date_parts(spark, sf_dir):
+    """Date-function surface: extract + group by year/quarter."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.withColumns(
+            {
+                "yr": F.year("o_orderdate").cast("long"),
+                "qtr": F.quarter("o_orderdate").cast("long"),
+            }
+        )
+        .groupBy("yr", "qtr")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), 2).alias("total"))
+    )
+
+
+# ------------------------------------------------- flatten/explode
+@register(
+    "explode_part_name_words",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def explode_part_name_words(spark, sf_dir):
+    """flatten operator parity (reference flatten.rs:46-73): explode an
+    array; here word counts over exploded names via the Stream API."""
+    part = Stream.from_parquet(spark, f"{sf_dir}/part.parquet")
+    out = (
+        part.map({"words": F.split(F.col("p_name"), " ")})
+        .flatten("words", "word")
+        .key_by("word")
+        .agg({"n": F.count(F.lit(1))})
+    )
+    return out.df
+
+
+# ------------------------------------------------- global top-k sort
+@register(
+    "top20_lineitems_by_price",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def top20_lineitems_by_price(spark, sf_dir):
+    """Global sort+limit surface: Spark does a per-partition top-k then
+    merges on the driver — no full sort shuffle for LIMIT queries."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------- running stateful agg
+@register(
+    "events_running_totals",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n
+    FROM events
+    """,
+)
+def events_running_totals(spark, sf_dir):
+    """stateful_map parity (reference stateful_map.rs:126-156 running
+    sums): per-key ordered fold as native window aggregates — the
+    vectorized tier of operators/stateful.py."""
+    ev = Stream.from_parquet(spark, f"{sf_dir}/events.parquet").key_by("user_id")
+    out = ev.running_agg(
+        order_by=["ts", "event_id"],
+        aggs={
+            "run_sum": F.sum(F.col("value").cast("decimal(28,2)")),
+            "run_n": F.count(F.lit(1)),
+        },
+    )
+    return out.df.select(
+        "event_id",
+        "user_id",
+        F.col("run_sum").cast("double").alias("run_sum"),
+        F.col("run_n").alias("run_n"),
+    )
+
+
+# ------------------------------------------------- sessionization
+@register(
+    "event_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, sess_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sess_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def event_sessions(spark, sf_dir):
+    """Sessionization (ttl_map/session-window analog, reference
+    ttl_map.rs): gap-based sessions via lag + cumulative sum — one
+    shuffle on user_id shared by both window functions and the final
+    aggregation."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800000000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn("sess_id", F.sum("new_sess").over(wrun))
+    return numbered.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 2).alias("sess_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+# ------------------------------------------------- tumbling window
+@register(
+    "hourly_event_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_rollup(spark, sf_dir):
+    """Tumbling-window operator (operators/windows.py) in batch mode —
+    same F.window() construct runs unchanged under Structured
+    Streaming (SURVEY §2.5)."""
+    ev = table(spark, sf_dir, "events")
+    out = windows.tumbling(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        {"n": F.count(F.lit(1)), "total": dsum(F.col("value"), 2)},
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+# ------------------------------------------------- pivot-style counts
+@register(
+    "user_event_type_matrix",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_type_matrix(spark, sf_dir):
+    """Pivot surface as conditional aggregation (portable shape)."""
+    ev = table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+# ------------------------------------------------- json extraction
+@register(
+    "event_props_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def event_props_json(spark, sf_dir):
+    """Semi-structured surface: JSON path extraction + filter + agg."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ------------------------------------------------- as-of join
+@register(
+    "events_asof_latest_order",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS asof_orderdate
+    FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    WHERE rn = 1
+    """,
+)
+def events_asof_latest_order(spark, sf_dir):
+    """As-of join operator (operators/asof.py, 'join' strategy): for
+    each event, the most recent order of that user at event time.
+    Right side broadcast; struct-max picks the winner without a
+    row_number shuffle."""
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    out = asof.as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders.select(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate"), F.col("o_orderkey")
+        ),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        strategy="join",
+        broadcast_right=True,
+    )
+    return out.filter(F.col("o_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
+    )
