@@ -1,0 +1,67 @@
+"""Dedup operators over planted duplicates: exact groups, MinHash-LSH
+recall on near-identical docs, SimHash Hamming pairs."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from malstrom_spark.functions import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different text about spark query engines and shuffles here today"),
+        (4, "Yet another unrelated document mentioning benchmarks latency and throughput numbers"),
+        (5, BASE + " extra tail words appended"),  # near dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "doc_id").collect()
+    groups = {r.keeper_id: r.n_copies for r in out}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert len(out) == 5  # 5 distinct texts
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.near_dup_pairs_minhash(
+        docs, "doc_id", n_hashes=32, n_bands=16, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found  # exact dup always found
+    assert (0, 2) in found or (1, 2) in found  # one-word change
+    # unrelated docs never pair
+    assert not any(3 in p or 4 in p for p in found)
+
+
+def test_minhash_jaccard_values(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.near_dup_pairs_minhash(
+            docs, "doc_id", n_hashes=32, n_bands=16, threshold=0.1
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0  # identical shingle sets
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_near_dups(docs, "doc_id", max_hamming=10).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((0, 1)) == 0  # identical -> distance 0
+    assert not any((3 in p or 4 in p) and found[p] <= 3 for p in found)
+
+
+def test_ngram_jaccard_kernel(docs, spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard(pairs, docs, "doc_id").collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 3)] < 0.05

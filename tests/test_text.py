@@ -1,0 +1,45 @@
+"""Text-analysis golden tests: counts/ratios/lang-ID/fingerprint."""
+
+import pyspark.sql.functions as F
+
+from malstrom_spark.functions import text
+
+
+def test_text_stats_golden(spark):
+    df = spark.createDataFrame([(1, "Hello world 123 !!")], "id long, text string")
+    row = text.with_text_stats(df).collect()[0]
+    assert row.token_count == 4
+    assert row.char_count == 18
+    assert row.digit_count == 3
+    assert abs(row.alpha_ratio - 13 / 18) < 1e-9  # letters+spaces kept
+    assert len(row.fingerprint) == 32
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "id long, text string",
+    )
+    fps = [r.fp for r in df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_lang_guess(spark):
+    rows = [
+        (1, "the cat is in the house and the dog is here"),
+        (2, "el perro y la casa de los gatos en que vivo"),
+        (3, "der hund und die katze ist ein tier nicht wahr"),
+        (4, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.g for r in df.select("id", text.lang_guess(F.col("text")).alias("g")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [(1, "a good normal sentence with several reasonable words"), (2, "x")],
+        "id long, text string",
+    )
+    got = {r.id: r.q for r in df.select("id", text.quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= got[2] < got[1] <= 1.0
