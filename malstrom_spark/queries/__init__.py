@@ -35,7 +35,7 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_all() -> dict[str, QuerySpec]:
-    from . import pipeline, relational, streaming  # noqa: F401  (import registers)
+    from . import pipeline, relational, relational2, streaming  # noqa: F401  (import registers)
 
     return REGISTRY
 

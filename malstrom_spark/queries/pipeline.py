@@ -226,3 +226,156 @@ def multimodal_image_meta(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = multimodal.attach_binary_column(docs, "text").drop("text")
     return multimodal.extract_image_meta(with_payload).orderBy("doc_id")
+
+
+# ------------------------------------------------- embedding near-dup
+@register(
+    "embedding_near_dup_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+)
+def embedding_near_dup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact brute-force on a bounded
+    probe set (vec_id < 300) — the oracle-checkable kernel that the
+    LSH-bucketed variant below composes with at scale. Norms are
+    computed once per side in a materialized column, not per pair."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        similarity.norm(F.col("embedding")).alias("nrm"),
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = similarity.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.35)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+@register("dedup_embedding_cosine", oracle=None)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup at corpus scale: random-hyperplane LSH
+    buckets replace the all-pairs cross join (functions/similarity.py
+    embedding_near_dups); rows-only (bucketing is hash-based)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(
+        emb, "vec_id", "embedding", dim=64, threshold=0.35, n_planes=8
+    ).select("id_a", "id_b", F.round("sim", 6).alias("sim")).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------- quality scoring
+@register(
+    "doc_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_alpha,
+             length(text) AS n_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS token_count,
+             CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / greatest(len(toks), 1) AS avg_token_len,
+             CAST(len(list_filter(ltoks, x -> list_contains(
+                 ['the','and','of','to','a','in','is'], x))) AS DOUBLE)
+               / greatest(len(ltoks), 1) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, token_count,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(avg_token_len, 6) AS avg_token_len,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round((least(CAST(token_count AS DOUBLE) / 100.0, 1.0)
+                  + alpha_ratio
+                  + (1.0 - least(abs(avg_token_len - 5.0) / 5.0, 1.0))) / 3.0,
+                 6) AS quality_score
+    FROM m
+    """,
+)
+def doc_quality_scores(spark, sf_dir):
+    """Quality scoring for corpus filtering (functions/text.py
+    quality_score): composite of length, alpha-ratio and token-length
+    terms — all native Column arithmetic, reproducible in ANSI SQL."""
+    docs = table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(c).alias("token_count"),
+        F.round(text.alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(text.avg_token_len(c), 6).alias("avg_token_len"),
+        F.round(text.stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(text.quality_score(c), 6).alias("quality_score"),
+    )
+
+
+# ------------------------------------------------- BPE-ish tokenizer
+@register(
+    "doc_word_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_number_tokens,
+           array_to_string(toks[1:5], '|') AS first_tokens
+    FROM t
+    """,
+)
+def doc_word_tokens(spark, sf_dir):
+    """GPT-2-style pre-tokenization (functions/text.py word_tokens):
+    letter runs, digit runs, single punctuation — one vectorized
+    regexp_extract_all per row; counts and a head sample."""
+    docs = table(spark, sf_dir, "documents")
+    toks = text.word_tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(F.col("toks"), lambda x: x.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("n_number_tokens"),
+        F.array_join(F.slice(F.col("toks"), 1, 5), "|").alias("first_tokens"),
+    )
+
+
+# ------------------------------------------------- winnowing sketch
+@register("doc_fingerprint_sketch", oracle=None)
+def doc_fingerprint_sketch(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing): min shingle
+    hash per sliding window of 4 -> distinct sorted sketch. The local
+    minima are stable under single-token edits, so shared sketch
+    values locate overlapping passages across a 100 TB corpus with one
+    explode + groupBy. Rows-only (xxhash64-based)."""
+    docs = table(spark, sf_dir, "documents")
+    hs = dedup.shingle_hash_sets(docs, "doc_id")  # (doc_id, sh: array<bigint>)
+    w = 4
+    sh = F.col("sh")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(sh) - w, F.lit(0)))
+    sketch = F.array_sort(
+        F.array_distinct(F.transform(idx, lambda i: F.array_min(F.slice(sh, i + 1, w))))
+    )
+    return hs.select(
+        "doc_id", sketch.alias("sketch"), F.size(sketch).alias("sketch_size")
+    ).orderBy("doc_id")

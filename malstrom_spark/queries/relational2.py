@@ -1,0 +1,535 @@
+"""Relational query surface, part 2: wider TPC-H-shaped coverage —
+scan-heavy aggregates (Q6/Q14 shapes), multi-dim join matrices
+(Q7/Q8/Q9 shapes), outer-join top-k (Q10), having-join (Q18),
+disjunctive predicates (Q19), correlated-min (Q2 shape via window),
+set operations, CUBE, and exact-moment statistical aggregates.
+
+Engine-portability rules are the same as relational.py: decimal
+accumulation for money (`dsum`), BIGINT casts for counts, formatted
+dates, round(·, 6) on any value derived by division of exact sums.
+
+Scale notes (100 TB): every query keeps the fact table (lineitem /
+orders) on the probe side; dimensions are broadcast explicitly; the
+only wide shuffles are keyed aggregations whose keys are the output
+grain. Statistical moments are computed as exact decimal sums in ONE
+pass (no variance two-pass, no percentile sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import register, table
+from .relational import dsum
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ----------------------------------------------------------- q6 shape
+@register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins. All
+    three predicates push to the parquet scan; the aggregate is a
+    single global decimal sum (map-side partials, one-row shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ----------------------------------------------------------- q7 shape
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral shipping volume between distinct
+    nation pairs by year. The nation table joins twice under different
+    roles (supplier side / customer side) — both broadcast."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+# ----------------------------------------------------------- q8 shape
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT r_name,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             n1.n_name AS supp_nation,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey  = o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3
+    )
+    SELECT r_name, o_year, supp_nation, round(volume, 4) AS volume,
+           round(volume / SUM(volume) OVER (PARTITION BY r_name, o_year), 6) AS share
+    FROM vol
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: each supplier nation's share of a customer
+    region's yearly purchase volume. Aggregate first (small grain),
+    then a window divides by the region-year total — the window runs
+    on the aggregated 25x5x2-row result, not on the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    region = table(spark, sf_dir, "region")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy("r_name", F.year("o_orderdate").cast("long").alias("o_year"), "supp_nation")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("volume"))
+    )
+    w = Window.partitionBy("r_name", "o_year")
+    return vol.select(
+        "r_name",
+        "o_year",
+        "supp_nation",
+        F.round("volume", 4).alias("volume"),
+        F.round(F.col("volume") / F.sum("volume").over(w), 6).alias("share"),
+    )
+
+
+# ----------------------------------------------------------- q9 shape
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1
+                         AS DECIMAL(28,6))) AS DOUBLE) AS amount
+    FROM lineitem
+    JOIN part     ON p_partkey  = l_partkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit on a part-name-filtered product line by
+    supplier nation and year (retailprice*qty*0.1 stands in for
+    ps_supplycost — this dataset has no partsupp table). The part
+    filter is applied before the join and the filtered part table is
+    broadcast, so lineitem is probe-side pruned."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(dsum(amount, 6).alias("amount"))
+    )
+
+
+# ---------------------------------------------------------- q10 shape
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           round(any_value(c_acctbal), 2) AS c_acctbal
+    FROM customer
+    JOIN orders   ON o_custkey  = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: customers who returned the most value in a
+    window — join, agg on the customer grain, global top-20 (TakeOrdered,
+    no full sort)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1996-07-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.round(F.any_value("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------- q14 shape
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT round(100.0 *
+             CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+           6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue percentage — conditional
+    aggregation over a month of shipments; part is broadcast."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * dsum(promo, 6) / dsum(rev, 6), 6).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------- q18 shape
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 300
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 —
+    aggregate-then-having on the fact table, then join the (now tiny)
+    qualifying set to orders/customer. The HAVING output is broadcast
+    into the orders join, reversing the usual fact-probe direction."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------- q19 shape
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type  = 'PROMO'    AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: three OR'd brand/size/quantity predicate
+    branches that mix join-side and probe-side columns — exercises
+    Catalyst's disjunction handling (the common l_partkey join key is
+    still extracted; part remains broadcast)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(10, 30) & qty.between(10, 30))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(20, 50) & (qty >= 25))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ------------------------------------------------ q2 shape (corr. min)
+@register(
+    "min_price_supplier_per_part",
+    oracle="""
+    WITH priced AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             MIN(l_extendedprice) OVER (PARTITION BY l_partkey) AS min_price
+      FROM lineitem
+    ), best AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_suppkey) AS rn
+      FROM priced WHERE l_extendedprice = min_price
+    )
+    SELECT p_partkey, p_name, p_brand, s_name,
+           round(l_extendedprice, 2) AS best_price
+    FROM best
+    JOIN part     ON p_partkey = best.l_partkey
+    JOIN supplier ON s_suppkey = best.l_suppkey
+    WHERE rn = 1 AND p_size < 10
+    """,
+)
+def min_price_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape (correlated MIN subquery) expressed as a window:
+    cheapest observed supplier per part, ties broken by suppkey. The
+    reference would need a hand-built stateful join; here it is one
+    window over the fact table plus two broadcast joins."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    supp = table(spark, sf_dir, "supplier")
+    wmin = Window.partitionBy("l_partkey")
+    wrn = Window.partitionBy("l_partkey").orderBy("l_suppkey")
+    best = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .withColumn("min_price", F.min("l_extendedprice").over(wmin))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .withColumn("rn", F.row_number().over(wrn))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "s_name",
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+    )
+
+
+# ------------------------------------------------------------ set ops
+@register(
+    "customer_cohort_set_ops",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT 'both_years' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT 'only_1996' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT 'only_1997' AS cohort, o_custkey FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+    """,
+)
+def customer_cohort_set_ops(spark, sf_dir):
+    """Set operators (absent in the reference, SURVEY §2.8): customer
+    retention cohorts via INTERSECT / EXCEPT / UNION ALL over yearly
+    active-customer sets."""
+    orders = table(spark, sf_dir, "orders")
+
+    def actives(y0, y1):
+        return (
+            orders.filter((F.col("o_orderdate") >= _ts(y0)) & (F.col("o_orderdate") < _ts(y1)))
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = actives("1996-01-01", "1997-01-01"), actives("1997-01-01", "1998-01-01")
+    tag = lambda df, t: df.select(F.lit(t).alias("cohort"), "o_custkey")  # noqa: E731
+    return (
+        tag(y96.intersect(y97), "both_years")
+        .unionAll(tag(y96.exceptAll(y97), "only_1996"))
+        .unionAll(tag(y97.exceptAll(y96), "only_1997"))
+    )
+
+
+# --------------------------------------------------------------- cube
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf_dir):
+    """CUBE aggregation (grouping sets; reference has no aggregation
+    library at all): all 4 grouping combinations in one shuffle, NULL
+    grouping slots rendered as 'ALL' for engine portability."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# -------------------------------------------- exact-moment statistics
+@register(
+    "lineitem_stats_by_flag",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4)))  AS DOUBLE) AS spp,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sq / n, 6) AS qty_mean,
+           round((sqq - sq*sq/n) / (n - 1), 6) AS qty_var,
+           round((sqp - sq*sp/n) / sqrt((sqq - sq*sq/n) * (spp - sp*sp/n)), 6) AS qty_price_corr
+    FROM m
+    """,
+)
+def lineitem_stats_by_flag(spark, sf_dir):
+    """Statistical aggregates (mean/variance/correlation) computed
+    from EXACT decimal moments in one pass — not stddev()/corr(),
+    whose float accumulation order differs per engine/partitioning.
+    Same single-shuffle cost as a plain sum; bit-identical results."""
+    li = table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q, 2).alias("sq"),
+        F.sum((q * q).cast("decimal(28,4)")).cast("double").alias("sqq"),
+        dsum(p, 2).alias("sp"),
+        F.sum((p * p).cast("decimal(38,4)")).cast("double").alias("spp"),
+        F.sum((q * p).cast("decimal(38,4)")).cast("double").alias("sqp"),
+    )
+    n = F.col("n")
+    sq, sqq, sp, spp, sqp = (F.col(c) for c in ["sq", "sqq", "sp", "spp", "sqp"])
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(sq / n, 6).alias("qty_mean"),
+        F.round((sqq - sq * sq / n) / (n - 1), 6).alias("qty_var"),
+        F.round(
+            (sqp - sq * sp / n) / F.sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 6
+        ).alias("qty_price_corr"),
+    )
