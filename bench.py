@@ -7,12 +7,18 @@ Each query is fully materialized via a count-ish action (collect for
 small outputs) so the measured time covers scan->shuffle->agg, not
 plan construction. A warm-up q1 runs first so JIT/codegen warmup isn't
 charged to the first measured query.
+
+Also measures streaming stateful throughput (keyed running totals via
+applyInPandasWithState over a 10x-replicated events replay) and
+reports it as "streaming_stateful_events_per_sec" — the BASELINE.md
+target is >= 100k events/s sustained.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -22,16 +28,53 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_nation_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q18_large_orders",
     "top3_orders_per_customer",
     "events_running_totals",
     "event_sessions",
     "hourly_event_rollup",
     "doc_text_stats",
+    "doc_quality_scores",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
+    "embedding_near_dup_cosine",
     "events_asof_latest_order",
 ]
+
+
+def measure_streaming_eps(spark, sf_dir: str) -> float:
+    """Events/s through the keyed stateful running-total operator,
+    replicated 10x so fixed startup cost (~3s) is amortized."""
+    from malstrom_spark.streaming.stateful import running_totals_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    n_base = ev.count()
+    big = ev
+    for _ in range(9):
+        big = big.union(ev)
+    stage = "/tmp/malstrom_bench_stream_in"
+    ckpt = f"/tmp/malstrom_bench_stream_ckpt_{int(time.time())}"
+    shutil.rmtree(stage, ignore_errors=True)
+    big.repartition(8).write.parquet(stage)
+    n = n_base * 10
+    schema = spark.read.parquet(stage).schema
+    sdf = spark.readStream.format("parquet").schema(schema).load(stage)
+    t0 = time.perf_counter()
+    q = (
+        running_totals_stream(sdf, "user_id", "value")
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return round(n / dt, 1)
 
 
 def main():
@@ -56,6 +99,9 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    eps = measure_streaming_eps(spark, sf_dir)
+    print(f"# streaming_stateful: {eps:,.0f} events/s", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -64,6 +110,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming_stateful_events_per_sec": eps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
