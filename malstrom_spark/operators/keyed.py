@@ -52,3 +52,43 @@ def key_distribute(
     if num_partitions:
         return keyed.repartition(num_partitions, F.col(key_col))
     return keyed.repartition(F.col(key_col))
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for SKEWED keys: stage 1 aggregates on
+    (key, salt) so a hot key fans out over `n_salts` reducers; stage 2
+    merges the partials on the key alone. The second shuffle moves at
+    most n_salts rows per key regardless of input skew.
+
+    `aggs` maps output name -> (kind, column) where kind is one of
+    sum/count/min/max (algebraic aggregates — the only ones a salted
+    split can merge losslessly; avg = sum/count composed by callers).
+
+    AQE's skew-join splitting handles skewed JOINS automatically; this
+    helper is for skewed AGGREGATIONS, which AQE does not re-split
+    (a single hot groupBy key always lands in one reducer otherwise).
+    The salt is derived from a per-row nondeterministic id — it only
+    controls placement, never the merged result.
+    """
+    _merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    stage1_aggs = []
+    for name, (kind, col) in aggs.items():
+        if kind not in _merge:
+            raise ValueError(f"salted_agg supports sum/count/min/max, got {kind}")
+        agg_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[kind]
+        stage1_aggs.append(agg_fn(col).alias(f"__p_{name}"))
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(*stage1_aggs)
+    )
+    stage2_aggs = [
+        _merge[kind](F.col(f"__p_{name}")).alias(name) for name, (kind, _) in aggs.items()
+    ]
+    return stage1.groupBy(*key_cols).agg(*stage2_aggs)

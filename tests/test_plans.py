@@ -1,0 +1,118 @@
+"""Physical-plan regression tests: the scale properties we claim
+(pushdown, pruning, broadcast, codegen, shuffle counts) are asserted
+against `.explain("formatted")` output so a refactor that silently
+loses them fails CI — the 100 TB design intent, checked at sf0.001.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_simple(df) -> str:
+    """Simple-mode plan: shows `Exchange hashpartitioning(...)` on one
+    line and `*(n)` whole-stage-codegen markers (formatted mode shows
+    neither contiguously). After execution AQE appends the Initial
+    Plan — keep only the final section so nodes aren't double-counted."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue().split("== Initial Plan ==")[0]
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from malstrom_spark.queries import load_all
+
+    return load_all()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir, reg):
+    plan = plan_of(reg["q1_pricing_summary"].fn(spark, sf_dir))
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the scan must not read join-only columns
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    # `*(n)` prefixes in simple mode = whole-stage codegen spans;
+    # AQE only collapses codegen stages once the plan executes
+    df = reg["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # count() would execute a different (wrapped) plan
+    assert "*(" in plan_simple(df)
+
+
+def test_q3_broadcasts_filtered_dimension(spark, sf_dir, reg):
+    plan = plan_of(reg["q3_top_revenue_orders"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # top-k must be TakeOrdered, not a full global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_snowflake_all_dims_broadcast(spark, sf_dir, reg):
+    plan = plan_of(reg["q5_region_nation_revenue"].fn(spark, sf_dir))
+    # 5 joins total; at least 4 must be broadcast (lineitem-orders may shuffle)
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir, reg):
+    plan = plan_simple(reg["dedup_exact_docs"].fn(spark, sf_dir))
+    # partial agg map-side, one exchange, final agg — no more
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the text body itself is never shuffled, only the md5
+    exchange_line = plan.split("Exchange hashpartitioning")[1].split("\n")[0]
+    assert "text" not in exchange_line
+
+
+def test_minhash_signatures_zero_shuffle(spark, sf_dir):
+    """Signature stage is a pure map over the scan (array_min over
+    per-doc hash arrays) — any Exchange here is a regression."""
+    from malstrom_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(dedup.minhash_signature(docs, "doc_id"))
+    assert "Exchange" not in plan
+
+
+def test_simhash_zero_shuffle(spark, sf_dir):
+    from malstrom_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(dedup.simhash_df(docs, "doc_id"))
+    assert "Exchange" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir, reg):
+    plan = plan_of(reg["similarity_topk_cosine"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_salted_agg_two_stages_and_correctness(spark):
+    from malstrom_spark.operators.keyed import salted_agg
+
+    # heavily skewed: 10k rows on one key, 10 on another
+    df = spark.range(10010).select(
+        F.when(F.col("id") < 10000, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = salted_agg(
+        df, ["k"], {"total": ("sum", F.col("v")), "n": ("count", F.col("v")), "mx": ("max", F.col("v"))}
+    )
+    got = {r.k: (r.total, r.n, r.mx) for r in out.collect()}
+    want = {
+        r.k: (r.total, r.n, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count("v").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+    # two aggregation exchanges: (key, salt) then (key)
+    assert plan_simple(out).count("Exchange hashpartitioning") == 2
