@@ -1,0 +1,83 @@
+"""Streaming late-data side output (SURVEY §4.3.1): the reference
+diverts records at/below the current epoch to a late stream
+(generate_epochs.rs:44,124-126); Spark drops them. flag_late_stream
+reproduces the side output; this test drives it file-by-file
+(maxFilesPerTrigger=1) so the frontier advances batch-by-batch
+deterministically, then checks the flag against the reference rule.
+"""
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, dirpath: pathlib.Path, idx: int, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    df.coalesce(1).write.parquet(str(dirpath / f"b{idx}"))
+
+
+def test_flag_late_stream_matches_reference_rule(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from malstrom_spark.streaming.eventtime import flag_late_stream
+
+    t = lambda s: datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)  # noqa: E731
+
+    staging = tmp_path / "in"
+    staging.mkdir()
+    # batch 0: ts 100..109 -> frontier 109, nothing can be late yet
+    _write_batch(spark, staging, 0, [(i, t(100 + i)) for i in range(10)])
+    # batch 1: 50 is late (50 <= 109-10); 110..115 on time -> frontier 115
+    _write_batch(spark, staging, 1, [(100, t(50))] + [(110 + i, t(110 + i)) for i in range(6)])
+    # batch 2: 95 late (95 <= 115-10); 120 on time
+    _write_batch(spark, staging, 2, [(200, t(95)), (201, t(120))])
+
+    schema = "event_id long, ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(staging) + "/b*")
+    )
+    # single shard: the test needs one global frontier to be deterministic
+    flagged = flag_late_stream(sdf, "ts", delay_sec=10, n_shards=1)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.is_late for r in spark.table("late_test").collect()}
+
+    assert len(got) == 19  # nothing dropped — unlike withWatermark
+    assert got[100] is True
+    assert got[200] is True
+    on_time = [k for k, v in got.items() if not v]
+    assert sorted(on_time) == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 110, 111, 112, 113, 114, 115, 201]
+
+
+def test_flag_late_stream_batch0_all_on_time(spark, tmp_path):
+    """No frontier yet -> nothing is late (reference: no epoch emitted
+    before the first record, generate_epochs.rs:73-123)."""
+    from datetime import datetime, timezone
+
+    from malstrom_spark.streaming.eventtime import flag_late_stream
+
+    t = lambda s: datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)  # noqa: E731
+    staging = tmp_path / "in"
+    staging.mkdir()
+    _write_batch(spark, staging, 0, [(1, t(1000)), (2, t(5)), (3, t(2000))])
+
+    sdf = spark.readStream.schema("event_id long, ts timestamp").parquet(str(staging) + "/b*")
+    flagged = flag_late_stream(sdf, "ts", delay_sec=10, n_shards=1)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("late_test_b0")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.is_late for r in spark.table("late_test_b0").collect()}
+    assert got == {1: False, 2: False, 3: False}
