@@ -157,3 +157,101 @@ def embedding_near_dups(
         cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("sim"),
     )
     return pairs.filter(F.col("sim") >= threshold)
+
+
+# ---------------------------------------------------------------- IVF
+def ivf_build_centroids(
+    corpus: DataFrame,
+    vec_col: str = "c_vec",
+    n_lists: int = 16,
+    n_iters: int = 2,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: k-means with deterministic seeding
+    (first k vectors in xxhash order) and `n_iters` Lloyd iterations
+    executed as DataFrame aggregations. Only the k x dim centroid
+    matrix ever reaches the driver (a few KB) — assignments stay
+    distributed; at 100 TB the fit runs on a sample() of the corpus.
+    """
+    seeds = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in seeds]
+    for _ in range(n_iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            _nearest_list(F.col(vec_col), centroids).alias("list_id"),
+        )
+        # mean per (list, dim): posexplode -> two-level agg; k*dim rows out
+        means = (
+            assigned.select("list_id", F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r.list_id, {})[r.pos] = r.m
+        for lid, dims in by_list.items():
+            centroids[lid] = [dims[i] for i in range(len(centroids[lid]))]
+    return centroids
+
+
+def _nearest_list(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_l ||vec - c_l||^2 as a native expression: squared L2 to
+    each literal centroid, position of the minimum. ||v||^2 is common
+    to all lists and dropped, so each distance is -2<v,c> + ||c||^2."""
+    dists = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        c_norm2 = sum(x * x for x in c)
+        dists.append(F.lit(-2.0) * dot(vec, lit_c) + F.lit(float(c_norm2)))
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def _nearest_lists(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """The n_probe nearest list ids, via argsort on the distance array."""
+    dists = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        c_norm2 = sum(x * x for x in c)
+        dists.append(F.lit(-2.0) * dot(vec, lit_c) + F.lit(float(c_norm2)))
+    darr = F.array(*dists)
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.zip_with(darr, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    return F.slice(F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n_probe)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed into
+    `n_lists` Voronoi cells once; each query probes its `n_probe`
+    nearest cells. The join is a bucket equi-join — the scan fraction
+    is ~n_probe/n_lists of brute force, and recall rises with n_probe
+    (n_probe = n_lists degrades gracefully to exact brute force).
+    Pass precomputed `centroids` to amortize the fit across queries
+    (at scale: persist assignments as a bucketed table)."""
+    cents = centroids or ivf_build_centroids(corpus, c_vec, n_lists, n_iters)
+    cb = corpus.withColumn("list_id", _nearest_list(F.col(c_vec), cents))
+    qb = queries.withColumn(
+        "list_id", F.explode(_nearest_lists(F.col(q_vec), cents, n_probe))
+    )
+    scored = cb.join(F.broadcast(qb), "list_id").select(
+        F.col(q_id), F.col(c_id), cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

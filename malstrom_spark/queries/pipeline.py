@@ -379,3 +379,19 @@ def doc_fingerprint_sketch(spark, sf_dir):
     return hs.select(
         "doc_id", sketch.alias("sketch"), F.size(sketch).alias("sketch_size")
     ).orderBy("doc_id")
+
+
+@register("similarity_ann_ivf", oracle=None)
+def similarity_ann_ivf(spark, sf_dir):
+    """IVF approximate NN (functions/similarity.py ivf_topk): k-means
+    coarse quantizer + n_probe cell search — the classic ANN index
+    shape, fully distributed (only the centroid matrix hits the
+    driver). Rows-only: cell boundaries are approximation-specific."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return similarity.ivf_topk(queries, corpus, k=5, n_lists=8, n_probe=3).select(
+        "q_id", "c_id", F.round("sim", 6).alias("sim"), "rank"
+    )

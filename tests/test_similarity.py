@@ -4,6 +4,7 @@ LSH variant recall against brute force on clustered data."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from malstrom_spark.functions import similarity
 
@@ -58,3 +59,51 @@ def test_embedding_near_dups(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 1) in got
     assert all(2 not in p for p in got)
+
+
+def test_ivf_exact_when_probing_all_lists(spark, sf_dir):
+    """n_probe = n_lists must reproduce brute-force top-k exactly."""
+    from malstrom_spark.functions import similarity
+    from malstrom_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = {
+        (r.q_id, r.rank): r.c_id
+        for r in similarity.cosine_topk(queries, corpus, k=3).collect()
+    }
+    ivf_all = {
+        (r.q_id, r.rank): r.c_id
+        for r in similarity.ivf_topk(
+            queries, corpus, k=3, n_lists=4, n_probe=4, n_iters=1
+        ).collect()
+    }
+    assert ivf_all == exact
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """Probing half the cells should still recover most true
+    neighbors (sanity bound, deterministic centroids)."""
+    from malstrom_spark.functions import similarity
+    from malstrom_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = {
+        (r.q_id, r.c_id)
+        for r in similarity.cosine_topk(queries, corpus, k=3).collect()
+    }
+    approx = {
+        (r.q_id, r.c_id)
+        for r in similarity.ivf_topk(
+            queries, corpus, k=3, n_lists=8, n_probe=4, n_iters=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below sanity bound"
