@@ -331,3 +331,61 @@ def simhash_near_dups(
     return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets
+    the MINIMUM id of its duplicate cluster as `group_id` (the keeper;
+    singletons keep their own id).
+
+    Algorithm: iterative min-label propagation — each round joins the
+    current labels across the (undirected) edge set and takes the min
+    of neighbor labels; converges in O(diameter) rounds, with an early
+    exit when a round changes nothing. Near-dup clusters are shallow
+    (diameter ~ a few hops), so 3-4 rounds typically suffice; at
+    100 TB each round is one shuffle join on the edge list — the same
+    large-graph CC pattern used by GraphX/GraphFrames, without the
+    dependency.
+
+    `pairs`: (id_a, id_b) near-dup edges (from MinHash/SimHash/cosine).
+    `all_ids`: one row per document id (so singletons appear).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("group_id"))
+    for _ in range(max_iters):
+        # min label among each node's neighbors (and itself)
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("group_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "group_id")

@@ -395,3 +395,50 @@ def similarity_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(queries, corpus, k=5, n_lists=8, n_probe=3).select(
         "q_id", "c_id", F.round("sim", 6).alias("sim"), "rank"
     )
+
+
+# ------------------------------------------------- dedup groups (CC)
+@register(
+    "dedup_groups_probe",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1) + 1),
+               i -> concat_ws(' ',
+                 string_split_regex(trim(lower(text)), '\\s+')[i],
+                 string_split_regex(trim(lower(text)), '\\s+')[i+1],
+                 string_split_regex(trim(lower(text)), '\\s+')[i+2])
+             )) AS sh
+      FROM documents WHERE doc_id < 40
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM sh
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node
+    """,
+)
+def dedup_groups_probe(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: connected components over
+    the >= 0.5-Jaccard edge set (functions/dedup.py dedup_groups,
+    iterative min-label propagation); every doc labeled with its
+    cluster's minimum id. Oracle = DuckDB recursive CTE reachability
+    on a bounded probe set (doc_id < 40)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    edges = dedup.ngram_jaccard(all_pairs, docs, "doc_id").filter(F.col("jaccard") >= 0.5)
+    return dedup.dedup_groups(edges, ids, "doc_id")

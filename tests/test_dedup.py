@@ -65,3 +65,17 @@ def test_ngram_jaccard_kernel(docs, spark):
     out = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard(pairs, docs, "doc_id").collect()}
     assert out[(0, 1)] == 1.0
     assert out[(0, 3)] < 0.05
+
+
+def test_dedup_groups_transitive_closure(spark):
+    """A-B and B-C near-dup edges must put A, B, C in ONE group labeled
+    min(id), even though A-C was never emitted as a pair; isolated
+    docs keep their own id."""
+    from malstrom_spark.functions.dedup import dedup_groups
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.group_id for r in dedup_groups(pairs, ids, "doc_id").collect()}
+    assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4}
