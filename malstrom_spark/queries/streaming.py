@@ -67,3 +67,100 @@ def streaming_user_totals(spark, sf_dir):
         "n_events",
         F.col("total_value").cast("decimal(28,2)").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark, sf_dir):
+    """Session windows computed BY THE STREAMING ENGINE
+    (F.session_window state merging — richer than the reference, whose
+    windows are hand-built on stateful_op, SURVEY §2.5). 5-minute
+    inactivity gap; Spark's gap is end-exclusive, mirrored by the
+    oracle's `>= INTERVAL` new-session rule. Second precision in the
+    output start avoids ns-vs-us edge formatting."""
+    ev = replay_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.session_window("ts", "5 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    result = run_to_memory(agg, output_mode="complete")
+    return result.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def streaming_click_purchase_join(spark, sf_dir):
+    """STREAM-STREAM inner join (impossible in the reference — no
+    binary join operator exists, SURVEY §2.8): click->purchase
+    attribution within 10 minutes. Both sides carry watermarks so the
+    engine can bound join state (clicks older than watermark - 10min
+    are evicted); inner-join output is deterministic regardless of
+    microbatching, so the batch oracle applies."""
+    ev = replay_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    result = run_to_memory(joined, output_mode="append")
+    return result.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_to_purchase"),
+    )
