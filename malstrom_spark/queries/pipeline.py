@@ -442,3 +442,28 @@ def dedup_groups_probe(spark, sf_dir):
     )
     edges = dedup.ngram_jaccard(all_pairs, docs, "doc_id").filter(F.col("jaccard") >= 0.5)
     return dedup.dedup_groups(edges, ids, "doc_id")
+
+
+@register("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (functions/multimodal.py
+    frame_sample): the 1->N mapInPandas explode shape a real ffmpeg
+    sampler produces, on a bounded probe set; decode kernel is the
+    documented stub."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    with_payload = multimodal.attach_binary_column(docs, "text").drop("text")
+    return (
+        multimodal.frame_sample(with_payload, every_n=16)
+        .select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register("multimodal_audio_features", oracle=None)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio feature-extraction plumbing (functions/multimodal.py
+    audio_features): schema/batch contract through mapInPandas with
+    the deterministic stub kernel."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    with_payload = multimodal.attach_binary_column(docs, "text").drop("text")
+    return multimodal.audio_features(with_payload).orderBy("doc_id")

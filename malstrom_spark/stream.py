@@ -137,6 +137,14 @@ class Stream:
             self.df.groupBy(*self.key_cols).agg(*[a.alias(n) for n, a in aggs.items()])
         )
 
+    def salted_agg(
+        self, aggs: Mapping[str, tuple[str, Column]], n_salts: int = 16
+    ) -> "Stream":
+        """Skew-safe aggregation: hot keys fan out over n_salts
+        reducers, partials merge on the key (operators/keyed.py)."""
+        self._need_keys()
+        return self._with(keyed.salted_agg(self.df, list(self.key_cols), dict(aggs), n_salts))
+
     # ---- event time (SURVEY §2.5) ----
 
     def assign_timestamps(self, expr: Column | str, ts_col: str = "event_ts") -> "Stream":
@@ -156,14 +164,48 @@ class Stream:
     def tumbling_window(self, size: str, aggs: Mapping[str, Column]) -> "Stream":
         return self._with(windows.tumbling(self.df, self.ts_col, size, self.key_cols, aggs))
 
+    def sliding_window(self, size: str, slide: str, aggs: Mapping[str, Column]) -> "Stream":
+        return self._with(
+            windows.sliding(self.df, self.ts_col, size, slide, self.key_cols, aggs)
+        )
+
     def session_window(self, gap: str, aggs: Mapping[str, Column]) -> "Stream":
         return self._with(windows.session(self.df, self.ts_col, gap, self.key_cols, aggs))
+
+    def flag_late(self, delay_sec: float, n_shards: int = 32) -> "Stream":
+        """Streaming late-data side output: adds `is_late` judged
+        against a self-tracked frontier (streaming/eventtime.py) —
+        filter it into the reference's (on_time, late) stream pair."""
+        if not self.ts_col:
+            raise ValueError("assign_timestamps first")
+        from .streaming.eventtime import flag_late_stream
+
+        return self._with(flag_late_stream(self.df, self.ts_col, delay_sec, n_shards))
 
     # ---- joins (absent in reference, SURVEY §2.8 — native here) ----
 
     def join(self, other: "Stream", on, how: str = "inner", broadcast: bool = False) -> "Stream":
         right = F.broadcast(other.df) if broadcast else other.df
         return self._with(self.df.join(right, on, how))
+
+    def as_of_join(
+        self,
+        other: "Stream",
+        left_ts: str,
+        right_ts: str,
+        right_cols: Sequence[str],
+        **kw,
+    ) -> "Stream":
+        """Point-in-time join on this stream's key (operators/asof.py):
+        each left row gets the latest right row with right_ts <= left_ts."""
+        self._need_keys()
+        from .operators import asof
+
+        return self._with(
+            asof.as_of_join(
+                self.df, other.df, list(self.key_cols), left_ts, right_ts, right_cols, **kw
+            )
+        )
 
     # ---- sinks (SURVEY §2.7; full set in malstrom_spark.sinks) ----
 

@@ -1,0 +1,56 @@
+"""Stream builder API surface: the wrapper must compose the operator
+modules correctly (golden checks on small frames, mirroring the
+reference's builder doctests, e.g. map.rs:12-38)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from malstrom_spark.stream import Stream
+
+
+def test_salted_agg_via_stream(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double"
+    )
+    out = (
+        Stream.from_df(df)
+        .key_by("k")
+        .salted_agg({"total": ("sum", F.col("v")), "n": ("count", F.col("v"))}, n_salts=4)
+    )
+    got = {r.k: (r.total, r.n) for r in out.collect()}
+    assert got == {"a": (3.0, 2), "b": (5.0, 1)}
+
+
+def test_sliding_window_via_stream(spark):
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    df = spark.createDataFrame(
+        [("u", t(0), 1.0), ("u", t(15), 2.0), ("u", t(25), 4.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = (
+        Stream.from_df(df, key_cols=("k",), ts_col="ts")
+        .sliding_window("20 seconds", "10 seconds", {"total": F.sum("v")})
+        .collect()
+    )
+    by_start = {r.window_start.second: r.total for r in out}
+    # windows sliding by 10s: [-10,10)->1, [0,20)->3, [10,30)->6, [20,40)->4
+    assert by_start[0] == 3.0 and by_start[10] == 6.0 and by_start[20] == 4.0
+
+
+def test_as_of_join_via_stream(spark):
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k1", t(10)), ("k1", t(30)), ("k2", t(10))], "key string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k1", t(5), 100.0), ("k1", t(20), 200.0), ("k2", t(50), 999.0)],
+        "key string, rts timestamp, px double",
+    )
+    out = (
+        Stream.from_df(left, key_cols=("key",))
+        .as_of_join(Stream.from_df(right), "ts", "rts", ["px"], broadcast_right=True)
+        .collect()
+    )
+    got = {(r.key, r.ts.second): r.px for r in out}
+    assert got == {("k1", 10): 100.0, ("k1", 30): 200.0, ("k2", 10): None}
