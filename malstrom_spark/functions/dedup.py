@@ -66,9 +66,13 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def _shingles_from_tokens(t: Column, n: int) -> Column:
+    # try_element_at: docs shorter than n tokens yield one truncated
+    # shingle (nulls skipped by concat_ws) — same as SQL list indexing
     idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]))
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.try_element_at(t, i + j + 1) for j in range(n)])
+        )
     )
 
 
@@ -98,9 +102,11 @@ def shingle_hash_sets(
     toks = df.select(id_col, _tokens_cheap(F.col(text_col)).alias("_toks"))
     t = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(t) - shingle_n, F.lit(0)))
+    # try_element_at: xxhash64 ignores null inputs, so a doc shorter
+    # than n tokens hashes its truncated shingle — mirrors concat_ws
     sh = F.array_distinct(
         F.transform(
-            idx, lambda i: F.xxhash64(*[F.element_at(t, i + j + 1) for j in range(shingle_n)])
+            idx, lambda i: F.xxhash64(*[F.try_element_at(t, i + j + 1) for j in range(shingle_n)])
         )
     )
     return toks.select(id_col, sh.alias("sh"))

@@ -1,0 +1,97 @@
+"""Property-based tests (reference test layer 3, SURVEY §5: proptest
+on routing invariants). Here the invariants are the vectorized
+operators themselves: each property checks the JVM-side expression
+against a plain-Python reimplementation on hypothesis-generated data.
+ASCII-only alphabets: Java's \\s is ASCII while Python's is Unicode,
+and the engine contract is defined by the JVM regex.
+"""
+
+import string
+from datetime import datetime, timezone
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+ASCII_TEXT = st.text(alphabet=string.ascii_letters + string.digits + " .,!?-", max_size=80)
+
+
+def _py_tokens(s: str) -> list[str]:
+    import re
+
+    return re.split(r"\s+", s.strip())
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=8))
+def test_token_count_matches_python(spark, texts):
+    from malstrom_spark.functions import text as T
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r.id: r.n for r in df.select("id", T.token_count(F.col("text")).alias("n")).collect()
+    }
+    want = {i: len(_py_tokens(t)) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(ASCII_TEXT, min_size=2, max_size=8))
+def test_exact_dedup_partitions_input(spark, texts):
+    """Copy counts sum to the input size and each keeper is the min id
+    of its normalized-text group."""
+    from malstrom_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = exact_dedup(df, "doc_id").collect()
+    assert sum(r.n_copies for r in rows) == len(texts)
+    norm = lambda s: " ".join(_py_tokens(s.lower())).strip()  # noqa: E731
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), []).append(i)
+    want_keepers = sorted(min(v) for v in groups.values())
+    assert sorted(r.keeper_id for r in rows) == want_keepers
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=60),
+)
+def test_split_late_matches_reference_rule(spark, ts_seconds, delay):
+    """Batch late-split vs a direct Python simulation of the reference
+    rule: late iff ts <= (max ts of PRIOR arrivals) - delay."""
+    from malstrom_spark.operators.eventtime import split_late
+
+    rows = [
+        (i, datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None))
+        for i, s in enumerate(ts_seconds)
+    ]
+    df = spark.createDataFrame(rows, "arrival long, ts timestamp")
+    on_time, late = split_late(df, "ts", f"INTERVAL {delay} SECONDS", ["arrival"])
+    got_late = {r.arrival for r in late.collect()}
+    got_on_time = {r.arrival for r in on_time.collect()}
+
+    frontier = None
+    want_late = set()
+    for i, s in enumerate(ts_seconds):
+        if frontier is not None and s <= frontier - delay:
+            want_late.add(i)
+        frontier = s if frontier is None else max(frontier, s)
+    assert got_late == want_late
+    assert got_on_time == set(range(len(ts_seconds))) - want_late
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=6))
+def test_minhash_identical_texts_identical_signatures(spark, texts):
+    """Duplicated docs must produce identical signatures (and thus
+    collide in every LSH band)."""
+    from malstrom_spark.functions.dedup import minhash_signature
+
+    doubled = [(i, t) for i, t in enumerate(texts)] + [
+        (i + 1000, t) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(doubled, "doc_id long, text string")
+    sigs = {r.doc_id: tuple(r.signature) for r in minhash_signature(df, "doc_id").collect()}
+    for i in range(len(texts)):
+        assert sigs[i] == sigs[i + 1000]
