@@ -533,3 +533,36 @@ def lineitem_stats_by_flag(spark, sf_dir):
             (sqp - sq * sp / n) / F.sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 6
         ).alias("qty_price_corr"),
     )
+
+
+# ------------------------------------------ monthly windows (parity)
+@register(
+    "monthly_order_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def monthly_order_rollup(spark, sf_dir):
+    """Calendar-month tumbling windows — the reference's flagship
+    event-time example hand-builds these with a custom epoch generator
+    firing at month boundaries plus stateful eviction
+    (examples/event_time.rs:94-152, ~60 lines). Here the same result
+    is one date_trunc expression; month windows aren't expressible in
+    F.window (variable length) but need no windowing machinery at all
+    in batch."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
