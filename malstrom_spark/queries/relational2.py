@@ -566,3 +566,78 @@ def monthly_order_rollup(spark, sf_dir):
             dsum(F.col("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------- q16 shape
+@register(
+    "q16_brand_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_brand_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: DISTINCT-count aggregation under negated dim
+    predicates. count(distinct) expands to a two-phase aggregate
+    (dedup on the full grouping+value key, then count) — still one
+    logical shuffle chain, no driver involvement."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ------------------------------------------------- window: lag/lead
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date,
+             CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS date_rank
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(COALESCE(date_diff('day', prev_date, o_orderdate), -1) AS BIGINT) AS days_since_prev,
+           CAST(COALESCE(date_diff('day', o_orderdate, next_date), -1) AS BIGINT) AS days_until_next,
+           date_rank
+    FROM o
+    WHERE o_custkey < 200
+    """,
+)
+def customer_order_gaps(spark, sf_dir):
+    """Window-function breadth: lag/lead frames and dense_rank over the
+    per-customer order timeline (reorder cadence — the feature-
+    engineering shape). Deterministic tiebreak on orderkey; sentinel
+    -1 for series edges keeps both engines' NULL handling out of the
+    hash."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    prev_d = F.lag("o_orderdate").over(w)
+    next_d = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(F.datediff(F.col("o_orderdate"), prev_d), F.lit(-1))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.coalesce(F.datediff(next_d, F.col("o_orderdate")), F.lit(-1))
+        .cast("long")
+        .alias("days_until_next"),
+        F.dense_rank().over(wr).cast("long").alias("date_rank"),
+    )
