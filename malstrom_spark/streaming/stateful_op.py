@@ -1,0 +1,147 @@
+"""General stateful operator with event-time timers — fire-on-
+watermark semantics for custom per-key logic:
+
+- `on_data(key, batch, state, timers) -> (outputs, new_state, set_timers)`
+  runs when records arrive (state update + optional output);
+- `on_timer(key, fired_at_ms, state) -> (outputs, new_state)`
+  runs when the WATERMARK passes a registered event-time timer —
+  logic reacting to time passing rather than data arriving,
+  including the emit-then-evict pattern (return state=None to drop
+  the key).
+
+Two engine paths, chosen by capability:
+- `transformWithStateInPandas` (Spark 4 StatefulProcessor): multiple
+  named timers per key, RocksDB ValueState. Its state protocol needs
+  the `protobuf` package — import-gated since this environment lacks
+  it (do not install; the TWS path activates wherever protobuf
+  exists).
+- `applyInPandasWithState` + EventTimeTimeout fallback: ONE pending
+  timer per key (`setTimeoutTimestamp`); when several timers are
+  requested the earliest wins and `on_timer` may re-arm. This is the
+  path exercised by tests in this environment.
+
+Scale: state lives in the RocksDB state store (spills, incremental
+checkpoints); timers are engine-managed per key — no scan-all-keys
+walk per watermark advance.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_op_stream(
+    sdf: DataFrame,
+    key_cols: list[str],
+    on_data: Callable,
+    on_timer: Callable,
+    output_schema,
+    state_schema,
+    time_mode: str = "eventTime",
+) -> DataFrame:
+    """Keyed stateful operator with event-time timers.
+
+    `on_data(key: tuple, pdfs: iter[pd.DataFrame], state: tuple|None,
+    timer_values) -> (iter[pd.DataFrame], new_state: tuple|None,
+    timers_ms: list[int])`; state None drops the key. Each timestamp
+    in timers_ms arms an event-time timer; when the watermark passes
+    it, `on_timer(key, fired_at_ms, state) -> (iter[pd.DataFrame],
+    new_state)` runs for that key.
+
+    With `time_mode="eventTime"` the input must carry a watermark
+    (`withWatermark`) — timers are meaningless without a frontier.
+    """
+    if _has_protobuf():
+        return _via_transform_with_state(
+            sdf, key_cols, on_data, on_timer, output_schema, state_schema, time_mode
+        )
+    return _via_apply_with_state(
+        sdf, key_cols, on_data, on_timer, output_schema, state_schema
+    )
+
+
+def _via_transform_with_state(
+    sdf, key_cols, on_data, on_timer, output_schema, state_schema, time_mode
+):
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Op(StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._state = handle.getValueState("op_state", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self._state.get() if self._state.exists() else None
+            outs, new_state, timers = on_data(key, rows, cur, timer_values)
+            if new_state is None:
+                self._state.clear()
+            else:
+                self._state.update(new_state)
+            for t_ms in timers:
+                self._handle.registerTimer(int(t_ms))
+            yield from outs
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            cur = self._state.get() if self._state.exists() else None
+            outs, new_state = on_timer(key, expired_timer_info.getExpiryTimeInMs(), cur)
+            if new_state is None:
+                self._state.clear()
+            else:
+                self._state.update(new_state)
+            yield from outs
+
+        def close(self):
+            pass
+
+    return sdf.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=_Op(),
+        outputStructType=output_schema,
+        outputMode="Append",
+        timeMode=time_mode,
+    )
+
+
+def _via_apply_with_state(sdf, key_cols, on_data, on_timer, output_schema, state_schema):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def wrapped(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            cur = state.get if state.exists else None
+            outs, new_state = on_timer(key, state.getCurrentWatermarkMs(), cur)
+            if new_state is None:
+                if state.exists:
+                    state.remove()
+            else:
+                state.update(new_state)
+            yield from outs
+            return
+        cur = state.get if state.exists else None
+        outs, new_state, timers = on_data(key, pdfs, cur, None)
+        if new_state is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(new_state)
+            if timers:
+                # single pending timer per key in this API: earliest wins
+                state.setTimeoutTimestamp(int(min(timers)))
+        yield from outs
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        wrapped,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
