@@ -164,3 +164,97 @@ def streaming_click_purchase_join(spark, sf_dir):
         "purchase_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_to_purchase"),
     )
+
+
+@register(
+    "streaming_daily_close",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events, m
+    GROUP BY user_id, date_trunc('day', ts), mx
+    HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= mx
+    """,
+)
+def streaming_daily_close(spark, sf_dir):
+    """Timer-driven day closing (streaming/stateful_op.py): per-user
+    daily totals accumulate in keyed state and EMIT only when the
+    watermark passes each day's end — fire-on-time-passing custom
+    stateful logic. A day whose end the watermark never reached (the
+    last day of the replay) stays open and is NOT emitted, which the
+    oracle mirrors with its HAVING day_end <= max(ts) clause. State
+    holds all open days per key; on each firing, every closed day is
+    emitted and evicted and the timer re-arms for the earliest day
+    still open (multi-timer semantics on a one-timer-per-key engine
+    API)."""
+    import pandas as pd
+
+    from ..streaming.stateful_op import stateful_op_stream
+
+    DAY_MS = 86_400_000
+
+    def on_data(key, pdfs, state, _timers):
+        days, ns, totals = (
+            (list(state[0]), list(state[1]), list(state[2])) if state else ([], [], [])
+        )
+        for pdf in pdfs:
+            d = pdf["ts"].dt.strftime("%Y-%m-%d")
+            for day, grp in pdf.groupby(d):
+                if day in days:
+                    i = days.index(day)
+                    ns[i] += len(grp)
+                    totals[i] += float(grp["value"].sum())
+                else:
+                    days.append(day)
+                    ns.append(len(grp))
+                    totals.append(float(grp["value"].sum()))
+        next_fire = min(
+            int(pd.Timestamp(day).timestamp() * 1000) + DAY_MS for day in days
+        )
+        return [], (days, ns, totals), [next_fire]
+
+    def on_timer(key, fired_at_ms, state):
+        if state is None:
+            return [], None
+        days, ns, totals = list(state[0]), list(state[1]), list(state[2])
+        # close every day whose end the watermark has passed
+        closed = [
+            i
+            for i, day in enumerate(days)
+            if int(pd.Timestamp(day).timestamp() * 1000) + DAY_MS <= fired_at_ms
+        ]
+        if not closed:
+            return [], state
+        out = pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "day": [days[i] for i in closed],
+                "n_events": [ns[i] for i in closed],
+                "total_value": [totals[i] for i in closed],
+            }
+        )
+        keep = [i for i in range(len(days)) if i not in closed]
+        if not keep:
+            return [out], None
+        return [out], ([days[i] for i in keep], [ns[i] for i in keep], [totals[i] for i in keep])
+
+    ev = replay_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sdf = ev.withWatermark("ts", "0 seconds")
+    out = stateful_op_stream(
+        sdf,
+        ["user_id"],
+        on_data,
+        on_timer,
+        output_schema="user_id long, day string, n_events long, total_value double",
+        state_schema="days array<string>, ns array<long>, totals array<double>",
+    )
+    result = run_to_memory(out, output_mode="append")
+    return result.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.col("total_value").cast("decimal(28,2)").cast("double").alias("total_value"),
+    )
