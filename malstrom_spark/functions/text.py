@@ -120,3 +120,24 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+# --------------------------------------------------------------- PII
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() .-]{7,}[0-9]"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) per row — RE2-compatible patterns (no
+    lookarounds) so external engines reproduce them exactly."""
+    n_email = F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))).cast("long")
+    n_phone = F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), F.lit(0))).cast("long")
+    return n_email, n_phone
+
+
+def scrub_pii(col: Column, email_token: str = "<EMAIL>", phone_token: str = "<PHONE>") -> Column:
+    """Replace emails then phone-number-like spans with tokens —
+    the standard pre-training redaction pass, pure regexp_replace
+    (vectorized, zero Python)."""
+    no_email = F.regexp_replace(col, EMAIL_RE, email_token)
+    return F.regexp_replace(no_email, PHONE_RE, phone_token)

@@ -467,3 +467,49 @@ def multimodal_audio_features(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
     with_payload = multimodal.attach_binary_column(docs, "text").drop("text")
     return multimodal.audio_features(with_payload).orderBy("doc_id")
+
+
+# ------------------------------------------------- PII scrub
+@register(
+    "doc_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+               AS text
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+?[0-9][0-9() .-]{7,}[0-9]')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+    """,
+)
+def doc_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (functions/text.py scrub_pii): the
+    docs table carries no natural PII, so each probe row is seeded
+    with a deterministic synthetic email and phone derived from its
+    id (same construction in the oracle), then counted and scrubbed
+    with RE2-portable patterns."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    n_email, n_phone = text.pii_counts(F.col("text"))
+    return seeded.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        text.scrub_pii(F.col("text")).alias("scrubbed"),
+    )

@@ -114,3 +114,42 @@ def ttl_map_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def ttl_map_event_stream(
+    sdf: DataFrame,
+    key_cols: list[str],
+    fn: Callable,
+    output_schema,
+    state_schema,
+    ttl_ms: int,
+) -> DataFrame:
+    """EVENT-time TTL variant: keys whose last-seen event time trails
+    the watermark by ttl_ms are evicted when the watermark passes
+    (epoch-driven expiry like batch-oriented TTL eviction on epoch
+    arrival, vs the processing-time wall clock of `ttl_map_stream`).
+    Same user contract: fn(key, pdfs, state) -> (rows_out, new_state).
+    Requires withWatermark upstream."""
+    from .stateful_op import stateful_op_stream
+
+    def on_data(key, pdfs, state, _timers):
+        inner = state[0] if state else None
+        last_ts_ms = 0
+        batches = []
+        for pdf in pdfs:
+            batches.append(pdf)
+            ts_cols = [c for c in pdf.columns if str(pdf[c].dtype).startswith("datetime64")]
+            if ts_cols:
+                m = pdf[ts_cols[0]].max()
+                last_ts_ms = max(last_ts_ms, int(m.value // 1_000_000))
+        outs, new_inner = fn(key, iter(batches), inner)
+        if new_inner is None:
+            return outs, None, []
+        return outs, (new_inner,), [last_ts_ms + ttl_ms]
+
+    def on_timer(key, fired_at_ms, state):
+        return [], None  # expiry: drop the key's state silently
+
+    return stateful_op_stream(
+        sdf, key_cols, on_data, on_timer, output_schema, f"inner struct<{state_schema}>"
+    )
