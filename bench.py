@@ -25,23 +25,41 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # TPC-H-shaped relational
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_nation_revenue",
+    "q6_revenue_delta",
     "q7_nation_volume",
     "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q16_brand_supplier_counts",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "min_price_supplier_per_part",
+    "monthly_order_rollup",
+    "lineitem_stats_by_flag",
+    "cube_status_priority",
+    "customer_cohort_set_ops",
     "top3_orders_per_customer",
+    "customer_order_gaps",
+    # events / time
     "events_running_totals",
     "event_sessions",
     "hourly_event_rollup",
+    "events_asof_latest_order",
+    # LLM-pipeline
     "doc_text_stats",
     "doc_quality_scores",
+    "doc_word_tokens",
+    "doc_pii_scrub",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk_cosine",
     "embedding_near_dup_cosine",
-    "events_asof_latest_order",
 ]
 
 
@@ -50,6 +68,9 @@ def measure_streaming_eps(spark, sf_dir: str) -> float:
     replicated 10x so fixed startup cost (~3s) is amortized."""
     from malstrom_spark.streaming.stateful import running_totals_stream
 
+    # drop caches persisted by earlier queries (minhash pipelines
+    # persist shingle sets) so the streaming measurement is isolated
+    spark.catalog.clearCache()
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
     n_base = ev.count()
     big = ev
