@@ -258,3 +258,66 @@ def streaming_daily_close(spark, sf_dir):
         "n_events",
         F.col("total_value").cast("decimal(28,2)").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "streaming_click_purchase_left_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT least((SELECT max(c_ts) FROM c), (SELECT max(p_ts) FROM p)) AS mx),
+    j AS (
+      SELECT c.user_id, c.click_id, c.c_ts, p.purchase_id
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 10 MINUTE
+    )
+    SELECT user_id, click_id,
+           COALESCE(purchase_id, -1) AS purchase_id
+    FROM j, m
+    WHERE purchase_id IS NOT NULL
+       OR c_ts + INTERVAL 10 MINUTE < mx
+    """,
+)
+def streaming_click_purchase_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join — the hardest streaming join
+    semantics: matches emit immediately, but an UNMATCHED click may
+    only emit (with nulls) once the watermark passes its join window,
+    proving the click can no longer match. Clicks whose window was
+    still open when the replay ended are withheld — and the watermark
+    is the MIN of each side's own progress (so the last click can
+    never close), mirrored by the oracle's
+    `c_ts + 10min < least(max(c_ts), max(p_ts))` cutoff. Null
+    purchase_id becomes -1 so both engines hash identically."""
+    ev = replay_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    result = run_to_memory(joined, output_mode="append")
+    return result.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+    )
