@@ -641,3 +641,29 @@ def customer_order_gaps(spark, sf_dir):
         .alias("days_until_next"),
         F.dense_rank().over(wr).cast("long").alias("date_rank"),
     )
+
+
+# ------------------------------------------------------- percentiles
+@register(
+    "order_price_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 6) AS p90,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def order_price_percentiles(spark, sf_dir):
+    """EXACT percentiles (Spark `percentile`, not approx_percentile):
+    both engines sort and linearly interpolate, verified bit-identical
+    at 6 dp. At 100 TB switch to approx_percentile (t-digest, one
+    pass, mergeable) — exact percentile is the oracle-able variant."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
