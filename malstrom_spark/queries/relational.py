@@ -603,3 +603,99 @@ def events_asof_latest_order(spark, sf_dir):
         F.col("o_orderkey").alias("asof_orderkey"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
     )
+
+
+# ------------------------------------------------ salted skew agg
+@register(
+    "events_value_by_type_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MAX(value), 2) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_by_type_salted(spark, sf_dir):
+    """Skew-safe aggregation in the gate: event_type has only 5 values
+    (~20k rows each at sf0.1) — exactly the hot-key shape where a
+    plain groupBy funnels each key through one reducer. salted_agg
+    (operators/keyed.py) fans each key over 16 salts and merges
+    partials; the result must equal the plain GROUP BY, which the
+    oracle checks. Decimal sums keep the two-stage merge exact."""
+    from ..operators.keyed import salted_agg
+
+    ev = table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "total_dec": ("sum", F.col("value").cast("decimal(28,2)")),
+            "n": ("count", F.col("value")),
+            "mx_raw": ("max", F.col("value")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("total_dec").cast("double").alias("total_value"),
+        "n",
+        F.round("mx_raw", 2).alias("mx"),
+    )
+
+
+# ------------------------------------------------ sliding windows
+@register(
+    "sliding_event_counts",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) - INTERVAL 90 MINUTE AS lo, max(ts) AS hi FROM events
+    ), slots AS (
+      SELECT unnest(generate_series((SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                                    INTERVAL 30 MINUTE)) AS slot
+    )
+    SELECT strftime(slot, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM slots JOIN events ON ts >= slot AND ts < slot + INTERVAL 2 HOUR
+    GROUP BY slot
+    """,
+)
+def sliding_event_counts(spark, sf_dir):
+    """SLIDING windows (2h size / 30min slide): each event lands in 4
+    overlapping windows — Spark's window() generates the per-event
+    window list JVM-side; the oracle reproduces it with a slot
+    range-join. Only non-empty windows appear in both."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(F.window("ts", "2 hours", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+    )
+
+
+# ------------------------------------------------ inspect passthrough
+@register(
+    "inspect_passthrough_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+    FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 45
+    """,
+)
+def inspect_passthrough_lineitem(spark, sf_dir):
+    """`inspect` parity: a metrics observer must be a pure
+    pass-through. The observed aggregates land in QueryExecution
+    metrics (df.observe), and the data itself is byte-identical to
+    the uninstrumented query — which the oracle verifies."""
+    from ..operators.stateless import inspect
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "A") & (F.col("l_quantity") >= 45)
+    )
+    observed = inspect(
+        li, "hot_lineitems", F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("qty")
+    )
+    return observed.select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("l_extendedprice")
+    )
