@@ -734,3 +734,109 @@ def q15_top_supplier(spark, sf_dir):
         supp.join(F.broadcast(best), supp.s_suppkey == best.supplier_no)
         .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
     )
+
+
+# ---------------------------------------------------------- q17 shape
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: rows below 20% of their part's average
+    quantity — the correlated AVG subquery becomes a window average
+    over the part key, one pass, no re-scan of lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.join(F.broadcast(part), flagged.l_partkey == part.p_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------- q20 shape
+@register(
+    "q20_promo_heavy_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(28,2))) AS promo_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 500
+    )
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped)
+    """,
+)
+def q20_promo_heavy_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved serious promo volume —
+    aggregate-then-having feeding an IN-subquery, expressed as a
+    LEFT SEMI join of supplier against the (tiny) qualifying set."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = table(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("promo_qty"))
+        .filter(F.col("promo_qty") > 500)
+    )
+    return (
+        supp.join(F.broadcast(shipped), supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+# ---------------------------------------------------------- q22 shape
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers who never
+    ordered — a scalar AVG subquery (computed as a 1-row broadcast
+    cross join, not a driver collect) plus a LEFT ANTI join."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
