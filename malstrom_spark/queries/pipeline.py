@@ -513,3 +513,68 @@ def doc_pii_scrub(spark, sf_dir):
         n_phone.alias("n_phones"),
         text.scrub_pii(F.col("text")).alias("scrubbed"),
     )
+
+
+# ------------------------------------------------- clean-corpus pipeline
+@register(
+    "clean_corpus_pipeline",
+    oracle="""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    ), scored AS (
+      SELECT d.doc_id, d.text,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS token_count,
+             CAST(length(regexp_replace(d.text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(d.text), 1) AS alpha_ratio,
+             CAST(list_sum(list_transform(string_split_regex(trim(d.text), '\\s+'),
+                                          x -> length(x))) AS DOUBLE)
+               / greatest(len(string_split_regex(trim(d.text), '\\s+')), 1) AS avg_token_len,
+             len(list_intersect(string_split_regex(trim(lower(d.text)), '\\s+'),
+                 ['the','and','of','to','a','in','is'])) AS s_en,
+             len(list_intersect(string_split_regex(trim(lower(d.text)), '\\s+'),
+                 ['el','la','de','que','y','en','los'])) AS s_es,
+             len(list_intersect(string_split_regex(trim(lower(d.text)), '\\s+'),
+                 ['der','die','und','das','ist','ein','nicht'])) AS s_de,
+             len(list_intersect(string_split_regex(trim(lower(d.text)), '\\s+'),
+                 ['le','la','les','et','des','un','est'])) AS s_fr
+      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    ), final AS (
+      SELECT doc_id, token_count,
+             (least(CAST(token_count AS DOUBLE) / 100.0, 1.0)
+              + alpha_ratio
+              + (1.0 - least(abs(avg_token_len - 5.0) / 5.0, 1.0))) / 3.0 AS q,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                  ELSE 'fr' END AS lang_guess
+      FROM scored
+    )
+    SELECT doc_id, lang_guess, token_count, round(q, 6) AS quality
+    FROM final
+    WHERE q >= 0.4 AND lang_guess <> 'und' AND token_count >= 10
+    """,
+)
+def clean_corpus_pipeline(spark, sf_dir):
+    """The end-to-end training-corpus cleaning pipeline in ONE
+    composed query: exact dedup (keep min-id per normalized text) ->
+    quality gate -> language gate -> surviving docs with metadata.
+    Composes functions/dedup.exact semantics with functions/text
+    scoring, all native expressions — the full pass is scan + one
+    fingerprint shuffle + one semi join, nothing per-row in Python.
+    At 100 TB each stage is the same plan, just wider."""
+    docs = table(spark, sf_dir, "documents")
+    keepers = dedup.exact_dedup(docs, "doc_id").select(F.col("keeper_id").alias("doc_id"))
+    kept = docs.join(F.broadcast(keepers), "doc_id", "left_semi")
+    c = F.col("text")
+    scored = kept.select(
+        "doc_id",
+        text.lang_guess(c).alias("lang_guess"),
+        text.token_count(c).alias("token_count"),
+        text.quality_score(c).alias("q"),
+    )
+    return scored.filter(
+        (F.col("q") >= 0.4) & (F.col("lang_guess") != "und") & (F.col("token_count") >= 10)
+    ).select("doc_id", "lang_guess", "token_count", F.round("q", 6).alias("quality"))
