@@ -578,3 +578,43 @@ def clean_corpus_pipeline(spark, sf_dir):
     return scored.filter(
         (F.col("q") >= 0.4) & (F.col("lang_guess") != "und") & (F.col("token_count") >= 10)
     ).select("doc_id", "lang_guess", "token_count", F.round("q", 6).alias("quality"))
+
+
+# ------------------------------------------------- corpus n-gram stats
+@register(
+    "corpus_top_trigrams",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1) + 1),
+               i -> concat_ws(' ',
+                 string_split_regex(trim(lower(text)), '\\s+')[i],
+                 string_split_regex(trim(lower(text)), '\\s+')[i+1],
+                 string_split_regex(trim(lower(text)), '\\s+')[i+2])
+             )) AS grams
+      FROM documents
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM sh)
+    GROUP BY gram
+    ORDER BY doc_freq DESC, gram
+    LIMIT 50
+    """,
+)
+def corpus_top_trigrams(spark, sf_dir):
+    """Corpus-wide n-gram document frequency, top 50 — the
+    explode-then-aggregate shape behind contamination checks and
+    boilerplate detection. Distinct per-doc trigrams (doc frequency,
+    not term frequency) -> explode -> count -> TakeOrdered; at 100 TB
+    the count is map-side combined on uniformly distributed gram keys
+    and only the global top-k crosses the final exchange."""
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.shingle_strings(docs, "doc_id", "text", 3)
+    return (
+        sh.select(F.explode("sh").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(50)
+    )
