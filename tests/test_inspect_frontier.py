@@ -34,7 +34,7 @@ def test_frontier_listener_sees_watermark_advance(spark, tmp_path):
         )
         q.awaitTermination()
         # listener callbacks are async; give the bus a moment to drain
-        deadline = time.time() + 15
+        deadline = time.time() + 45
         while time.time() < deadline and not any(w != "1970-01-01T00:00:00.000Z" for w in seen):
             time.sleep(0.5)
     finally:

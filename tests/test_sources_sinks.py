@@ -46,7 +46,7 @@ def test_rate_stream_emits(spark):
     assert [f.name for f in sdf.schema.fields] == ["timestamp", "value"]
     q = sinks.memory_sink(sdf, "rate_smoke")
     try:
-        deadline = time.time() + 20
+        deadline = time.time() + 45
         while time.time() < deadline and spark.table("rate_smoke").count() == 0:
             time.sleep(0.5)
         assert spark.table("rate_smoke").count() > 0
