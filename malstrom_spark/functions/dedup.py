@@ -38,6 +38,30 @@ from .text import normalize_text, tokens
 # h*a fits in a 64-bit long under ANSI overflow checking.
 _MERSENNE = (1 << 31) - 1
 
+# Field separator for multi-part portable hashing (ASCII unit sep —
+# cannot appear in whitespace-split tokens).
+_SEP = "\x1f"
+
+
+def md5_prefix_hash(*cols: Column) -> Column:
+    """Engine-portable 60-bit hash: BIGINT of the first 15 hex chars of
+    md5. Bit-identical in DuckDB as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — this is what makes the
+    MinHash/SimHash/winnowing pipelines fully oracle-checkable (the
+    oracle recomputes the same signatures, bands and buckets in SQL).
+    Multi-arg inputs are concat_ws-joined on chr(31), same both sides.
+
+    Still JVM-side codegen (md5+conv are native exprs); the xxhash64
+    variants stay as the scale path (no hex-string materialization).
+    """
+    s = cols[0] if len(cols) == 1 else F.concat_ws(_SEP, *cols)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def md5_prefix_hash_sql(expr: str) -> str:
+    """The DuckDB-side twin of `md5_prefix_hash` for oracle strings."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
 
 def _perm_params(n_hashes: int) -> list[tuple[int, int]]:
     """Fixed, reproducible (a, b) permutation params derived from a
@@ -93,20 +117,27 @@ def shingle_strings(
 
 
 def shingle_hash_sets(
-    df: DataFrame, id_col: str, text_col: str = "text", shingle_n: int = 3
+    df: DataFrame, id_col: str, text_col: str = "text", shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sh: array<bigint>) distinct 64-bit shingle hashes. The
     n-gram is hashed directly from its n token cells via multi-arg
     xxhash64 — no n-gram string is ever materialized, so the scan
-    stays cheap at 100 TB (no quadratic string building)."""
+    stays cheap at 100 TB (no quadratic string building).
+
+    ``portable=True`` switches to the 60-bit md5-prefix hash (identical
+    in DuckDB) so the downstream MinHash/LSH stages can be
+    oracle-checked end to end. concat_ws skips nulls in both engines,
+    so short docs hash their truncated shingle identically."""
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
     toks = df.select(id_col, _tokens_cheap(F.col(text_col)).alias("_toks"))
     t = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(t) - shingle_n, F.lit(0)))
-    # try_element_at: xxhash64 ignores null inputs, so a doc shorter
-    # than n tokens hashes its truncated shingle — mirrors concat_ws
+    # try_element_at: xxhash64/concat_ws ignore null inputs, so a doc
+    # shorter than n tokens hashes its truncated shingle
     sh = F.array_distinct(
         F.transform(
-            idx, lambda i: F.xxhash64(*[F.try_element_at(t, i + j + 1) for j in range(shingle_n)])
+            idx, lambda i: hash_fn(*[F.try_element_at(t, i + j + 1) for j in range(shingle_n)])
         )
     )
     return toks.select(id_col, sh.alias("sh"))
@@ -152,13 +183,23 @@ def _signature_from_hash_sets(hash_sets: DataFrame, id_col: str, n_hashes: int) 
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_bands: int = 8
+    signatures: DataFrame, id_col: str, n_bands: int = 8, portable: bool = False
 ) -> DataFrame:
     """Band the signature and self-join on (band, band_hash) buckets.
     Returns distinct candidate (id_a < id_b) pairs. Bucket keys are
     hashes — uniformly distributed, so the self-join shuffle is
-    skew-free by construction."""
+    skew-free by construction. ``portable=True`` hashes the band slice
+    via md5-prefix of the chr(31)-joined decimal values (DuckDB twin:
+    array_to_string(list_slice(sig, ...), chr(31)))."""
     sig = signatures
+
+    def band_hash(slice_col):
+        if portable:
+            return md5_prefix_hash(
+                F.array_join(F.transform(slice_col, lambda x: x.cast("string")), _SEP)
+            )
+        return F.xxhash64(slice_col)
+
     rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
     banded = sig.select(
         F.col(id_col),
@@ -167,7 +208,7 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias(
+                    band_hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias(
                         "bhash"
                     ),
                 ),
@@ -223,24 +264,33 @@ def near_dup_pairs_minhash(
     n_hashes: int = 32,
     n_bands: int = 8,
     threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: hashed shingle sets (built
-    once, cached — at cluster scale this stage would be a parquet
-    stage table instead) -> signatures -> banded candidates -> exact
-    hash-set-Jaccard verify >= threshold."""
-    hs = shingle_hash_sets(df, id_col, text_col).persist()
+    """Full MinHash-LSH near-dup pipeline: hashed shingle sets ->
+    signatures -> banded candidates -> exact hash-set-Jaccard verify
+    >= threshold. The shingle stage is a pure map and is recomputed by
+    the two consumers rather than cached (caching leaked across
+    registry runs; at cluster scale this stage is a materialized
+    parquet stage table instead). ``portable=True`` uses the
+    md5-prefix hash throughout so a DuckDB oracle can recompute the
+    identical signatures, buckets and candidate set."""
+    hs = shingle_hash_sets(df, id_col, text_col, portable=portable)
     sigs = _signature_from_hash_sets(hs, id_col, n_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, n_bands)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands, portable=portable)
     verified = hash_jaccard(cands, hs, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def token_hash_sets(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """(id, th: array<bigint>) distinct per-token xxhash64 — shared
-    input for SimHash; tokenizer runs once per doc (see PERF NOTE)."""
+def token_hash_sets(
+    df: DataFrame, id_col: str, text_col: str = "text", portable: bool = False
+) -> DataFrame:
+    """(id, th: array<bigint>) distinct per-token hashes — shared
+    input for SimHash; tokenizer runs once per doc (see PERF NOTE).
+    ``portable=True`` -> 60-bit md5-prefix hashes (DuckDB-identical)."""
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
     toks = df.select(id_col, F.array_distinct(_tokens_cheap(F.col(text_col))).alias("_toks"))
     return toks.select(
-        id_col, F.transform(F.col("_toks"), lambda x: F.xxhash64(x)).alias("th")
+        id_col, F.transform(F.col("_toks"), lambda x: hash_fn(x)).alias("th")
     )
 
 
@@ -254,9 +304,10 @@ def simhash(col: Column, bits: int = 64) -> Column:
 
 
 def _bit_masks(bits: int = 64) -> Column:
-    """array<long> literal [1, 2, 4, ...]; bit 63 is the long sign bit
-    (INT64_MIN) — bitwiseAND with it still tests the bit correctly."""
-    vals = [(1 << i) if i < bits - 1 else -(1 << (bits - 1)) for i in range(bits)]
+    """array<long> literal [1, 2, 4, ...]; bit 63 (only present when
+    bits=64) is the long sign bit (INT64_MIN) — bitwiseAND with it
+    still tests the bit correctly."""
+    vals = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
     return F.array(*[F.lit(v).cast("long") for v in vals])
 
 
@@ -286,22 +337,34 @@ def _simhash_fold(sums: Column, bits: int = 64) -> Column:
     )
 
 
-def simhash_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str = "text", portable: bool = False
+) -> DataFrame:
     """(id, sh: bigint) SimHash with every intermediate materialized as
     a column: token hashes -> per-bit sums -> folded bigint. Three
-    narrow projections, zero shuffles, one pass over each array."""
-    th = token_hash_sets(df, id_col, text_col)
-    sums = th.select(id_col, _simhash_bit_sums(F.col("th")).alias("_sums"))
-    return sums.select(id_col, _simhash_fold(F.col("_sums")).alias("sh"))
+    narrow projections, zero shuffles, one pass over each array.
+    ``portable=True`` -> 60-bit md5-prefix token hashes and a 60-bit
+    SimHash, recomputable bit-for-bit by a DuckDB oracle."""
+    bits = 60 if portable else 64
+    th = token_hash_sets(df, id_col, text_col, portable=portable)
+    sums = th.select(id_col, _simhash_bit_sums(F.col("th"), bits).alias("_sums"))
+    return sums.select(id_col, _simhash_fold(F.col("_sums"), bits).alias("sh"))
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit hash into 4 x 16-bit
-    chunks (any pair within Hamming<=3 shares at least one exact chunk
-    by pigeonhole), bucket-join on chunks, verify with bit_count(xor)."""
-    sh = simhash_df(df, id_col, text_col)
+    """SimHash near-dup pairs: band the hash into 4 chunks (16 bits
+    each for the 64-bit hash, 15 for the portable 60-bit one; any pair
+    within Hamming<=3 shares at least one exact chunk by pigeonhole),
+    bucket-join on chunks, verify with bit_count(xor)."""
+    chunk_bits = 15 if portable else 16
+    chunk_mask = (1 << chunk_bits) - 1
+    sh = simhash_df(df, id_col, text_col, portable=portable)
     chunks = sh.select(
         id_col,
         "sh",
@@ -310,7 +373,9 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                        F.shiftright("sh", i * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("chunk"),
                     )
                     for i in range(4)
                 ]
@@ -394,4 +459,12 @@ def dedup_groups(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Loop exhausted max_iters with the last round still changing
+        # labels: a duplicate chain longer than max_iters hops would
+        # silently get a non-minimum group_id. Fail loudly instead.
+        raise RuntimeError(
+            f"dedup_groups did not converge in {max_iters} rounds; "
+            "raise max_iters (clusters deeper than expected)"
+        )
     return labels.select(F.col("node").alias(id_col), "group_id")

@@ -159,6 +159,178 @@ def embedding_near_dups(
     return pairs.filter(F.col("sim") >= threshold)
 
 
+# --------------------------------------------- oracle-portable ANN
+# Floating-point bucket boundaries are the one thing a cross-engine
+# oracle cannot reproduce bit-for-bit (summation order). The portable
+# variants therefore quantize embeddings to integers (round(x * 2^20))
+# and make every *bucketing* decision in exact 64-bit integer
+# arithmetic — identical in Spark and DuckDB — while the emitted
+# similarity stays true float cosine. Quantization only perturbs
+# bucket membership, which is the approximate part of ANN anyway.
+
+QUANT_SCALE = 1 << 20
+
+
+def quantize_vec(vec: Column) -> Column:
+    """array<bigint> round(x * 2^20) — exact in both engines; |x|<=~1e3
+    keeps every downstream product far from i64 overflow."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+def _rademacher_signs(dim: int, n_planes: int) -> list[list[int]]:
+    """Fixed +-1 hyperplanes from an LCG — sign-of-dot with a
+    Rademacher plane is a valid random-hyperplane LSH family, and the
+    integer dot makes the bucket decision engine-exact."""
+    x = 0x2545F4914F6CDD1D
+    planes = []
+    for _ in range(n_planes):
+        signs = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            signs.append(1 if (x >> 63) else -1)
+        planes.append(signs)
+    return planes
+
+
+def lsh_bucket_quantized(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Portable LSH bucket id: bit p = [sum_i s_pi * q_i > 0] over the
+    quantized vector — exact integer arithmetic, DuckDB-identical."""
+    planes = _rademacher_signs(dim, n_planes)
+    q = quantize_vec(vec)
+    sig = F.lit(0).cast("long")
+    for p, signs in enumerate(planes):
+        lit_signs = F.array(*[F.lit(s).cast("long") for s in signs])
+        d = F.aggregate(
+            F.zip_with(q, lit_signs, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def rademacher_signs_sql(dim: int, n_planes: int) -> list[str]:
+    """DuckDB literal list per plane, e.g. '[1,-1,...]' — oracle twin
+    of `lsh_bucket_quantized`'s plane matrix."""
+    return ["[" + ",".join(str(s) for s in p) + "]" for p in _rademacher_signs(dim, n_planes)]
+
+
+def lsh_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """`lsh_topk` with engine-exact bucketing: same single bucket
+    equi-join scale shape (no cross product), emitted sim is float
+    cosine of the original vectors."""
+    cb = corpus.withColumn("bucket", lsh_bucket_quantized(F.col(c_vec), dim, n_planes))
+    qb = queries.withColumn("bucket", lsh_bucket_quantized(F.col(q_vec), dim, n_planes))
+    scored = cb.join(F.broadcast(qb), "bucket").select(
+        F.col(q_id), F.col(c_id), cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _quant_dist2(a: Column, b: Column) -> Column:
+    """Exact squared L2 between quantized vectors (bigint)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """Assign each vector its `n_probe` nearest centroid cells by
+    exact integer L2 over quantized vectors (ties by centroid id).
+    The centroid side is a broadcast table (k rows), so assignment is
+    a pure map over the corpus — the production IVF shape where the
+    quantizer comes from an offline fit. Output: input cols + cell."""
+    qv = quantize_vec(F.col(vec_col))
+    cents = centroids.select(
+        F.col(cent_id).alias("_cid"), quantize_vec(F.col(cent_vec)).alias("_cq")
+    )
+    scored = vecs.withColumn("_q", qv).crossJoin(F.broadcast(cents)).withColumn(
+        "_d2", _quant_dist2(F.col("_q"), F.col("_cq"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("_cid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_probe)
+        .select(*vecs.columns, F.col("_cid").alias("cell"))
+    )
+
+
+def ivf_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF top-k against an externally supplied centroid table:
+    corpus -> 1 cell each, queries probe `n_probe` cells, bucket
+    equi-join, exact cosine, window top-k. Every bucketing decision is
+    integer-exact, so a DuckDB oracle reproduces the identical result
+    set; `ivf_topk` (k-means fit) remains the self-contained variant."""
+    cb = ivf_assign(corpus, centroids, 1, c_vec, c_id)
+    qb = ivf_assign(queries, centroids, n_probe, q_vec, q_id)
+    scored = cb.join(F.broadcast(qb), "cell").select(
+        F.col(q_id), F.col(c_id), cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dups_portable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.35,
+    n_planes: int = 8,
+) -> DataFrame:
+    """`embedding_near_dups` with engine-exact LSH bucketing — the
+    oracle recomputes the same buckets, so the emitted (id_a, id_b,
+    sim) pairs hash-match instead of being rows-only."""
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_quantized(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("sim"),
+    )
+    return pairs.filter(F.col("sim") >= threshold)
+
+
 # ---------------------------------------------------------------- IVF
 def ivf_build_centroids(
     corpus: DataFrame,

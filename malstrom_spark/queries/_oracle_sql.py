@@ -1,0 +1,254 @@
+"""DuckDB oracle-SQL generators for the hash-based pipeline queries.
+
+Each generator emits SQL that recomputes the *same* signatures, bands
+and buckets as the Spark implementation, using the engine-portable
+primitives pinned by tests:
+
+- 60-bit hash:  ('0x' || substr(md5(x), 1, 15))::BIGINT
+  == Spark conv(substr(md5(x), 1, 15), 16, 10)::long
+- tokenizer:    string_split_regex(trim(lower(text)), '\\s+')
+  == Spark split(trim(lower(text)), '\\s+')
+- quantization: round(x * 2^20) in exact integer arithmetic (all
+  downstream sums stay far below 2^53, so even double-typed engines
+  compute them exactly).
+
+This is what upgrades MinHash/SimHash/winnowing/ANN from rows-only
+checks to full row+schema+value-hash checks in the driver gate.
+"""
+
+from __future__ import annotations
+
+from ..functions.dedup import _MERSENNE, _perm_params
+from ..functions.similarity import QUANT_SCALE, _rademacher_signs
+
+H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _h60(x: str) -> str:
+    return H60.format(x=x)
+
+
+# Shared CTE: per-doc token list.
+_TOKS = "SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents"
+
+# Shared CTE body: positional 3-gram shingle hash sequence (no
+# distinct — winnowing is positional; set consumers distinct later).
+_SHSEQ = (
+    "SELECT doc_id, list_transform("
+    "range(1, greatest(len(t) - 3, 0) + 2), "
+    "i -> " + _h60("concat_ws(chr(31), t[i], t[i+1], t[i+2])") + ") AS s FROM toks"
+)
+
+
+def minhash_lsh_oracle(n_hashes: int = 32, n_bands: int = 8, threshold: float = 0.5) -> str:
+    params = _perm_params(n_hashes)
+    a_lit = "[" + ",".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ",".join(str(b) for _, b in params) + "]"
+    rows = n_hashes // n_bands
+    p = _MERSENNE
+    bh = _h60(
+        "array_to_string(list_transform("
+        f"sig[band*{rows}+1 : band*{rows}+{rows}], x -> CAST(x AS VARCHAR)), chr(31))"
+    )
+    return f"""
+    WITH toks AS MATERIALIZED ({_TOKS}),
+    shseq AS MATERIALIZED ({_SHSEQ}),
+    sh AS MATERIALIZED (SELECT doc_id, list_distinct(s) AS sh FROM shseq),
+    shm AS MATERIALIZED (
+      SELECT doc_id, sh, list_transform(sh, h -> h % {p}) AS shm FROM sh
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(1, {n_hashes + 1}),
+               i -> list_min(list_transform(shm,
+                 h -> (h * ({a_lit})[i] + ({b_lit})[i]) % {p}))) AS sig
+      FROM shm
+    ),
+    banded AS MATERIALIZED (
+      SELECT doc_id, band, {bh} AS bhash
+      FROM sigs, (SELECT unnest(range({n_bands})) AS band)
+    ),
+    cands AS MATERIALIZED (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+    FROM cands c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= {threshold}
+    """
+
+
+def simhash_oracle(max_hamming: int = 3) -> str:
+    # 60-bit portable SimHash: 4 chunks x 15 bits.
+    return f"""
+    WITH toks AS MATERIALIZED ({_TOKS}),
+    th AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(list_distinct(t), x -> {_h60('x')}) AS th
+      FROM toks
+    ),
+    sums AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(0, 60),
+               b -> list_sum(list_transform(th,
+                 h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))) AS s
+      FROM th
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60),
+               b -> CASE WHEN s[b + 1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+             AS BIGINT) AS sh
+      FROM sums
+    ),
+    chunks AS (
+      SELECT doc_id, sh, chunk_id, (sh >> (chunk_id * 15)) & 32767 AS chunk
+      FROM sh, (SELECT unnest(range(4)) AS chunk_id)
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+      FROM chunks l JOIN chunks r
+        ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+def fingerprint_sketch_oracle(window: int = 4) -> str:
+    w = window
+    return f"""
+    WITH toks AS MATERIALIZED ({_TOKS}),
+    shseq AS MATERIALIZED ({_SHSEQ}),
+    sk AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(s) - {w}, 0) + 2),
+               i -> list_min(s[i : i + {w - 1}])))) AS sketch
+      FROM shseq
+    )
+    SELECT doc_id, unnest(sketch) AS sketch_value,
+           CAST(len(sketch) AS BIGINT) AS sketch_size
+    FROM sk
+    """
+
+
+def _quant(x: str) -> str:
+    return f"list_transform({x}, v -> CAST(round(CAST(v AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+
+
+_COS = (
+    "round(list_dot_product(qd, cd)"
+    " / (sqrt(list_dot_product(qd, qd)) * sqrt(list_dot_product(cd, cd))), 6)"
+)
+
+
+def ann_lsh_oracle(dim: int = 64, n_planes: int = 8, k: int = 5, n_queries: int = 8) -> str:
+    planes = _rademacher_signs(dim, n_planes)
+    # bucket bit p: integer dot of quantized vec with +-1 plane; the
+    # products/sums are integer-valued and < 2^53, exact in any engine.
+    bits = []
+    for p, signs in enumerate(planes):
+        s_lit = "[" + ",".join(str(s) for s in signs) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> q[i] * ({s_lit})[i])) > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_quant('embedding')} AS q
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+    scored AS (
+      SELECT qs.vec_id AS q_id, cs.vec_id AS c_id, qs.v AS qd, cs.v AS cd
+      FROM b cs JOIN b qs ON cs.bucket = qs.bucket
+      WHERE qs.vec_id < {n_queries}
+    ),
+    ranked AS (
+      SELECT q_id, c_id, {_COS} AS sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY list_dot_product(qd, cd)
+                 / (sqrt(list_dot_product(qd, qd)) * sqrt(list_dot_product(cd, cd))) DESC,
+               c_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def ann_ivf_oracle(
+    dim: int = 64, n_lists: int = 8, n_probe: int = 3, k: int = 5, n_queries: int = 8
+) -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (q[i] - cq[i]) * (q[i] - cq[i])))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_quant('embedding')} AS q
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < {n_lists}),
+    assigned AS (
+      SELECT e.vec_id, e.v, cent.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, cent.cell) AS rk
+      FROM e, cent
+    ),
+    corp AS (SELECT vec_id AS c_id, v AS cd, cell FROM assigned WHERE rk = 1),
+    qry AS (
+      SELECT vec_id AS q_id, v AS qd, cell FROM assigned
+      WHERE rk <= {n_probe} AND vec_id < {n_queries}
+    ),
+    scored AS (
+      SELECT q_id, c_id, qd, cd FROM corp JOIN qry USING (cell)
+    ),
+    ranked AS (
+      SELECT q_id, c_id, {_COS} AS sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY list_dot_product(qd, cd)
+                 / (sqrt(list_dot_product(qd, qd)) * sqrt(list_dot_product(cd, cd))) DESC,
+               c_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def embedding_near_dup_lsh_oracle(dim: int = 64, n_planes: int = 8, threshold: float = 0.35) -> str:
+    planes = _rademacher_signs(dim, n_planes)
+    bits = []
+    for p, signs in enumerate(planes):
+        s_lit = "[" + ",".join(str(s) for s in signs) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> q[i] * ({s_lit})[i])) > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+        )
+    bucket = " + ".join(bits)
+    sim = (
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_quant('embedding')} AS q
+      FROM embeddings
+    ),
+    b0 AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({sim}, 6) AS sim
+    FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {sim} >= {threshold}
+    """

@@ -13,6 +13,14 @@ from pyspark.sql import functions as F
 
 from ..functions import dedup, multimodal, similarity, text
 from . import register, table
+from ._oracle_sql import (
+    ann_ivf_oracle,
+    ann_lsh_oracle,
+    embedding_near_dup_lsh_oracle,
+    fingerprint_sketch_oracle,
+    minhash_lsh_oracle,
+    simhash_oracle,
+)
 
 
 # ------------------------------------------------- text statistics
@@ -96,30 +104,28 @@ def dedup_exact_docs(spark, sf_dir):
 
 
 # ------------------------------------------------- near-dup: jaccard verify
-@register(
-    "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based signatures are not DuckDB-reproducible;
-    # the LSH *candidate* set is verified with exact Jaccard below, so
-    # output pairs are true near-dups by construction (rows-only check).
-)
+@register("dedup_minhash_lsh", oracle=minhash_lsh_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pipeline (functions/dedup.py): shingle ->
-    32-perm signature -> 8-band buckets -> exact-Jaccard verify >=0.5."""
+    32-perm signature -> 8-band buckets -> exact-Jaccard verify >=0.5.
+    Portable 60-bit md5-prefix hashing end to end, so the DuckDB
+    oracle recomputes the identical signatures, buckets and candidate
+    set — the LSH *mechanism* itself is hash-checked, not just the
+    verified output."""
     docs = table(spark, sf_dir, "documents")
     return dedup.near_dup_pairs_minhash(
-        docs, "doc_id", n_hashes=32, n_bands=8, threshold=0.5
-    ).orderBy("id_a", "id_b")
+        docs, "doc_id", n_hashes=32, n_bands=8, threshold=0.5, portable=True
+    )
 
 
-@register(
-    "dedup_simhash",
-    oracle=None,  # xxhash64-based; rows-only
-)
+@register("dedup_simhash", oracle=simhash_oracle())
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs within Hamming distance 3 (functions/
-    dedup.py simhash_near_dups): 16-bit chunk banding + bit_count."""
+    dedup.py simhash_near_dups): 60-bit portable SimHash, 15-bit chunk
+    pigeonhole banding + bit_count verify — oracle recomputes the same
+    hashes and chunks in SQL."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+    return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3, portable=True)
 
 
 # ------------------------------------------------- ngram jaccard (portable)
@@ -201,18 +207,21 @@ def similarity_topk_cosine(spark, sf_dir):
     return out.select("q_id", "c_id", F.round("sim", 6).alias("sim"), "rank")
 
 
-@register("similarity_ann_lsh", oracle=None)
+@register("similarity_ann_lsh", oracle=ann_lsh_oracle())
 def similarity_ann_lsh(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH buckets (functions/
-    similarity.py lsh_topk) — the 100 TB scale path; rows-only check
-    (approximation is engine-specific by design)."""
+    similarity.py lsh_topk_portable) — the 100 TB scale path: one
+    bucket equi-join instead of a cross product. Buckets are decided
+    in exact integer arithmetic over quantized vectors (Rademacher
+    planes), so the DuckDB oracle reproduces the identical bucketing;
+    emitted sim stays true float cosine."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return similarity.lsh_topk(queries, corpus, dim=64, k=5, n_planes=8).select(
-        "q_id", "c_id", F.round("sim", 6).alias("sim"), "rank"
+    return similarity.lsh_topk_portable(queries, corpus, dim=64, k=5, n_planes=8).select(
+        "q_id", "c_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -267,15 +276,17 @@ def embedding_near_dup_cosine(spark, sf_dir):
     )
 
 
-@register("dedup_embedding_cosine", oracle=None)
+@register("dedup_embedding_cosine", oracle=embedding_near_dup_lsh_oracle())
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup at corpus scale: random-hyperplane LSH
     buckets replace the all-pairs cross join (functions/similarity.py
-    embedding_near_dups); rows-only (bucketing is hash-based)."""
+    embedding_near_dups_portable). Engine-exact integer bucketing, so
+    the oracle recomputes the same buckets and the emitted pairs
+    hash-match."""
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(
+    return similarity.embedding_near_dups_portable(
         emb, "vec_id", "embedding", dim=64, threshold=0.35, n_planes=8
-    ).select("id_a", "id_b", F.round("sim", 6).alias("sim")).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
 # ------------------------------------------------- quality scoring
@@ -361,39 +372,74 @@ def doc_word_tokens(spark, sf_dir):
 
 
 # ------------------------------------------------- winnowing sketch
-@register("doc_fingerprint_sketch", oracle=None)
+@register("doc_fingerprint_sketch", oracle=fingerprint_sketch_oracle())
 def doc_fingerprint_sketch(spark, sf_dir):
     """Rolling-hash document fingerprinting (winnowing): min shingle
-    hash per sliding window of 4 -> distinct sorted sketch. The local
-    minima are stable under single-token edits, so shared sketch
-    values locate overlapping passages across a 100 TB corpus with one
-    explode + groupBy. Rows-only (xxhash64-based)."""
+    hash per sliding window of 4 over the positional shingle-hash
+    sequence -> distinct sorted sketch, exploded to one row per sketch
+    value (scalar columns — the driver canonicalizer can hash them).
+    The local minima are stable under single-token edits, so shared
+    sketch values locate overlapping passages across a 100 TB corpus
+    with one explode + groupBy. Portable md5-prefix hashing makes the
+    whole sketch oracle-checkable."""
     docs = table(spark, sf_dir, "documents")
-    hs = dedup.shingle_hash_sets(docs, "doc_id")  # (doc_id, sh: array<bigint>)
     w = 4
-    sh = F.col("sh")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(sh) - w, F.lit(0)))
-    sketch = F.array_sort(
-        F.array_distinct(F.transform(idx, lambda i: F.array_min(F.slice(sh, i + 1, w))))
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("_toks")
     )
-    return hs.select(
-        "doc_id", sketch.alias("sketch"), F.size(sketch).alias("sketch_size")
-    ).orderBy("doc_id")
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - 3, F.lit(0)))
+    seq = toks.select(
+        "doc_id",
+        F.transform(
+            idx,
+            lambda i: dedup.md5_prefix_hash(
+                *[F.try_element_at(t, i + j + 1) for j in range(3)]
+            ),
+        ).alias("s"),
+    )
+    # Row-based winnowing: posexplode the hash sequence once (the md5
+    # per shingle is evaluated exactly once — nested HOF slices would
+    # re-evaluate it per window after projection collapse, measured
+    # 20x slower), then the per-window minimum is a frame-bounded
+    # window min and the sketch is one groupBy(doc_id) collect_set.
+    rows = seq.select(
+        "doc_id", F.size("s").alias("n"), F.posexplode("s").alias("pos", "h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    winmins = rows.select(
+        "doc_id", "n", "pos", F.min("h").over(win).alias("wmin")
+    ).filter(F.col("pos") <= F.greatest(F.col("n") - w, F.lit(0)))
+    sk = winmins.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("wmin")).alias("sketch")
+    )
+    return sk.select(
+        "doc_id",
+        F.explode("sketch").alias("sketch_value"),
+        F.size("sketch").cast("long").alias("sketch_size"),
+    )
 
 
-@register("similarity_ann_ivf", oracle=None)
+@register("similarity_ann_ivf", oracle=ann_ivf_oracle())
 def similarity_ann_ivf(spark, sf_dir):
-    """IVF approximate NN (functions/similarity.py ivf_topk): k-means
-    coarse quantizer + n_probe cell search — the classic ANN index
-    shape, fully distributed (only the centroid matrix hits the
-    driver). Rows-only: cell boundaries are approximation-specific."""
+    """IVF approximate NN (functions/similarity.py ivf_topk_portable):
+    coarse-quantizer cells + n_probe cell search — the classic ANN
+    index shape, all assignment via a broadcast centroid-table join
+    (nothing collects to the driver). The centroid table here is the
+    first 8 embeddings (a production IVF reads its quantizer from an
+    offline-fit table the same way; `ivf_topk` keeps the in-engine
+    k-means fit, pytest-covered), and cell assignment is exact integer
+    arithmetic — fully oracle-checkable."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return similarity.ivf_topk(queries, corpus, k=5, n_lists=8, n_probe=3).select(
-        "q_id", "c_id", F.round("sim", 6).alias("sim"), "rank"
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return similarity.ivf_topk_portable(queries, corpus, centroids, k=5, n_probe=3).select(
+        "q_id", "c_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("long").alias("rank")
     )
 
 
