@@ -7,13 +7,20 @@ same key and the greatest right_ts <= left_ts ('backward' strategy).
 Ties on right_ts break by the largest tiebreak column, making results
 deterministic.
 
-Two physical strategies, chosen by the caller:
+Two physical strategies:
 - 'join': equi-join on key + ts filter + struct-max aggregation.
   Right side ideally broadcast. Best when right rows per key are few
-  (dimension snapshots). All native ops -> codegen, no Python.
+  (dimension snapshots). All native ops -> codegen, no Python. NOTE:
+  on a large non-broadcast right side this left join expands each
+  left row by every earlier right row for its key and then shuffles
+  the expansion on a synthetic unique id — a scale hazard.
 - 'pandas': co-grouped `pd.merge_asof` per key. One shuffle per side,
   then per-key sorted merge in Arrow batches. Best when both sides
   are large but per-key groups fit a task (classic tick-data shape).
+
+Default selection (strategy=None): 'join' when broadcast_right=True
+(dimension-snapshot shape, fully codegen), else the row-expansion-free
+'pandas' co-group — the scale-safe fact-to-fact default.
 """
 
 from __future__ import annotations
@@ -32,16 +39,20 @@ def as_of_join(
     right_ts: str,
     right_cols: Sequence[str],
     tiebreak: str | None = None,
-    strategy: str = "join",
+    strategy: str | None = None,
     broadcast_right: bool = False,
 ) -> DataFrame:
     keys = [key] if isinstance(key, str) else list(key)
+    if strategy is None:
+        strategy = "join" if broadcast_right else "pandas"
     if strategy == "join":
         return _asof_via_join(
             left, right, keys, left_ts, right_ts, list(right_cols), tiebreak, broadcast_right
         )
     if strategy == "pandas":
-        return _asof_via_pandas(left, right, keys, left_ts, right_ts, list(right_cols))
+        return _asof_via_pandas(
+            left, right, keys, left_ts, right_ts, list(right_cols), tiebreak
+        )
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -66,7 +77,7 @@ def _asof_via_join(left, right, keys, left_ts, right_ts, right_cols, tiebreak, b
     return out.select(*proj)
 
 
-def _asof_via_pandas(left, right, keys, left_ts, right_ts, right_cols):
+def _asof_via_pandas(left, right, keys, left_ts, right_ts, right_cols, tiebreak=None):
     import pandas as pd
 
     out_fields = list(left.schema.fields) + [
@@ -86,7 +97,13 @@ def _asof_via_pandas(left, right, keys, left_ts, right_ts, right_cols):
             for c in extra:
                 out[c] = None
             return out
-        r_sorted = r_pdf.sort_values(right_ts, kind="mergesort")[[right_ts, *[c for c in extra if c != right_ts]]]
+        # merge_asof picks the LAST right row among equal right_ts in
+        # sort order; sorting by [right_ts, tiebreak] makes ties break
+        # by the largest tiebreak — same contract as the join strategy
+        # (without a tiebreak, equal-ts winners follow input order).
+        sort_keys = [right_ts, tiebreak] if tiebreak else [right_ts]
+        keep = [right_ts, *[c for c in extra if c != right_ts]]
+        r_sorted = r_pdf.sort_values(sort_keys, kind="mergesort")[keep]
         merged = pd.merge_asof(
             l_sorted, r_sorted, left_on=left_ts, right_on=right_ts, direction="backward"
         )

@@ -216,18 +216,18 @@ def streaming_daily_close(spark, sf_dir):
         )
         return [], (days, ns, totals), [next_fire]
 
+    def day_end_ms(day: str) -> int:
+        return int(pd.Timestamp(day).timestamp() * 1000) + DAY_MS
+
     def on_timer(key, fired_at_ms, state):
         if state is None:
-            return [], None
+            return [], None, []
         days, ns, totals = list(state[0]), list(state[1]), list(state[2])
         # close every day whose end the watermark has passed
-        closed = [
-            i
-            for i, day in enumerate(days)
-            if int(pd.Timestamp(day).timestamp() * 1000) + DAY_MS <= fired_at_ms
-        ]
+        closed = [i for i, day in enumerate(days) if day_end_ms(day) <= fired_at_ms]
         if not closed:
-            return [], state
+            # spurious firing: re-arm for the earliest day still open
+            return [], state, [min(day_end_ms(d) for d in days)]
         out = pd.DataFrame(
             {
                 "user_id": [key[0]] * len(closed),
@@ -238,8 +238,12 @@ def streaming_daily_close(spark, sf_dir):
         )
         keep = [i for i in range(len(days)) if i not in closed]
         if not keep:
-            return [out], None
-        return [out], ([days[i] for i in keep], [ns[i] for i in keep], [totals[i] for i in keep])
+            return [out], None, []
+        # re-arm for the earliest day still open so later windows fire
+        # even if this key never sees data again (true multi-timer
+        # semantics over the one-timer-per-key engine API)
+        kept_state = ([days[i] for i in keep], [ns[i] for i in keep], [totals[i] for i in keep])
+        return [out], kept_state, [min(day_end_ms(days[i]) for i in keep)]
 
     ev = replay_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     sdf = ev.withWatermark("ts", "0 seconds")

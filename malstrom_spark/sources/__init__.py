@@ -29,16 +29,22 @@ def iterator_source(
 ) -> DataFrame:
     """In-memory iterator source (single_iterator.rs:41-84): timestamp =
     element index, matching the reference's `ts = i` convention. Batch
-    DataFrame; drive streaming tests with file_stream instead."""
-    rows = list(it)
-    df = spark.createDataFrame([(r,) if not isinstance(r, tuple) else r for r in rows], schema)
-    if ts_from_index:
-        from pyspark.sql import functions as F
-        from pyspark.sql.window import Window
+    DataFrame; drive streaming tests with file_stream instead.
 
-        w = Window.orderBy(F.monotonically_increasing_id())
-        df = df.withColumn("seq", F.row_number().over(w) - 1)
-    return df
+    The iterator is driver-local by contract (as in the reference:
+    emitted on worker 0), so `seq` is attached by enumerate() before
+    parallelizing — no global single-partition window anywhere in the
+    plan."""
+    tuples = [(r,) if not isinstance(r, tuple) else r for r in it]
+    if not ts_from_index:
+        return spark.createDataFrame(tuples, schema)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if isinstance(schema, str):
+        seq_schema = schema + ", seq long"
+    else:
+        seq_schema = StructType(list(schema.fields) + [StructField("seq", LongType(), False)])
+    return spark.createDataFrame([(*t, i) for i, t in enumerate(tuples)], seq_schema)
 
 
 def parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

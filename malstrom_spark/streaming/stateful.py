@@ -148,7 +148,7 @@ def ttl_map_event_stream(
         return outs, (new_inner,), [last_ts_ms + ttl_ms]
 
     def on_timer(key, fired_at_ms, state):
-        return [], None  # expiry: drop the key's state silently
+        return [], None, []  # expiry: drop the key's state silently
 
     return stateful_op_stream(
         sdf, key_cols, on_data, on_timer, output_schema, f"inner struct<{state_schema}>"

@@ -3,11 +3,18 @@ watermark semantics for custom per-key logic:
 
 - `on_data(key, batch, state, timers) -> (outputs, new_state, set_timers)`
   runs when records arrive (state update + optional output);
-- `on_timer(key, fired_at_ms, state) -> (outputs, new_state)`
+- `on_timer(key, fired_at_ms, state) -> (outputs, new_state, set_timers)`
   runs when the WATERMARK passes a registered event-time timer —
   logic reacting to time passing rather than data arriving,
   including the emit-then-evict pattern (return state=None to drop
-  the key).
+  the key). Returned `set_timers` RE-ARM the key (e.g. fire again at
+  the next window end); both engine paths arm them.
+
+Contract invariant (enforced, both paths): requesting timers while
+returning new_state=None is an error — a key with no state cannot
+hold a pending event-time timer in the applyInPandasWithState
+engine, and silently diverging between engines is worse than
+failing. Evict-now-fire-later must keep a (possibly empty) state.
 
 Two engine paths, chosen by capability:
 - `transformWithStateInPandas` (Spark 4 StatefulProcessor): multiple
@@ -57,7 +64,8 @@ def stateful_op_stream(
     timers_ms: list[int])`; state None drops the key. Each timestamp
     in timers_ms arms an event-time timer; when the watermark passes
     it, `on_timer(key, fired_at_ms, state) -> (iter[pd.DataFrame],
-    new_state)` runs for that key.
+    new_state, timers_ms)` runs for that key and may re-arm new
+    timers. Returning timers together with new_state=None raises.
 
     With `time_mode="eventTime"` the input must carry a watermark
     (`withWatermark`) — timers are meaningless without a frontier.
@@ -85,20 +93,34 @@ def _via_transform_with_state(
             cur = self._state.get() if self._state.exists() else None
             outs, new_state, timers = on_data(key, rows, cur, timer_values)
             if new_state is None:
+                if timers:
+                    raise ValueError(
+                        "on_data returned timers with new_state=None; "
+                        "keep a state to hold a pending timer"
+                    )
                 self._state.clear()
             else:
                 self._state.update(new_state)
-            for t_ms in timers:
-                self._handle.registerTimer(int(t_ms))
+                for t_ms in timers:
+                    self._handle.registerTimer(int(t_ms))
             yield from outs
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
             cur = self._state.get() if self._state.exists() else None
-            outs, new_state = on_timer(key, expired_timer_info.getExpiryTimeInMs(), cur)
+            outs, new_state, timers = on_timer(
+                key, expired_timer_info.getExpiryTimeInMs(), cur
+            )
             if new_state is None:
+                if timers:
+                    raise ValueError(
+                        "on_timer returned timers with new_state=None; "
+                        "keep a state to hold a pending timer"
+                    )
                 self._state.clear()
             else:
                 self._state.update(new_state)
+                for t_ms in timers:
+                    self._handle.registerTimer(int(t_ms))
             yield from outs
 
         def close(self):
@@ -118,17 +140,31 @@ def _via_apply_with_state(sdf, key_cols, on_data, on_timer, output_schema, state
     def wrapped(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             cur = state.get if state.exists else None
-            outs, new_state = on_timer(key, state.getCurrentWatermarkMs(), cur)
+            outs, new_state, timers = on_timer(key, state.getCurrentWatermarkMs(), cur)
             if new_state is None:
+                if timers:
+                    raise ValueError(
+                        "on_timer returned timers with new_state=None; "
+                        "keep a state to hold a pending timer"
+                    )
                 if state.exists:
                     state.remove()
             else:
                 state.update(new_state)
+                if timers:
+                    # single pending timer per key in this API: the
+                    # earliest wins; on_timer re-arms for the rest
+                    state.setTimeoutTimestamp(int(min(timers)))
             yield from outs
             return
         cur = state.get if state.exists else None
         outs, new_state, timers = on_data(key, pdfs, cur, None)
         if new_state is None:
+            if timers:
+                raise ValueError(
+                    "on_data returned timers with new_state=None; "
+                    "keep a state to hold a pending timer"
+                )
             if state.exists:
                 state.remove()
         else:
