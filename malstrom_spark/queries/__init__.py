@@ -52,7 +52,7 @@ _PRIORITY = [
     "streaming_click_purchase_join",
     "streaming_daily_close",
     "streaming_click_purchase_left_join",
-    "streaming_monthly_epochs",
+    "streaming_epoch_close",
     # --- LLM-data-pipeline operators (north-star, first-class) ---
     "doc_text_stats",
     "doc_lang_guess",

@@ -167,6 +167,53 @@ def streaming_click_purchase_join(spark, sf_dir):
 
 
 @register(
+    "streaming_epoch_close",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT user_id,
+           ((epoch_ms(ts) // 604800000) + 1) * 604800000 AS epoch_close_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events, m
+    GROUP BY 1, 2, mx
+    HAVING epoch_close_ms <= CAST(epoch_ms(mx) AS BIGINT)
+    """,
+)
+def streaming_epoch_close(spark, sf_dir):
+    """User-closure epoch windows (streaming/eventtime.py
+    epoch_close_stream): the reference's `generate_epochs` closure +
+    end-of-month example (generate_epochs.rs:39-127,
+    examples/event_time.rs:94-152) — each record's epoch boundary
+    comes from a user function; per-(user, epoch) totals emit ONLY
+    when the watermark passes that user-defined boundary, and the
+    last (never-closed) epoch stays unemitted, which the oracle
+    mirrors with its HAVING clause. Timers re-arm for the earliest
+    epoch still open. The probe closure uses 7-day epochs (the sf0.01
+    events table spans a single month, so a calendar-month closure
+    would close zero epochs); the calendar-month closure itself is
+    pinned by tests/test_stateful_op_timers.py."""
+    import pandas as pd
+
+    from ..streaming.eventtime import epoch_close_stream
+
+    WEEK_MS = 604_800_000
+
+    def week_end_ms(ts: pd.Timestamp) -> int:
+        return (int(ts.timestamp() * 1000) // WEEK_MS + 1) * WEEK_MS
+
+    ev = replay_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sdf = ev.withWatermark("ts", "0 seconds")
+    out = epoch_close_stream(sdf, ["user_id"], "ts", week_end_ms, "value")
+    result = run_to_memory(out, output_mode="append")
+    return result.select(
+        "user_id",
+        "epoch_close_ms",
+        "n_events",
+        F.col("total_value").cast("decimal(28,2)").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "streaming_daily_close",
     oracle="""
     WITH m AS (SELECT max(ts) AS mx FROM events)

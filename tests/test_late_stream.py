@@ -81,3 +81,53 @@ def test_flag_late_stream_batch0_all_on_time(spark, tmp_path):
     q.awaitTermination()
     got = {r.event_id: r.is_late for r in spark.table("late_test_b0").collect()}
     assert got == {1: False, 2: False, 3: False}
+
+
+def test_generate_epochs_closure_invariants(spark, tmp_path):
+    """The arbitrary-closure epoch generator must honor the reference
+    invariants (assign_timestamps.rs:104-293 / generate_epochs.rs):
+    epoch takes effect AFTER the triggering record, None and
+    non-monotone closure results are ignored, and a record at or below
+    the epoch in force is flagged late."""
+    from datetime import datetime, timezone
+
+    from malstrom_spark.streaming.eventtime import generate_epochs
+
+    t = lambda s: datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)  # noqa: E731
+
+    staging = tmp_path / "in"
+    staging.mkdir()
+    # one batch, one shard -> deterministic in-file record order
+    rows = [
+        (1, t(100)),  # closure -> 90; record judged before epoch exists
+        (2, t(50)),   # 50 <= 90 -> LATE; closure 40 non-monotone -> ignored
+        (3, t(200)),  # on time; closure -> 190
+        (4, t(190)),  # 190 <= 190 -> LATE (at-or-below rule)
+        (5, t(191)),  # on time (just above epoch); closure 181 ignored
+    ]
+    _write_batch(spark, staging, 0, rows)
+
+    def epoch_fn(row, prev):
+        # epoch trails each record's ts by 10s (like bounded disorder,
+        # but an arbitrary user closure)
+        return int(row["ts"].timestamp() * 1_000_000) - 10_000_000
+
+    sdf = spark.readStream.schema("event_id long, ts timestamp").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(staging) + "/b*")
+    out = generate_epochs(sdf, "ts", epoch_fn, n_shards=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gen_epochs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: (r.epoch, r.is_late) for r in spark.table("gen_epochs").collect()}
+    US = 1_000_000
+    assert got[1] == (90 * US, False)   # no epoch in force when judged
+    assert got[2] == (90 * US, True)    # late; non-monotone 40 ignored
+    assert got[3] == (190 * US, False)  # epoch advanced after record
+    assert got[4] == (190 * US, True)   # ts == epoch -> late
+    assert got[5] == (190 * US, False)  # 181 non-monotone -> ignored
