@@ -102,11 +102,11 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    from malstrom_spark.queries import load_all
+    from malstrom_spark.queries import full_registry
     from malstrom_spark.session import build_session
 
     spark = build_session(app_name="malstrom-bench")
-    registry = load_all()
+    registry = full_registry()
 
     # warm up JVM/codegen paths outside the measurement
     registry["q1_pricing_summary"].fn(spark, sf_dir).collect()

@@ -44,12 +44,14 @@ IMAGE_META_SCHEMA = StructType(
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, str]:
     """STUB decode: a real build calls PIL.Image.open here. The fake is
-    deterministic in the payload so tests are stable."""
+    a pure function of the payload length so it is stable under test
+    AND reproducible by the SQL oracle (octet_length arithmetic),
+    which lets the driver hash-verify the whole mapInPandas path."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty image payload")
-    # deterministic fake dimensions derived from content length/bytes
+    # deterministic fake dimensions derived from content length
     w = 16 + (len(payload) % 1024)
-    h = 16 + (payload[0] if len(payload) > 0 else 0)
+    h = 16 + ((len(payload) * 31) % 512)
     return w, h, "RGB"
 
 
@@ -113,7 +115,8 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", every_n: int = 10)
 
 def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Audio feature STUB (real impl: librosa/torchaudio). Deterministic
-    fake: duration ~ byte length, 'rms' ~ mean byte value."""
+    fake, pure in the byte length (oracle-reproducible): duration ~
+    byte length, 'rms' a fixed mix of it."""
     keep = [f for f in df.schema.fields if f.name != payload_col]
     out_schema = StructType(
         list(keep)
@@ -125,7 +128,7 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             payloads = pdf[payload_col].map(bytes)
             out = pdf.drop(columns=[payload_col])
             out["duration_ms"] = payloads.map(lambda b: len(b) * 8)
-            out["rms"] = payloads.map(lambda b: sum(b) // max(len(b), 1))
+            out["rms"] = payloads.map(lambda b: (len(b) * 37 + 13) % 256)
             yield out
 
     return df.mapInPandas(batches, schema=out_schema)

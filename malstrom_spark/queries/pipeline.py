@@ -226,15 +226,88 @@ def similarity_ann_lsh(spark, sf_dir):
 
 
 # ------------------------------------------------- multimodal plumbing
-@register("multimodal_image_meta", oracle=None)
 def multimodal_image_meta(spark, sf_dir):
     """Multimodal column plumbing (functions/multimodal.py): documents'
     text bytes stand in for image payloads; metadata extraction runs
     through the real mapInPandas/Arrow path (decode kernel is the
-    documented stub)."""
+    documented stub). Driver-verified via `multimodal_pipeline`."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = multimodal.attach_binary_column(docs, "text").drop("text")
     return multimodal.extract_image_meta(with_payload).orderBy("doc_id")
+
+
+MULTIMODAL_ORACLE = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS len
+  FROM documents WHERE doc_id < 200
+)
+SELECT 'image' AS part, doc_id,
+       CAST(16 + (len % 1024) AS BIGINT) AS a,
+       CAST(16 + ((len * 31) % 512) AS BIGINT) AS b,
+       'RGB' AS c, CAST(len AS BIGINT) AS d
+FROM d
+UNION ALL
+SELECT 'frame' AS part, doc_id,
+       CAST(i AS BIGINT) AS a,
+       CAST(LEAST(16, len - i * 16) AS BIGINT) AS b,
+       NULL AS c, NULL AS d
+FROM (
+  SELECT doc_id, len,
+         unnest(range(0, GREATEST(LEAST(len // 16, 8), 1))) AS i
+  FROM d WHERE doc_id < 50
+) f
+UNION ALL
+SELECT 'audio' AS part, doc_id,
+       CAST(len * 8 AS BIGINT) AS a,
+       CAST((len * 37 + 13) % 256 AS BIGINT) AS b,
+       NULL AS c, NULL AS d
+FROM d WHERE doc_id < 50
+"""
+
+
+@register("multimodal_pipeline", oracle=MULTIMODAL_ORACLE)
+def multimodal_pipeline(spark, sf_dir):
+    """All three multimodal paths (image meta, video frame sampling,
+    audio features — functions/multimodal.py) in one canonical union
+    so one driver row hash-verifies the whole mapInPandas/Arrow
+    plumbing: the stub kernels are pure functions of the payload byte
+    length, so the oracle reproduces them with octet_length
+    arithmetic. Columns: part, doc_id, a, b (numeric features), c
+    (string feature), d (extra numeric)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    wp = multimodal.attach_binary_column(docs, "text").drop("text")
+    probe = wp.filter(F.col("doc_id") < 50)
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("long")
+    img = multimodal.extract_image_meta(wp).select(
+        F.lit("image").alias("part"),
+        "doc_id",
+        F.col("width").cast("long").alias("a"),
+        F.col("height").cast("long").alias("b"),
+        F.col("mode").alias("c"),
+        F.col("n_bytes").cast("long").alias("d"),
+    )
+    frames = multimodal.frame_sample(probe, every_n=16).select(
+        F.lit("frame").alias("part"),
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("a"),
+        F.length("frame").cast("long").alias("b"),
+        ns.alias("c"),
+        nl.alias("d"),
+    )
+    audio = multimodal.audio_features(probe).select(
+        F.lit("audio").alias("part"),
+        "doc_id",
+        F.col("duration_ms").cast("long").alias("a"),
+        F.col("rms").cast("long").alias("b"),
+        ns.alias("c"),
+        nl.alias("d"),
+    )
+    return img.unionAll(frames).unionAll(audio)
 
 
 # ------------------------------------------------- embedding near-dup
@@ -490,7 +563,6 @@ def dedup_groups_probe(spark, sf_dir):
     return dedup.dedup_groups(edges, ids, "doc_id")
 
 
-@register("multimodal_frame_sample", oracle=None)
 def multimodal_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing (functions/multimodal.py
     frame_sample): the 1->N mapInPandas explode shape a real ffmpeg
@@ -505,7 +577,6 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
-@register("multimodal_audio_features", oracle=None)
 def multimodal_audio_features(spark, sf_dir):
     """Audio feature-extraction plumbing (functions/multimodal.py
     audio_features): schema/batch contract through mapInPandas with

@@ -31,9 +31,9 @@ def plan_simple(df) -> str:
 
 @pytest.fixture(scope="module")
 def reg():
-    from malstrom_spark.queries import load_all
+    from malstrom_spark.queries import full_registry
 
-    return load_all()
+    return full_registry()
 
 
 def test_q1_filter_pushdown_and_pruning(spark, sf_dir, reg):

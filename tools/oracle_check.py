@@ -54,8 +54,11 @@ def main():
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    from malstrom_spark.queries import full_registry
+
+    reg = full_registry()
+    qs = {n: s.fn for n, s in reg.items()}
+    oracles = {n: s.oracle for n, s in reg.items() if s.oracle is not None}
     failures, passes, rows_only = [], [], []
     for name, fn in qs.items():
         if only and name not in only:
