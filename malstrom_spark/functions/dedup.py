@@ -100,6 +100,20 @@ def _shingles_from_tokens(t: Column, n: int) -> Column:
     )
 
 
+def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition CPU-heavy per-row pipelines up to the session's
+    parallelism when the input arrives under-partitioned (one small
+    parquet file = one unsplittable row-group = one core doing all
+    the hashing). At cluster scale the input already has >= cores
+    partitions and this is a no-op — the shuffle only ever happens
+    when the source was too small for it to matter."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, int(spark.conf.get("spark.sql.shuffle.partitions"))):
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(target)
+
+
 def _tokens_cheap(col: Column) -> Column:
     """split(trim(lower(x)), '\\s+') — one regex pass; token-identical
     to tokens(normalize_text(x)) since splitting on \\s+ already
@@ -166,20 +180,32 @@ def minhash_signature(
 
 
 def _signature_from_hash_sets(hash_sets: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
-    """ZERO-SHUFFLE signatures: per-doc min over the (small) shingle
-    hash array for each permutation, via array_min(transform(...)) —
-    no explode, no groupBy. At 100 TB this turns the signature stage
-    into a pure map over the corpus scan. The reduced hash array is
-    materialized first so pmod runs once per shingle, not per perm."""
-    reduced = hash_sets.select(
-        id_col, F.transform("sh", lambda h: F.pmod(h, F.lit(_MERSENNE))).alias("_shm")
+    """ZERO-SHUFFLE signatures: ONE traversal of the shingle hash
+    array folds all n_hashes running minima at once (accumulator =
+    array<long> of per-perm mins, zip_with against a literal
+    (a, b)-param array). At 100 TB this is a pure map over the corpus
+    scan. A per-perm array_min(transform(...)) formulation is 10-30x
+    slower: Catalyst collapses projections, so the shingle-hash array
+    expression gets inlined and re-evaluated once per permutation
+    (measured 9.7 s -> 0.9 s at 50k docs, file-backed input)."""
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for (a, b) in _perm_params(n_hashes)
+        ]
     )
-    shm = F.col("_shm")
-    mins = [
-        F.array_min(F.transform(shm, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))))
-        for (a, b) in _perm_params(n_hashes)
-    ]
-    return reduced.select(id_col, F.array(*mins).alias("signature"))
+    m = F.lit(_MERSENNE)
+    init = F.array_repeat(m.cast("long"), n_hashes)
+    sig = F.aggregate(
+        F.col("sh"),
+        init,
+        lambda acc, h: F.zip_with(
+            acc, params, lambda ac, p: F.least(ac, F.pmod(F.pmod(h, m) * p.a + p.b, m))
+        ),
+    )
+    return hash_sets.select(id_col, sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -200,21 +226,25 @@ def lsh_candidate_pairs(
             )
         return F.xxhash64(slice_col)
 
+    # explode FIRST, hash once per (doc, band) row: hashing inside an
+    # explode(transform(...)) re-evaluates the whole band array per
+    # emitted row after projection collapse (measured 14 s -> 2 s at
+    # 50k docs for the md5 portable path)
     rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    band_hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias(
-                        "bhash"
-                    ),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bhash")
+    banded = (
+        sig.select(
+            F.col(id_col),
+            "signature",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        )
+        .select(
+            id_col,
+            "band",
+            band_hash(
+                F.slice("signature", F.col("band") * rows_per_band + F.lit(1), rows_per_band)
+            ).alias("bhash"),
+        )
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -274,6 +304,7 @@ def near_dup_pairs_minhash(
     parquet stage table instead). ``portable=True`` uses the
     md5-prefix hash throughout so a DuckDB oracle can recompute the
     identical signatures, buckets and candidate set."""
+    df = ensure_parallelism(df, id_col)
     hs = shingle_hash_sets(df, id_col, text_col, portable=portable)
     sigs = _signature_from_hash_sets(hs, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, n_bands, portable=portable)
@@ -364,7 +395,7 @@ def simhash_near_dups(
     bucket-join on chunks, verify with bit_count(xor)."""
     chunk_bits = 15 if portable else 16
     chunk_mask = (1 << chunk_bits) - 1
-    sh = simhash_df(df, id_col, text_col, portable=portable)
+    sh = simhash_df(ensure_parallelism(df, id_col), id_col, text_col, portable=portable)
     chunks = sh.select(
         id_col,
         "sh",

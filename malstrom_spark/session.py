@@ -25,6 +25,22 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _ensure_driver_memory() -> None:
+    """In local mode the driver JVM hosts every executor thread, and
+    PySpark's default heap is 1g — 32 concurrent tasks OOM on any
+    multi-GB shuffle. spark.driver.memory only takes effect at JVM
+    launch, so it must ride PYSPARK_SUBMIT_ARGS, not the builder conf.
+    No-op once a JVM is up or when the caller already set the env."""
+    if "PYSPARK_SUBMIT_ARGS" in os.environ:
+        return
+    from pyspark import SparkContext
+
+    if SparkContext._jvm is not None:  # JVM already launched
+        return
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+
+
 def build_session(
     app_name: str = "malstrom-spark",
     master: str | None = None,
@@ -32,6 +48,7 @@ def build_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or fetch) a SparkSession with engine defaults applied."""
+    _ensure_driver_memory()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS

@@ -31,6 +31,45 @@ def test_asof_join_strategy(sides):
     assert got == GOLDEN
 
 
+def test_asof_window_strategy(sides):
+    left, right = sides
+    out = as_of_join(
+        left, right, "key", "lts", "rts", ["rid"], tiebreak="rid", strategy="window"
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == GOLDEN
+
+
+def test_asof_window_tiebreak(spark):
+    """Equal right_ts ties must resolve to the largest tiebreak on the
+    window path (the last row seen in (ts, side, tb) order)."""
+    left = spark.createDataFrame([("a", 10, 1)], "key string, lts long, lid long")
+    right = spark.createDataFrame(
+        [("a", 10, 7), ("a", 10, 9), ("a", 10, 8)], "key string, rts long, rid long"
+    )
+    out = as_of_join(
+        left, right, "key", "lts", "rts", ["rid"], tiebreak="rid", strategy="window"
+    )
+    assert out.collect()[0].rid == 9
+
+
+def test_asof_window_mixed_ts_types(spark):
+    """date right_ts against timestamp left_ts promotes to timestamp
+    (inclusive <= at midnight), matching the join strategy's implicit
+    coercion."""
+    left = spark.createDataFrame(
+        [("a", "2024-01-02 00:00:00", 1), ("a", "2024-01-01 23:59:59", 2)],
+        "key string, lts string, lid long",
+    ).selectExpr("key", "cast(lts as timestamp) lts", "lid")
+    right = spark.createDataFrame(
+        [("a", "2024-01-01", 100), ("a", "2024-01-02", 101)],
+        "key string, rts string, rid long",
+    ).selectExpr("key", "cast(rts as date) rts", "rid")
+    out = as_of_join(left, right, "key", "lts", "rts", ["rid"], strategy="window")
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == {1: 101, 2: 100}
+
+
 def test_asof_pandas_strategy(sides):
     left, right = sides
     out = as_of_join(left, right, "key", "lts", "rts", ["rid"], strategy="pandas")
@@ -54,13 +93,16 @@ def test_asof_pandas_tiebreak(spark):
 
 
 def test_asof_default_strategy_plans(sides):
-    """Default strategy must be the co-grouped merge (no row-expanding
-    left join) unless the right side is broadcast."""
+    """Default strategy must be the union+window shape (one shuffle,
+    no row-expanding left join, no Python) unless the right side is
+    broadcast."""
     left, right = sides
     plan_default = as_of_join(
         left, right, "key", "lts", "rts", ["rid"]
     )._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapCoGroupsInPandas" in plan_default
+    assert "Window" in plan_default
+    assert "FlatMapCoGroupsInPandas" not in plan_default
+    assert "BroadcastHashJoin" not in plan_default and "SortMergeJoin" not in plan_default
     plan_bcast = as_of_join(
         left, right, "key", "lts", "rts", ["rid"], tiebreak="rid", broadcast_right=True
     )._jdf.queryExecution().executedPlan().toString()
