@@ -114,6 +114,80 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(target, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(target)
 
 
+def _collapse_exact(df: DataFrame, id_col: str, text_col: str):
+    """Exact-duplicate collapse: group byte-identical texts on
+    md5(text) and elect min(id) as the group representative.
+
+    Returns ``(rep_docs, members)`` where ``rep_docs`` is the input
+    restricted to representatives and ``members`` maps every id to its
+    representative (``__rep``). Near-dup pipelines run signature /
+    candidate / verify stages on representatives only — in a real
+    corpus the duplicate mass is exactly what makes verify quadratic
+    per cluster, so collapsing first is the 100 TB design, not just a
+    benchmark trick. Cost: one narrow (id, fp) shuffle plus a semi-join
+    of the corpus against the (smaller) rep-id set.
+
+    Both outputs feed several downstream branches (signatures, both
+    sides of the verify join, pair expansion), so they are lazily
+    localCheckpoint'ed: materialized once on first compute, lineage
+    truncated — without it each branch re-runs the full-text scan +
+    md5 + groupBy (measured 131 s vs 27 s at sf1). This is the
+    local-mode stand-in for the materialized stage table a 100 TB
+    deployment writes between the exact and near-dup passes."""
+    fps = df.select(F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("__fp"))
+    reps = fps.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    members = (
+        fps.join(reps, "__fp")
+        .select(F.col(id_col), F.col("__rep"))
+        .localCheckpoint(eager=False)
+    )
+    rep_docs = df.join(
+        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    ).localCheckpoint(eager=False)
+    return rep_docs, members
+
+
+def _expand_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    score_col: str,
+    intra_score: Column,
+    intra_reps: DataFrame | None = None,
+) -> DataFrame:
+    """Expand representative-level near-dup pairs back to member-level
+    pairs, plus all intra-group pairs (byte-identical texts are always
+    bucket candidates — identical text => identical signature => same
+    buckets — scoring ``intra_score``). Output is provably identical
+    to running the uncollapsed pipeline: candidacy and score are pure
+    functions of the text. ``intra_reps`` (one ``__rep`` column)
+    optionally restricts which groups emit intra pairs — MinHash needs
+    this because two byte-identical docs with EMPTY shingle sets score
+    Jaccard 0.0 (0/max(0,1)) in the uncollapsed pipeline, not 1.0."""
+    ma = members.select(F.col("__rep").alias("__ra"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("__rep").alias("__rb"), F.col(id_col).alias("__idb"))
+    intra_a = ma if intra_reps is None else ma.join(
+        intra_reps.select(F.col("__rep").alias("__ra")), "__ra", "left_semi"
+    )
+    inter = (
+        rep_pairs.join(ma, F.col("id_a") == F.col("__ra"))
+        .join(mb, F.col("id_b") == F.col("__rb"))
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            score_col,
+        )
+    )
+    intra = intra_a.join(
+        mb, (F.col("__ra") == F.col("__rb")) & (F.col("__ida") < F.col("__idb"))
+    ).select(
+        F.col("__ida").alias("id_a"),
+        F.col("__idb").alias("id_b"),
+        intra_score.alias(score_col),
+    )
+    return inter.unionByName(intra)
+
+
 def _tokens_cheap(col: Column) -> Column:
     """split(trim(lower(x)), '\\s+') — one regex pass; token-identical
     to tokens(normalize_text(x)) since splitting on \\s+ already
@@ -295,6 +369,7 @@ def near_dup_pairs_minhash(
     n_bands: int = 8,
     threshold: float = 0.8,
     portable: bool = False,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: hashed shingle sets ->
     signatures -> banded candidates -> exact hash-set-Jaccard verify
@@ -303,13 +378,33 @@ def near_dup_pairs_minhash(
     registry runs; at cluster scale this stage is a materialized
     parquet stage table instead). ``portable=True`` uses the
     md5-prefix hash throughout so a DuckDB oracle can recompute the
-    identical signatures, buckets and candidate set."""
+    identical signatures, buckets and candidate set.
+
+    ``collapse_exact`` (default) first collapses byte-identical texts
+    and runs the pipeline on distinct-text representatives only, then
+    expands pairs back — output-identical (candidacy and Jaccard are
+    functions of the text) but verify cost scales with the number of
+    DISTINCT near-dup texts instead of quadratically with duplicate
+    cluster sizes. At sf1 (50k docs, 10x dup clusters): 133.6 s ->
+    13.8 s for the identical 250,600-pair output (BASELINE.md). This
+    is the 100 TB shape: exact dedup is always the first pass of a
+    near-dup pipeline."""
     df = ensure_parallelism(df, id_col)
-    hs = shingle_hash_sets(df, id_col, text_col, portable=portable)
+    if collapse_exact:
+        rep_docs, members = _collapse_exact(df, id_col, text_col)
+    else:
+        rep_docs, members = df, None
+    hs = shingle_hash_sets(rep_docs, id_col, text_col, portable=portable)
     sigs = _signature_from_hash_sets(hs, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, n_bands, portable=portable)
-    verified = hash_jaccard(cands, hs, id_col)
-    return verified.filter(F.col("jaccard") >= threshold)
+    verified = hash_jaccard(cands, hs, id_col).filter(F.col("jaccard") >= threshold)
+    if members is None:
+        return verified
+    nonempty = hs.where(F.size("sh") > 0).select(F.col(id_col).alias("__rep"))
+    expanded = _expand_pairs(
+        verified, members, id_col, "jaccard", F.lit(1.0), intra_reps=nonempty
+    )
+    return expanded.filter(F.col("jaccard") >= threshold)
 
 
 def token_hash_sets(
@@ -388,14 +483,25 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     portable: bool = False,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the hash into 4 chunks (16 bits
     each for the 64-bit hash, 15 for the portable 60-bit one; any pair
     within Hamming<=3 shares at least one exact chunk by pigeonhole),
-    bucket-join on chunks, verify with bit_count(xor)."""
+    bucket-join on chunks, verify with bit_count(xor).
+
+    ``collapse_exact`` (default) runs hashing/bucketing/verify on
+    distinct-text representatives and expands pairs back (identical
+    text => identical SimHash => Hamming 0, always a chunk candidate)
+    — output-identical, cost scales with distinct texts."""
     chunk_bits = 15 if portable else 16
     chunk_mask = (1 << chunk_bits) - 1
-    sh = simhash_df(ensure_parallelism(df, id_col), id_col, text_col, portable=portable)
+    df = ensure_parallelism(df, id_col)
+    if collapse_exact:
+        rep_docs, members = _collapse_exact(df, id_col, text_col)
+    else:
+        rep_docs, members = df, None
+    sh = simhash_df(rep_docs, id_col, text_col, portable=portable)
     chunks = sh.select(
         id_col,
         "sh",
@@ -430,9 +536,15 @@ def simhash_near_dups(
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+    verified = cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    if members is None:
+        return verified
+    expanded = _expand_pairs(
+        verified, members, id_col, "hamming", F.lit(0).cast("integer")
+    )
+    return expanded.filter(F.col("hamming") <= max_hamming)
 
 
 def dedup_groups(
