@@ -114,9 +114,19 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(target, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(target)
 
 
-def _collapse_exact(df: DataFrame, id_col: str, text_col: str):
+def _collapse_exact(df: DataFrame, id_col: str, text_col: str, min_dup_ratio: float = 0.05):
     """Exact-duplicate collapse: group byte-identical texts on
     md5(text) and elect min(id) as the group representative.
+
+    ADAPTIVE: first probes the duplicate mass with one narrow
+    (fingerprint count-distinct) aggregation. When fewer than
+    ``min_dup_ratio`` of the docs are byte-duplicates the collapse
+    machinery costs more than it saves (extra checkpoints + joins with
+    near-zero row reduction), so the probe returns ``(df, None)`` and
+    the caller runs the pipeline uncollapsed — output-identical either
+    way. Measured at sf0.1 (0.16% dups): collapse costs +28 s for
+    nothing; at sf1 with 10x-deep clusters it saves ~120 s — the probe
+    is what makes the choice data-driven, same spirit as AQE.
 
     Returns ``(rep_docs, members)`` where ``rep_docs`` is the input
     restricted to representatives and ``members`` maps every id to its
@@ -127,23 +137,30 @@ def _collapse_exact(df: DataFrame, id_col: str, text_col: str):
     benchmark trick. Cost: one narrow (id, fp) shuffle plus a semi-join
     of the corpus against the (smaller) rep-id set.
 
-    Both outputs feed several downstream branches (signatures, both
-    sides of the verify join, pair expansion), so they are lazily
-    localCheckpoint'ed: materialized once on first compute, lineage
-    truncated — without it each branch re-runs the full-text scan +
-    md5 + groupBy (measured 131 s vs 27 s at sf1). This is the
-    local-mode stand-in for the materialized stage table a 100 TB
-    deployment writes between the exact and near-dup passes."""
+    ``members`` feeds three downstream joins, so it is EAGERLY
+    localCheckpoint'ed (computed once, lineage truncated). Lazy
+    (eager=False) checkpoints are a trap here: branches of the single
+    final action race to materialize them and each recomputes the
+    full plan (measured 39 s one-shot vs 12.5 s with eager
+    checkpoints at sf0.1). Callers checkpoint their own narrow
+    signature tables the same way. This is the local-mode stand-in
+    for the materialized stage table a 100 TB deployment writes
+    between the exact and near-dup passes."""
     fps = df.select(F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("__fp"))
+    total, distinct = fps.agg(
+        F.count(F.lit(1)), F.approx_count_distinct("__fp", 0.02)
+    ).first()
+    if total == 0 or (total - distinct) / total < min_dup_ratio:
+        return df, None
     reps = fps.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
     members = (
         fps.join(reps, "__fp")
         .select(F.col(id_col), F.col("__rep"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     rep_docs = df.join(
         reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
-    ).localCheckpoint(eager=False)
+    )
     return rep_docs, members
 
 
@@ -395,6 +412,11 @@ def near_dup_pairs_minhash(
     else:
         rep_docs, members = df, None
     hs = shingle_hash_sets(rep_docs, id_col, text_col, portable=portable)
+    if members is not None:
+        # narrow (id, array<long>) stage table consumed by 4 branches
+        # (signatures, both verify sides, intra-group filter): compute
+        # once, truncate lineage — see _collapse_exact docstring
+        hs = hs.localCheckpoint(eager=True)
     sigs = _signature_from_hash_sets(hs, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, n_bands, portable=portable)
     verified = hash_jaccard(cands, hs, id_col).filter(F.col("jaccard") >= threshold)
@@ -502,6 +524,9 @@ def simhash_near_dups(
     else:
         rep_docs, members = df, None
     sh = simhash_df(rep_docs, id_col, text_col, portable=portable)
+    if members is not None:
+        # narrow (id, bigint) stage table feeding both self-join sides
+        sh = sh.localCheckpoint(eager=True)
     chunks = sh.select(
         id_col,
         "sh",

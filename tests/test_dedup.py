@@ -67,6 +67,41 @@ def test_ngram_jaccard_kernel(docs, spark):
     assert out[(0, 3)] < 0.05
 
 
+def test_collapse_and_uncollapsed_outputs_identical(docs):
+    """The exact-collapse pre-pass (and the adaptive probe that skips
+    it on low-duplicate corpora) must be invisible in the output: both
+    code paths emit the same pairs with the same scores."""
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for kw in ({"n_hashes": 32, "n_bands": 16, "threshold": 0.1},):
+        a = dedup.near_dup_pairs_minhash(docs, "doc_id", collapse_exact=True, **kw)
+        b = dedup.near_dup_pairs_minhash(docs, "doc_id", collapse_exact=False, **kw)
+        assert rows(a) == rows(b)
+    sa = dedup.simhash_near_dups(docs, "doc_id", max_hamming=10, collapse_exact=True)
+    sb = dedup.simhash_near_dups(docs, "doc_id", max_hamming=10, collapse_exact=False)
+    assert rows(sa) == rows(sb)
+
+
+def test_collapse_probe_skips_on_distinct_corpus(spark):
+    """All-distinct corpus: the adaptive probe must decide NOT to
+    collapse (members is None) — the collapse machinery would be pure
+    overhead."""
+    distinct_docs = spark.createDataFrame(
+        [(i, f"unique document number {i} with its own words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    _, members = dedup._collapse_exact(distinct_docs, "doc_id", "text")
+    assert members is None
+    # and the planted-duplicates fixture (1 exact dup in 6) does collapse
+    dup_docs = spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, "other")], "doc_id long, text string"
+    )
+    _, members = dedup._collapse_exact(dup_docs, "doc_id", "text")
+    assert members is not None
+    assert {(r[0], r[1]) for r in members.collect()} == {(0, 0), (1, 0), (2, 2)}
+
+
 def test_dedup_groups_transitive_closure(spark):
     """A-B and B-C near-dup edges must put A, B, C in ONE group labeled
     min(id), even though A-C was never emitted as a pair; isolated
