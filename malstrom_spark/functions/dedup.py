@@ -572,6 +572,59 @@ def simhash_near_dups(
     return expanded.filter(F.col("hamming") <= max_hamming)
 
 
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    ngram_n: int = 13,
+    portable: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: ids of training docs sharing ANY word
+    ``ngram_n``-gram with the benchmark/eval set (the standard
+    pre-training hygiene pass; 13-grams is the usual published choice).
+
+    100 TB shape: the benchmark side is small (eval suites are MBs), so
+    its distinct n-gram hashes BROADCAST; the corpus side is one pure
+    map (tokenize -> hash n-grams -> explode) feeding a broadcast
+    LEFT SEMI join — the corpus text is never shuffled, and only the
+    (tiny) matching id set reaches the final distinct. ``portable=True``
+    uses the md5-prefix hash so a DuckDB oracle reproduces the match
+    set exactly; the scale path is xxhash64.
+    """
+    doc_grams = shingle_hash_sets(docs, id_col, text_col, shingle_n=ngram_n, portable=portable)
+    bench = benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text_col).alias("__btext"))
+    bench_grams = (
+        shingle_hash_sets(bench, "__bid", "__btext", shingle_n=ngram_n, portable=portable)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    exploded = doc_grams.select(F.col(id_col), F.explode("sh").alias("g"))
+    return (
+        exploded.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    ngram_n: int = 13,
+    portable: bool = False,
+) -> DataFrame:
+    """The corpus minus every doc flagged by `contaminated_ids` —
+    one anti join against the (small) contaminated id set."""
+    bad = contaminated_ids(
+        docs, benchmark, id_col, text_col, bench_text_col, ngram_n, portable
+    )
+    return docs.join(bad, id_col, "left_anti")
+
+
 def dedup_groups(
     pairs: DataFrame,
     all_ids: DataFrame,

@@ -63,6 +63,7 @@ _PRIORITY = [
     "corpus_top_trigrams",
     "clean_corpus_pipeline",
     "dedup_exact_docs",
+    "doc_decontaminate",        # benchmark decontamination (13-gram)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "doc_pair_jaccard",
@@ -81,7 +82,6 @@ _PRIORITY = [
     "events_value_by_type_salted",
     "events_running_totals",
     "user_event_type_matrix",
-    "event_props_json",
     "inspect_passthrough_lineitem",
     # --- relational: one instance per distinct capability ---
     "q1_pricing_summary",       # aggregation library (flagship/entry)

@@ -140,6 +140,35 @@ def fingerprint_sketch_oracle(window: int = 4) -> str:
     """
 
 
+def decontaminate_oracle(ngram_n: int = 13, bench_mod: int = 97) -> str:
+    """Survivor ids after removing docs sharing any word ``ngram_n``-gram
+    with the benchmark slice (doc_id % bench_mod = 0). Recomputes the
+    same md5-prefix gram hashes as the Spark portable path; a doc
+    shorter than n tokens hashes its one truncated gram (concat_ws
+    skips the NULL out-of-range tokens in both engines)."""
+    cells = ", ".join(f"t[i+{j}]" for j in range(ngram_n))
+    gram = _h60(f"concat_ws(chr(31), {cells})")
+    return f"""
+    WITH toks AS MATERIALIZED ({_TOKS}),
+    grams AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(t) - {ngram_n}, 0) + 2),
+        i -> {gram})) AS gs
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {bench_mod} = 0
+    ),
+    bad AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(gs) AS g FROM grams) d
+      JOIN bench USING (g)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """
+
+
 def _quant(x: str) -> str:
     return f"list_transform({x}, v -> CAST(round(CAST(v AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
 

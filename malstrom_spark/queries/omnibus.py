@@ -58,6 +58,7 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     ("lineitem_stats_by_flag", ["l_returnflag", "n"], ["qty_mean", "qty_var", "qty_price_corr"]),
     ("monthly_order_rollup", ["month", "o_orderstatus", "n_orders"], ["total_price"]),
     ("order_date_parts", ["yr", "qtr", "n"], ["total"]),
+    ("event_props_json", ["event_type", "n", "sum_k", "max_k"], []),
     ("explode_part_name_words", ["word", "n"], []),
     ("top20_lineitems_by_price", ["l_orderkey", "l_linenumber"], ["l_extendedprice"]),
 ]

@@ -16,6 +16,7 @@ from . import register, table
 from ._oracle_sql import (
     ann_ivf_oracle,
     ann_lsh_oracle,
+    decontaminate_oracle,
     embedding_near_dup_lsh_oracle,
     fingerprint_sketch_oracle,
     minhash_lsh_oracle,
@@ -150,6 +151,22 @@ def dedup_minhash_lsh_scale(spark, sf_dir):
 def dedup_simhash_scale(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3, portable=False)
+
+
+# ------------------------------------------------- decontamination
+@register("doc_decontaminate", oracle=decontaminate_oracle())
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py decontaminate):
+    drop every training doc sharing any word 13-gram with the
+    benchmark slice (doc_id % 97 == 0 stands in for an eval suite).
+    Scale shape: benchmark gram hashes broadcast; the corpus is one
+    pure map + broadcast semi join — corpus text never shuffles.
+    Portable md5-prefix hashing so the oracle recomputes the same
+    match set; production uses portable=False (xxhash64)."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = dedup.decontaminate(docs, bench, "doc_id", ngram_n=13, portable=True)
+    return out.select("doc_id")
 
 
 # ------------------------------------------------- ngram jaccard (portable)

@@ -102,6 +102,42 @@ def test_collapse_probe_skips_on_distinct_corpus(spark):
     assert {(r[0], r[1]) for r in members.collect()} == {(0, 0), (1, 0), (2, 2)}
 
 
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Docs sharing a 5-gram window with the benchmark set are removed;
+    docs with fewer than 5 shared consecutive tokens survive. Short
+    docs (< n tokens) hash one truncated gram and only match equally
+    short benchmark docs."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),  # contains bench window
+            (1, "zeta eta unrelated words that share nothing consecutive here"),
+            (2, "alpha beta gamma delta words broken up beta gamma delta epsilon zero"),
+            (3, "tiny doc"),
+            (4, "totally clean document about other things entirely today"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "prefix words alpha beta gamma delta epsilon more tail"), (1, "tiny doc")],
+        "bid long, text string",
+    )
+    bad = {
+        r.doc_id
+        for r in dedup.contaminated_ids(corpus, bench, "doc_id", ngram_n=5).collect()
+    }
+    # doc 0 shares 'alpha beta gamma delta epsilon'; doc 3 is an exact
+    # short-doc match; docs 1/2/4 share at most 4 consecutive tokens
+    assert bad == {0, 3}
+    kept = {r.doc_id for r in dedup.decontaminate(corpus, bench, "doc_id", ngram_n=5).collect()}
+    assert kept == {1, 2, 4}
+    # portable and scale hashing agree on the match set
+    bad_p = {
+        r.doc_id
+        for r in dedup.contaminated_ids(corpus, bench, "doc_id", ngram_n=5, portable=True).collect()
+    }
+    assert bad_p == bad
+
+
 def test_dedup_groups_transitive_closure(spark):
     """A-B and B-C near-dup edges must put A, B, C in ONE group labeled
     min(id), even though A-C was never emitted as a pair; isolated
