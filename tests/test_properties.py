@@ -95,3 +95,43 @@ def test_minhash_identical_texts_identical_signatures(spark, texts):
     sigs = {r.doc_id: tuple(r.signature) for r in minhash_signature(df, "doc_id").collect()}
     for i in range(len(texts)):
         assert sigs[i] == sigs[i + 1000]
+
+
+# Tiny vocabulary so hypothesis-generated docs actually share n-grams.
+_VOCAB_DOC = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1,
+    max_size=12,
+).map(" ".join)
+
+
+def _py_grams(s: str, n: int) -> set[tuple[str, ...]]:
+    """Plain-Python twin of shingle_hash_sets' gram windows: full
+    n-grams, or ONE truncated gram for docs shorter than n tokens."""
+    t = _py_tokens(s.lower())
+    if len(t) >= n:
+        return {tuple(t[i : i + n]) for i in range(len(t) - n + 1)}
+    return {tuple(t)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_VOCAB_DOC, min_size=1, max_size=8),
+    st.lists(_VOCAB_DOC, min_size=1, max_size=3),
+)
+def test_decontaminate_matches_python_ngram_overlap(spark, corpus, bench):
+    """The flagged id set equals a plain-Python n-gram-overlap
+    computation, and decontaminate() is its exact complement."""
+    from malstrom_spark.functions.dedup import contaminated_ids, decontaminate
+
+    n = 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame([(i, t) for i, t in enumerate(bench)], "bid long, text string")
+    bench_grams = set().union(*(_py_grams(t, n) for t in bench))
+    want = {i for i, t in enumerate(corpus) if _py_grams(t, n) & bench_grams}
+    got = {r.doc_id for r in contaminated_ids(docs, bdf, "doc_id", ngram_n=n).collect()}
+    assert got == want
+    kept = {r.doc_id for r in decontaminate(docs, bdf, "doc_id", ngram_n=n).collect()}
+    assert kept == set(range(len(corpus))) - want
