@@ -593,14 +593,24 @@ def contaminated_ids(
     uses the md5-prefix hash so a DuckDB oracle reproduces the match
     set exactly; the scale path is xxhash64.
     """
+    docs = ensure_parallelism(docs, id_col)  # hashing is the hot loop
     doc_grams = shingle_hash_sets(docs, id_col, text_col, shingle_n=ngram_n, portable=portable)
     bench = benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text_col).alias("__btext"))
+    # explode_OUTER everywhere an expensive array is exploded:
+    # InferFiltersFromGenerate gives plain explode a size(arr)>0
+    # pre-filter, and predicate pushdown inlines the array's WHOLE
+    # defining expression into that filter below the repartition —
+    # re-tokenizing per gram PER TOKEN REFERENCE, interpreted, on the
+    # scan's few input partitions (observed: one core, ~10^9 regex
+    # splits at 500k docs). Gram sets are never empty (truncated-gram
+    # rule), so outer is output-identical; null grams can't match the
+    # semi join anyway.
     bench_grams = (
         shingle_hash_sets(bench, "__bid", "__btext", shingle_n=ngram_n, portable=portable)
-        .select(F.explode("sh").alias("g"))
+        .select(F.explode_outer("sh").alias("g"))
         .distinct()
     )
-    exploded = doc_grams.select(F.col(id_col), F.explode("sh").alias("g"))
+    exploded = doc_grams.select(F.col(id_col), F.explode_outer("sh").alias("g"))
     return (
         exploded.join(F.broadcast(bench_grams), "g", "left_semi")
         .select(id_col)

@@ -517,8 +517,13 @@ def doc_fingerprint_sketch(spark, sf_dir):
     # re-evaluate it per window after projection collapse, measured
     # 20x slower), then the per-window minimum is a frame-bounded
     # window min and the sketch is one groupBy(doc_id) collect_set.
+    # posexplode_OUTER: plain posexplode gets an inferred size(s)>0
+    # pre-filter whose pushdown inlines the whole md5-transform (and
+    # its tokenizer, once per token reference) below the scan — the
+    # InferFiltersFromGenerate trap (see dedup.contaminated_ids).
+    # s is never empty, so outer is row-identical.
     rows = seq.select(
-        "doc_id", F.size("s").alias("n"), F.posexplode("s").alias("pos", "h")
+        "doc_id", F.size("s").alias("n"), F.posexplode_outer("s").alias("pos", "h")
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     winmins = rows.select(
@@ -770,7 +775,9 @@ def corpus_top_trigrams(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     sh = dedup.shingle_strings(docs, "doc_id", "text", 3)
     return (
-        sh.select(F.explode("sh").alias("gram"))
+        # explode_outer: sidestep the InferFiltersFromGenerate trap
+        # (see dedup.contaminated_ids); gram arrays are never empty
+        sh.select(F.explode_outer("sh").alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("gram"))

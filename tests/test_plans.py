@@ -95,6 +95,21 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir, reg):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_no_tokenizer_inlined_into_filters(spark, sf_dir, reg):
+    """The InferFiltersFromGenerate trap: plain explode over a derived
+    array gets a size(arr)>0 pre-filter, and predicate pushdown inlines
+    the array's WHOLE defining expression (tokenizer included, once per
+    token reference) into that filter below the repartition — observed
+    as one core doing ~10^9 interpreted regex splits at sf10. Guard:
+    no Filter node in these plans may contain a split() call."""
+    for q in ["doc_decontaminate", "corpus_top_trigrams", "doc_fingerprint_sketch"]:
+        plan = plan_of(reg[q].fn(spark, sf_dir))
+        for block in plan.split("\n\n"):
+            for line in block.splitlines():
+                if line.strip().startswith("Condition") or "Filter (" in line:
+                    assert "split(" not in line, f"{q}: tokenizer inlined into a filter"
+
+
 def test_salted_agg_two_stages_and_correctness(spark):
     from malstrom_spark.operators.keyed import salted_agg
 
