@@ -53,9 +53,23 @@ def md5_prefix_hash(*cols: Column) -> Column:
 
     Still JVM-side codegen (md5+conv are native exprs); the xxhash64
     variants stay as the scale path (no hex-string materialization).
+
+    NON-NULLABLE by construction (coalesce to 0): when this hash is a
+    join key, a nullable expression makes the join infer an
+    isnotnull(key) filter whose pushdown inlines the whole defining
+    chain (signature fold + shingles + tokenizer) into a scan-level
+    filter, re-evaluated interpreted per row — the same pathology as
+    the InferFiltersFromGenerate trap (see contaminated_ids). xxhash64
+    is already non-nullable, which is why the scale path never hit it.
+    The input string is only null for null text, which hashes to 0 on
+    both engines' pipelines (no real corpus row is null-keyed into a
+    bucket that survives verification).
     """
     s = cols[0] if len(cols) == 1 else F.concat_ws(_SEP, *cols)
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return F.coalesce(
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        F.lit(0).cast("long"),
+    )
 
 
 def md5_prefix_hash_sql(expr: str) -> str:
@@ -496,7 +510,15 @@ def simhash_df(
     bits = 60 if portable else 64
     th = token_hash_sets(df, id_col, text_col, portable=portable)
     sums = th.select(id_col, _simhash_bit_sums(F.col("th"), bits).alias("_sums"))
-    return sums.select(id_col, _simhash_fold(F.col("_sums"), bits).alias("sh"))
+    # coalesce -> non-nullable: downstream Hamming filters otherwise
+    # infer isnotnull(sh) and pushdown inlines this whole fold into a
+    # scan filter (see md5_prefix_hash docstring). Null text folds to
+    # 0; near-dup callers pre-filter null texts to keep the
+    # null-never-pairs semantics.
+    return sums.select(
+        id_col,
+        F.coalesce(_simhash_fold(F.col("_sums"), bits), F.lit(0).cast("long")).alias("sh"),
+    )
 
 
 def simhash_near_dups(
@@ -518,6 +540,9 @@ def simhash_near_dups(
     — output-identical, cost scales with distinct texts."""
     chunk_bits = 15 if portable else 16
     chunk_mask = (1 << chunk_bits) - 1
+    # null text never pairs (its SimHash would be null); kept as an
+    # explicit cheap scan filter now that simhash_df folds null to 0
+    df = df.where(F.col(text_col).isNotNull())
     df = ensure_parallelism(df, id_col)
     if collapse_exact:
         rep_docs, members = _collapse_exact(df, id_col, text_col)
@@ -535,9 +560,14 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftright("sh", i * chunk_bits)
-                        .bitwiseAND(F.lit(chunk_mask))
-                        .alias("chunk"),
+                        # coalesce -> non-nullable join key: else the
+                        # self-join infers isnotnull(chunk) and pushdown
+                        # inlines the whole SimHash fold into a scan
+                        # filter (see md5_prefix_hash docstring)
+                        F.coalesce(
+                            F.shiftright("sh", i * chunk_bits).bitwiseAND(F.lit(chunk_mask)),
+                            F.lit(-1),
+                        ).alias("chunk"),
                     )
                     for i in range(4)
                 ]

@@ -102,12 +102,20 @@ def test_no_tokenizer_inlined_into_filters(spark, sf_dir, reg):
     token reference) into that filter below the repartition — observed
     as one core doing ~10^9 interpreted regex splits at sf10. Guard:
     no Filter node in these plans may contain a split() call."""
-    for q in ["doc_decontaminate", "corpus_top_trigrams", "doc_fingerprint_sketch"]:
+    for q in [
+        "doc_decontaminate",
+        "corpus_top_trigrams",
+        "doc_fingerprint_sketch",
+        # nullable join keys infer isnotnull(key) filters with the same
+        # inlining (md5_prefix_hash/chunks are coalesce'd non-nullable)
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+    ]:
         plan = plan_of(reg[q].fn(spark, sf_dir))
-        for block in plan.split("\n\n"):
-            for line in block.splitlines():
-                if line.strip().startswith("Condition") or "Filter (" in line:
-                    assert "split(" not in line, f"{q}: tokenizer inlined into a filter"
+        for line in plan.splitlines():
+            if line.strip().startswith("Condition") or "Filter (" in line or "DataFilters" in line:
+                for marker in ("split(", "aggregate(", "zip_with("):
+                    assert marker not in line, f"{q}: expression chain inlined into a filter"
 
 
 def test_salted_agg_two_stages_and_correctness(spark):
