@@ -154,7 +154,13 @@ def embedding_near_dups(
     ).select(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
-        cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("sim"),
+        # coalesce -> non-nullable: the >= threshold filter otherwise
+        # infers isnotnull(sim) and pushdown inlines the norm fold
+        # into each scan (see dedup.md5_prefix_hash docstring); null
+        # vectors score the -2 sentinel and never pass the threshold
+        F.coalesce(
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), F.lit(-2.0)
+        ).alias("sim"),
     )
     return pairs.filter(F.col("sim") >= threshold)
 
@@ -326,7 +332,13 @@ def embedding_near_dups_portable(
     ).select(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
-        cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("sim"),
+        # coalesce -> non-nullable: the >= threshold filter otherwise
+        # infers isnotnull(sim) and pushdown inlines the norm fold
+        # into each scan (see dedup.md5_prefix_hash docstring); null
+        # vectors score the -2 sentinel and never pass the threshold
+        F.coalesce(
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), F.lit(-2.0)
+        ).alias("sim"),
     )
     return pairs.filter(F.col("sim") >= threshold)
 
