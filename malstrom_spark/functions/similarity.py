@@ -109,6 +109,65 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return sig
 
 
+def cosine_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """`cosine_topk` with an Arrow-vectorized numpy scorer — the
+    throughput path for brute-force scoring at scale: each corpus
+    partition streams through mapInPandas as Arrow batches, scores a
+    (batch × dim) @ (dim × n_queries) BLAS matmul against the
+    broadcast query matrix, and emits its LOCAL top-k per query; the
+    global top-k is a tiny (partitions × queries × k) window merge.
+    Corpus never shuffles, Python sees Arrow batches (never rows).
+
+    Float sums differ from the sequential HOF fold in summation order
+    only (~1e-12 relative); tests pin rank-equality on the testdata.
+    Ties on sim break by ascending c_id, matching `cosine_topk`."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(q_id, q_vec).collect()  # query side: small by contract
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches):
+        ids_b, mat_b, nrm_b = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf[c_id].to_numpy(dtype=np.int64)
+            c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[c_vec]])
+            sims = (c_mat @ mat_b.T) / (
+                np.linalg.norm(c_mat, axis=1)[:, None] * nrm_b[None, :]
+            )
+            out_q, out_c, out_s = [], [], []
+            top = min(k, len(cids))
+            for j in range(len(ids_b)):
+                col = sims[:, j]
+                # local top-k: argpartition then exact (sim desc, c_id asc)
+                cand = np.argpartition(-col, top - 1)[:top] if top < len(cids) else np.arange(len(cids))
+                order = cand[np.lexsort((cids[cand], -col[cand]))]
+                out_q.extend([ids_b[j]] * len(order))
+                out_c.extend(cids[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame({q_id: out_q, c_id: out_c, "sim": out_s})
+
+    local = corpus.select(c_id, c_vec).mapInPandas(
+        score, schema=f"{q_id} long, {c_id} long, sim double"
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

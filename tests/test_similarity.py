@@ -107,3 +107,26 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} below sanity bound"
+
+
+def test_cosine_topk_pandas_matches_hof(spark, sf_dir):
+    """The Arrow/numpy scorer must produce the same (q_id, c_id, rank)
+    assignment as the HOF fold — float sums differ only in summation
+    order, far below ranking granularity on real data."""
+    from malstrom_spark.functions import similarity
+    from malstrom_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    hof = similarity.cosine_topk(queries, corpus, k=5)
+    arrow = similarity.cosine_topk_pandas(queries, corpus, k=5)
+    a = {(r.q_id, r.c_id): r.rank for r in hof.collect()}
+    b = {(r.q_id, r.c_id): r.rank for r in arrow.collect()}
+    assert a == b
+    # sims numerically equal to fp-reassociation tolerance
+    sa = {(r.q_id, r.c_id): r.sim for r in hof.collect()}
+    sb = {(r.q_id, r.c_id): r.sim for r in arrow.collect()}
+    assert all(abs(sa[k_] - sb[k_]) < 1e-9 for k_ in sa)
