@@ -141,3 +141,81 @@ def scrub_pii(col: Column, email_token: str = "<EMAIL>", phone_token: str = "<PH
     (vectorized, zero Python)."""
     no_email = F.regexp_replace(col, EMAIL_RE, email_token)
     return F.regexp_replace(no_email, PHONE_RE, phone_token)
+
+
+# ------------------------------------------------- repetition signals
+def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_bigram_frac``: fraction of tokens covered by the single
+      most frequent word bigram (2 * max bigram count / token count).
+    - ``dup_trigram_frac``: fraction of trigram OCCURRENCES that are
+      repeats (1 - distinct/total).
+
+    High values flag boilerplate/spam for pre-training filtering.
+    Scale shape: trigram stats are pure per-row expressions; the
+    bigram mode needs one (doc, bigram) count + one per-doc max —
+    both map-side combinable shuffles on uniform keys. Docs shorter
+    than 2 (resp. 3) tokens score 0.0. All arithmetic is int ratios
+    divided in double — bit-identical in DuckDB for the oracle."""
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.size(t).alias("_n"),
+    )
+    # per-row trigram stats (single reference of each HOF — no inlining risk)
+    tri = F.when(
+        F.col("_n") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("_t", i),
+                F.element_at("_t", i + 1),
+                F.element_at("_t", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = tok.select(
+        id_col,
+        "_t",
+        "_n",
+        F.size(tri).alias("_tri_total"),
+        F.size(F.array_distinct(tri)).alias("_tri_distinct"),
+    )
+    # bigram mode via (doc, gram) count -> per-doc max; explode_outer +
+    # null-gram sentinel keeps short docs in the output
+    bigrams = F.when(
+        F.col("_n") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("_t", i), F.element_at("_t", i + 1)),
+        ),
+    ).otherwise(F.array(F.lit(None).cast("string")))
+    g = stats.select(
+        id_col, "_n", "_tri_total", "_tri_distinct", F.explode_outer(bigrams).alias("_g")
+    )
+    per_gram = g.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.first("_n").alias("_n"),
+        F.first("_tri_total").alias("_tt"),
+        F.first("_tri_distinct").alias("_td"),
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("_g").isNotNull(), F.col("_c"))), F.lit(0)
+        ).alias("_topc"),
+        F.first("_n").alias("_n"),
+        F.first("_tt").alias("_tt"),
+        F.first("_td").alias("_td"),
+    )
+    return per_doc.select(
+        id_col,
+        (
+            F.col("_topc") * F.lit(2.0) / F.greatest(F.col("_n"), F.lit(1)).cast("double")
+        ).alias("top_bigram_frac"),
+        F.when(F.col("_tt") > 0, F.lit(1.0) - F.col("_td") / F.col("_tt").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )

@@ -153,6 +153,49 @@ def dedup_simhash_scale(spark, sf_dir):
     return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3, portable=False)
 
 
+# ------------------------------------------------- repetition signals
+@register(
+    "doc_repetition_signals",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ),
+    s AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    tstat AS (
+      SELECT doc_id, n,
+             CASE WHEN n >= 3 THEN n - 2 ELSE 0 END AS tt,
+             CASE WHEN n >= 3 THEN len(list_distinct(list_transform(range(1, n - 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) ELSE 0 END AS td
+      FROM s
+    ),
+    bi AS (
+      SELECT doc_id, unnest(CASE WHEN n >= 2
+        THEN list_transform(range(1, n), i -> concat_ws(' ', t[i], t[i+1]))
+        ELSE [NULL] END) AS g
+      FROM s
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, COALESCE(MAX(CASE WHEN g IS NOT NULL THEN c END), 0) AS topc
+      FROM cnt GROUP BY 1
+    )
+    SELECT tstat.doc_id,
+           topc * 2.0 / greatest(n, 1) AS top_bigram_frac,
+           CASE WHEN tt > 0 THEN 1.0 - td / CAST(tt AS DOUBLE) ELSE 0.0 END
+             AS dup_trigram_frac
+    FROM tstat JOIN top ON tstat.doc_id = top.doc_id
+    """,
+)
+def doc_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (functions/text.py
+    repetition_signals): top-bigram coverage + duplicate-trigram
+    fraction per doc — the standard boilerplate/spam filter inputs.
+    Trigram stats are per-row expressions; the bigram mode is one
+    (doc, gram) count + per-doc max, both map-side combinable."""
+    docs = table(spark, sf_dir, "documents")
+    return text.repetition_signals(docs, "doc_id")
+
+
 # ------------------------------------------------- decontamination
 @register("doc_decontaminate", oracle=decontaminate_oracle())
 def doc_decontaminate(spark, sf_dir):

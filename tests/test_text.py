@@ -43,3 +43,23 @@ def test_quality_score_range(spark):
     )
     got = {r.id: r.q for r in df.select("id", text.quality_score(F.col("text")).alias("q")).collect()}
     assert 0.0 <= got[2] < got[1] <= 1.0
+
+
+def test_repetition_signals(spark):
+    from malstrom_spark.functions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),            # one bigram 3x, all trigrams dup
+            (1, "all words here are different ok"),
+            (2, "tiny"),                            # <2 tokens -> both 0.0
+            (3, "a b"),                             # 1 bigram, no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.top_bigram_frac, r.dup_trigram_frac)
+           for r in repetition_signals(docs, "doc_id").collect()}
+    assert got[0] == (2 * 3 / 4, 1 - 1 / 2)  # 'spam spam' x3; 2 trigrams, 1 distinct
+    assert got[1] == (2 * 1 / 6, 0.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (2 * 1 / 2, 0.0)
