@@ -419,7 +419,45 @@ def near_dup_pairs_minhash(
     cluster sizes. At sf1 (50k docs, 10x dup clusters): 133.6 s ->
     13.8 s for the identical 250,600-pair output (BASELINE.md). This
     is the 100 TB shape: exact dedup is always the first pass of a
-    near-dup pipeline."""
+    near-dup pipeline.
+
+    EAGER-CONSTRUCTION CONTRACT: when the collapse pre-pass fires, its
+    duplicate-mass probe and stage-table checkpoints execute Spark
+    jobs at DataFrame-CONSTRUCTION time (not first action), and the
+    collapse decision is frozen against the input as of construction —
+    build this plan only against already-written inputs.
+
+    SCALE NOTE: pair output is inherently quadratic in duplicate
+    cluster depth (a 10k-copy cluster = ~50M pairs). For corpus-scale
+    dedup prefer `dedup_clusters`, which emits one (id, group_id,
+    is_keeper) row per document — output linear in corpus size."""
+    verified, members, hs = _minhash_verified(
+        df, id_col, text_col, n_hashes, n_bands, threshold, portable, collapse_exact
+    )
+    if members is None:
+        return verified
+    nonempty = hs.where(F.size("sh") > 0).select(F.col(id_col).alias("__rep"))
+    expanded = _expand_pairs(
+        verified, members, id_col, "jaccard", F.lit(1.0), intra_reps=nonempty
+    )
+    return expanded.filter(F.col("jaccard") >= threshold)
+
+
+def _minhash_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    n_bands: int,
+    threshold: float,
+    portable: bool,
+    collapse_exact: bool,
+):
+    """Shared MinHash-LSH core: returns (verified representative-level
+    pairs, members-or-None, hash-set stage table). Consumers either
+    expand pairs to members (`near_dup_pairs_minhash`) or contract them
+    to cluster labels (`dedup_clusters`) — the signature/candidate/
+    verify stages are identical."""
     df = ensure_parallelism(df, id_col)
     if collapse_exact:
         rep_docs, members = _collapse_exact(df, id_col, text_col)
@@ -434,13 +472,7 @@ def near_dup_pairs_minhash(
     sigs = _signature_from_hash_sets(hs, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, n_bands, portable=portable)
     verified = hash_jaccard(cands, hs, id_col).filter(F.col("jaccard") >= threshold)
-    if members is None:
-        return verified
-    nonempty = hs.where(F.size("sh") > 0).select(F.col(id_col).alias("__rep"))
-    expanded = _expand_pairs(
-        verified, members, id_col, "jaccard", F.lit(1.0), intra_reps=nonempty
-    )
-    return expanded.filter(F.col("jaccard") >= threshold)
+    return verified, members, hs
 
 
 def token_hash_sets(
@@ -537,7 +569,39 @@ def simhash_near_dups(
     ``collapse_exact`` (default) runs hashing/bucketing/verify on
     distinct-text representatives and expands pairs back (identical
     text => identical SimHash => Hamming 0, always a chunk candidate)
-    — output-identical, cost scales with distinct texts."""
+    — output-identical, cost scales with distinct texts.
+
+    EAGER-CONSTRUCTION CONTRACT: when the collapse pre-pass fires, its
+    duplicate-mass probe and stage-table checkpoints execute Spark
+    jobs at DataFrame-CONSTRUCTION time (not first action), and the
+    collapse decision is frozen against the input as of construction —
+    build this plan only against already-written inputs.
+
+    SCALE NOTE: pair output is quadratic in duplicate cluster depth
+    (the sf10 probe emitted 1.009B pairs, BASELINE.md); prefer
+    `dedup_clusters` at corpus scale — one label row per document."""
+    verified, members = _simhash_verified(
+        df, id_col, text_col, max_hamming, portable, collapse_exact
+    )
+    if members is None:
+        return verified
+    expanded = _expand_pairs(
+        verified, members, id_col, "hamming", F.lit(0).cast("integer")
+    )
+    return expanded.filter(F.col("hamming") <= max_hamming)
+
+
+def _simhash_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    portable: bool,
+    collapse_exact: bool,
+):
+    """Shared SimHash core: returns (verified representative-level
+    pairs, members-or-None). Null-text docs are pre-filtered (they
+    never pair); `dedup_clusters` re-adds them as singletons."""
     chunk_bits = 15 if portable else 16
     chunk_mask = (1 << chunk_bits) - 1
     # null text never pairs (its SimHash would be null); kept as an
@@ -594,12 +658,7 @@ def simhash_near_dups(
     verified = cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
-    if members is None:
-        return verified
-    expanded = _expand_pairs(
-        verified, members, id_col, "hamming", F.lit(0).cast("integer")
-    )
-    return expanded.filter(F.col("hamming") <= max_hamming)
+    return verified, members
 
 
 def contaminated_ids(
@@ -670,23 +729,123 @@ def dedup_groups(
     all_ids: DataFrame,
     id_col: str,
     max_iters: int = 10,
+    algorithm: str = "alternating",
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document gets
     the MINIMUM id of its duplicate cluster as `group_id` (the keeper;
     singletons keep their own id).
 
-    Algorithm: iterative min-label propagation — each round joins the
-    current labels across the (undirected) edge set and takes the min
-    of neighbor labels; converges in O(diameter) rounds, with an early
-    exit when a round changes nothing. Near-dup clusters are shallow
-    (diameter ~ a few hops), so 3-4 rounds typically suffice; at
-    100 TB each round is one shuffle join on the edge list — the same
-    large-graph CC pattern used by GraphX/GraphFrames, without the
-    dependency.
+    Two algorithms, identical output:
+
+    - ``"alternating"`` (default): large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14). Each round applies large-star (every node hangs its
+      strictly-larger neighbors off the minimum of its closed
+      neighborhood) then small-star (every node hangs its smaller
+      neighbors and itself off its minimum neighbor); the edge set
+      contracts to min-rooted stars in O(log n) rounds REGARDLESS of
+      cluster diameter — a 50-hop duplicate chain converges in ~5
+      rounds where label propagation needs 50. Each half-round is one
+      self-shuffle of the (shrinking) edge list; this is the 100 TB
+      default.
+    - ``"label"``: iterative min-label propagation — each round joins
+      labels across the edge set and takes the min of neighbor labels;
+      O(diameter) rounds. Kept for cross-checking (the property test
+      pins both algorithms to the same fixpoint).
+
+    Both fail loudly on non-convergence within ``max_iters`` instead of
+    returning silently-wrong labels.
 
     `pairs`: (id_a, id_b) near-dup edges (from MinHash/SimHash/cosine).
     `all_ids`: one row per document id (so singletons appear).
     """
+    if algorithm == "alternating":
+        return _groups_alternating(pairs, all_ids, id_col, max_iters)
+    if algorithm == "label":
+        return _groups_label_propagation(pairs, all_ids, id_col, max_iters)
+    raise ValueError(f"unknown dedup_groups algorithm: {algorithm!r}")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over canonical (u > v) edges: for every
+    node, connect each strictly-larger neighbor to the minimum of the
+    node's closed neighborhood. Output is canonical by construction
+    (the new target m <= u < v). One groupBy + one join on the edge
+    list — both shuffles on node ids, map-side-combinable min."""
+    bidir = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = bidir.groupBy("u").agg(F.min("v").alias("m"))
+    mins = mins.select("u", F.least("m", F.col("u")).alias("m"))
+    return (
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round over canonical (u > v) edges: for every
+    node, connect its smaller neighbors AND itself to its minimum
+    neighbor. Leaf-leaf edges need re-canonicalizing (v vs m order is
+    data-dependent); the self edge (u, m) is canonical already."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    leaf = (
+        edges.join(mins, "u")
+        .select(
+            F.greatest(F.col("v"), F.col("m")).alias("u"),
+            F.least(F.col("v"), F.col("m")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+    return leaf.unionAll(mins.select("u", F.col("m").alias("v"))).distinct()
+
+
+def _groups_alternating(
+    pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iters: int
+) -> DataFrame:
+    edges = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # truncate upstream pipeline lineage
+    )
+    for _ in range(max_iters):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # Fixpoint test is EXACT (both sides are distinct sets): equal
+        # counts + empty one-sided difference <=> set equality. A
+        # checksum compare would risk a silent wrong-label convergence.
+        if new_edges.count() == edges.count() and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
+            break
+        edges = new_edges
+    else:
+        raise RuntimeError(
+            f"dedup_groups(alternating) did not converge in {max_iters} rounds; "
+            "raise max_iters"
+        )
+    # At the fixpoint the edge set is a union of min-rooted stars:
+    # every non-root node carries exactly one (node, component_min) edge.
+    star = edges.select(F.col("u").alias("__node"), F.col("v").alias("__grp"))
+    return (
+        all_ids.select(F.col(id_col).alias("__node"))
+        .join(star, "__node", "left")
+        .select(
+            F.col("__node").alias(id_col),
+            F.coalesce("__grp", F.col("__node")).alias("group_id"),
+        )
+    )
+
+
+def _groups_label_propagation(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    max_iters: int = 10,
+) -> DataFrame:
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -725,7 +884,99 @@ def dedup_groups(
         # labels: a duplicate chain longer than max_iters hops would
         # silently get a non-minimum group_id. Fail loudly instead.
         raise RuntimeError(
-            f"dedup_groups did not converge in {max_iters} rounds; "
+            f"dedup_groups(label) did not converge in {max_iters} rounds; "
             "raise max_iters (clusters deeper than expected)"
         )
     return labels.select(F.col("node").alias(id_col), "group_id")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    method: str = "minhash",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.8,
+    max_hamming: int = 3,
+    portable: bool = False,
+    collapse_exact: bool = True,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Corpus-scale near-dup deduplication with LINEAR output: one
+    (id, group_id, is_keeper) row per input document, where group_id
+    is the minimum id of the document's near-duplicate cluster and
+    is_keeper marks the minimum itself (the reference's exact_dedup
+    keeps min-id the same way; min-label keeper selection).
+
+    This is the documented default at 100 TB. The pair-emitting
+    pipelines (`near_dup_pairs_*`) are inherently quadratic in
+    duplicate cluster depth — the sf10 probe emitted 1.009B SimHash
+    PAIRS from 500k docs (BASELINE.md) — while this entry point never
+    materializes an intra-cluster pair at any stage:
+
+    1. exact-collapse (adaptive) groups byte-identical texts and keeps
+       one representative per distinct text;
+    2. LSH candidates + verify run on REPRESENTATIVES only, emitting
+       rep-level pairs (bounded by distinct-text near-dup structure,
+       not cluster sizes);
+    3. connected components (large-star/small-star, O(log n) rounds —
+       see `dedup_groups`) contract rep pairs to rep labels;
+    4. members join their representative's LABEL (one row each) — the
+       expansion that `near_dup_pairs_*` does to pairs happens here to
+       labels, so a 10k-copy cluster costs 10k rows, not ~50M.
+
+    Semantics match running CC over the uncollapsed pair pipeline:
+    byte-identical nonempty texts always share a cluster (Jaccard 1 /
+    Hamming 0 pairs); null-text docs (and, for MinHash, byte-identical
+    docs whose shingle set is empty — their uncollapsed Jaccard is 0)
+    are singletons. The registry row `dedup_clusters` pins this
+    against a DuckDB recursive-CTE oracle over the uncollapsed
+    portable pair set.
+
+    EAGER-CONSTRUCTION CONTRACT: same as `near_dup_pairs_*` — the
+    collapse probe, stage checkpoints and CC rounds all execute jobs
+    at construction time; build against already-written inputs.
+    """
+    if method == "minhash":
+        verified, members, hs = _minhash_verified(
+            df, id_col, text_col, n_hashes, n_bands, threshold, portable, collapse_exact
+        )
+        rep_ids = hs.select(id_col)
+        # MinHash-specific: byte-identical docs with EMPTY shingle
+        # sets (null text) score Jaccard 0 uncollapsed — their members
+        # must NOT inherit a shared label (see _expand_pairs).
+        share_reps = hs.where(F.size("sh") > 0).select(F.col(id_col).alias("__rep"))
+    elif method == "simhash":
+        verified, members = _simhash_verified(
+            df, id_col, text_col, max_hamming, portable, collapse_exact
+        )
+        base = df.where(F.col(text_col).isNotNull())
+        rep_ids = (
+            base.select(id_col)
+            if members is None
+            else members.select(F.col("__rep").alias(id_col)).distinct()
+        )
+        share_reps = None  # identical text => Hamming 0, always shared
+    else:
+        raise ValueError(f"unknown dedup_clusters method: {method!r}")
+
+    rep_labels = dedup_groups(
+        verified.select("id_a", "id_b"), rep_ids, id_col, max_iters=max_iters
+    )
+    if members is None:
+        labeled = rep_labels
+    else:
+        rl = rep_labels.select(F.col(id_col).alias("__rep"), F.col("group_id"))
+        if share_reps is not None:
+            rl = rl.join(share_reps, "__rep", "left_semi")
+        labeled = members.join(rl, "__rep").select(F.col(id_col), "group_id")
+    out = (
+        df.select(id_col)
+        .join(labeled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("group_id", F.col(id_col)).alias("group_id"),
+        )
+    )
+    return out.withColumn("is_keeper", F.col(id_col) == F.col("group_id"))

@@ -66,7 +66,7 @@ _PRIORITY = [
     "doc_decontaminate",        # benchmark decontamination (13-gram)
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "doc_pair_jaccard",
+    "dedup_clusters",           # cluster-output near-dup (100 TB default)
     "dedup_groups_probe",
     "dedup_embedding_cosine",
     "embedding_near_dup_cosine",

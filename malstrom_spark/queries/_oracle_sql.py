@@ -84,6 +84,31 @@ def minhash_lsh_oracle(n_hashes: int = 32, n_bands: int = 8, threshold: float = 
     """
 
 
+def dedup_clusters_oracle(n_hashes: int = 32, n_bands: int = 8, threshold: float = 0.5) -> str:
+    """Cluster labels via recursive-CTE reachability over the
+    UNCOLLAPSED portable MinHash pair set — pins `dedup_clusters`'s
+    whole contraction path (exact-collapse -> rep pairs -> large-star/
+    small-star CC -> member label join) against first-principles
+    transitive closure."""
+    pairs_sql = minhash_lsh_oracle(n_hashes, n_bands, threshold)
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({pairs_sql}) p
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS group_id, (node = MIN(lbl)) AS is_keeper
+    FROM reach GROUP BY node
+    """
+
+
 def simhash_oracle(max_hamming: int = 3) -> str:
     # 60-bit portable SimHash: 4 chunks x 15 bits.
     return f"""

@@ -61,6 +61,10 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     ("event_props_json", ["event_type", "n", "sum_k", "max_k"], []),
     ("explode_part_name_words", ["word", "n"], []),
     ("top20_lineitems_by_price", ["l_orderkey", "l_linenumber"], ["l_extendedprice"]),
+    # bounded-probe Jaccard verify kernel — folded here to free a
+    # priority slot for dedup_clusters (round 3); still individually
+    # runnable + oracle-checked via full_registry()/oracle_check.py
+    ("doc_pair_jaccard", ["id_a", "id_b"], ["jaccard"]),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B]

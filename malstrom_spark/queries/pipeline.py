@@ -17,6 +17,7 @@ from ._oracle_sql import (
     ann_ivf_oracle,
     ann_lsh_oracle,
     decontaminate_oracle,
+    dedup_clusters_oracle,
     embedding_near_dup_lsh_oracle,
     fingerprint_sketch_oracle,
     minhash_lsh_oracle,
@@ -129,6 +130,24 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3, portable=True)
 
 
+@register("dedup_clusters", oracle=dedup_clusters_oracle())
+def dedup_clusters(spark, sf_dir):
+    """Cluster-output near-dup dedup (functions/dedup.py
+    dedup_clusters) — the documented 100 TB default: one (doc_id,
+    group_id, is_keeper) row per document, output LINEAR in corpus
+    size (pair enumeration is quadratic in cluster depth — the sf10
+    probe emitted 1.009B pairs). Pipeline: adaptive exact-collapse ->
+    MinHash-LSH candidates + Jaccard verify on representatives ->
+    large-star/small-star connected components (O(log n) rounds) ->
+    member label join. Oracle: recursive-CTE transitive closure over
+    the uncollapsed portable pair set."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(
+        docs, "doc_id", method="minhash", n_hashes=32, n_bands=8,
+        threshold=0.5, portable=True,
+    )
+
+
 # Scale-path twins of the two near-dup pipelines: identical dataflow
 # but xxhash64 instead of the md5-prefix hash. The md5 variant exists
 # ONLY so the DuckDB oracle can recompute signatures/buckets bit-for-
@@ -151,6 +170,17 @@ def dedup_minhash_lsh_scale(spark, sf_dir):
 def dedup_simhash_scale(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3, portable=False)
+
+
+@register("dedup_clusters_scale", oracle=None)
+def dedup_clusters_scale(spark, sf_dir):
+    """xxhash64 SimHash-based cluster labeling — the production-path
+    twin of `dedup_clusters` on the pipeline whose PAIR form blew up
+    to 1.009B rows at sf10; cluster output stays one row per doc."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(
+        docs, "doc_id", method="simhash", max_hamming=3, portable=False
+    )
 
 
 # ------------------------------------------------- repetition signals

@@ -150,3 +150,125 @@ def test_dedup_groups_transitive_closure(spark):
     )
     got = {r.doc_id: r.group_id for r in dedup_groups(pairs, ids, "doc_id").collect()}
     assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4}
+
+
+def test_dedup_groups_path_chain(spark):
+    """A 50-hop duplicate chain (path graph): large-star/small-star
+    must converge in O(log n) rounds where min-label propagation needs
+    O(diameter). 8 rounds suffice for alternating; label propagation
+    capped at 5 rounds must fail loudly rather than mislabel."""
+    from malstrom_spark.functions.dedup import dedup_groups
+
+    n = 50
+    ids = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.group_id
+        for r in dedup_groups(pairs, ids, "doc_id", max_iters=8).collect()
+    }
+    assert got == {i: 0 for i in range(n)} | {n: n}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_groups(pairs, ids, "doc_id", max_iters=5, algorithm="label")
+
+
+def test_dedup_groups_algorithms_agree(spark):
+    """Both CC algorithms reach the identical fixpoint on a graph with
+    chains, a triangle, reversed/duplicate/self edges and singletons."""
+    from malstrom_spark.functions.dedup import dedup_groups
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (5, 0), (7, 6), (8, 7), (9, 9), (2, 1), (2, 1), (10, 4)],
+        "id_a long, id_b long",
+    )
+    alt = {r.doc_id: r.group_id for r in dedup_groups(pairs, ids, "doc_id").collect()}
+    lab = {
+        r.doc_id: r.group_id
+        for r in dedup_groups(pairs, ids, "doc_id", algorithm="label").collect()
+    }
+    assert alt == lab
+    assert alt == {0: 0, 3: 0, 5: 0, 6: 6, 7: 6, 8: 6, 9: 9, 1: 1, 2: 1, 4: 4, 10: 4, 11: 11}
+
+
+def _uf_labels(n_ids, pairs):
+    """Python union-find ground truth: min-id label per component."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+@pytest.fixture(scope="module")
+def dup_heavy_docs(spark):
+    """Dup-heavy corpus (fires the collapse probe): 3 exact copies of
+    BASE, 2 copies of a near variant, an appended-tail variant, two
+    unrelated docs, two null-text docs, and two empty-text docs."""
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, BASE),
+        (3, BASE.replace("lazy", "sleepy")),
+        (4, BASE.replace("lazy", "sleepy")),
+        (5, BASE + " extra tail words appended"),
+        (6, "completely different text about spark query engines and shuffles here"),
+        (7, "yet another unrelated document mentioning benchmarks latency and throughput"),
+        (8, None),
+        (9, None),
+        (10, ""),
+        (11, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("collapse", [True, False])
+def test_dedup_clusters_matches_pair_pipeline_minhash(dup_heavy_docs, collapse):
+    """dedup_clusters must equal union-find over the pair pipeline's
+    output (the pair pipeline is the hash-verified semantics), on both
+    the collapsed and uncollapsed paths — including null-text docs
+    (singletons) and byte-identical docs (always clustered)."""
+    kw = {"n_hashes": 32, "n_bands": 16, "threshold": 0.5}
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in dedup.near_dup_pairs_minhash(
+            dup_heavy_docs, "doc_id", collapse_exact=collapse, **kw
+        ).collect()
+    ]
+    expected = _uf_labels(range(12), pairs)
+    out = dedup.dedup_clusters(
+        dup_heavy_docs, "doc_id", method="minhash", collapse_exact=collapse, **kw
+    ).collect()
+    got = {r.doc_id: r.group_id for r in out}
+    assert got == expected
+    assert {r.doc_id: r.is_keeper for r in out} == {
+        i: (expected[i] == i) for i in range(12)
+    }
+
+
+@pytest.mark.parametrize("collapse", [True, False])
+def test_dedup_clusters_matches_pair_pipeline_simhash(dup_heavy_docs, collapse):
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_dups(
+            dup_heavy_docs, "doc_id", max_hamming=3, collapse_exact=collapse
+        ).collect()
+    ]
+    expected = _uf_labels(range(12), pairs)
+    got = {
+        r.doc_id: r.group_id
+        for r in dedup.dedup_clusters(
+            dup_heavy_docs, "doc_id", method="simhash", max_hamming=3,
+            collapse_exact=collapse,
+        ).collect()
+    }
+    assert got == expected
