@@ -96,19 +96,34 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", every_n: int = 10)
     )
 
     def batches(it: Iterator) -> Iterator:
+        # Batch-wise 1->N expansion: counts/offsets/frame indices are
+        # numpy arithmetic and the passthrough columns fan out via ONE
+        # positional take per batch — the scale-true shape a real
+        # ffmpeg sampler must follow (per-row Python dicts would cap
+        # throughput at interpreter speed). Only the byte slicing is
+        # per-output-row: variable-length bytes have no numpy dtype,
+        # and a real decoder emits per-frame buffers there anyway.
+        import numpy as np
         import pandas as pd
 
+        step = max(every_n, 1)
         for pdf in it:
-            rows = []
-            for rec in pdf.to_dict("records"):
-                payload = bytes(rec.pop(payload_col))
-                n_frames = max(1, len(payload) // max(every_n, 1))
-                for i in range(min(n_frames, 8)):
-                    r = dict(rec)
-                    r["frame_idx"] = i
-                    r["frame"] = payload[i * every_n : (i + 1) * every_n]
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            payloads = pdf[payload_col].to_numpy()
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+            )
+            counts = np.minimum(np.maximum(lens // step, 1), 8)
+            total = int(counts.sum())
+            rep_idx = np.repeat(np.arange(len(pdf)), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            frame_idx = np.arange(total) - np.repeat(starts, counts)
+            out = pdf.drop(columns=[payload_col]).iloc[rep_idx].reset_index(drop=True)
+            out["frame_idx"] = frame_idx.astype("int32")
+            out["frame"] = [
+                bytes(payloads[r])[f * step : (f + 1) * step]
+                for r, f in zip(rep_idx, frame_idx)
+            ]
+            yield out
 
     return df.mapInPandas(batches, schema=out_schema)
 

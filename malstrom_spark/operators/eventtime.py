@@ -59,25 +59,41 @@ def split_late(
     ts_col: str,
     delay_expr: str,
     order_cols: list[str] | None = None,
+    n_shards: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """(on_time, late) split for batch replays (generate_epochs.rs:44).
 
     A record is late iff its event time is <= the frontier
     (max event time seen so far in arrival order, minus the bound) at
     the moment it arrives — reference rule in time/util.rs
-    `handle_maybe_late_msg`. `order_cols` define arrival order (default:
-    the current row order is unknowable in batch, so an explicit
-    arrival column is required).
+    `handle_maybe_late_msg`. `order_cols` define arrival order (the
+    current row order is unknowable in batch, so an explicit arrival
+    column is required).
+
+    The frontier is judged PER SHARD (`pmod(xxhash64(order_cols),
+    n_shards)`), matching the streaming twin `flag_late_stream` and
+    the reference, which judges lateness against each WORKER's locally
+    observed progress, not a global order (time/util.rs). This is also
+    what makes the operator scale: a global frontier would be one
+    unpartitioned window — every row through a single task. Each shard
+    is an independent running-max window; no task sees more than
+    ~1/n_shards of the data.
 
     `delay_expr` is a SQL interval expression, e.g. "INTERVAL 10 MINUTES".
     """
     if not order_cols:
         raise ValueError("split_late needs explicit arrival-order columns in batch mode")
-    w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_shards))
+    flagged = df.withColumn("__shard", shard)
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     frontier = F.max(ts_col).over(w) - F.expr(delay_expr)
-    flagged = df.withColumn("__late", F.col(ts_col) <= frontier)
-    on_time = flagged.filter(~F.coalesce("__late", F.lit(False))).drop("__late")
-    late = flagged.filter(F.coalesce("__late", F.lit(False))).drop("__late")
+    flagged = flagged.withColumn("__late", F.col(ts_col) <= frontier)
+    on_time = flagged.filter(~F.coalesce("__late", F.lit(False))).drop("__late", "__shard")
+    late = flagged.filter(F.coalesce("__late", F.lit(False))).drop("__late", "__shard")
     return on_time, late
 
 

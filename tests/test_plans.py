@@ -139,3 +139,22 @@ def test_salted_agg_two_stages_and_correctness(spark):
     assert got == want
     # two aggregation exchanges: (key, salt) then (key)
     assert plan_simple(out).count("Exchange hashpartitioning") == 2
+
+
+def test_no_unpartitioned_windows_in_package():
+    """A `Window.orderBy(...)` with no partitionBy funnels every row
+    through ONE task — a scale killer locked out of the package after
+    the round-2 split_late finding. Window specs must start from
+    `Window.partitionBy`. (Source lint: the construction is textual by
+    nature; per-query plans are pinned by the plan tests above.)"""
+    import pathlib
+
+    import malstrom_spark
+
+    pkg = pathlib.Path(malstrom_spark.__file__).parent
+    bad = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if "Window.orderBy(" in p.read_text()
+    ]
+    assert not bad, f"unpartitioned Window.orderBy in: {bad}"

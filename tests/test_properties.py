@@ -59,24 +59,40 @@ def test_exact_dedup_partitions_input(spark, texts):
 )
 def test_split_late_matches_reference_rule(spark, ts_seconds, delay):
     """Batch late-split vs a direct Python simulation of the reference
-    rule: late iff ts <= (max ts of PRIOR arrivals) - delay."""
+    rule: late iff ts <= (max ts of PRIOR arrivals on the same shard)
+    - delay. Lateness is judged per shard (reference: per worker,
+    time/util.rs), so the simulation replays each shard's arrival
+    order independently; shard assignment (xxhash64) is read back from
+    Spark since it is not Python-reproducible."""
+    import pyspark.sql.functions as F
+
     from malstrom_spark.operators.eventtime import split_late
 
+    n_shards = 4  # small so hypothesis inputs actually share shards
     rows = [
         (i, datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None))
         for i, s in enumerate(ts_seconds)
     ]
     df = spark.createDataFrame(rows, "arrival long, ts timestamp")
-    on_time, late = split_late(df, "ts", f"INTERVAL {delay} SECONDS", ["arrival"])
+    on_time, late = split_late(
+        df, "ts", f"INTERVAL {delay} SECONDS", ["arrival"], n_shards=n_shards
+    )
     got_late = {r.arrival for r in late.collect()}
     got_on_time = {r.arrival for r in on_time.collect()}
 
-    frontier = None
+    shard_of = {
+        r.arrival: r.shard
+        for r in df.select(
+            "arrival", F.pmod(F.xxhash64("arrival"), F.lit(n_shards)).alias("shard")
+        ).collect()
+    }
+    frontier: dict = {}
     want_late = set()
     for i, s in enumerate(ts_seconds):
-        if frontier is not None and s <= frontier - delay:
+        sh = shard_of[i]
+        if sh in frontier and s <= frontier[sh] - delay:
             want_late.add(i)
-        frontier = s if frontier is None else max(frontier, s)
+        frontier[sh] = max(frontier.get(sh, s), s)
     assert got_late == want_late
     assert got_on_time == set(range(len(ts_seconds))) - want_late
 
