@@ -79,9 +79,11 @@ def stateful_op_stream(
     )
 
 
-def _via_transform_with_state(
-    sdf, key_cols, on_data, on_timer, output_schema, state_schema, time_mode
-):
+def make_tws_processor(on_data, on_timer, state_schema):
+    """The transformWithStateInPandas wrapper class, module-level so
+    the engine-divergence property test can drive its logic against a
+    fake handle without Spark (the real path needs protobuf at
+    runtime; the class itself imports without it)."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     class _Op(StatefulProcessor):
@@ -126,18 +128,27 @@ def _via_transform_with_state(
         def close(self):
             pass
 
+    return _Op
+
+
+def _via_transform_with_state(
+    sdf, key_cols, on_data, on_timer, output_schema, state_schema, time_mode
+):
+    op_cls = make_tws_processor(on_data, on_timer, state_schema)
     return sdf.groupBy(*key_cols).transformWithStateInPandas(
-        statefulProcessor=_Op(),
+        statefulProcessor=op_cls(),
         outputStructType=output_schema,
         outputMode="Append",
         timeMode=time_mode,
     )
 
 
-def _via_apply_with_state(sdf, key_cols, on_data, on_timer, output_schema, state_schema):
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+def make_apws_wrapped(on_data, on_timer):
+    """The applyInPandasWithState wrapper function, module-level so the
+    engine-divergence property test can drive it against a fake
+    GroupState without Spark."""
 
-    def wrapped(key, pdfs, state: GroupState):
+    def wrapped(key, pdfs, state):
         if state.hasTimedOut:
             cur = state.get if state.exists else None
             outs, new_state, timers = on_timer(key, state.getCurrentWatermarkMs(), cur)
@@ -174,8 +185,14 @@ def _via_apply_with_state(sdf, key_cols, on_data, on_timer, output_schema, state
                 state.setTimeoutTimestamp(int(min(timers)))
         yield from outs
 
+    return wrapped
+
+
+def _via_apply_with_state(sdf, key_cols, on_data, on_timer, output_schema, state_schema):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     return sdf.groupBy(*key_cols).applyInPandasWithState(
-        wrapped,
+        make_apws_wrapped(on_data, on_timer),
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode="append",
