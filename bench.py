@@ -62,6 +62,13 @@ HEADLINE = [
     "dedup_simhash_scale",
     "similarity_topk_cosine",
     "embedding_near_dup_cosine",
+    # round-3 addition: Arrow bucketing twin (bit-identical to the
+    # gate's similarity_ann_lsh, numpy-matmul corpus bucketing).
+    # dedup_clusters_scale is deliberately NOT here: at sf0.1 its cost
+    # is all fixed-size CC driver actions (6.5 s for 5k docs vs 11.7 s
+    # for 500k at sf10, BASELINE.md) — the sf10 probe table is its
+    # evidence; timing it at toy scale would only add noise.
+    "similarity_ann_lsh_arrow",
 ]
 
 

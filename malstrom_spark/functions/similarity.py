@@ -43,7 +43,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; a zero-norm side yields NULL (try_divide)
+    rather than an ANSI divide-by-zero error — the top-k scorers drop
+    such rows (undefined similarity) and the near-dup pipelines
+    coalesce them below any threshold."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -67,6 +71,11 @@ def cosine_topk(
         F.col(c_id),
         cosine(F.col(q_vec), F.col(c_vec)).alias("sim"),
     )
+    # zero-norm vectors make cosine NULL (try_divide; NaN on the numpy
+    # path): drop them (undefined similarity) so both scorer paths
+    # agree on degenerate input — Spark's desc sort would rank
+    # NULL/NaN first, numpy's lexsort last
+    scored = scored.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -128,15 +137,20 @@ def cosine_topk_pandas(
 
     Float sums differ from the sequential HOF fold in summation order
     only (~1e-12 relative); tests pin rank-equality on the testdata.
-    Ties on sim break by ascending c_id, matching `cosine_topk`."""
+    Ties on sim break by ascending c_id, matching `cosine_topk`.
+    Degenerate inputs match `cosine_topk` too: zero-norm vectors are
+    dropped (NaN sim — undefined similarity) and an empty query set
+    returns an empty result instead of a (dim, 0) matmul error."""
     import numpy as np
     import pandas as pd
 
     q_rows = queries.select(q_id, q_vec).collect()  # query side: small by contract
+    spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], f"{q_id} long, {c_id} long, sim double, rank int")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_norm = np.linalg.norm(q_mat, axis=1)
-    spark = corpus.sparkSession
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     def score(batches):
@@ -146,9 +160,13 @@ def cosine_topk_pandas(
                 continue
             cids = pdf[c_id].to_numpy(dtype=np.int64)
             c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[c_vec]])
-            sims = (c_mat @ mat_b.T) / (
-                np.linalg.norm(c_mat, axis=1)[:, None] * nrm_b[None, :]
-            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (c_mat @ mat_b.T) / (
+                    np.linalg.norm(c_mat, axis=1)[:, None] * nrm_b[None, :]
+                )
+            # zero-norm rows/queries -> NaN sim: exclude, like the HOF
+            # path's isnan filter (-inf sorts last and is filtered out)
+            sims = np.where(np.isnan(sims), -np.inf, sims)
             out_q, out_c, out_s = [], [], []
             top = min(k, len(cids))
             for j in range(len(ids_b)):
@@ -156,6 +174,7 @@ def cosine_topk_pandas(
                 # local top-k: argpartition then exact (sim desc, c_id asc)
                 cand = np.argpartition(-col, top - 1)[:top] if top < len(cids) else np.arange(len(cids))
                 order = cand[np.lexsort((cids[cand], -col[cand]))]
+                order = order[~np.isinf(col[order])]
                 out_q.extend([ids_b[j]] * len(order))
                 out_c.extend(cids[order])
                 out_s.extend(col[order])
@@ -168,25 +187,97 @@ def cosine_topk_pandas(
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def with_probe_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_probe: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Query-directed multi-probe expansion: each row explodes into
+    `n_probe` rows — its own LSH bucket plus the (n_probe-1) buckets
+    reached by flipping the sign bits of the planes the vector lies
+    CLOSEST to (smallest |dot|), which are exactly the bits most
+    likely to have split true neighbors across buckets (Lv et al.,
+    multi-probe LSH, VLDB'07). Probing lifts recall without shrinking
+    n_planes (which would grow every bucket for everyone).
+
+    Per-plane dots are materialized as one array column (referenced by
+    both the base bucket and the flip ordering — the HOF re-eval rule,
+    see _bucket_from_quantized)."""
+    planes = _hyperplanes(dim, n_planes)
+    dots = F.array(
+        *[dot(F.col(vec_col), F.array(*[F.lit(v) for v in p])) for p in planes]
+    )
+    ddf = df.withColumn("__dots", dots)
+    base = F.lit(0).cast("long")
+    for i in range(n_planes):
+        base = base.bitwiseOR(
+            F.when(
+                F.element_at("__dots", i + 1) > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    ddf = ddf.withColumn("__base", base)
+    if n_probe <= 1:
+        return ddf.withColumn(out_col, F.col("__base")).drop("__dots", "__base")
+    idx = F.array(*[F.lit(i) for i in range(n_planes)])
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    by_closeness = F.transform(
+        F.array_sort(
+            F.zip_with(
+                F.col("__dots"), idx, lambda d, i: F.struct(F.abs(d).alias("a"), i.alias("i"))
+            )
+        ),
+        lambda s: s["i"],
+    )
+    flips = F.slice(by_closeness, 1, min(n_probe - 1, n_planes))
+    buckets = F.concat(
+        F.array(F.col("__base")),
+        F.transform(
+            flips, lambda i: F.col("__base").bitwiseXOR(F.element_at(masks, i + 1))
+        ),
+    )
+    return (
+        ddf.withColumn(out_col, F.explode(buckets))
+        .drop("__dots", "__base")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     dim: int,
     k: int = 5,
     n_planes: int = 12,
+    n_probe: int = 1,
     q_id: str = "q_id",
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket
-    are scored. Single equi-join on the bucket id — at 100 TB this is
-    a hash join on a uniform key instead of a cross product. Recall
-    rises as n_planes falls (bigger buckets); multi-probe = union of
-    queries with flipped bits (left to callers)."""
+    """Approximate top-k: only corpus vectors in the query's probed
+    LSH bucket(s) are scored. Single equi-join on the bucket id — at
+    100 TB this is a hash join on a uniform key instead of a cross
+    product. Recall levers: fewer `n_planes` (bigger buckets for
+    EVERY vector) or higher `n_probe` (each query additionally probes
+    the buckets behind its closest hyperplanes — cost scales with the
+    query side only, the right trade at corpus scale). Measured on the
+    sf0.001 embeddings (64-dim, 6 planes): recall@5 0.225 at n_probe=1
+    -> 0.338 at 4 -> 0.362 at 8 (tests/test_similarity.py pins the
+    lift; absolute recall is capped by the near-uniform synthetic
+    vectors). The corpus is bucketed ONCE either way."""
     cb = corpus.withColumn("bucket", lsh_bucket(F.col(c_vec), dim, n_planes))
-    qb = queries.withColumn("bucket", lsh_bucket(F.col(q_vec), dim, n_planes))
-    scored = cb.join(F.broadcast(qb), "bucket").select(
+    if n_probe <= 1:
+        qb = queries.withColumn("bucket", lsh_bucket(F.col(q_vec), dim, n_planes))
+    else:
+        qb = with_probe_buckets(queries, q_vec, dim, n_planes, n_probe)
+    cand = cb.join(F.broadcast(qb), "bucket")
+    if n_probe > 1:
+        # a corpus vector can fall in several probed buckets of the
+        # same query; dedup BEFORE scoring so cosine runs once per pair
+        cand = cand.dropDuplicates([q_id, c_id])
+    scored = cand.select(
         F.col(q_id), F.col(c_id), cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
@@ -306,6 +397,58 @@ def with_lsh_bucket(
     ).drop("__q")
 
 
+def with_lsh_bucket_pandas(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int, out_col: str = "bucket"
+) -> DataFrame:
+    """Arrow/numpy twin of `with_lsh_bucket`: per Arrow batch, one
+    (batch × dim) @ (dim × n_planes) int64 matmul against the literal
+    Rademacher plane matrix decides every sign bit at once.
+    BIT-IDENTICAL to the HOF fold by construction: quantization uses
+    HALF_UP rounding (numpy's .round() is banker's — round-half-even —
+    which differs from Spark's F.round on exact .5 ties, so the twin
+    rounds via floor(|x|*s + 0.5)*sign), and all products stay in
+    exact int64. Equality is pinned by tests/test_similarity.py on the
+    testdata embeddings.
+
+    When to use which (BASELINE.md round-3 measurement, dim=64 ×
+    8 planes, min-of-2): the matmul wins at EVERY measured size — 0.44
+    vs 1.87 s at 2k vectors, 0.43 vs 1.63 s at 40k (the per-plane
+    zip_with/aggregate fold runs interpreted, and the Arrow copy is
+    cheaper than interpretation even at small n) — so this is the
+    recommended bucketing for batch corpus runs; the HOF fold remains
+    the zero-Python-dependency default inside the oracle-gated
+    pipelines. Both are zero-shuffle maps."""
+    import numpy as np
+    import pandas as pd
+
+    signs = np.array(_rademacher_signs(dim, n_planes), dtype=np.int64).T  # dim×planes
+    masks = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    other = [c for c in df.columns]
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                out = pdf.copy()
+                out[out_col] = pd.Series([], dtype="int64")
+                yield out
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            # HALF_UP quantization matching F.round(x * 2^20)
+            scaled = v * QUANT_SCALE
+            q = (np.floor(np.abs(scaled) + 0.5) * np.sign(scaled)).astype(np.int64)
+            dots = q @ signs
+            bucket = ((dots > 0) * masks).sum(axis=1, dtype=np.int64)
+            out = pdf.copy()
+            out[out_col] = bucket
+            yield out
+
+    schema_str = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` bigint"
+    assert out_col not in other, f"{out_col} already present"
+    return df.mapInPandas(bucketize, schema=schema_str)
+
+
 def rademacher_signs_sql(dim: int, n_planes: int) -> list[str]:
     """DuckDB literal list per plane, e.g. '[1,-1,...]' — oracle twin
     of `lsh_bucket_quantized`'s plane matrix."""
@@ -322,11 +465,15 @@ def lsh_topk_portable(
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    bucketing: str = "hof",
 ) -> DataFrame:
     """`lsh_topk` with engine-exact bucketing: same single bucket
     equi-join scale shape (no cross product), emitted sim is float
-    cosine of the original vectors."""
-    cb = with_lsh_bucket(corpus, c_vec, dim, n_planes)
+    cosine of the original vectors. ``bucketing="arrow"`` buckets the
+    corpus side with the numpy matmul twin (bit-identical, ~4× faster
+    per the with_lsh_bucket_pandas measurement) — same oracle."""
+    bucket_fn = with_lsh_bucket_pandas if bucketing == "arrow" else with_lsh_bucket
+    cb = bucket_fn(corpus, c_vec, dim, n_planes)
     qb = with_lsh_bucket(queries, q_vec, dim, n_planes)
     scored = cb.join(F.broadcast(qb), "bucket").select(
         F.col(q_id), F.col(c_id), cosine(F.col(q_vec), F.col(c_vec)).alias("sim")

@@ -339,6 +339,26 @@ def similarity_ann_lsh(spark, sf_dir):
     )
 
 
+@register("similarity_ann_lsh_arrow", oracle=ann_lsh_oracle())
+def similarity_ann_lsh_arrow(spark, sf_dir):
+    """`similarity_ann_lsh` with the Arrow/numpy bucketing twin on the
+    corpus side (functions/similarity.py with_lsh_bucket_pandas) —
+    bit-identical buckets (HALF_UP quantization + integer matmul), so
+    it shares the HOF variant's oracle; measured ~4× faster bucketing
+    at every size (BASELINE.md round 3). Outside the 50-row gate
+    (redundant with similarity_ann_lsh there); timed by bench.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return similarity.lsh_topk_portable(
+        queries, corpus, dim=64, k=5, n_planes=8, bucketing="arrow"
+    ).select(
+        "q_id", "c_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ------------------------------------------------- multimodal plumbing
 def multimodal_image_meta(spark, sf_dir):
     """Multimodal column plumbing (functions/multimodal.py): documents'

@@ -52,13 +52,10 @@ def streaming_user_totals(spark, sf_dir):
     """Keyed stateful streaming op (applyInPandasWithState — reference
     stateful_map semantics, stateful_map.rs:60-110): per-user running
     totals; with a single availableNow batch the final emission equals
-    the batch aggregate, which the oracle checks.
-
-    Note: sums accumulate in float64 inside the state; the oracle sum
-    is decimal-exact. Values are 2-decimal and per-key counts are
-    small, so float64 error < 1e-9 — the final cast-to-2-decimal
-    comparison (round trip through DOUBLE) stays bit-stable. To keep
-    the hash robust we round both sides via the decimal cast."""
+    the batch aggregate, which the oracle checks. State accumulates
+    integer cents (exact at any key cardinality × magnitude), matching
+    the oracle's DECIMAL sum bit-for-bit — see
+    `running_totals_stream(exact_cents=True)`."""
     ev = replay_table(spark, sf_dir, "events").select("user_id", "value")
     out = running_totals_stream(ev)
     result = run_to_memory(out, output_mode="append")

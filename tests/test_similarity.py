@@ -130,3 +130,72 @@ def test_cosine_topk_pandas_matches_hof(spark, sf_dir):
     sa = {(r.q_id, r.c_id): r.sim for r in hof.collect()}
     sb = {(r.q_id, r.c_id): r.sim for r in arrow.collect()}
     assert all(abs(sa[k_] - sb[k_]) < 1e-9 for k_ in sa)
+
+
+def test_cosine_topk_degenerate_inputs(spark, queries, corpus):
+    """Zero-norm vectors (NaN cosine) are excluded on BOTH scorer
+    paths, and an empty query set returns an empty frame instead of a
+    (dim, 0) matmul error (ADVICE r02)."""
+    rows = [(98, [0.0] * 8), (99, [1.0] + [0.0] * 7)]
+    weird = spark.createDataFrame(rows, "c_id long, c_vec array<float>")
+    both = corpus.unionByName(weird)
+    hof = similarity.cosine_topk(queries, both, k=30).collect()
+    arrow = similarity.cosine_topk_pandas(queries, both, k=30).collect()
+    assert all(r.c_id != 98 for r in hof), "zero-norm corpus row leaked (HOF)"
+    assert all(r.c_id != 98 for r in arrow), "zero-norm corpus row leaked (numpy)"
+    assert {(r.q_id, r.c_id, r.rank) for r in hof} == {
+        (r.q_id, r.c_id, r.rank) for r in arrow
+    }
+    empty_q = queries.filter(F.col("q_id") < 0)
+    assert similarity.cosine_topk_pandas(empty_q, both, k=3).count() == 0
+    # zero-norm QUERY yields no rows rather than NaN ranks
+    zq = spark.createDataFrame([(7, [0.0] * 8)], "q_id long, q_vec array<float>")
+    assert similarity.cosine_topk(zq, both, k=3).count() == 0
+    assert similarity.cosine_topk_pandas(zq, both, k=3).count() == 0
+
+
+def test_lsh_bucket_pandas_matches_hof(spark, sf_dir):
+    """The Arrow/numpy bucketing twin must be BIT-identical to the
+    HOF fold on every testdata embedding (HALF_UP quantization +
+    integer matmul)."""
+    from malstrom_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hof = similarity.with_lsh_bucket(emb, "embedding", dim=64, n_planes=8)
+    arrow = similarity.with_lsh_bucket_pandas(emb, "embedding", dim=64, n_planes=8)
+    a = {r.vec_id: r.bucket for r in hof.collect()}
+    b = {r.vec_id: r.bucket for r in arrow.collect()}
+    assert a == b
+
+
+def test_lsh_multi_probe_lifts_recall(spark, sf_dir):
+    """Query-directed multi-probe: probed bucket sets are supersets by
+    construction, so recall is monotone in n_probe; pin a STRICT and
+    material lift on the testdata (measured 0.225 -> 0.362 recall@5 at
+    6 planes going 1 -> 8 probes; absolute recall is capped by the
+    near-uniform synthetic embeddings, which is why the assertion is
+    relative, not an absolute floor)."""
+    from malstrom_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = {
+        (r.q_id, r.c_id)
+        for r in similarity.cosine_topk(queries, corpus, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r.q_id, r.c_id)
+            for r in similarity.lsh_topk(
+                queries, corpus, dim=64, k=5, n_planes=6, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8, f"recall not monotone in n_probe: {r1} {r4} {r8}"
+    assert r8 >= 1.3 * r1, f"multi-probe lift too small: {r1:.3f} -> {r8:.3f}"
