@@ -21,7 +21,9 @@ from __future__ import annotations
 from ..functions.dedup import _MERSENNE, _perm_params
 from ..functions.similarity import QUANT_SCALE, _rademacher_signs
 
-H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+# NULL->0 coalesce mirrors md5_prefix_hash's non-nullable contract
+# (bit-identical twins by construction — ADVICE r02)
+H60 = "COALESCE(('0x' || substr(md5({x}), 1, 15))::BIGINT, 0)"
 
 
 def _h60(x: str) -> str:
