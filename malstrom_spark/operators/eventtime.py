@@ -97,9 +97,67 @@ def split_late(
     return on_time, late
 
 
+def inspect_frontier(df: DataFrame, ts_col: str, name: str = "frontier"):
+    """PER-OPERATOR frontier observation — full parity with the
+    reference's `inspect_frontier`, which attaches to any operator in
+    the dataflow (operators/time/inspect_frontier.rs:15-46), not just
+    at query level. Wraps this point of the plan in `observe()` with
+    (frontier_ts = max event time, min_ts, n_rows) metrics over
+    exactly the rows crossing THIS point.
+
+    Returns ``(df, handle)``:
+    - batch: ``handle`` is a `pyspark.sql.Observation`; after the next
+      action, ``handle.get`` yields the metrics dict.
+    - streaming: ``handle`` is None; each microbatch's metrics arrive
+      in ``progress.observedMetrics[name]`` — subscribe with
+      `observed_frontier_listener(name, fn)`.
+
+    Cost: observe is an accumulator-backed pass-through node — no
+    extra scan, no shuffle, and column pruning above/below is
+    unaffected; this is the Spark-native analog of the reference's
+    zero-copy pass-through inspection."""
+    metrics = [
+        F.max(F.col(ts_col)).alias("frontier_ts"),
+        F.min(F.col(ts_col)).alias("min_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    if df.isStreaming:
+        return df.observe(name, *metrics), None
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs
+
+
+def observed_frontier_listener(name: str, fn):
+    """Listener companion of `inspect_frontier` for streaming: calls
+    ``fn(metrics_row)`` with the named observation of every microbatch
+    (metrics_row has frontier_ts / min_ts / n_rows)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _ObservedListener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            m = (event.progress.observedMetrics or {}).get(name)
+            if m is not None:
+                fn(m)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    return _ObservedListener()
+
+
 def inspect_frontier_listener(fn):
-    """Observe watermark progress (inspect_frontier.rs:15-46) via a
-    StreamingQueryListener reading progress.eventTime['watermark']."""
+    """Observe QUERY-LEVEL watermark progress via a
+    StreamingQueryListener reading progress.eventTime['watermark'] —
+    the engine's own frontier; `inspect_frontier` above is the
+    per-operator attachment (inspect_frontier.rs:15-46 parity)."""
     from pyspark.sql.streaming import StreamingQueryListener
 
     class _FrontierListener(StreamingQueryListener):

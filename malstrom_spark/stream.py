@@ -82,6 +82,17 @@ class Stream:
     def inspect(self, name: str, *metrics: Column) -> "Stream":
         return self._with(stateless.inspect(self.df, name, *metrics))
 
+    def inspect_frontier(self, name: str = "frontier"):
+        """Attach a frontier observer at THIS point of the dataflow
+        (reference inspect_frontier.rs:15-46). Returns (Stream,
+        handle): batch handle = Observation (read .get after an
+        action); streaming handle = None (subscribe with
+        eventtime.observed_frontier_listener(name, fn))."""
+        if not self.ts_col:
+            raise ValueError("assign_timestamps first (frontier needs an event-time column)")
+        df, handle = eventtime.inspect_frontier(self.df, self.ts_col, name)
+        return self._with(df), handle
+
     # ---- multi-stream ops (SURVEY §2.4) ----
 
     def union(self, *others: "Stream") -> "Stream":

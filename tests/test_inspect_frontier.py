@@ -44,3 +44,62 @@ def test_frontier_listener_sees_watermark_advance(spark, tmp_path):
     assert advanced, f"watermark never advanced in listener: {seen}"
     # final watermark = max ts (12:00:29) - 5s bound = 12:00:24
     assert any(w.startswith("2024-01-01T12:00:24") for w in advanced), advanced
+
+
+def test_inspect_frontier_per_operator_batch(spark):
+    """Batch: the observer reports the frontier of rows crossing ITS
+    attachment point — after the filter, not the source (the reference
+    operator attaches anywhere in the DAG, inspect_frontier.rs:15-46)."""
+    from malstrom_spark.stream import Stream
+
+    rows = [(i, datetime(2024, 1, 1, 12, 0, i)) for i in range(30)]
+    s = Stream.from_df(
+        spark.createDataFrame(rows, "id long, ts timestamp"), ts_col="ts"
+    )
+    mid, obs = s.filter(F.col("id") < 10).inspect_frontier("mid")
+    out = mid.filter(F.col("id") >= 5)
+    assert out.df.count() == 5
+    got = obs.get
+    assert got["n_rows"] == 10  # rows at the attachment point, not source/sink
+    assert got["frontier_ts"] == datetime(2024, 1, 1, 12, 0, 9)
+    assert got["min_ts"] == datetime(2024, 1, 1, 12, 0, 0)
+
+
+def test_inspect_frontier_per_operator_streaming(spark, tmp_path):
+    """Streaming: per-microbatch metrics arrive via observedMetrics —
+    a mid-pipeline frontier observer, finer than the query-level
+    watermark listener."""
+    from malstrom_spark.operators.eventtime import (
+        inspect_frontier,
+        observed_frontier_listener,
+    )
+
+    seen = []
+    listener = observed_frontier_listener("op_frontier", seen.append)
+    spark.streams.addListener(listener)
+    try:
+        rows = [(i, datetime(2024, 1, 1, 12, 0, i)) for i in range(30)]
+        src = str(tmp_path / "src2")
+        spark.createDataFrame(rows, "id long, ts timestamp").write.parquet(src)
+        sdf = (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(src)
+            .filter(F.col("id") < 20)
+        )
+        observed, handle = inspect_frontier(sdf, "ts", "op_frontier")
+        assert handle is None
+        q = (
+            observed.groupBy().count()
+            .writeStream.format("memory").queryName("frontier_op")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        deadline = time.time() + 45
+        while time.time() < deadline and not seen:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert seen, "observedMetrics never delivered"
+    total = sum(m["n_rows"] for m in seen)
+    assert total == 20  # filtered rows only — the attachment point's view
+    assert max(m["frontier_ts"] for m in seen) == datetime(2024, 1, 1, 12, 0, 19)
