@@ -1,0 +1,147 @@
+"""Corpus-assembly operators for training-data pipelines: C4-style
+line-level cleaning, concat-and-chunk sequence packing, and
+deterministic stratified sampling.
+
+Like functions/text.py these are absent from the reference (its
+surface is general closures, SURVEY §2.8) and first-class here per
+the north star. Everything is native Column expressions or one
+bounded window per shard — no Python in the row path, no global
+(unpartitioned) windows, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_prefix_hash
+
+# ---------------------------------------------- C4-style line cleaning
+
+LINE_TERMINALS = r'[.!?"]$'
+DOC_DROP_MARKERS = ("lorem ipsum", "{")
+LINE_DROP_MARKERS = ("javascript",)
+
+
+def clean_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    rule set): keep only lines with >= ``min_words`` words that end in
+    terminal punctuation and don't advertise code/boilerplate
+    ('javascript'); drop the whole document when it contains a
+    page-level marker ('lorem ipsum', '{'). Output: one row per
+    SURVIVING doc — (id, n_lines, n_kept, cleaned) with the kept lines
+    re-joined.
+
+    All decisions are line-array HOFs over one split('\\n') — a pure
+    map at 100 TB; the line array is materialized once per row so the
+    split never re-evaluates per line (PERF NOTE in functions/dedup)."""
+    lines = F.split(F.col(text_col), "\n")
+    with_lines = df.select(F.col(id_col), F.col(text_col), lines.alias("_lines"))
+    doc_bad = F.lit(False)
+    for m in DOC_DROP_MARKERS:
+        doc_bad = doc_bad | F.lower(F.col(text_col)).contains(m)
+
+    def line_ok(ln: Column) -> Column:
+        ok = F.size(F.split(F.trim(ln), r"\s+")) >= min_words
+        ok = ok & ln.rlike(LINE_TERMINALS)
+        for m in LINE_DROP_MARKERS:
+            ok = ok & ~F.lower(ln).contains(m)
+        return ok
+
+    kept = F.filter(F.col("_lines"), line_ok)
+    out = with_lines.where(~doc_bad).select(
+        F.col(id_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )
+    return out.where(F.col("n_kept") > 0)
+
+
+# ------------------------------------------- concat-and-chunk packing
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    n_shards: int = 32,
+    portable: bool = False,
+) -> DataFrame:
+    """GPT-style sequence packing (concatenate-then-chunk): documents
+    are laid out back to back in a deterministic order and cut into
+    fixed ``seq_len``-token training sequences. Each doc gets the
+    sequence it STARTS in plus its offset there, and a flag when it
+    spans a cut point (pipelines either mask or split those).
+
+    Distribution shape: docs shard by hash of id (`n_shards` streams
+    packed independently — exactly how a multi-worker tokenizer run
+    packs, and what keeps the cumulative-sum window PARTITIONED; a
+    global pack order would be one task). Within a shard the order is
+    ascending id, so output is deterministic and engine-reproducible;
+    ``portable=True`` uses the md5-prefix hash for the shard so a SQL
+    oracle reproduces the exact same shards (xxhash64 otherwise).
+
+    Output: id, shard, seq_id (per-shard chunk index), start_offset
+    (token offset inside that sequence), crosses_boundary."""
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
+    shard = F.pmod(hash_fn(F.col(id_col).cast("string")), F.lit(n_shards))
+    base = df.select(
+        F.col(id_col), F.col(n_tokens_col).cast("long").alias("_nt"), shard.alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    csum = F.sum("_nt").over(w)
+    laid = base.select(
+        id_col,
+        "shard",
+        "_nt",
+        (csum - F.col("_nt")).alias("_start"),
+        csum.alias("_end"),
+    )
+    return laid.select(
+        id_col,
+        "shard",
+        F.floor(F.col("_start") / seq_len).cast("long").alias("seq_id"),
+        F.pmod(F.col("_start"), F.lit(seq_len)).cast("long").alias("start_offset"),
+        (
+            (F.col("_nt") > 0)
+            & (F.floor((F.col("_end") - 1) / seq_len) > F.floor(F.col("_start") / seq_len))
+        ).alias("crosses_boundary"),
+    )
+
+
+# --------------------------------------------- stratified sampling
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing pass of
+    a pre-training pipeline (e.g. keep 100% of en, 30% of fr, drop the
+    rest). A row is kept iff ``hash(key) % 1e6 < rate(stratum) * 1e6``:
+    pure filter, no shuffle, reproducible across runs/engines (the
+    same key always makes the same cut — resumable pipelines depend on
+    this, which is why it is a hash, not rand()). ``portable=True``
+    uses the md5-prefix hash (SQL-oracle-identical); xxhash64
+    otherwise."""
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
+    u = F.pmod(hash_fn(F.col(key_col).cast("string")), F.lit(1_000_000))
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.where(u < rate * 1_000_000)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions import dedup, multimodal, similarity, text
+from ..functions import corpus, dedup, multimodal, similarity, text
 from . import register, table
 from ._oracle_sql import (
     ann_ivf_oracle,
@@ -875,4 +875,116 @@ def corpus_top_trigrams(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("gram"))
         .limit(50)
+    )
+
+
+# ------------------------------------------------- corpus assembly
+# Registered OUTSIDE the 50-row driver gate (it is full): checked by
+# tools/oracle_check.py (full_registry) and pytest instead.
+@register(
+    "doc_line_clean",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || chr(10) || 'Good sentence number ' || CAST(doc_id AS VARCHAR)
+                  || ' stays here.' || chr(10) || 'short line' || chr(10)
+                  || 'Enable javascript to continue browsing now.'
+                  || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'lorem ipsum filler here.' ELSE '' END
+               AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines, lower(text) AS lt FROM seeded
+    ), f AS (
+      SELECT doc_id, lines,
+             list_filter(lines, ln ->
+               len(string_split_regex(trim(ln), '\\s+')) >= 3
+               AND regexp_matches(ln, '[.!?"]$')
+               AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM l
+      WHERE NOT contains(lt, 'lorem ipsum') AND NOT contains(lt, '{')
+    )
+    SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, chr(10)) AS cleaned
+    FROM f WHERE len(kept) > 0
+    """,
+)
+def doc_line_clean(spark, sf_dir):
+    """C4-style line-level cleaning (functions/corpus.py clean_lines):
+    the docs table is single-line, so each probe row is seeded with a
+    deterministic multi-line suffix exercising every rule — a kept
+    sentence, a dropped short line, a dropped 'javascript' line, and a
+    page-level 'lorem ipsum' marker on every 31st doc (whole-doc
+    drop). Same construction in the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nGood sentence number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" stays here.\nshort line\nEnable javascript to continue browsing now."),
+            F.when(F.col("doc_id") % 31 == 0, F.lit("\nlorem ipsum filler here.")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return corpus.clean_lines(seeded, "doc_id")
+
+
+@register(
+    "doc_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+             COALESCE(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, 0) % 8
+               AS shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, nt,
+             SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cend
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST((cend - nt) // 2048 AS BIGINT) AS seq_id,
+           CAST((cend - nt) % 2048 AS BIGINT) AS start_offset,
+           (nt > 0 AND (cend - 1) // 2048 > (cend - nt) // 2048) AS crosses_boundary
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (functions/corpus.py
+    pack_sequences): token counts laid back to back per shard, cut
+    into 2048-token training sequences; per-doc (shard, seq_id,
+    start_offset, crosses_boundary). Portable md5 sharding so the
+    oracle reproduces identical shards; production uses xxhash64."""
+    docs = table(spark, sf_dir, "documents")
+    counted = docs.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    return corpus.pack_sequences(
+        counted, "doc_id", "n_tokens", seq_len=2048, n_shards=8, portable=True
+    )
+
+
+@register(
+    "doc_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (COALESCE(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, 0)
+           % 1000000)
+          < (CASE lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5 WHEN 'de' THEN 0.25
+                       ELSE 0.0 END) * 1000000
+    """,
+)
+def doc_sample_stratified(spark, sf_dir):
+    """Deterministic stratified downsampling (functions/corpus.py
+    sample_stratified): the data-mixing pass — keep all en, half of
+    es, a quarter of de, drop the rest, decided by hash(doc_id) so
+    the cut is reproducible across runs/engines (resumable pipelines
+    need this; rand() is not it)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return corpus.sample_stratified(
+        docs, "lang", "doc_id",
+        rates={"en": 1.0, "es": 0.5, "de": 0.25}, portable=True,
     )

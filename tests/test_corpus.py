@@ -1,0 +1,96 @@
+"""Corpus-assembly operators: C4 line cleaning rules, concat-and-chunk
+sequence packing arithmetic, deterministic stratified sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from malstrom_spark.functions import corpus
+
+
+def test_clean_lines_rules(spark):
+    rows = [
+        # kept sentence + dropped short + dropped javascript line
+        (0, 'A perfectly good sentence stays right here.\nno\nPlease enable javascript to continue.'),
+        # page-level marker: whole doc dropped
+        (1, "Fine sentence here too.\nlorem ipsum dolor sit amet."),
+        (2, "Brace { means template junk.\nAnother fine sentence survives."),
+        # all lines fail -> doc dropped (n_kept = 0)
+        (3, "no punctuation here\nstill none"),
+        # question/quote terminals count
+        (4, 'Is this a kept question?\nShe said "keep this quote."'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.clean_lines(df, "doc_id").collect()}
+    assert set(out) == {0, 4}
+    assert out[0].n_lines == 3 and out[0].n_kept == 1
+    assert out[0].cleaned == "A perfectly good sentence stays right here."
+    assert out[4].n_kept == 2
+
+
+def test_pack_sequences_arithmetic(spark):
+    """Single shard, known token counts: docs at offsets 0/1000/2500
+    with seq_len 2048 — second doc crosses the 2048 boundary, third
+    starts in sequence 1."""
+    rows = [(0, 1000), (1, 1500), (2, 600), (3, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r.doc_id: r
+        for r in corpus.pack_sequences(
+            df, "doc_id", "n_tokens", seq_len=2048, n_shards=1
+        ).collect()
+    }
+    assert [out[i].shard for i in range(4)] == [0, 0, 0, 0]
+    # doc0: [0,1000) -> seq 0; doc1: [1000,2500) crosses; doc2: [2500,3100) seq 1
+    assert (out[0].seq_id, out[0].start_offset, out[0].crosses_boundary) == (0, 0, False)
+    assert (out[1].seq_id, out[1].start_offset, out[1].crosses_boundary) == (0, 1000, True)
+    assert (out[2].seq_id, out[2].start_offset, out[2].crosses_boundary) == (1, 452, False)
+    # zero-token doc never "crosses"
+    assert out[3].crosses_boundary is False
+
+
+def test_pack_sequences_shard_independence(spark):
+    """Every doc appears exactly once and each shard's packing is
+    internally gapless: offsets within a shard reconstruct the shard's
+    cumulative layout."""
+    df = spark.createDataFrame(
+        [(i, 10 + (i % 7) * 13) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    out = corpus.pack_sequences(df, "doc_id", "n_tokens", seq_len=64, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 200
+    starts = {
+        r.doc_id: r.seq_id * 64 + r.start_offset for r in rows
+    }
+    toks = {i: 10 + (i % 7) * 13 for i in range(200)}
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.doc_id)
+    for ids in by_shard.values():
+        acc = 0
+        for d in sorted(ids):
+            assert starts[d] == acc, "gap or overlap in shard layout"
+            acc += toks[d]
+
+
+def test_sample_stratified_deterministic_and_proportional(spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "es", "xx"][i % 3]) for i in range(3000)], "k long, lang string"
+    )
+    kept = corpus.sample_stratified(
+        df, "lang", "k", rates={"en": 1.0, "es": 0.5}, portable=True
+    )
+    rows = [(r.k, r.lang) for r in kept.collect()]
+    # deterministic: identical on rerun
+    assert rows == [(r.k, r.lang) for r in kept.collect()]
+    by_lang: dict = {}
+    for _, lang in rows:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert by_lang.get("xx", 0) == 0  # default rate drops unknown strata
+    assert by_lang["en"] == 1000  # rate 1.0 keeps everything
+    assert by_lang["es"] == pytest.approx(500, abs=60)  # hash-uniform half
+    # scale (xxhash) path: same proportions, different (but valid) cut
+    kept_scale = corpus.sample_stratified(
+        df, "lang", "k", rates={"en": 1.0, "es": 0.5}, portable=False
+    )
+    n_es = kept_scale.where(F.col("lang") == "es").count()
+    assert n_es == pytest.approx(500, abs=60)

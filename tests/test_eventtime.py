@@ -15,7 +15,11 @@ def test_split_late_reference_pattern(spark):
     df = spark.createDataFrame(rows, "arrival long, v long").withColumn(
         "event_ts", F.timestamp_seconds(F.col("v"))
     )
-    on_time, late = eventtime.split_late(df, "event_ts", "INTERVAL 0 SECONDS", ["arrival"])
+    # n_shards=1 == the reference's single-worker frontier (the
+    # sharded distributed case is pinned by the property test)
+    on_time, late = eventtime.split_late(
+        df, "event_ts", "INTERVAL 0 SECONDS", ["arrival"], n_shards=1
+    )
     assert sorted(r.v for r in on_time.collect()) == [5, 6, 7, 8, 9]
     assert sorted(r.v for r in late.collect()) == [0, 1, 2, 3, 4]
 
@@ -27,7 +31,9 @@ def test_split_late_with_allowance(spark):
     df = spark.createDataFrame(rows, "arrival long, v long").withColumn(
         "event_ts", F.timestamp_seconds(F.col("v"))
     )
-    on_time, late = eventtime.split_late(df, "event_ts", "INTERVAL 3 SECONDS", ["arrival"])
+    on_time, late = eventtime.split_late(
+        df, "event_ts", "INTERVAL 3 SECONDS", ["arrival"], n_shards=1
+    )
     # frontier after 9 is 9; late iff ts <= 9-3=6 -> the 4 and 0 are late, 7 on time
     assert sorted(r.v for r in late.collect()) == [0, 4]
     assert sorted(r.v for r in on_time.collect()) == [5, 6, 7, 7, 8, 9]
