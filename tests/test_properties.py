@@ -151,3 +151,40 @@ def test_decontaminate_matches_python_ngram_overlap(spark, corpus, bench):
     assert got == want
     kept = {r.doc_id for r in decontaminate(docs, bdf, "doc_id", ngram_n=n).collect()}
     assert kept == set(range(len(corpus))) - want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=24), st.integers(min_value=0, max_value=24)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_dedup_groups_matches_union_find(spark, edge_list):
+    """Connected-component labels (large-star/small-star default) vs a
+    plain-Python union-find on arbitrary hypothesis graphs — including
+    self-loops, duplicate and reversed edges, and isolated nodes."""
+    from malstrom_spark.functions.dedup import dedup_groups
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edge_list] or [(0, 0)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.group_id for r in dedup_groups(pairs, ids, "doc_id").collect()}
+    assert got == want
