@@ -145,3 +145,56 @@ def sample_stratified(
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
     return df.where(u < rate * 1_000_000)
+
+
+# --------------------------------------------- rare-token-rate scoring
+
+
+def rare_token_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    vocab_k: int = 500,
+) -> DataFrame:
+    """Vocabulary-based quality proxy (the integer-exact cousin of
+    CCNet's LM-perplexity filter, which needs a trained model): score
+    each document by the fraction of its token OCCURRENCES that fall
+    outside the corpus's top-``vocab_k`` vocabulary (by document
+    frequency, ties broken by token for determinism). High rate =
+    unusual vocabulary = likely noise/garble; near-zero = boilerplate.
+
+    Two stages, both scale-safe: (1) the vocabulary is one
+    (token -> doc frequency) aggregation + top-k — a tiny table that
+    BROADCASTS; (2) scoring is explode -> broadcast semi-join ->
+    per-doc count — the corpus text never shuffles, only (id, count)
+    pairs do. All arithmetic is integer ratios divided in double
+    (engine-exact; no logs, which are not bit-portable across
+    engines).
+
+    Output: (id, n_tokens, n_rare, rare_rate)."""
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t")
+    )
+    exploded = toks.select(id_col, F.explode_outer("_t").alias("_tok"))
+    vocab = (
+        exploded.groupBy("_tok")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .orderBy(F.desc("_df"), F.asc("_tok"))
+        .limit(vocab_k)
+        .select("_tok")
+    )
+    flagged = exploded.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))), "_tok", "left"
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_rare"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_rare").cast("long").alias("n_rare"),
+        (F.col("n_rare") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")).alias(
+            "rare_rate"
+        ),
+    )

@@ -988,3 +988,36 @@ def doc_sample_stratified(spark, sf_dir):
         docs, "lang", "doc_id",
         rates={"en": 1.0, "es": 0.5, "de": 0.25}, portable=True,
     )
+
+
+@register(
+    "doc_rare_token_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ), vocab AS (
+      SELECT t FROM (
+        SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t
+        ORDER BY df DESC, t LIMIT 500
+      )
+    ), scored AS (
+      SELECT tok.doc_id, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS n_rare
+      FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_rare AS BIGINT) AS n_rare,
+           n_rare / CAST(greatest(n_tokens, 1) AS DOUBLE) AS rare_rate
+    FROM scored
+    """,
+)
+def doc_rare_token_rate(spark, sf_dir):
+    """Vocabulary-based quality scoring (functions/corpus.py
+    rare_token_rate): fraction of token occurrences outside the
+    corpus top-500 vocabulary — the integer-exact stand-in for an LM
+    perplexity filter. Vocab is one agg + top-k that broadcasts;
+    corpus text never shuffles."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return corpus.rare_token_rate(docs, "doc_id", vocab_k=500)

@@ -94,3 +94,24 @@ def test_sample_stratified_deterministic_and_proportional(spark):
     )
     n_es = kept_scale.where(F.col("lang") == "es").count()
     assert n_es == pytest.approx(500, abs=60)
+
+
+def test_rare_token_rate(spark):
+    """Vocabulary cutoff and per-doc occurrence counting: with
+    vocab_k=2 the two highest-doc-frequency tokens are in-vocab
+    (ties by token string); everything else counts as rare."""
+    rows = [
+        (0, "common common words here"),
+        (1, "common words again"),
+        (2, "common words"),
+        (3, "zzz qqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # doc freq: common=3, words=3, here=1, again=1, zzz=1, qqq=1
+    out = {r.doc_id: r for r in
+           corpus.rare_token_rate(df, "doc_id", vocab_k=2).collect()}
+    assert (out[0].n_tokens, out[0].n_rare) == (4, 1)   # 'here' rare; dup 'common' occurrences both counted
+    assert (out[1].n_tokens, out[1].n_rare) == (3, 1)
+    assert (out[2].n_tokens, out[2].n_rare) == (2, 0)
+    assert (out[3].n_tokens, out[3].n_rare) == (2, 2)
+    assert out[3].rare_rate == 1.0
