@@ -158,3 +158,27 @@ def test_no_unpartitioned_windows_in_package():
         if "Window.orderBy(" in p.read_text()
     ]
     assert not bad, f"unpartitioned Window.orderBy in: {bad}"
+
+
+def test_corpus_ops_scale_shapes(spark, sf_dir):
+    """Round-3 corpus ops keep their claimed 100 TB shapes:
+    - clean_lines: pure map — ZERO exchanges;
+    - pack_sequences: exactly one hash exchange (the per-shard window
+      partitioning) and a partitioned Window, never a global sort;
+    - rare_token_rate: the vocabulary reaches the scorer as a
+      BroadcastHashJoin (corpus text never shuffles for scoring)."""
+    from malstrom_spark.functions import corpus, text
+    from malstrom_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+
+    p = plan_simple(corpus.clean_lines(docs, "doc_id"))
+    assert "Exchange" not in p, "clean_lines must be a pure map"
+
+    counted = docs.select("doc_id", text.token_count(F.col("text")).alias("nt"))
+    p = plan_simple(corpus.pack_sequences(counted, "doc_id", "nt", seq_len=2048))
+    assert p.count("Exchange hashpartitioning") == 1, "one shard exchange only"
+    assert "rangepartitioning" not in p, "no global sort"
+
+    p = plan_simple(corpus.rare_token_rate(docs, "doc_id", vocab_k=50))
+    assert "BroadcastHashJoin" in p, "vocab must broadcast"
