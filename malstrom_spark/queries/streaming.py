@@ -369,3 +369,31 @@ def streaming_click_purchase_left_join(spark, sf_dir):
         "click_id",
         F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
     )
+
+
+@register(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_events
+    FROM (
+      SELECT DISTINCT user_id, event_type, ts FROM events
+    )
+    GROUP BY user_id, event_type
+    """,
+)
+def streaming_dedup_exact(spark, sf_dir):
+    """STREAMING exact deduplication — the ingestion-side twin of the
+    batch dedup pass every training pipeline runs: duplicate records
+    (same user_id, event_type, ts) arriving across microbatches are
+    dropped by engine-managed key state (`dropDuplicates` on a
+    streaming DataFrame; at 100 TB use dropDuplicatesWithinWatermark
+    so state is bounded by the lateness horizon instead of growing
+    forever). The replay unions the events table with itself so every
+    record genuinely arrives at least twice; counts then match the
+    batch DISTINCT oracle. Registered outside the 50-row gate
+    (full_registry tooling + pytest)."""
+    ev = replay_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    doubled = ev.unionAll(ev)
+    deduped = doubled.dropDuplicates(["user_id", "event_type", "ts"])
+    agg = deduped.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_to_memory(agg, output_mode="complete")
