@@ -818,10 +818,12 @@ def _groups_alternating(
     )
     for _ in range(max_iters):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # Fixpoint test is EXACT (both sides are distinct sets): equal
-        # counts + empty one-sided difference <=> set equality. A
-        # checksum compare would risk a silent wrong-label convergence.
-        if new_edges.count() == edges.count() and new_edges.exceptAll(edges).isEmpty():
+        # Fixpoint test is EXACT (both sides are distinct sets): empty
+        # symmetric difference <=> set equality, evaluated as ONE
+        # limit-1 action per round. A checksum compare would risk a
+        # silent wrong-label convergence.
+        sym_diff = new_edges.exceptAll(edges).unionAll(edges.exceptAll(new_edges))
+        if sym_diff.isEmpty():
             edges = new_edges
             break
         edges = new_edges
