@@ -188,3 +188,65 @@ def test_dedup_groups_matches_union_find(spark, edge_list):
     )
     got = {r.doc_id: r.group_id for r in dedup_groups(pairs, ids, "doc_id").collect()}
     assert got == want
+
+
+_LINE = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma.", "x!", "javascript", "ok?", '"q"', "{"]),
+    min_size=0,
+    max_size=6,
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_LINE, min_size=1, max_size=5))
+def test_clean_lines_matches_python(spark, lines):
+    """clean_lines vs a plain-Python reimplementation of the C4 rules
+    on hypothesis-generated multi-line docs."""
+    import re
+
+    from malstrom_spark.functions.corpus import clean_lines
+
+    text = "\n".join(lines)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.cleaned) for r in clean_lines(df, "doc_id").collect()}
+
+    lt = text.lower()
+    if "lorem ipsum" in lt or "{" in lt:
+        want = {}
+    else:
+        kept = [
+            ln
+            for ln in text.split("\n")
+            if len(re.split(r"\s+", ln.strip())) >= 3
+            and re.search(r'[.!?"]$', ln)
+            and "javascript" not in ln.lower()
+        ]
+        want = {0: (len(text.split("\n")), len(kept), "\n".join(kept))} if kept else {}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=30))
+def test_pack_sequences_matches_python(spark, token_counts):
+    """pack_sequences (single shard) vs a plain-Python concat-and-chunk
+    layout, including zero-token docs and boundary-straddling docs."""
+    from malstrom_spark.functions.corpus import pack_sequences
+
+    seq_len = 128
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(token_counts)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: (r.seq_id, r.start_offset, r.crosses_boundary)
+        for r in pack_sequences(df, "doc_id", "n_tokens", seq_len, n_shards=1).collect()
+    }
+    acc, want = 0, {}
+    for i, n in enumerate(token_counts):
+        start, end = acc, acc + n
+        want[i] = (
+            start // seq_len,
+            start % seq_len,
+            n > 0 and (end - 1) // seq_len > start // seq_len,
+        )
+        acc = end
+    assert got == want
