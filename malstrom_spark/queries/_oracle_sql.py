@@ -196,6 +196,95 @@ def decontaminate_oracle(ngram_n: int = 13, bench_mod: int = 97) -> str:
     """
 
 
+def training_pipeline_oracle(
+    ngram_n: int = 13, bench_mod: int = 97, seq_len: int = 2048, n_shards: int = 8
+) -> str:
+    """End-to-end training-data pipeline: exact-dedup keepers ->
+    quality/language gate -> 13-gram decontamination -> concat-and-
+    chunk sequence packing. Every stage reuses the portable primitive
+    already proven by its standalone oracle."""
+    cells = ", ".join(f"t[i+{j}]" for j in range(ngram_n))
+    gram = _h60(f"concat_ws(chr(31), {cells})")
+    return f"""
+    WITH keepers AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id FROM documents
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    ),
+    scored AS MATERIALIZED (
+      SELECT d.doc_id, d.text,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS token_count,
+             CAST(length(regexp_replace(d.text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(d.text), 1) AS alpha_ratio,
+             CAST(list_sum(list_transform(string_split_regex(trim(d.text), '\\s+'),
+                                          x -> length(x))) AS DOUBLE)
+               / greatest(len(string_split_regex(trim(d.text), '\\s+')), 1) AS avg_token_len,
+             len(list_intersect(string_split_regex(trim(lower(d.text)), '\\s+'),
+                 ['the','and','of','to','a','in','is'])) AS s_en,
+             len(list_intersect(string_split_regex(trim(lower(d.text)), '\\s+'),
+                 ['el','la','de','que','y','en','los'])) AS s_es,
+             len(list_intersect(string_split_regex(trim(lower(d.text)), '\\s+'),
+                 ['der','die','und','das','ist','ein','nicht'])) AS s_de,
+             len(list_intersect(string_split_regex(trim(lower(d.text)), '\\s+'),
+                 ['le','la','les','et','des','un','est'])) AS s_fr
+      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    ),
+    gated AS MATERIALIZED (
+      SELECT doc_id, text, token_count FROM (
+        SELECT doc_id, text, token_count,
+               (least(CAST(token_count AS DOUBLE) / 100.0, 1.0)
+                + alpha_ratio
+                + (1.0 - least(abs(avg_token_len - 5.0) / 5.0, 1.0))) / 3.0 AS q,
+               CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                    ELSE 'fr' END AS lang_guess
+        FROM scored
+      ) WHERE q >= 0.4 AND lang_guess <> 'und' AND token_count >= 10
+    ),
+    btoks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE doc_id % {bench_mod} = 0
+    ),
+    bgrams AS MATERIALIZED (
+      SELECT DISTINCT unnest(list_transform(
+        range(1, greatest(len(t) - {ngram_n}, 0) + 2), i -> {gram})) AS g
+      FROM btoks
+    ),
+    ctoks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM gated
+    ),
+    bad AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(t) - {ngram_n}, 0) + 2), i -> {gram})) AS g
+        FROM ctoks
+      ) cg JOIN bgrams USING (g)
+    ),
+    clean AS (
+      SELECT doc_id, token_count FROM gated
+      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    ),
+    sharded AS (
+      SELECT doc_id, token_count,
+             {_h60("CAST(doc_id AS VARCHAR)")} % {n_shards} AS shard
+      FROM clean
+    ),
+    laid AS (
+      SELECT doc_id, shard, token_count,
+             SUM(token_count) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cend
+      FROM sharded
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST((cend - token_count) // {seq_len} AS BIGINT) AS seq_id,
+           CAST((cend - token_count) % {seq_len} AS BIGINT) AS start_offset,
+           (token_count > 0 AND (cend - 1) // {seq_len} > (cend - token_count) // {seq_len})
+             AS crosses_boundary
+    FROM laid
+    """
+
+
 def _quant(x: str) -> str:
     return f"list_transform({x}, v -> CAST(round(CAST(v AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
 

@@ -22,6 +22,7 @@ from ._oracle_sql import (
     fingerprint_sketch_oracle,
     minhash_lsh_oracle,
     simhash_oracle,
+    training_pipeline_oracle,
 )
 
 
@@ -1021,3 +1022,37 @@ def doc_rare_token_rate(spark, sf_dir):
     corpus text never shuffles."""
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return corpus.rare_token_rate(docs, "doc_id", vocab_k=500)
+
+
+@register("training_data_pipeline", oracle=training_pipeline_oracle())
+def training_data_pipeline(spark, sf_dir):
+    """FLAGSHIP composition — the complete prepare-training-data pass
+    in one declarative plan: exact-dedup keepers (one fingerprint
+    shuffle) -> quality + language gate (pure Column exprs) -> 13-gram
+    benchmark decontamination (bench grams broadcast, corpus text
+    never shuffles) -> concat-and-chunk sequence packing (per-shard
+    window). Each stage's portable primitive is individually
+    hash-verified by its standalone oracle row; the composition is
+    verified end to end by `training_pipeline_oracle`."""
+    docs = table(spark, sf_dir, "documents")
+    keepers = dedup.exact_dedup(docs, "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = docs.join(F.broadcast(keepers), "doc_id", "left_semi")
+    c = F.col("text")
+    scored = kept.select(
+        "doc_id",
+        "text",
+        text.lang_guess(c).alias("lang_guess"),
+        text.token_count(c).alias("token_count"),
+        text.quality_score(c).alias("q"),
+    )
+    gated = scored.filter(
+        (F.col("q") >= 0.4) & (F.col("lang_guess") != "und") & (F.col("token_count") >= 10)
+    ).select("doc_id", "text", "token_count")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = dedup.decontaminate(gated, bench, "doc_id", ngram_n=13, portable=True)
+    return corpus.pack_sequences(
+        clean.select("doc_id", "token_count"), "doc_id", "token_count",
+        seq_len=2048, n_shards=8, portable=True,
+    )
