@@ -69,6 +69,10 @@ HEADLINE = [
     # for 500k at sf10, BASELINE.md) — the sf10 probe table is its
     # evidence; timing it at toy scale would only add noise.
     "similarity_ann_lsh_arrow",
+    # flagship composition (exact-dedup -> quality gate -> 13-gram
+    # decontamination -> sequence packing), production xxhash twin of
+    # the oracle-verified training_data_pipeline
+    "training_data_pipeline_scale",
 ]
 
 

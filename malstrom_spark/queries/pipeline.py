@@ -1056,3 +1056,33 @@ def training_data_pipeline(spark, sf_dir):
         clean.select("doc_id", "token_count"), "doc_id", "token_count",
         seq_len=2048, n_shards=8, portable=True,
     )
+
+
+@register("training_data_pipeline_scale", oracle=None)
+def training_data_pipeline_scale(spark, sf_dir):
+    """Production-hash twin of `training_data_pipeline` (xxhash64 for
+    decontamination grams and packing shards — ~3x cheaper per gram
+    than the md5-portable chain the oracle needs); identical dataflow,
+    timed by bench.py."""
+    docs = table(spark, sf_dir, "documents")
+    keepers = dedup.exact_dedup(docs, "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = docs.join(F.broadcast(keepers), "doc_id", "left_semi")
+    c = F.col("text")
+    scored = kept.select(
+        "doc_id",
+        "text",
+        text.lang_guess(c).alias("lang_guess"),
+        text.token_count(c).alias("token_count"),
+        text.quality_score(c).alias("q"),
+    )
+    gated = scored.filter(
+        (F.col("q") >= 0.4) & (F.col("lang_guess") != "und") & (F.col("token_count") >= 10)
+    ).select("doc_id", "text", "token_count")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = dedup.decontaminate(gated, bench, "doc_id", ngram_n=13, portable=False)
+    return corpus.pack_sequences(
+        clean.select("doc_id", "token_count"), "doc_id", "token_count",
+        seq_len=2048, n_shards=8, portable=False,
+    )
