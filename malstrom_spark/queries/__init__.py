@@ -61,7 +61,9 @@ _PRIORITY = [
     "doc_pii_scrub",
     "doc_fingerprint_sketch",
     "corpus_top_trigrams",
-    "clean_corpus_pipeline",
+    "training_data_pipeline",   # flagship composition (supersedes
+                                # clean_corpus_pipeline, which stays
+                                # oracle-checked via full_registry)
     "dedup_exact_docs",
     "doc_decontaminate",        # benchmark decontamination (13-gram)
     "dedup_minhash_lsh",
