@@ -39,7 +39,8 @@ def clean_lines(
 
     All decisions are line-array HOFs over one split('\\n') — a pure
     map at 100 TB; the line array is materialized once per row so the
-    split never re-evaluates per line (PERF NOTE in functions/dedup)."""
+    split never re-evaluates per line (PERF NOTE in functions/dedup).
+    Null-text docs are dropped (no lines to keep)."""
     lines = F.split(F.col(text_col), "\n")
     with_lines = df.select(F.col(id_col), F.col(text_col), lines.alias("_lines"))
     doc_bad = F.lit(False)
@@ -89,7 +90,8 @@ def pack_sequences(
     oracle reproduces the exact same shards (xxhash64 otherwise).
 
     Output: id, shard, seq_id (per-shard chunk index), start_offset
-    (token offset inside that sequence), crosses_boundary."""
+    (token offset inside that sequence), crosses_boundary. Ids must be
+    unique (they define the within-shard pack order)."""
     hash_fn = md5_prefix_hash if portable else F.xxhash64
     shard = F.pmod(hash_fn(F.col(id_col).cast("string")), F.lit(n_shards))
     base = df.select(
