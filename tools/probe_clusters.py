@@ -50,12 +50,16 @@ def main():
     ensure_replica(sf10, 100)
     spark = build_session(app_name="probe-clusters")
     out = {}
-    for name, d in [("sf1", sf1), ("sf10", sf10)]:
+    for (name, d), method in [
+        (("sf1", sf1), "simhash"),
+        (("sf10", sf10), "simhash"),
+        (("sf10_minhash", sf10), "minhash"),
+    ]:
         docs = spark.read.parquet(f"{d}/documents.parquet").select("doc_id", "text")
         n_docs = docs.count()
         t0 = time.perf_counter()
         labels = dedup.dedup_clusters(
-            docs, "doc_id", method="simhash", max_hamming=3, portable=False
+            docs, "doc_id", method=method, max_hamming=3, threshold=0.5, portable=False
         )
         row = labels.agg(
             F.count("*").alias("rows"),
