@@ -65,6 +65,9 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     # priority slot for dedup_clusters (round 3); still individually
     # runnable + oracle-checked via full_registry()/oracle_check.py
     ("doc_pair_jaccard", ["id_a", "id_b"], ["jaccard"]),
+    # round-3 TPC-H completions (adapted to the testdata's schema)
+    ("q12_late_priority", ["ship_bucket", "high_line_count", "low_line_count"], []),
+    ("q21_blocking_suppliers", ["s_name", "numwait"], []),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B]

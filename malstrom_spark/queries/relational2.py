@@ -840,3 +840,107 @@ def q22_idle_rich_customers(spark, sf_dir):
             dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------- q12 shape
+@register(
+    "q12_late_priority",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'late' ELSE 'ontime' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: lateness = shipped > 60 days after
+    order date, since the testdata carries no shipmode/commitdate):
+    conditional priority counts per lateness bucket — one fact-fact
+    join + map-side-combinable conditional aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit("late"),
+    ).otherwise(F.lit("ontime"))
+    return (
+        joined.select(bucket.alias("ship_bucket"), high.alias("h"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("h"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("h"), 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------- q21 shape
+@register(
+    "q21_blocking_suppliers",
+    oracle="""
+    WITH fl AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    om AS (
+      SELECT l_orderkey AS ok, MAX(l_shipdate) AS mx,
+             COUNT(DISTINCT l_suppkey) AS nsupp
+      FROM fl GROUP BY l_orderkey
+    ),
+    last_ship AS (
+      SELECT DISTINCT fl.l_orderkey AS ok, fl.l_suppkey AS sk
+      FROM fl JOIN om ON fl.l_orderkey = om.ok AND fl.l_shipdate = om.mx
+    ),
+    cnt AS (SELECT ok, COUNT(*) AS n_last FROM last_ship GROUP BY ok)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM last_ship
+    JOIN om USING (ok)
+    JOIN cnt USING (ok)
+    JOIN supplier ON s_suppkey = sk
+    WHERE om.nsupp > 1 AND cnt.n_last = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_blocking_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: the sole last-shipping supplier on a
+    multi-supplier finalized order "kept it waiting"; the testdata has
+    no commit/receipt dates): the EXISTS (another supplier) +
+    NOT EXISTS (another equally-late supplier) pair becomes two
+    aggregates over the same order grouping — nsupp > 1 and exactly
+    one distinct supplier at the order's max ship date — one shuffle
+    on l_orderkey instead of two correlated self-joins of the fact
+    table; supplier dim broadcasts; TakeOrdered caps the output."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = table(spark, sf_dir, "supplier")
+    fl = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    om = fl.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("mx"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    last_ship = (
+        fl.join(om, "l_orderkey")
+        .where(F.col("l_shipdate") == F.col("mx"))
+        .select("l_orderkey", "l_suppkey", "nsupp")
+        .distinct()
+    )
+    cnt = last_ship.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_last"))
+    return (
+        last_ship.join(cnt, "l_orderkey")
+        .where((F.col("nsupp") > 1) & (F.col("n_last") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
