@@ -166,10 +166,14 @@ class Stream:
             raise ValueError("assign_timestamps first (reference NeedsEpochs contract)")
         return self._with(eventtime.limit_out_of_orderness(self.df, self.ts_col, delay))
 
-    def split_late(self, delay_expr: str, order_cols: Sequence[str]) -> tuple["Stream", "Stream"]:
+    def split_late(
+        self, delay_expr: str, order_cols: Sequence[str], n_shards: int = 32
+    ) -> tuple["Stream", "Stream"]:
         if not self.ts_col:
             raise ValueError("assign_timestamps first")
-        on_time, late = eventtime.split_late(self.df, self.ts_col, delay_expr, list(order_cols))
+        on_time, late = eventtime.split_late(
+            self.df, self.ts_col, delay_expr, list(order_cols), n_shards=n_shards
+        )
         return self._with(on_time), self._with(late)
 
     def tumbling_window(self, size: str, aggs: Mapping[str, Column]) -> "Stream":
