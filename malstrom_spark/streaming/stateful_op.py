@@ -27,6 +27,15 @@ Two engine paths, chosen by capability:
   requested the earliest wins and `on_timer` may re-arm. This is the
   path exercised by tests in this environment.
 
+Engine equivalence is pinned by tests/test_engine_divergence.py:
+fake-engine harnesses drive both wrappers through arbitrary
+multi-timer schedules asserting identical cumulative output + state.
+One documented argument-level difference remains: `on_timer`'s
+`fired_at_ms` is the timer's EXPIRY in the TWS path but the current
+WATERMARK in the apws path — treat it as "the frontier has passed
+this point" (close everything <= fired_at), as all shipped operators
+do, and the two paths are output-identical.
+
 Scale: state lives in the RocksDB state store (spills, incremental
 checkpoints); timers are engine-managed per key — no scan-all-keys
 walk per watermark advance.
