@@ -84,7 +84,9 @@ _PRIORITY = [
     "events_value_by_type_salted",
     "events_running_totals",
     "user_event_type_matrix",
-    "inspect_passthrough_lineitem",
+    "pipeline_omnibus",         # doc-pipeline tail, hash-verified in one
+                                # row (inspect passthrough folded into
+                                # omnibus_b to free this slot)
     # --- relational: one instance per distinct capability ---
     "q1_pricing_summary",       # aggregation library (flagship/entry)
     "q3_top_revenue_orders",    # join + top-k

@@ -68,9 +68,26 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     # round-3 TPC-H completions (adapted to the testdata's schema)
     ("q12_late_priority", ["ship_bucket", "high_line_count", "low_line_count"], []),
     ("q21_blocking_suppliers", ["s_name", "numwait"], []),
+    # inspect passthrough folded here (round 3) to free a priority
+    # slot for the pipeline omnibus below; the observe() node rides
+    # along inside the fold, so pass-through byte-identity is still
+    # gate-verified
+    ("inspect_passthrough_lineitem", ["l_orderkey", "l_linenumber"], ["l_extendedprice"]),
 ]
 
-PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B]
+# Doc-pipeline tail (round 3): the SQL-expressible corpus ops that
+# don't have their own priority slot, gate-hash-verified in one row.
+_SPECS_P: list[tuple[str, list[str], list[str]]] = [
+    ("doc_repetition_signals", ["doc_id"], ["top_bigram_frac", "dup_trigram_frac"]),
+    ("clean_corpus_pipeline", ["doc_id", "lang_guess", "token_count"], ["quality"]),
+    ("doc_line_clean", ["doc_id", "n_lines", "n_kept", "cleaned"], []),
+    ("doc_pack_sequences",
+     ["doc_id", "shard", "seq_id", "start_offset", "crosses_boundary"], []),
+    ("doc_sample_stratified", ["doc_id", "lang"], []),
+    ("doc_rare_token_rate", ["doc_id", "n_tokens", "n_rare"], ["rare_rate"]),
+]
+
+PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]
 
 
 def _fold_df(df: DataFrame, qname: str, keys: list[str], vals: list[str]) -> DataFrame:
@@ -146,6 +163,14 @@ def _register_omnibus() -> None:
         """Remaining relational tail (q16-q22, stats/rollup/scalar
         shapes) folded to canonical (q,k,m,v) rows."""
         return _run_specs(spark, sf_dir, _SPECS_B)
+
+    @register("pipeline_omnibus", oracle=_oracle(_SPECS_P))
+    def pipeline_omnibus(spark, sf_dir):
+        """Doc-pipeline tail (repetition signals, corpus cleaning,
+        line cleaning, sequence packing, stratified sampling,
+        rare-token scoring) folded to canonical (q,k,m,v) rows — one
+        driver hash covers all six."""
+        return _run_specs(spark, sf_dir, _SPECS_P)
 
 
 _register_omnibus()
