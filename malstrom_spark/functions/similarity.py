@@ -449,6 +449,66 @@ def with_lsh_bucket_pandas(
     return df.mapInPandas(bucketize, schema=schema_str)
 
 
+def with_probe_buckets_portable(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_probe: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Engine-exact multi-probe twin of `with_probe_buckets`: per-plane
+    INTEGER dots over the quantized vector decide both the base bucket
+    and the flip order, so a SQL oracle reproduces the probed bucket
+    set bit-for-bit. Flip order is encoded portably as
+    ``|dot| * n_planes + plane`` (|dot| <= dim * 2^20, so the key fits
+    a 64-bit integer exactly in any engine) — ascending sort = closest
+    hyperplane first, plane index as the deterministic tiebreak."""
+    qdf = df.withColumn("__q", quantize_vec(F.col(vec_col)))
+    planes = _rademacher_signs(dim, n_planes)
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.array(*[F.lit(s).cast("long") for s in signs]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for signs in planes
+        ]
+    )
+    ddf = qdf.withColumn("__dots", dots)
+    base = F.lit(0).cast("long")
+    for i in range(n_planes):
+        base = base.bitwiseOR(
+            F.when(
+                F.element_at("__dots", i + 1) > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    ddf = ddf.withColumn("__base", base)
+    if n_probe <= 1:
+        return ddf.withColumn(out_col, F.col("__base")).drop("__q", "__dots", "__base")
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda i: F.abs(F.element_at("__dots", i + 1)) * n_planes + i,
+    )
+    flips = F.slice(F.array_sort(keys), 1, min(n_probe - 1, n_planes))
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    buckets = F.concat(
+        F.array(F.col("__base")),
+        F.transform(
+            flips,
+            lambda k: F.col("__base").bitwiseXOR(
+                F.element_at(masks, (k % n_planes).cast("int") + 1)
+            ),
+        ),
+    )
+    return ddf.withColumn(out_col, F.explode(buckets)).drop("__q", "__dots", "__base")
+
+
 def rademacher_signs_sql(dim: int, n_planes: int) -> list[str]:
     """DuckDB literal list per plane, e.g. '[1,-1,...]' — oracle twin
     of `lsh_bucket_quantized`'s plane matrix."""
@@ -466,16 +526,27 @@ def lsh_topk_portable(
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
     bucketing: str = "hof",
+    n_probe: int = 1,
 ) -> DataFrame:
     """`lsh_topk` with engine-exact bucketing: same single bucket
     equi-join scale shape (no cross product), emitted sim is float
     cosine of the original vectors. ``bucketing="arrow"`` buckets the
     corpus side with the numpy matmul twin (bit-identical, ~4× faster
-    per the with_lsh_bucket_pandas measurement) — same oracle."""
+    per the with_lsh_bucket_pandas measurement) — same oracle.
+    ``n_probe`` probes extra buckets behind each query's closest
+    hyperplanes via integer-exact flip ordering
+    (`with_probe_buckets_portable`) — oracle-reproducible recall lift,
+    cost on the query side only."""
     bucket_fn = with_lsh_bucket_pandas if bucketing == "arrow" else with_lsh_bucket
     cb = bucket_fn(corpus, c_vec, dim, n_planes)
-    qb = with_lsh_bucket(queries, q_vec, dim, n_planes)
-    scored = cb.join(F.broadcast(qb), "bucket").select(
+    if n_probe <= 1:
+        qb = with_lsh_bucket(queries, q_vec, dim, n_planes)
+    else:
+        qb = with_probe_buckets_portable(queries, q_vec, dim, n_planes, n_probe)
+    cand = cb.join(F.broadcast(qb), "bucket")
+    if n_probe > 1:
+        cand = cand.dropDuplicates([q_id, c_id])
+    scored = cand.select(
         F.col(q_id), F.col(c_id), cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))

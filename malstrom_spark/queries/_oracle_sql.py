@@ -295,29 +295,60 @@ _COS = (
 )
 
 
-def ann_lsh_oracle(dim: int = 64, n_planes: int = 8, k: int = 5, n_queries: int = 8) -> str:
+def ann_lsh_oracle(
+    dim: int = 64, n_planes: int = 8, k: int = 5, n_queries: int = 8, n_probe: int = 1
+) -> str:
     planes = _rademacher_signs(dim, n_planes)
     # bucket bit p: integer dot of quantized vec with +-1 plane; the
     # products/sums are integer-valued and < 2^53, exact in any engine.
-    bits = []
+    bits, dot_exprs = [], []
     for p, signs in enumerate(planes):
         s_lit = "[" + ",".join(str(s) for s in signs) + "]"
-        bits.append(
-            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),"
-            f" i -> q[i] * ({s_lit})[i])) > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+        d = (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> q[i] * ({s_lit})[i]))"
         )
+        dot_exprs.append(f"CAST({d} AS BIGINT)")
+        bits.append(f"(CASE WHEN {d} > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)")
     bucket = " + ".join(bits)
+    if n_probe <= 1:
+        probe_cte = f"""
+    probe AS (
+      SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < {n_queries}
+    ),"""
+    else:
+        # flip order key = |dot| * n_planes + plane (fits int64 exactly)
+        # — identical to with_probe_buckets_portable's encoding
+        probe_cte = f"""
+    qd AS (
+      SELECT vec_id, v, dots, bucket FROM b WHERE vec_id < {n_queries}
+    ),
+    probe AS (
+      SELECT vec_id AS q_id, v AS qv,
+             unnest(list_concat([bucket],
+               list_transform(
+                 list_slice(
+                   list_sort(list_transform(range(1, {n_planes + 1}),
+                     i -> abs(dots[i]) * {n_planes} + (i - 1))),
+                   1, {min(n_probe - 1, n_planes)}),
+                 kk -> xor(bucket, 1::BIGINT << CAST(kk % {n_planes} AS INTEGER))))
+             ) AS bucket
+      FROM qd
+    ),"""
     return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              {_quant('embedding')} AS q
       FROM embeddings
     ),
-    b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+    b AS (
+      SELECT vec_id, v, [{", ".join(dot_exprs)}] AS dots,
+             CAST({bucket} AS BIGINT) AS bucket
+      FROM e
+    ),{probe_cte}
     scored AS (
-      SELECT qs.vec_id AS q_id, cs.vec_id AS c_id, qs.v AS qd, cs.v AS cd
-      FROM b cs JOIN b qs ON cs.bucket = qs.bucket
-      WHERE qs.vec_id < {n_queries}
+      SELECT DISTINCT probe.q_id, cs.vec_id AS c_id, probe.qv AS qd, cs.v AS cd
+      FROM b cs JOIN probe ON cs.bucket = probe.bucket
     ),
     ranked AS (
       SELECT q_id, c_id, {_COS} AS sim,

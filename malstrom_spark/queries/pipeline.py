@@ -322,25 +322,29 @@ def similarity_topk_cosine(spark, sf_dir):
     return out.select("q_id", "c_id", F.round("sim", 6).alias("sim"), "rank")
 
 
-@register("similarity_ann_lsh", oracle=ann_lsh_oracle())
+@register("similarity_ann_lsh", oracle=ann_lsh_oracle(n_probe=2))
 def similarity_ann_lsh(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH buckets (functions/
     similarity.py lsh_topk_portable) — the 100 TB scale path: one
-    bucket equi-join instead of a cross product. Buckets are decided
-    in exact integer arithmetic over quantized vectors (Rademacher
-    planes), so the DuckDB oracle reproduces the identical bucketing;
-    emitted sim stays true float cosine."""
+    bucket equi-join instead of a cross product, with query-directed
+    MULTI-PROBE (n_probe=2: each query also probes the bucket behind
+    its closest hyperplane). Buckets AND the probe flip order are
+    decided in exact integer arithmetic over quantized vectors
+    (Rademacher planes), so the DuckDB oracle reproduces the identical
+    probed bucket set; emitted sim stays true float cosine."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return similarity.lsh_topk_portable(queries, corpus, dim=64, k=5, n_planes=8).select(
+    return similarity.lsh_topk_portable(
+        queries, corpus, dim=64, k=5, n_planes=8, n_probe=2
+    ).select(
         "q_id", "c_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("long").alias("rank")
     )
 
 
-@register("similarity_ann_lsh_arrow", oracle=ann_lsh_oracle())
+@register("similarity_ann_lsh_arrow", oracle=ann_lsh_oracle(n_probe=2))
 def similarity_ann_lsh_arrow(spark, sf_dir):
     """`similarity_ann_lsh` with the Arrow/numpy bucketing twin on the
     corpus side (functions/similarity.py with_lsh_bucket_pandas) —
@@ -354,7 +358,7 @@ def similarity_ann_lsh_arrow(spark, sf_dir):
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     return similarity.lsh_topk_portable(
-        queries, corpus, dim=64, k=5, n_planes=8, bucketing="arrow"
+        queries, corpus, dim=64, k=5, n_planes=8, bucketing="arrow", n_probe=2
     ).select(
         "q_id", "c_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("long").alias("rank")
     )

@@ -199,3 +199,42 @@ def test_lsh_multi_probe_lifts_recall(spark, sf_dir):
     r1, r4, r8 = recall(1), recall(4), recall(8)
     assert r1 <= r4 <= r8, f"recall not monotone in n_probe: {r1} {r4} {r8}"
     assert r8 >= 1.3 * r1, f"multi-probe lift too small: {r1:.3f} -> {r8:.3f}"
+
+
+def test_portable_multi_probe_lifts_recall(spark, sf_dir):
+    """Integer-exact multi-probe (with_probe_buckets_portable): probed
+    sets are supersets, recall monotone and strictly lifted on the
+    testdata; n_probe=1 degenerates to the plain portable bucketing."""
+    from malstrom_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = {
+        (r.q_id, r.c_id)
+        for r in similarity.cosine_topk(queries, corpus, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r.q_id, r.c_id)
+            for r in similarity.lsh_topk_portable(
+                queries, corpus, dim=64, k=5, n_planes=6, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1, f"portable multi-probe added nothing: {r1:.3f} -> {r4:.3f}"
+    # n_probe=1 path and plain bucketing agree exactly
+    plain = similarity.with_lsh_bucket(
+        emb.select("vec_id", "embedding"), "embedding", dim=64, n_planes=6
+    )
+    probed1 = similarity.with_probe_buckets_portable(
+        emb.select("vec_id", "embedding"), "embedding", dim=64, n_planes=6, n_probe=1
+    )
+    a = {r.vec_id: r.bucket for r in plain.collect()}
+    b = {r.vec_id: r.bucket for r in probed1.collect()}
+    assert a == b
