@@ -182,3 +182,17 @@ def test_corpus_ops_scale_shapes(spark, sf_dir):
 
     p = plan_simple(corpus.rare_token_rate(docs, "doc_id", vocab_k=50))
     assert "BroadcastHashJoin" in p, "vocab must broadcast"
+
+
+def test_training_pipeline_plan_shape(spark, sf_dir):
+    """Flagship composition keeps every stage's scale shape in ONE
+    plan: keepers + benchmark grams broadcast (corpus text never
+    shuffles for dedup gate or decontamination), no cartesian product,
+    no global sort — the packing window is hash-partitioned."""
+    from malstrom_spark.queries import full_registry
+
+    df = full_registry()["training_data_pipeline_scale"].fn(spark, sf_dir)
+    p = plan_simple(df)
+    assert p.count("BroadcastHashJoin") >= 2, "keepers/bench-grams must broadcast"
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p, "no global sort anywhere"
