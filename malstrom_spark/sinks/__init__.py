@@ -75,11 +75,19 @@ def foreach_batch_sink(
 
 def kafka_sink(sdf: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
     """Kafka producer sink (malstrom-kafka/src/sink.rs:15-72); expects
-    key/value binary columns per Spark's Kafka contract."""
-    return (
-        sdf.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
+    key/value binary columns per Spark's Kafka contract. Fails fast
+    with a clear message when the connector jar is absent (same gate
+    as kafka_stream; tests/test_kafka_gap.py)."""
+    try:
+        return (
+            sdf.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+    except Exception as exc:  # jar missing in this environment
+        raise RuntimeError(
+            "Kafka sink needs spark-sql-kafka on the classpath "
+            "(not bundled in this test environment)"
+        ) from exc

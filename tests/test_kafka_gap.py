@@ -36,6 +36,19 @@ def test_kafka_stream_fails_fast_without_connector(spark):
         kafka_stream(spark, "localhost:9092", "events")
 
 
+def test_kafka_sink_fails_fast_without_connector(spark):
+    from pyspark.sql import functions as F
+
+    from malstrom_spark.sinks import kafka_sink
+    from malstrom_spark.sources import rate_stream
+
+    if _kafka_connector_available(spark):
+        pytest.skip("connector present; the round-trip test below covers it")
+    sdf = rate_stream(spark, 10).select(F.col("value").cast("string").alias("value"))
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_sink(sdf, "localhost:9092", "events", "/tmp/kafka_gap_ckpt")
+
+
 def test_kafka_round_trip_offsets_survive_restart(spark, tmp_path):
     """SKIPPED here (no connector jar, no broker). The executable
     body documents the parity proof this environment cannot run:
