@@ -238,3 +238,36 @@ def test_portable_multi_probe_lifts_recall(spark, sf_dir):
     a = {r.vec_id: r.bucket for r in plain.collect()}
     b = {r.vec_id: r.bucket for r in probed1.collect()}
     assert a == b
+
+
+def test_ivf_multi_probe_recall_sweep(spark, sf_dir):
+    """IVF recall is monotone in n_probe (probed cell sets are
+    supersets) and materially lifted by probing more cells — the IVF
+    counterpart of the LSH multi-probe pin; n_probe = n_lists is exact
+    (pinned separately by test_ivf_exact_when_probing_all_lists)."""
+    from malstrom_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = {
+        (r.q_id, r.c_id)
+        for r in similarity.cosine_topk(queries, corpus, k=5).collect()
+    }
+    cents = similarity.ivf_build_centroids(corpus, "c_vec", n_lists=8, n_iters=1)
+
+    def recall(n_probe):
+        got = {
+            (r.q_id, r.c_id)
+            for r in similarity.ivf_topk(
+                queries, corpus, k=5, n_lists=8, n_probe=n_probe, centroids=cents
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, f"IVF recall not monotone: {r1} {r2} {r4}"
+    assert r4 > r1, f"probing 4 cells added nothing over 1: {r1:.3f}"
+    assert r4 >= 0.5, f"recall@5 with half the cells probed: {r4:.3f}"
