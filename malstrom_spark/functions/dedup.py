@@ -29,7 +29,7 @@ this rule (measured 10x on the signature stage at sf0.1).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
@@ -117,16 +117,60 @@ def _shingles_from_tokens(t: Column, n: int) -> Column:
     )
 
 
+def _estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the file scan's partition count from driver-side file
+    metadata — replaces the old `df.rdd.getNumPartitions()` probe,
+    which converted the whole plan to an RDD on every pipeline
+    construction. Mirrors Spark's FilePartition packing: each file
+    contributes ceil(size / maxPartitionBytes) splits, and small files
+    bin-pack at (size + openCostInBytes) per file. Returns None when
+    the plan has no file scan (in-memory/stream input) — callers leave
+    those untouched."""
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    as_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    max_bytes = as_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = as_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    splits, packed_bytes = 0, 0
+    hconf = None
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme in ("file", ""):
+            try:
+                size = os.path.getsize(unquote(parsed.path or f))
+            except OSError:
+                size = max_bytes
+        else:
+            if hconf is None:
+                hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            size = jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
+        if size > max_bytes:
+            splits += math.ceil(size / max_bytes)
+        else:
+            packed_bytes += size + open_cost
+    return splits + max(1, math.ceil(packed_bytes / max_bytes)) if packed_bytes else max(1, splits)
+
+
 def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition CPU-heavy per-row pipelines up to the session's
     parallelism when the input arrives under-partitioned (one small
     parquet file = one unsplittable row-group = one core doing all
     the hashing). At cluster scale the input already has >= cores
     partitions and this is a no-op — the shuffle only ever happens
-    when the source was too small for it to matter."""
+    when the source was too small for it to matter. Partition count is
+    estimated from file metadata (no DataFrame->RDD plan conversion)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(target, int(spark.conf.get("spark.sql.shuffle.partitions"))):
+    est = _estimate_scan_partitions(df)
+    if est is None or est >= min(target, int(spark.conf.get("spark.sql.shuffle.partitions"))):
         return df
     return df.repartition(target, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(target)
 
@@ -316,13 +360,86 @@ def _signature_from_hash_sets(hash_sets: DataFrame, id_col: str, n_hashes: int) 
     return hash_sets.select(id_col, sig.alias("signature"))
 
 
+def _bucket_candidate_pairs(
+    bucketed: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    payload_cols: tuple[str, ...] = (),
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs from a bucket self-join,
+    with an optional HOT-BUCKET CAP — the guard against the one
+    data-dependent scale killer in LSH-family candidate generation:
+    bucket *keys* are uniform hashes (skew-free shuffle), but bucket
+    *population* follows the data, and a template cluster of
+    near-identical (non-byte-identical, so `_collapse_exact` doesn't
+    fire) documents shares band/chunk hashes and forms a single bucket
+    emitting |B|^2/2 pairs.
+
+    With ``max_bucket_size=B``: one window count over the bucket key
+    splits buckets; buckets <= B self-join exactly as before; buckets
+    > B emit STAR candidates only — every member paired with the
+    bucket's minimum id — so an oversized bucket contributes |B|-1
+    candidates instead of ~|B|^2/2. Downstream verification still runs
+    on every emitted pair, so false-positive mega-buckets (hash
+    coincidence without similarity) still verify to nothing; for TRUE
+    near-dup mega-buckets the representative pairs keep the cluster
+    connected for `dedup_clusters` (rep-member similarity is what
+    formed the bucket). Recall caveat: a pair inside an oversized
+    bucket that is similar to each other but NOT to the bucket minimum
+    is only found if some other band/chunk puts it in a small bucket —
+    the standard bounded-candidates trade, documented not silent.
+
+    The window's hash partitioning is on exactly the self-join keys,
+    so the capped path costs one window aggregation, not an extra
+    Exchange. ``payload_cols`` ride along as ``<col>_a``/``<col>_b``
+    (e.g. SimHash values for the Hamming verify)."""
+
+    pair_cols = [
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        *[F.col(f"l.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"r.{c}").alias(f"{c}_b") for c in payload_cols],
+    ]
+
+    def _full_pairs(t: DataFrame) -> DataFrame:
+        l, r = t.alias("l"), t.alias("r")
+        cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+        for c in bucket_cols:
+            cond = (F.col(f"l.{c}") == F.col(f"r.{c}")) & cond
+        return l.join(r, cond).select(*pair_cols)
+
+    if max_bucket_size is None:
+        return _full_pairs(bucketed).distinct()
+
+    w = Window.partitionBy(*bucket_cols)
+    bmin = F.min(F.struct(F.col(id_col), *[F.col(c) for c in payload_cols])).over(w)
+    t = bucketed.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn("__bmin", bmin)
+    small = _full_pairs(t.where(F.col("__bn") <= max_bucket_size).drop("__bn", "__bmin"))
+    big = t.where(
+        (F.col("__bn") > max_bucket_size) & (F.col(id_col) != F.col("__bmin")[id_col])
+    ).select(
+        F.col("__bmin")[id_col].alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        *[F.col("__bmin")[c].alias(f"{c}_a") for c in payload_cols],
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+    )
+    return small.unionByName(big).distinct()
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_bands: int = 8, portable: bool = False
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int = 8,
+    portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on (band, band_hash) buckets.
     Returns distinct candidate (id_a < id_b) pairs. Bucket keys are
     hashes — uniformly distributed, so the self-join shuffle is
-    skew-free by construction. ``portable=True`` hashes the band slice
+    skew-free by construction; bucket POPULATION is data-dependent —
+    pass ``max_bucket_size`` to bound mega-bucket blowup (see
+    `_bucket_candidate_pairs`). ``portable=True`` hashes the band slice
     via md5-prefix of the chr(31)-joined decimal values (DuckDB twin:
     array_to_string(list_slice(sig, ...), chr(31)))."""
     sig = signatures
@@ -353,17 +470,8 @@ def lsh_candidate_pairs(
             ).alias("bhash"),
         )
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+    return _bucket_candidate_pairs(
+        banded, id_col, ["band", "bhash"], max_bucket_size=max_bucket_size
     )
 
 
@@ -404,6 +512,7 @@ def near_dup_pairs_minhash(
     threshold: float = 0.8,
     portable: bool = False,
     collapse_exact: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: hashed shingle sets ->
     signatures -> banded candidates -> exact hash-set-Jaccard verify
@@ -435,7 +544,8 @@ def near_dup_pairs_minhash(
     dedup prefer `dedup_clusters`, which emits one (id, group_id,
     is_keeper) row per document — output linear in corpus size."""
     verified, members, hs = _minhash_verified(
-        df, id_col, text_col, n_hashes, n_bands, threshold, portable, collapse_exact
+        df, id_col, text_col, n_hashes, n_bands, threshold, portable, collapse_exact,
+        max_bucket_size,
     )
     if members is None:
         return verified
@@ -455,6 +565,7 @@ def _minhash_verified(
     threshold: float,
     portable: bool,
     collapse_exact: bool,
+    max_bucket_size: int | None = None,
 ):
     """Shared MinHash-LSH core: returns (verified representative-level
     pairs, members-or-None, hash-set stage table). Consumers either
@@ -473,7 +584,9 @@ def _minhash_verified(
         # once, truncate lineage — see _collapse_exact docstring
         hs = hs.localCheckpoint(eager=True)
     sigs = _signature_from_hash_sets(hs, id_col, n_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, n_bands, portable=portable)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, n_bands, portable=portable, max_bucket_size=max_bucket_size
+    )
     verified = hash_jaccard(cands, hs, id_col).filter(F.col("jaccard") >= threshold)
     return verified, members, hs
 
@@ -563,6 +676,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     portable: bool = False,
     collapse_exact: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the hash into 4 chunks (16 bits
     each for the 64-bit hash, 15 for the portable 60-bit one; any pair
@@ -584,7 +698,7 @@ def simhash_near_dups(
     (the sf10 probe emitted 1.009B pairs, BASELINE.md); prefer
     `dedup_clusters` at corpus scale — one label row per document."""
     verified, members = _simhash_verified(
-        df, id_col, text_col, max_hamming, portable, collapse_exact
+        df, id_col, text_col, max_hamming, portable, collapse_exact, max_bucket_size
     )
     if members is None:
         return verified
@@ -601,6 +715,7 @@ def _simhash_verified(
     max_hamming: int,
     portable: bool,
     collapse_exact: bool,
+    max_bucket_size: int | None = None,
 ):
     """Shared SimHash core: returns (verified representative-level
     pairs, members-or-None). Null-text docs are pre-filtered (they
@@ -641,21 +756,12 @@ def _simhash_verified(
             )
         ).alias("c"),
     ).select(id_col, "sh", "c.chunk_id", "c.chunk")
-    l, r = chunks.alias("l"), chunks.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.chunk_id") == F.col("r.chunk_id"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
-        .distinct()
+    cands = _bucket_candidate_pairs(
+        chunks,
+        id_col,
+        ["chunk_id", "chunk"],
+        payload_cols=("sh",),
+        max_bucket_size=max_bucket_size,
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     verified = cands.select("id_a", "id_b", ham.alias("hamming")).filter(
@@ -805,6 +911,21 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return leaf.unionAll(mins.select("u", F.col("m").alias("v"))).distinct()
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Deterministically release a localCheckpoint's storage blocks.
+
+    `DataFrame.unpersist()` only touches cacheManager entries, not
+    checkpoint RDDs, and waiting for the ContextCleaner means executor
+    storage grows with CC rounds on slow-converging graphs. The
+    checkpointed RDD is the `rdd` field of the LogicalRDD the
+    checkpoint produced — a direct JVM field read, NOT a
+    DataFrame->RDD plan conversion (no `.rdd` property)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: ContextCleaner frees blocks on GC otherwise
+
+
 def _groups_alternating(
     pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iters: int
 ) -> DataFrame:
@@ -823,7 +944,12 @@ def _groups_alternating(
         # limit-1 action per round. A checksum compare would risk a
         # silent wrong-label convergence.
         sym_diff = new_edges.exceptAll(edges).unionAll(edges.exceptAll(new_edges))
-        if sym_diff.isEmpty():
+        converged = sym_diff.isEmpty()
+        # new_edges is materialized and the fixpoint test has run: the
+        # prior round's checkpoint blocks are dead — free them now so
+        # executor storage stays O(1) in rounds, not O(rounds).
+        _free_local_checkpoint(edges)
+        if converged:
             edges = new_edges
             break
         edges = new_edges
@@ -907,6 +1033,7 @@ def dedup_clusters(
     portable: bool = False,
     collapse_exact: bool = True,
     max_iters: int = 10,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Corpus-scale near-dup deduplication with LINEAR output: one
     (id, group_id, is_keeper) row per input document, where group_id
@@ -942,10 +1069,21 @@ def dedup_clusters(
     EAGER-CONSTRUCTION CONTRACT: same as `near_dup_pairs_*` — the
     collapse probe, stage checkpoints and CC rounds all execute jobs
     at construction time; build against already-written inputs.
+
+    ``max_bucket_size`` (default 4096 — ON here, unlike the pair
+    APIs) caps LSH/SimHash bucket population: oversized buckets emit
+    representative STAR candidates instead of all pairs, bounding the
+    one data-dependent quadratic left in candidate generation (a
+    template cluster of near-identical non-byte-identical docs shares
+    band/chunk hashes). Verified star edges keep true clusters
+    connected through CC; see `_bucket_candidate_pairs` for the recall
+    trade. The cap never fires on corpora whose buckets are smaller
+    than it, where output is bit-identical to ``None``.
     """
     if method == "minhash":
         verified, members, hs = _minhash_verified(
-            df, id_col, text_col, n_hashes, n_bands, threshold, portable, collapse_exact
+            df, id_col, text_col, n_hashes, n_bands, threshold, portable, collapse_exact,
+            max_bucket_size,
         )
         rep_ids = hs.select(id_col)
         # MinHash-specific: byte-identical docs with EMPTY shingle
@@ -954,7 +1092,7 @@ def dedup_clusters(
         share_reps = hs.where(F.size("sh") > 0).select(F.col(id_col).alias("__rep"))
     elif method == "simhash":
         verified, members = _simhash_verified(
-            df, id_col, text_col, max_hamming, portable, collapse_exact
+            df, id_col, text_col, max_hamming, portable, collapse_exact, max_bucket_size
         )
         base = df.where(F.col(text_col).isNotNull())
         rep_ids = (

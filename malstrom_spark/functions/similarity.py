@@ -144,11 +144,17 @@ def cosine_topk_pandas(
     import numpy as np
     import pandas as pd
 
+    # id columns keep their input types (not hardcoded long), so the
+    # empty-query early return and the scored path agree on schema
+    q_id_t = queries.schema[q_id].dataType.simpleString()
+    c_id_t = corpus.schema[c_id].dataType.simpleString()
+    out_schema = f"{q_id} {q_id_t}, {c_id} {c_id_t}, sim double"
+
     q_rows = queries.select(q_id, q_vec).collect()  # query side: small by contract
     spark = corpus.sparkSession
     if not q_rows:
-        return spark.createDataFrame([], f"{q_id} long, {c_id} long, sim double, rank int")
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        return spark.createDataFrame([], out_schema + ", rank int")
+    q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_norm = np.linalg.norm(q_mat, axis=1)
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
@@ -158,7 +164,7 @@ def cosine_topk_pandas(
         for pdf in batches:
             if pdf.empty:
                 continue
-            cids = pdf[c_id].to_numpy(dtype=np.int64)
+            cids = pdf[c_id].to_numpy()
             c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[c_vec]])
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = (c_mat @ mat_b.T) / (
@@ -180,9 +186,7 @@ def cosine_topk_pandas(
                 out_s.extend(col[order])
             yield pd.DataFrame({q_id: out_q, c_id: out_c, "sim": out_s})
 
-    local = corpus.select(c_id, c_vec).mapInPandas(
-        score, schema=f"{q_id} long, {c_id} long, sim double"
-    )
+    local = corpus.select(c_id, c_vec).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -63,3 +63,28 @@ def bucketed_join(
     """Join two same-bucketed tables; with matching bucket specs the
     plan contains no Exchange (verify: tests/test_bucketing.py)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def persist_stage(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 64,
+    sort_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Materialize a pipeline stage as a bucketed stage table and
+    return it re-read — the CROSS-JOB analog of the in-plan
+    localCheckpoint stage tables the dedup pipelines use within one
+    plan. A 100 TB corpus build runs dedup -> decontaminate -> pack as
+    SEPARATE jobs; persisting each pass's narrow outputs (cluster
+    labels, hash-set tables, keeper id sets) bucketed on the document
+    id means every later pass joins them against the (same-bucketed)
+    corpus with zero Exchange — the join shuffle is paid once, at this
+    write. Spirit of the reference's persisted snapshot state reused
+    across runs (snapshot/mod.rs:27-46): ownership of a key's data is
+    established once and respected by every subsequent consumer.
+
+    Plan-asserted in tests/test_bucketing.py::
+    test_multipass_dedup_stages_join_exchange_free."""
+    write_bucketed(df, table_name, bucket_cols, n_buckets, sort_cols)
+    return df.sparkSession.table(table_name)

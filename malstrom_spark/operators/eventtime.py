@@ -60,6 +60,7 @@ def split_late(
     delay_expr: str,
     order_cols: list[str] | None = None,
     n_shards: int = 32,
+    shard_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(on_time, late) split for batch replays (generate_epochs.rs:44).
 
@@ -70,20 +71,31 @@ def split_late(
     current row order is unknowable in batch, so an explicit arrival
     column is required).
 
-    The frontier is judged PER SHARD (`pmod(xxhash64(order_cols),
-    n_shards)`), matching the streaming twin `flag_late_stream` and
-    the reference, which judges lateness against each WORKER's locally
-    observed progress, not a global order (time/util.rs). This is also
-    what makes the operator scale: a global frontier would be one
-    unpartitioned window — every row through a single task. Each shard
-    is an independent running-max window; no task sees more than
-    ~1/n_shards of the data.
+    The frontier is judged PER SHARD, matching the reference, which
+    judges lateness against each WORKER's locally observed progress,
+    not a global order (time/util.rs). This is also what makes the
+    operator scale: a global frontier would be one unpartitioned
+    window — every row through a single task. Each shard is an
+    independent running-max window; no task sees more than ~1/n_shards
+    of the data.
+
+    Shard assignment is `pmod(xxhash64(shard_cols), n_shards)`, where
+    `shard_cols` defaults to ALL input columns — the exact key the
+    streaming twin `flag_late_stream` uses, so with matching
+    `shard_cols`/`n_shards` the same record lands on the same shard in
+    both paths. Pass an explicit subset (e.g. the arrival-order
+    columns) to both twins to shard on identity alone.
+
+    BEHAVIOR NOTE: `n_shards` defaults to 32 (per-worker frontier
+    semantics). Before round 3 the frontier was GLOBAL — callers
+    wanting one totally-ordered frontier must pass `n_shards=1`.
 
     `delay_expr` is a SQL interval expression, e.g. "INTERVAL 10 MINUTES".
     """
     if not order_cols:
         raise ValueError("split_late needs explicit arrival-order columns in batch mode")
-    shard = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_shards))
+    hash_cols = shard_cols if shard_cols else [f.name for f in df.schema.fields]
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(n_shards))
     flagged = df.withColumn("__shard", shard)
     w = (
         Window.partitionBy("__shard")

@@ -86,8 +86,22 @@ def kafka_sink(sdf: DataFrame, bootstrap_servers: str, topic: str, checkpoint: s
             .option("checkpointLocation", checkpoint)
             .start()
         )
-    except Exception as exc:  # jar missing in this environment
-        raise RuntimeError(
-            "Kafka sink needs spark-sql-kafka on the classpath "
-            "(not bundled in this test environment)"
-        ) from exc
+    except Exception as exc:
+        if _is_missing_kafka_source(exc):
+            raise RuntimeError(
+                "Kafka sink needs spark-sql-kafka on the classpath "
+                "(not bundled in this test environment)"
+            ) from exc
+        raise  # unrelated failures (checkpoint path, options, auth) propagate
+
+
+def _is_missing_kafka_source(exc: Exception) -> bool:
+    """True only for the connector-jar-absent failure, so genuine
+    errors (bad checkpoint path, invalid options, auth) are not
+    misreported as a missing jar."""
+    msg = str(exc)
+    return (
+        "Failed to find data source: kafka" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
+        or ("ClassNotFoundException" in msg and "kafka" in msg.lower())
+    )

@@ -102,8 +102,12 @@ def kafka_stream(
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     try:
         return reader.load()
-    except Exception as exc:  # jar missing in this environment
-        raise RuntimeError(
-            "Kafka source needs spark-sql-kafka on the classpath "
-            "(not bundled in this test environment)"
-        ) from exc
+    except Exception as exc:
+        from ..sinks import _is_missing_kafka_source
+
+        if _is_missing_kafka_source(exc):
+            raise RuntimeError(
+                "Kafka source needs spark-sql-kafka on the classpath "
+                "(not bundled in this test environment)"
+            ) from exc
+        raise  # unrelated failures propagate unchanged

@@ -167,12 +167,21 @@ class Stream:
         return self._with(eventtime.limit_out_of_orderness(self.df, self.ts_col, delay))
 
     def split_late(
-        self, delay_expr: str, order_cols: Sequence[str], n_shards: int = 32
+        self,
+        delay_expr: str,
+        order_cols: Sequence[str],
+        n_shards: int = 32,
+        shard_cols: Sequence[str] | None = None,
     ) -> tuple["Stream", "Stream"]:
         if not self.ts_col:
             raise ValueError("assign_timestamps first")
         on_time, late = eventtime.split_late(
-            self.df, self.ts_col, delay_expr, list(order_cols), n_shards=n_shards
+            self.df,
+            self.ts_col,
+            delay_expr,
+            list(order_cols),
+            n_shards=n_shards,
+            shard_cols=list(shard_cols) if shard_cols else None,
         )
         return self._with(on_time), self._with(late)
 
@@ -187,7 +196,12 @@ class Stream:
     def session_window(self, gap: str, aggs: Mapping[str, Column]) -> "Stream":
         return self._with(windows.session(self.df, self.ts_col, gap, self.key_cols, aggs))
 
-    def flag_late(self, delay_sec: float, n_shards: int = 32) -> "Stream":
+    def flag_late(
+        self,
+        delay_sec: float,
+        n_shards: int = 32,
+        shard_cols: Sequence[str] | None = None,
+    ) -> "Stream":
         """Streaming late-data side output: adds `is_late` judged
         against a self-tracked frontier (streaming/eventtime.py) —
         filter it into the reference's (on_time, late) stream pair."""
@@ -195,7 +209,15 @@ class Stream:
             raise ValueError("assign_timestamps first")
         from .streaming.eventtime import flag_late_stream
 
-        return self._with(flag_late_stream(self.df, self.ts_col, delay_sec, n_shards))
+        return self._with(
+            flag_late_stream(
+                self.df,
+                self.ts_col,
+                delay_sec,
+                n_shards,
+                shard_cols=list(shard_cols) if shard_cols else None,
+            )
+        )
 
     # ---- joins (absent in reference, SURVEY §2.8 — native here) ----
 

@@ -190,10 +190,17 @@ def flag_late_stream(
     ts_col: str,
     delay_sec: float,
     n_shards: int = 32,
+    shard_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append an `is_late` column to a streaming DataFrame, judged
     against a per-shard event-time frontier (reference late-split
-    semantics). Output schema = input schema + is_late boolean."""
+    semantics). Output schema = input schema + is_late boolean.
+
+    `shard_cols` (default: all input columns) is the shard-assignment
+    key — identical default and hash (`pmod(xxhash64(...), n_shards)`)
+    to the batch twin `split_late`, so the same record is judged
+    against the same shard's frontier in both paths when the
+    parameters match."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     in_fields = list(sdf.schema.fields)
@@ -219,8 +226,9 @@ def flag_late_stream(
         if frontier_us is not None:
             state.update((frontier_us,))
 
+    hash_cols = shard_cols if shard_cols else in_cols
     sharded = sdf.withColumn(
-        _SHARD, F.pmod(F.xxhash64(*[F.col(c) for c in in_cols]), F.lit(n_shards))
+        _SHARD, F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(n_shards))
     )
     flagged = sharded.groupBy(_SHARD).applyInPandasWithState(
         judge,

@@ -53,3 +53,42 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_multipass_dedup_stages_join_exchange_free(spark, sf_dir):
+    """Round-4 VERDICT #3: pass 1 (dedup) persists its outputs as
+    bucketed stage tables; pass 2 (a fresh job: gate + continue the
+    corpus build) reads them back and joins corpus-to-labels with
+    ZERO Exchange — the cross-job co-located join the in-plan
+    localCheckpoint stage tables can't provide."""
+    from malstrom_spark.functions import dedup
+    from malstrom_spark.operators.bucketing import persist_stage
+    from malstrom_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ---- pass 1: dedup job writes its stage tables bucketed on doc_id
+    labels = dedup.dedup_clusters(docs, "doc_id", threshold=0.5)
+    persist_stage(labels, "stage_dedup_labels", ["doc_id"], n_buckets=8)
+    persist_stage(docs, "stage_corpus", ["doc_id"], n_buckets=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # ---- pass 2: separate job reads ONLY the stage tables
+        corpus = spark.table("stage_corpus")
+        keepers = spark.table("stage_dedup_labels").where(F.col("is_keeper"))
+        pass2 = corpus.join(keepers, "doc_id").select("doc_id", "text", "group_id")
+        plan = _plan(pass2)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located, not re-shuffled
+
+        # correctness: identical to the unbucketed join
+        want = docs.join(
+            dedup.dedup_clusters(docs, "doc_id", threshold=0.5).where("is_keeper"),
+            "doc_id",
+        ).count()
+        assert pass2.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS stage_dedup_labels")
+        spark.sql("DROP TABLE IF EXISTS stage_corpus")

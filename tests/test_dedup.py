@@ -272,3 +272,83 @@ def test_dedup_clusters_matches_pair_pipeline_simhash(dup_heavy_docs, collapse):
         ).collect()
     }
     assert got == expected
+
+
+# ---- hot-bucket skew guard (round-4 VERDICT #1) --------------------
+
+
+@pytest.fixture(scope="module")
+def template_docs(spark):
+    """Pathological template cluster: 1,200 docs sharing a 40-word
+    template, each differing by ONE injected token — near-identical
+    but never byte-identical, so `_collapse_exact` can't fire and
+    every doc shares band/chunk hashes with every other. Uncapped,
+    this is ONE mega-bucket emitting ~n^2/2 candidate pairs."""
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(words[:20] + [f"uniq{i}"] + words[20:])) for i in range(1200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(template_docs):
+    """Capped candidate count is ~linear in n on the template cluster;
+    uncapped is quadratic. (Counted at the candidate stage, before
+    verification.)"""
+    n = 1200
+    sigs = dedup.minhash_signature(template_docs, "doc_id", n_hashes=32)
+    capped = dedup.lsh_candidate_pairs(sigs, "doc_id", n_bands=8, max_bucket_size=64)
+    n_capped = capped.count()
+    # every oversized bucket contributes <= n-1 star edges; 8 bands +
+    # small-bucket remainder => well under 10n (uncapped: ~n^2/2 = 719k)
+    assert n_capped <= 10 * n, f"capped candidates not linear: {n_capped}"
+    uncapped = dedup.lsh_candidate_pairs(sigs, "doc_id", n_bands=8)
+    assert uncapped.count() > (n * (n - 1)) // 4  # genuinely pathological input
+
+
+def test_simhash_hot_bucket_cap_bounds_candidates(template_docs):
+    n = 1200
+    capped = dedup.simhash_near_dups(
+        template_docs, "doc_id", max_hamming=60, collapse_exact=False,
+        max_bucket_size=64,
+    )
+    # hamming bound 60/64 accepts every candidate -> output == candidates
+    assert capped.count() <= 10 * n
+
+
+def test_dedup_clusters_cap_preserves_cluster(template_docs):
+    """With the cap firing hard (64 << 1200), the verified star edges
+    must keep the true near-dup cluster CONNECTED: labels identical to
+    the uncapped run — all 1,200 template docs in one min-id group."""
+    kw = {"n_hashes": 32, "n_bands": 8, "threshold": 0.5}
+    capped = {
+        r.doc_id: r.group_id
+        for r in dedup.dedup_clusters(
+            template_docs, "doc_id", max_bucket_size=64, **kw
+        ).collect()
+    }
+    assert set(capped.values()) == {0}, "template cluster must stay connected"
+    uncapped = {
+        r.doc_id: r.group_id
+        for r in dedup.dedup_clusters(
+            template_docs, "doc_id", max_bucket_size=None, **kw
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_cap_identical_output_when_not_firing(dup_heavy_docs):
+    """On a corpus whose buckets are all below the cap, the capped
+    path is output-identical to the uncapped one (pairs AND scores)."""
+    kw = {"n_hashes": 32, "n_bands": 16, "threshold": 0.5}
+    base = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.near_dup_pairs_minhash(dup_heavy_docs, "doc_id", **kw).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.near_dup_pairs_minhash(
+            dup_heavy_docs, "doc_id", max_bucket_size=4096, **kw
+        ).collect()
+    }
+    assert base == capped

