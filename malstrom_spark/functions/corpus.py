@@ -200,3 +200,56 @@ def rare_token_rate(
             "rare_rate"
         ),
     )
+
+
+# ------------------------------------------ cross-doc paragraph dedup
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Cross-document PARAGRAPH-level dedup (the CCNet/RefinedWeb
+    pass): split every document into paragraphs, keep only the FIRST
+    occurrence of each byte-identical paragraph corpus-wide (first =
+    minimum (doc_id, paragraph_index)), and reconstruct documents from
+    their surviving paragraphs. This removes boilerplate that exact
+    whole-doc dedup can't touch — headers, footers, license blocks,
+    navigation text shared across otherwise-distinct pages.
+
+    Output: one row per doc with >= 1 surviving paragraph —
+    (id, n_paras, n_kept, cleaned), where n_paras counts the doc's
+    non-blank paragraphs and `cleaned` re-joins the keepers with
+    ``sep`` in original order. Blank paragraphs (empty after trim) are
+    dropped before dedup, like CCNet.
+
+    100 TB shape: two hash exchanges — paragraphs shuffle once on the
+    md5 fingerprint (keeper election: a partitioned row_number window,
+    deterministic (doc, idx) order) and once on the doc id
+    (reconstruction agg). Both are map-side-combinable-free windows/
+    aggs over rows no wider than the original text; nothing is
+    quadratic and nothing touches the driver. Election could shuffle
+    only (fp, doc, idx) triples at the cost of a third join — at
+    paragraph granularity the text payload is the same either way, so
+    the 2-exchange form wins on data movement."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para"),
+    ).where(F.trim(F.col("_para")) != "")
+    w = Window.partitionBy("_fp").orderBy(id_col, "_idx")
+    flagged = (
+        paras.withColumn("_fp", F.md5(F.col("_para")))
+        .withColumn("_keep", F.row_number().over(w) == 1)
+    )
+    cells = F.array_sort(F.collect_list(F.struct("_idx", "_para", "_keep")))
+    kept_paras = F.transform(
+        F.filter(cells, lambda s: s["_keep"]), lambda s: s["_para"]
+    )
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.array_join(kept_paras, sep).alias("cleaned"),
+    )
+    return out.where(F.col("n_kept") > 0)

@@ -658,22 +658,36 @@ def ivf_build_centroids(
     vec_col: str = "c_vec",
     n_lists: int = 16,
     n_iters: int = 2,
+    sample_fraction: float | None = None,
+    seed: int = 42,
 ) -> list[list[float]]:
     """Coarse quantizer for IVF: k-means with deterministic seeding
     (first k vectors in xxhash order) and `n_iters` Lloyd iterations
     executed as DataFrame aggregations. Only the k x dim centroid
     matrix ever reaches the driver (a few KB) — assignments stay
-    distributed; at 100 TB the fit runs on a sample() of the corpus.
-    """
+    distributed.
+
+    ``sample_fraction`` is the 100 TB fit path: Lloyd iterations scan
+    the corpus once per round, so fitting on a Bernoulli `sample()`
+    (seeded — deterministic per input) bounds fit cost independently
+    of corpus size while the coarse cell structure (what k-means
+    estimates) converges with the sample, not the corpus. Assignments
+    and probing always run on the FULL corpus. None/1.0 = fit on
+    everything (identical seeds and means, pytest-pinned)."""
+    fit = (
+        corpus
+        if sample_fraction is None or sample_fraction >= 1.0
+        else corpus.sample(fraction=sample_fraction, seed=seed)
+    )
     seeds = (
-        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")).alias("h"))
+        fit.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")).alias("h"))
         .orderBy("h")
         .limit(n_lists)
         .collect()
     )
     centroids = [[float(x) for x in r.v] for r in seeds]
     for _ in range(n_iters):
-        assigned = corpus.select(
+        assigned = fit.select(
             F.col(vec_col).alias("v"),
             _nearest_list(F.col(vec_col), centroids).alias("list_id"),
         )
@@ -730,6 +744,7 @@ def ivf_topk(
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
     centroids: list[list[float]] | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed into
     `n_lists` Voronoi cells once; each query probes its `n_probe`
@@ -737,8 +752,12 @@ def ivf_topk(
     is ~n_probe/n_lists of brute force, and recall rises with n_probe
     (n_probe = n_lists degrades gracefully to exact brute force).
     Pass precomputed `centroids` to amortize the fit across queries
-    (at scale: persist assignments as a bucketed table)."""
-    cents = centroids or ivf_build_centroids(corpus, c_vec, n_lists, n_iters)
+    (at scale: persist assignments as a bucketed table);
+    `sample_fraction` bounds the k-means fit cost at corpus scale
+    (see ivf_build_centroids)."""
+    cents = centroids or ivf_build_centroids(
+        corpus, c_vec, n_lists, n_iters, sample_fraction=sample_fraction
+    )
     cb = corpus.withColumn("list_id", _nearest_list(F.col(c_vec), cents))
     qb = queries.withColumn(
         "list_id", F.explode(_nearest_lists(F.col(q_vec), cents, n_probe))

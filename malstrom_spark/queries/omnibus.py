@@ -85,6 +85,8 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
      ["doc_id", "shard", "seq_id", "start_offset", "crosses_boundary"], []),
     ("doc_sample_stratified", ["doc_id", "lang"], []),
     ("doc_rare_token_rate", ["doc_id", "n_tokens", "n_rare"], ["rare_rate"]),
+    # round-4: cross-document paragraph dedup (CCNet boilerplate pass)
+    ("doc_paragraph_dedup", ["doc_id", "n_paras", "n_kept", "cleaned"], []),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]

@@ -1113,3 +1113,59 @@ def similarity_topk_cosine_arrow(spark, sf_dir):
         .filter(F.col("rank") <= 5)
     )
     return out.select("q_id", "c_id", F.round("sim", 6).alias("sim"), "rank")
+
+
+@register(
+    "doc_paragraph_dedup",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || chr(10)||chr(10)
+                  || 'Shared boilerplate: subscribe to our newsletter today.'
+                  || chr(10)||chr(10) || 'Unique paragraph number '
+                  || CAST(doc_id AS VARCHAR) || ' closes the page.' AS text
+      FROM documents
+    ), p AS (
+      SELECT doc_id, u.para, u.idx
+      FROM seeded, LATERAL (
+        SELECT UNNEST(string_split(text, chr(10)||chr(10))) AS para,
+               UNNEST(range(len(string_split(text, chr(10)||chr(10))))) AS idx
+      ) u
+      WHERE trim(u.para) <> ''
+    ), f AS (
+      SELECT doc_id, para, idx,
+             row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) = 1
+               AS keep
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(para, chr(10)||chr(10) ORDER BY idx)
+                    FILTER (WHERE keep), '') AS cleaned
+    FROM f GROUP BY doc_id HAVING n_kept > 0
+    """,
+)
+def doc_paragraph_dedup(spark, sf_dir):
+    """Cross-document paragraph dedup (functions/corpus.py
+    dedup_paragraphs — the CCNet/RefinedWeb boilerplate pass): the
+    docs table is single-paragraph, so each probe row is seeded with
+    a corpus-wide SHARED boilerplate paragraph (only the minimum
+    doc keeps it) plus a unique closing paragraph (always kept);
+    duplicate base texts dedup their first paragraph too. Same
+    construction in the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    sep = "\n\n"
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                sep + "Shared boilerplate: subscribe to our newsletter today."
+                + sep + "Unique paragraph number "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit(" closes the page."),
+        ).alias("text"),
+    )
+    return corpus.dedup_paragraphs(seeded, "doc_id")

@@ -115,3 +115,47 @@ def test_rare_token_rate(spark):
     assert (out[2].n_tokens, out[2].n_rare) == (2, 0)
     assert (out[3].n_tokens, out[3].n_rare) == (2, 2)
     assert out[3].rare_rate == 1.0
+
+
+# ---------------------------------------- cross-doc paragraph dedup
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from malstrom_spark.functions.corpus import dedup_paragraphs
+
+    sep = "\n\n"
+    rows = [
+        (1, sep.join(["alpha body one.", "SHARED FOOTER", "unique one."])),
+        (2, sep.join(["beta body two.", "SHARED FOOTER", "unique two."])),
+        (3, "SHARED FOOTER"),           # all paras duplicate -> dropped
+        (4, sep.join(["   ", "gamma."])),  # blank paragraph ignored
+        (5, None),                       # null text -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_paragraphs(df, "doc_id").collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1].n_paras == 3 and got[1].n_kept == 3
+    assert got[1].cleaned == sep.join(["alpha body one.", "SHARED FOOTER", "unique one."])
+    # doc 2 loses the footer, keeps order
+    assert got[2].n_paras == 3 and got[2].n_kept == 2
+    assert got[2].cleaned == sep.join(["beta body two.", "unique two."])
+    assert got[4].n_paras == 1 and got[4].n_kept == 1 and got[4].cleaned == "gamma."
+
+
+def test_dedup_paragraphs_registry_matches_oracle(spark, sf_dir):
+    """Exact cross-check of the registered query against its DuckDB
+    oracle at the test scale factor (same check oracle_check.py runs)."""
+    import duckdb
+
+    from malstrom_spark.queries import full_registry
+
+    spec = full_registry()["doc_paragraph_dedup"]
+    got = {
+        (r.doc_id, r.n_paras, r.n_kept, r.cleaned)
+        for r in spec.fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    for t in ["documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = set(map(tuple, con.execute(spec.oracle).fetchall()))
+    assert got == want and len(got) > 0

@@ -18,6 +18,7 @@ EXAMPLES = [
     "rescaling",
     "look_ma_im_streaming",
     "training_pipeline",
+    "message_bus",
 ]
 
 

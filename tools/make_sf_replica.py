@@ -14,6 +14,12 @@ would inflate joins quadratically).
                            grow N×, the adversarial case for dedup)
   embeddings             : vec_id offset, vectors copied
 
+Every table is written with ROW_GROUP_SIZE chosen for >=32 row groups
+(min 2,048 rows per group): DuckDB's default 122,880-row groups left
+sf1/sf10 replicas with 1-2 groups per file, capping Spark's scan
+parallelism and under-reporting compute headroom in the scaling
+tables (round-3 builder note on doc_line_clean/doc_rare_token_rate).
+
 Usage: python tools/make_sf_replica.py [src_sf_dir] [out_dir] [N]
 Defaults: /root/testdata/sf0.1 /tmp/testdata/sf1 10
 """
@@ -48,11 +54,15 @@ def main():
     for t, keys in TABLES.items():
         src_file = f"{src}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
+        src_rows = con.execute(f"SELECT count(*) FROM '{src_file}'").fetchone()[0]
         if keys is None:
+            rg = max(2048, src_rows // 32 or 1)
             con.execute(
-                f"COPY (SELECT * FROM '{src_file}') TO '{dst}' (FORMAT PARQUET)"
+                f"COPY (SELECT * FROM '{src_file}') TO '{dst}' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
             )
             continue
+        rg = max(2048, (src_rows * n) // 32)
         cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{src_file}'").fetchall()]
         offsets = {
             k: con.execute(f"SELECT max({k}) + 1 FROM '{src_file}'").fetchone()[0]
@@ -63,9 +73,9 @@ def main():
         )
         con.execute(
             f"COPY (SELECT {sel} FROM '{src_file}', range({n}) r(rep)) "
-            f"TO '{dst}' (FORMAT PARQUET)"
+            f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
         )
-        print(t, "x", n, "->", dst)
+        print(t, "x", n, "->", dst, f"(row_group_size={rg})")
 
 
 if __name__ == "__main__":
