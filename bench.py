@@ -76,6 +76,12 @@ HEADLINE = [
     # decontamination -> sequence packing), production xxhash twin of
     # the oracle-verified training_data_pipeline
     "training_data_pipeline_scale",
+    # round-4 additions: cross-doc paragraph dedup (CCNet boilerplate
+    # pass), integer-exact bigram-LM surprisal scoring, and the
+    # vector-family cluster dedup — all oracle-verified in the gate
+    "doc_paragraph_dedup",
+    "doc_lm_surprisal",
+    "embedding_dedup_clusters",
 ]
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import md5_prefix_hash
+from .dedup import _tokens_cheap, md5_prefix_hash
 
 # ---------------------------------------------- C4-style line cleaning
 
@@ -253,3 +253,137 @@ def dedup_paragraphs(
         F.array_join(kept_paras, sep).alias("cleaned"),
     )
     return out.where(F.col("n_kept") > 0)
+
+
+# ------------------------------------ bigram-LM surprisal scoring
+
+
+def _floor_log2_ratio(total: Column, cnt: Column) -> Column:
+    """floor(log2(total/cnt)) for positive bigints with total >= cnt,
+    INTEGER-EXACT: d = bitlen(total) - bitlen(cnt), minus one when
+    total < cnt << d. bitlen via length(bin(x)) — identical in DuckDB,
+    which is what makes the whole scorer hash-verifiable: float log()
+    differs across engines in the last ulp, whole-bit surprisal
+    doesn't."""
+    d = (F.length(F.bin(total)) - F.length(F.bin(cnt))).cast("int")
+    # SQL shiftleft takes a column shift amount; the PySpark wrapper
+    # F.shiftleft only takes a Python int, hence call_function
+    shifted = F.call_function("shiftleft", cnt, d)
+    return (d - F.when(total < shifted, 1).otherwise(0)).cast("long")
+
+
+def fit_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    top_bigrams: int = 5000,
+    top_unigrams: int = 2000,
+):
+    """Fit a stupid-backoff bigram language model for quality scoring
+    (Heafield-style count tables, not neural): returns
+    ``(unigrams, bigrams)`` DataFrames — (w, cnt, total) and
+    (w1, w2, cnt, total) — truncated to the top-k most frequent
+    entries (ties broken by token, deterministic). The top-k tables
+    are what BROADCASTS at scoring time; everything rarer backs off.
+
+    100 TB shape: one shuffle per n-gram order (map-side-combinable
+    counts), top-k via TakeOrdered (never a global sort), totals ride
+    along as a broadcast 1-row cross join so the fit stays lazy. Fit
+    on a clean REFERENCE corpus (or a sample) and score the crawl —
+    the standard quality-filter setup."""
+    toks = df.select(_tokens_cheap(F.col(text_col)).alias("_t"))
+    # explode_outer + null filter, NOT plain explode: the inferred
+    # size(arr)>0 pre-filter would inline the tokenizer into a scan
+    # filter (the Catalyst trap in BASELINE.md; lint-locked)
+    uni_c = (
+        toks.select(F.explode_outer("_t").alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    uni_total = uni_c.agg(F.sum("cnt").alias("total"))
+    unigrams = (
+        uni_c.orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(top_unigrams)
+        .crossJoin(F.broadcast(uni_total))
+    )
+    big = _doc_bigrams(toks, []).select("w1", "w2")
+    bi_c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    bi_total = bi_c.agg(F.sum("cnt").alias("total"))
+    bigrams = (
+        bi_c.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(top_bigrams)
+        .crossJoin(F.broadcast(bi_total))
+    )
+    return unigrams, bigrams
+
+
+def _doc_bigrams(toks: DataFrame, keep_cols: list[str]) -> DataFrame:
+    """(keep_cols..., w1, w2) adjacent-token pairs from a `_t` token
+    array column. explode_outer (not explode) so no size(arr)>0
+    filter is inferred with the tokenizer inlined into it — the
+    Catalyst trap documented in BASELINE.md; short docs drop via the
+    null-index filter on the GENERATED column instead."""
+    idx = F.when(
+        F.size("_t") >= 2, F.sequence(F.lit(1), F.size("_t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        toks.select(*keep_cols, "_t", F.explode_outer(idx).alias("_i"))
+        .where(F.col("_i").isNotNull())
+        .select(
+            *keep_cols,
+            F.element_at("_t", F.col("_i")).alias("w1"),
+            F.element_at("_t", F.col("_i") + 1).alias("w2"),
+        )
+    )
+
+
+def lm_surprisal(
+    df: DataFrame,
+    id_col: str,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    text_col: str = "text",
+    backoff_bits: int = 4,
+    oov_bits: int = 24,
+) -> DataFrame:
+    """Per-document mean bigram surprisal in WHOLE BITS against a
+    fitted `fit_bigram_lm` model — the perplexity-style quality score
+    every corpus pipeline runs, made integer-exact (and therefore
+    DuckDB-hash-verifiable) by bucketing -log2(p) to its floor:
+
+      bigram in table:   floor(log2(total_bi / cnt))
+      else unigram hit:  backoff_bits + floor(log2(total_uni / cnt))
+      else:              oov_bits
+
+    Low mean_bits = fluent/common text; high = rare or garbled. Output
+    (id, n_bigrams, sum_bits, mean_bits) for docs with >= 1 bigram;
+    mean_bits = sum/count of bigints divides identically in both
+    engines.
+
+    100 TB shape: tokenize+explode is a pure map, both LM tables are
+    top-k-bounded broadcasts, the only shuffle is the per-doc agg."""
+    toks = df.select(F.col(id_col), _tokens_cheap(F.col(text_col)).alias("_t"))
+    big = _doc_bigrams(toks, [id_col])
+    bi = bigrams.select(
+        "w1", "w2", F.col("cnt").alias("_bc"), F.col("total").alias("_bt")
+    )
+    uni = unigrams.select(
+        F.col("w").alias("w2"), F.col("cnt").alias("_uc"), F.col("total").alias("_ut")
+    )
+    scored = (
+        big.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w2", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                _floor_log2_ratio(F.col("_bt"), F.col("_bc")),
+                F.lit(backoff_bits) + _floor_log2_ratio(F.col("_ut"), F.col("_uc")),
+                F.lit(oov_bits).cast("long"),
+            ).alias("_bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_bits").alias("sum_bits"),
+        (F.sum("_bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
+    )

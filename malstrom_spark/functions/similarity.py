@@ -767,3 +767,31 @@ def ivf_topk(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    portable: bool = False,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Cluster-output embedding near-dup dedup — the `dedup_clusters`
+    of the vector family: LSH-bucketed cosine pairs contract to one
+    (id, group_id, is_keeper) row per vector via large-star/small-star
+    connected components (functions/dedup.dedup_groups), so output is
+    LINEAR in corpus size where the pair form is quadratic in
+    duplicate-cluster depth. group_id = minimum id of the cluster;
+    singletons keep their own id. ``portable=True`` uses the
+    integer-quantized bucketing an SQL oracle reproduces exactly."""
+    from .dedup import dedup_groups
+
+    pair_fn = embedding_near_dups_portable if portable else embedding_near_dups
+    pairs = pair_fn(df, id_col, vec_col, dim, threshold, n_planes)
+    labels = dedup_groups(
+        pairs.select("id_a", "id_b"), df.select(id_col), id_col, max_iters=max_iters
+    )
+    return labels.withColumn("is_keeper", F.col(id_col) == F.col("group_id"))

@@ -87,6 +87,10 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
     ("doc_rare_token_rate", ["doc_id", "n_tokens", "n_rare"], ["rare_rate"]),
     # round-4: cross-document paragraph dedup (CCNet boilerplate pass)
     ("doc_paragraph_dedup", ["doc_id", "n_paras", "n_kept", "cleaned"], []),
+    # round-4: integer-exact bigram-LM surprisal quality scoring
+    ("doc_lm_surprisal", ["doc_id", "n_bigrams", "sum_bits"], ["mean_bits"]),
+    # round-4: cluster-output embedding near-dup (vector dedup family)
+    ("embedding_dedup_clusters", ["vec_id", "group_id", "is_keeper"], []),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]

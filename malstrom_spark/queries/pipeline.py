@@ -1169,3 +1169,99 @@ def doc_paragraph_dedup(spark, sf_dir):
         ).alias("text"),
     )
     return corpus.dedup_paragraphs(seeded, "doc_id")
+
+
+@register(
+    "doc_lm_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni_c AS (
+      SELECT u.w, count(*) AS cnt FROM toks, UNNEST(t) u(w) GROUP BY u.w
+    ),
+    uni AS (
+      SELECT w, cnt, (SELECT sum(cnt) FROM uni_c) AS total
+      FROM uni_c ORDER BY cnt DESC, w LIMIT 2000
+    ),
+    big AS (
+      SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+      FROM toks, UNNEST(range(len(t)-1)) u(i)
+    ),
+    bi_c AS (
+      SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2
+    ),
+    bi AS (
+      SELECT w1, w2, cnt, (SELECT sum(cnt) FROM bi_c) AS total
+      FROM bi_c ORDER BY cnt DESC, w1, w2 LIMIT 5000
+    ),
+    scored AS (
+      SELECT g.doc_id,
+        COALESCE(
+          (length(bin(b.total)) - length(bin(b.cnt)))
+            - CASE WHEN b.total <
+                (b.cnt << (length(bin(b.total)) - length(bin(b.cnt))))
+              THEN 1 ELSE 0 END,
+          4 + (length(bin(u.total)) - length(bin(u.cnt)))
+            - CASE WHEN u.total <
+                (u.cnt << (length(bin(u.total)) - length(bin(u.cnt))))
+              THEN 1 ELSE 0 END,
+          24) AS bits
+      FROM big g
+      LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+      LEFT JOIN uni u ON g.w2 = u.w
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bits) AS BIGINT) AS sum_bits,
+           CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_lm_surprisal(spark, sf_dir):
+    """Perplexity-style quality scoring (functions/corpus.py
+    fit_bigram_lm + lm_surprisal): stupid-backoff bigram LM fitted on
+    the corpus itself (probe setup; production fits on a clean
+    reference corpus), scores every doc's mean bigram surprisal in
+    whole bits — integer-exact, so the oracle reproduces it
+    bit-for-bit where float log() would drift."""
+    docs = table(spark, sf_dir, "documents")
+    uni, bi = corpus.fit_bigram_lm(docs, top_bigrams=5000, top_unigrams=2000)
+    return corpus.lm_surprisal(docs, "doc_id", uni, bi)
+
+
+def _embedding_clusters_oracle() -> str:
+    """Recursive-CTE reachability over the portable embedding pair set
+    — same first-principles transitive-closure pin as
+    dedup_clusters_oracle, over vectors instead of texts."""
+    pairs_sql = embedding_near_dup_lsh_oracle(dim=64, n_planes=8, threshold=0.35)
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({pairs_sql}) p
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS group_id, (node = MIN(lbl)) AS is_keeper
+    FROM reach GROUP BY node
+    """
+
+
+@register("embedding_dedup_clusters", oracle=_embedding_clusters_oracle())
+def embedding_dedup_clusters(spark, sf_dir):
+    """Cluster-output embedding near-dup (functions/similarity.py
+    embedding_dedup_clusters): LSH-bucketed cosine pairs contracted by
+    large-star/small-star CC to one (vec_id, group_id, is_keeper) row
+    per vector — linear output, the vector-family counterpart of
+    dedup_clusters; pinned against recursive-CTE reachability."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dedup_clusters(
+        emb, "vec_id", "embedding", dim=64, threshold=0.35, n_planes=8, portable=True
+    )

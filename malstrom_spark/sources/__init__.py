@@ -12,6 +12,8 @@ these are thin builders, not ports.
 | StatefulSource file example (CustomSources.md)  | file_stream       |
 | KafkaSource (malstrom-kafka/src/source.rs)      | kafka_stream      |
 | StatelessSource (stateless.rs:24-69)            | rate_stream       |
+| StatefulSource trait itself (stateful.rs:30-89) | custom.py (Python DataSource API) |
+| Kafka CONTRACT, jar-free (source.rs:96-215)     | bus.py message bus twin |
 """
 
 from __future__ import annotations

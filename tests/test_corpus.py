@@ -159,3 +159,42 @@ def test_dedup_paragraphs_registry_matches_oracle(spark, sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     want = set(map(tuple, con.execute(spec.oracle).fetchall()))
     assert got == want and len(got) > 0
+
+
+# ------------------------------------- bigram-LM surprisal scoring
+
+
+def test_lm_surprisal_hand_checked(spark):
+    """Whole-bit surprisal on a corpus small enough to verify by hand:
+    4 'a b' bigrams + 1 'b c' + 1 'c a' => totals 6. floor(log2(6/4))=0
+    for 'a b', floor(log2(6/1))=2 for the rest; an unseen bigram backs
+    off to the unigram table (+4 bits); an OOV token costs 24."""
+    from malstrom_spark.functions.corpus import fit_bigram_lm, lm_surprisal
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c a b")], "doc_id long, text string"
+    )
+    uni, bi = fit_bigram_lm(ref, top_bigrams=10, top_unigrams=10)
+    # score: doc 10 all known bigrams; doc 11 has unseen bigram 'c c'
+    # (backoff: unigram c cnt=1 of 9 -> 4 + floor(log2(9)) = 4+3);
+    # doc 12 has OOV token 'zzz' (24 bits)
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "c c"), (12, "a zzz")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in lm_surprisal(docs, "doc_id", uni, bi).collect()}
+    assert got[10].n_bigrams == 1 and got[10].sum_bits == 0   # 'a b': 4/6
+    assert got[11].sum_bits == 4 + 3                          # backoff c
+    assert got[12].sum_bits == 24                             # OOV
+    assert got[11].mean_bits == 7.0
+
+
+def test_lm_surprisal_short_docs_excluded(spark):
+    from malstrom_spark.functions.corpus import fit_bigram_lm, lm_surprisal
+
+    ref = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    uni, bi = fit_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, None), (4, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in lm_surprisal(docs, "doc_id", uni, bi).collect()}
+    assert got == {4}  # <2 tokens / empty / null emit nothing

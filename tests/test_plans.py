@@ -110,6 +110,9 @@ def test_no_tokenizer_inlined_into_filters(spark, sf_dir, reg):
         # inlining (md5_prefix_hash/chunks are coalesce'd non-nullable)
         "dedup_minhash_lsh",
         "dedup_simhash",
+        # round-4 explode-based corpus ops, same trap class
+        "doc_paragraph_dedup",
+        "doc_lm_surprisal",
     ]:
         plan = plan_of(reg[q].fn(spark, sf_dir))
         for line in plan.splitlines():

@@ -74,8 +74,12 @@ def test_split_late_matches_reference_rule(spark, ts_seconds, delay):
         for i, s in enumerate(ts_seconds)
     ]
     df = spark.createDataFrame(rows, "arrival long, ts timestamp")
+    # shard on the arrival/identity column explicitly (round-4: the
+    # default shard key is ALL input columns, matching the streaming
+    # twin; the simulation below hashes arrival only)
     on_time, late = split_late(
-        df, "ts", f"INTERVAL {delay} SECONDS", ["arrival"], n_shards=n_shards
+        df, "ts", f"INTERVAL {delay} SECONDS", ["arrival"], n_shards=n_shards,
+        shard_cols=["arrival"],
     )
     got_late = {r.arrival for r in late.collect()}
     got_on_time = {r.arrival for r in on_time.collect()}

@@ -313,3 +313,41 @@ def test_ivf_sample_fraction_fit(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"sampled-fit IVF recall {recall:.2f} below sanity bound"
+
+
+def test_embedding_dedup_clusters_matches_union_find(spark, sf_dir):
+    """Cluster labels must equal union-find over the pair pipeline's
+    output (pairs are the verified semantics), singletons included."""
+    from malstrom_spark.functions import similarity
+    from malstrom_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups_portable(
+            emb, "vec_id", "embedding", dim=64, threshold=0.35, n_planes=8
+        ).collect()
+    ]
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    got = {
+        r.vec_id: (r.group_id, r.is_keeper)
+        for r in similarity.embedding_dedup_clusters(
+            emb, "vec_id", "embedding", dim=64, threshold=0.35, n_planes=8,
+            portable=True,
+        ).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(keeper == (k == grp) for k, (grp, keeper) in got.items())
