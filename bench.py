@@ -77,11 +77,13 @@ HEADLINE = [
     # the oracle-verified training_data_pipeline
     "training_data_pipeline_scale",
     # round-4 additions: cross-doc paragraph dedup (CCNet boilerplate
-    # pass), integer-exact bigram-LM surprisal scoring, and the
-    # vector-family cluster dedup — all oracle-verified in the gate
+    # pass) and integer-exact bigram-LM surprisal scoring, both
+    # oracle-verified in the gate. embedding_dedup_clusters is NOT
+    # here for the same reason as dedup_clusters_scale: at sf0.1 its
+    # cost is fixed-size CC driver rounds (3.2 s for 2k vectors),
+    # noise rather than signal at toy scale.
     "doc_paragraph_dedup",
     "doc_lm_surprisal",
-    "embedding_dedup_clusters",
 ]
 
 

@@ -19,6 +19,7 @@ EXAMPLES = [
     "look_ma_im_streaming",
     "training_pipeline",
     "message_bus",
+    "streaming_corpus_ingest",
 ]
 
 
