@@ -397,3 +397,56 @@ def streaming_dedup_exact(spark, sf_dir):
     deduped = doubled.dropDuplicates(["user_id", "event_type", "ts"])
     agg = deduped.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_simhash_dedup",
+    oracle="""
+    -- the replay is SEEDED with a +100000-id copy of every 7th doc
+    -- (the sf0.01 corpus has no natural byte-identical twins, which
+    -- would make this check vacuous); every seeded copy shares its
+    -- original's exact SimHash => all 4 chunks => always flagged.
+    -- Near-dup verdicts depend on arrival-order state and are pinned
+    -- by pytest instead.
+    SELECT doc_id + 100000 AS doc_id, TRUE AS is_dup
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id % 7 = 0
+    ORDER BY 1
+    """,
+)
+def streaming_simhash_dedup(spark, sf_dir):
+    """STREAMING near-dup detection (streaming/dedup.py
+    simhash_dup_flags_stream): SimHash chunks shard the stream, each
+    shard keeps first-seen hashes as keyed state across microbatches,
+    arrivals within the Hamming bound flag with the earlier doc's id.
+
+    The registry row reduces to the EXACT-duplicate subset a SQL
+    oracle can state: a byte-identical smaller twin shares all 4
+    chunks, so the later copy always flags — against the twin, or
+    transitively against whatever the twin itself matched (sound
+    below the bucket cap, which this corpus never approaches). The
+    near-dup verdicts and cross-batch recovery are pytest-pinned
+    (tests/test_streaming_dedup.py). Registered outside the 50-row
+    gate."""
+    from ..streaming.dedup import collapse_dup_flags, simhash_dup_flags_stream
+    from . import table
+
+    docs = replay_table(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("text").isNotNull()
+    )
+    copies = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    flags = simhash_dup_flags_stream(docs.unionByName(copies), "doc_id")
+    collapsed = collapse_dup_flags(run_to_memory(flags, output_mode="append"), "doc_id")
+    seeded = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 7 == 0))
+        .select((F.col("doc_id") + 100000).alias("doc_id"))
+    )
+    return (
+        collapsed.where("is_dup")
+        .join(seeded, "doc_id", "left_semi")
+        .select("doc_id", F.lit(True).alias("is_dup"))
+        .orderBy("doc_id")
+    )
