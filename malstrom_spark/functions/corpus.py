@@ -387,3 +387,32 @@ def lm_surprisal(
         F.sum("_bits").alias("sum_bits"),
         (F.sum("_bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
     )
+
+
+# ----------------------------------------------- per-source caps
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    order_cols: list[Column | str],
+) -> DataFrame:
+    """Keep at most ``n`` rows per key, chosen by ``order_cols`` — the
+    per-domain/per-source cap every web-corpus pipeline applies so one
+    prolific domain can't dominate the training mix (RefinedWeb-style
+    source balancing). Deterministic: make ``order_cols`` a total
+    order (end with the id) so reruns and engines agree on the cut.
+
+    Shape: one partitioned window (rank <= n). Keys here are corpus
+    sources/domains — many keys, bounded rows each; for an adversarial
+    single mega-key, pre-aggregate an approximate per-key order-stat
+    threshold and filter before the window (same candidates-then-exact
+    pattern as the dedup pipelines) rather than sorting the mega-key's
+    whole partition."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

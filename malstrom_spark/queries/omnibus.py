@@ -91,6 +91,8 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
     ("doc_lm_surprisal", ["doc_id", "n_bigrams", "sum_bits"], ["mean_bits"]),
     # round-4: cluster-output embedding near-dup (vector dedup family)
     ("embedding_dedup_clusters", ["vec_id", "group_id", "is_keeper"], []),
+    # round-4: per-source corpus cap (RefinedWeb-style domain balance)
+    ("doc_source_cap", ["doc_id", "source", "n_chars"], []),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]

@@ -1265,3 +1265,25 @@ def embedding_dedup_clusters(spark, sf_dir):
     return similarity.embedding_dedup_clusters(
         emb, "vec_id", "embedding", dim=64, threshold=0.35, n_planes=8, portable=True
     )
+
+
+@register(
+    "doc_source_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 30
+    """,
+)
+def doc_source_cap(spark, sf_dir):
+    """Per-source corpus cap (functions/corpus.py cap_per_key): keep
+    the 30 longest docs per source (ties by doc_id — total order, so
+    the cut is deterministic and engine-reproducible). The data-mixing
+    companion of sample_stratified: rates downweight, caps bound."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return corpus.cap_per_key(
+        docs, ["source"], 30, [F.desc("n_chars"), F.asc("doc_id")]
+    )

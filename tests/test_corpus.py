@@ -198,3 +198,19 @@ def test_lm_surprisal_short_docs_excluded(spark):
     )
     got = {r.doc_id for r in lm_surprisal(docs, "doc_id", uni, bi).collect()}
     assert got == {4}  # <2 tokens / empty / null emit nothing
+
+
+# ----------------------------------------------- per-source caps
+
+
+def test_cap_per_key(spark):
+    from malstrom_spark.functions.corpus import cap_per_key
+
+    rows = [(i, "a" if i < 8 else "b", 100 - i) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = cap_per_key(df, ["source"], 3, [F.desc("n_chars"), F.asc("doc_id")])
+    got = {r.source: sorted(rr.doc_id for rr in out.collect() if rr.source == r.source)
+           for r in out.select("source").distinct().collect()}
+    # longest-first: source a keeps docs 0,1,2 (n_chars 100,99,98);
+    # source b has only 4 docs, keeps its top 3 (8,9,10)
+    assert got == {"a": [0, 1, 2], "b": [8, 9, 10]}

@@ -254,3 +254,104 @@ def test_pack_sequences_matches_python(spark, token_counts):
         )
         acc = end
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha beta.", "gamma delta.", "shared para.", "  ", "x y z."]),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dedup_paragraphs_matches_python(spark, doc_paras):
+    """Paragraph dedup vs a direct Python replay of the rule: first
+    (doc_id, idx) occurrence of each non-blank paragraph wins."""
+    from malstrom_spark.functions.corpus import dedup_paragraphs
+
+    sep = "\n\n"
+    rows = [(i, sep.join(ps)) for i, ps in enumerate(doc_paras)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.cleaned)
+        for r in dedup_paragraphs(df, "doc_id").collect()
+    }
+
+    seen: set = set()
+    want = {}
+    for i, text in rows:
+        paras = [(j, p) for j, p in enumerate(text.split(sep)) if p.strip() != ""]
+        kept = []
+        for j, p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            want[i] = (len(paras), len(kept), sep.join(kept))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_lm_surprisal_matches_python(spark, token_lists):
+    """Whole-bit surprisal vs a direct Python replay: fit on the docs
+    themselves with no top-k truncation (tables small enough), score
+    the same docs."""
+    import math
+
+    from malstrom_spark.functions.corpus import fit_bigram_lm, lm_surprisal
+
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni, bi = fit_bigram_lm(df, top_bigrams=1000, top_unigrams=1000)
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_bits)
+        for r in lm_surprisal(df, "doc_id", uni, bi).collect()
+    }
+
+    # python model: same tokenizer (split on whitespace of trimmed
+    # lower text; empty text -> [''])
+    def toks(s):
+        import re
+
+        return re.split(r"\s+", s.strip().lower())
+
+    uni_c: dict = {}
+    bi_c: dict = {}
+    for _, t in rows:
+        ws = toks(t)
+        for w in ws:
+            uni_c[w] = uni_c.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi_c[(a, b)] = bi_c.get((a, b), 0) + 1
+    ut, bt = sum(uni_c.values()), sum(bi_c.values())
+
+    def bits(total, cnt):
+        return int(math.floor(math.log2(total / cnt)))
+
+    want = {}
+    for i, t in rows:
+        ws = toks(t)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        s = 0
+        for a, b in pairs:
+            if (a, b) in bi_c:
+                s += bits(bt, bi_c[(a, b)])
+            elif b in uni_c:
+                s += 4 + bits(ut, uni_c[b])
+            else:
+                s += 24
+        want[i] = (len(pairs), s)
+    assert got == want
