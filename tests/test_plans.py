@@ -254,3 +254,23 @@ def test_training_pipeline_plan_shape(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 2, "keepers/bench-grams must broadcast"
     assert "CartesianProduct" not in p
     assert "rangepartitioning" not in p, "no global sort anywhere"
+
+
+def test_round4_corpus_ops_scale_shapes(spark, sf_dir, reg):
+    """Round-4 ops keep their claimed 100 TB shapes:
+    - dedup_paragraphs: exactly the two hash exchanges documented
+      (fingerprint keeper election + per-doc reconstruction), no
+      global sort;
+    - lm_surprisal: both LM tables reach the scorer as broadcasts and
+      the only scoring-side exchange is the per-doc aggregation;
+    - cap_per_key: one partitioned window, never rangepartitioning."""
+    p = plan_simple(reg["doc_paragraph_dedup"].fn(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "rangepartitioning" not in p
+
+    p = plan_simple(reg["doc_lm_surprisal"].fn(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, "uni+bi LM tables must broadcast"
+
+    p = plan_simple(reg["doc_source_cap"].fn(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "rangepartitioning" not in p
