@@ -191,11 +191,22 @@ def committed_offsets(bus: str, topic: str, group: str = "default") -> dict | No
         return json.load(fh)
 
 
-def _write_epoch(batch_df: DataFrame, epoch_id: int, bus: str, topic: str, n_partitions: int):
+def _write_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    bus: str,
+    topic: str,
+    n_partitions: int,
+    producer_id: str = "p0",
+):
     """Write one producer epoch: route rows to partitions by key hash,
-    one segment file per (epoch, partition), atomic tmp+rename so an
-    epoch REPLAY overwrites its own segment — idempotent, hence
-    exactly-once end to end (the transactional-producer twin)."""
+    one segment file per (epoch, producer, partition), atomic
+    tmp+rename so an epoch REPLAY overwrites its own segment —
+    idempotent, hence exactly-once end to end (the
+    transactional-producer twin). ``producer_id`` namespaces segments
+    so independent producers feeding one topic never collide on epoch
+    ids (Kafka's producer-id field); per-partition order is (epoch,
+    producer) lexicographic."""
     routed = batch_df.select(
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),
@@ -213,7 +224,7 @@ def _write_epoch(batch_df: DataFrame, epoch_id: int, bus: str, topic: str, n_par
         for p, recs in by_p.items():
             pdir = os.path.join(bus, topic, f"p{p}")
             os.makedirs(pdir, exist_ok=True)
-            final = os.path.join(pdir, f"{epoch_id:020d}.jsonl")
+            final = os.path.join(pdir, f"{epoch_id:020d}-{producer_id}.jsonl")
             tmp = final + ".tmp"
             with open(tmp, "w", encoding="utf-8") as fh:
                 for k, v in recs:
@@ -230,14 +241,16 @@ def bus_sink(
     checkpoint: str,
     n_partitions: int = 4,
     trigger_available_now: bool = False,
+    producer_id: str = "p0",
 ):
     """Streaming producer (KafkaSink twin, sink.rs:15-72): expects
     `key`/`value` columns like the real kafka_sink; same key => same
     partition, in order. Epoch-segment rewrite makes replays
     idempotent (exactly-once), one better than the real sink's
-    documented at-least-once."""
+    documented at-least-once. Give each concurrent producer feeding
+    one topic its own ``producer_id``."""
     w = sdf.writeStream.foreachBatch(
-        lambda df, eid: _write_epoch(df, eid, bus, topic, n_partitions)
+        lambda df, eid: _write_epoch(df, eid, bus, topic, n_partitions, producer_id)
     ).option("checkpointLocation", checkpoint)
     if trigger_available_now:
         w = w.trigger(availableNow=True)
@@ -245,8 +258,13 @@ def bus_sink(
 
 
 def bus_produce(
-    df: DataFrame, bus: str, topic: str, epoch_id: int, n_partitions: int = 4
+    df: DataFrame,
+    bus: str,
+    topic: str,
+    epoch_id: int,
+    n_partitions: int = 4,
+    producer_id: str = "p0",
 ) -> None:
     """Batch producer: write one epoch of (key, value) rows — the test
     harness's seeding path, same routing and atomicity as bus_sink."""
-    _write_epoch(df, epoch_id, bus, topic, n_partitions)
+    _write_epoch(df, epoch_id, bus, topic, n_partitions, producer_id)

@@ -48,8 +48,22 @@ def simhash_dup_flags_stream(
     text_col: str = "text",
     max_hamming: int = 3,
     bucket_cap: int = 256,
+    state_ttl_sec: float | None = None,
 ) -> DataFrame:
-    """(id, chunk_id, dup_of) append stream; see module docstring."""
+    """(id, chunk_id, dup_of) append stream; see module docstring.
+
+    ``state_ttl_sec`` turns this into WINDOWED dedup: "duplicate"
+    means "near-copy of something stored within the horizon". Two
+    mechanisms, both needed: a bucket idle longer than the TTL drops
+    its stored hashes when it NEXT receives data (arrival-time age
+    check on the bucket's last-update time — engine timeouts alone
+    can't expire a bucket that is receiving the very record being
+    judged; per-hash timestamps would refine this to exact per-record
+    horizons at 2x state width), and fully idle buckets
+    are garbage-collected by a processing-time timeout (the `ttl_map`
+    mechanism), bounding state by active buckets x cap instead of
+    all-time uniques — the standard production setting for unbounded
+    ingestion."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..functions.dedup import simhash_df
@@ -89,7 +103,22 @@ def simhash_dup_flags_stream(
     def judge(key, pdfs, state: GroupState):
         import pandas as pd
 
-        ids, shs = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        import time as _time
+
+        if state.hasTimedOut:
+            # TTL horizon passed with no traffic: forget this bucket
+            state.remove()
+            yield pd.DataFrame(
+                {id_col: [], "chunk_id": [], "dup_of": []}
+            ).astype({id_col: "int64", "chunk_id": "int64", "dup_of": "float64"})
+            return
+        now_ms = int(_time.time() * 1000)
+        if state.exists:
+            ids, shs, stored_ms = list(state.get[0]), list(state.get[1]), state.get[2]
+            if state_ttl_sec is not None and now_ms - stored_ms > state_ttl_sec * 1000:
+                ids, shs = [], []  # stored hashes aged out of the horizon
+        else:
+            ids, shs = [], []
         out_ids, out_chunks, out_dups = [], [], []
         chunk_id = int(key[0])
         for pdf in pdfs:
@@ -107,17 +136,24 @@ def simhash_dup_flags_stream(
                 out_ids.append(did)
                 out_chunks.append(chunk_id)
                 out_dups.append(dup_of)
-        state.update((ids, shs))
+        state.update((ids, shs, now_ms))
+        if state_ttl_sec is not None:
+            state.setTimeoutDuration(int(state_ttl_sec * 1000))
         yield pd.DataFrame(
             {id_col: out_ids, "chunk_id": out_chunks, "dup_of": out_dups}
         ).astype({id_col: "int64", "chunk_id": "int64", "dup_of": "float64"})
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_sec is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return chunks.groupBy("chunk_id", "chunk").applyInPandasWithState(
         judge,
         outputStructType=out_schema,
-        stateStructType="ids array<long>, shs array<long>",
+        stateStructType="ids array<long>, shs array<long>, stored_ms long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

@@ -151,3 +151,14 @@ def test_bus_streaming_sink_round_trip(spark, tmp_path):
     q.awaitTermination()
     out = _read_all(spark, dst_bus, "out", str(tmp_path / "ck2"), "bus_s").collect()
     assert sorted(r.value for r in out) == sorted(f"v{i}" for i in range(25))
+
+
+def test_bus_concurrent_producers_never_collide(spark, tmp_path):
+    """Two producers using the SAME epoch ids on one topic write
+    disjoint segments (producer-id namespace, Kafka's producer-id
+    field); consumers see every message exactly once."""
+    bus = str(tmp_path / "bus")
+    bus_produce(_msgs(spark, 0, 10), bus, "t4", epoch_id=0, producer_id="pa")
+    bus_produce(_msgs(spark, 10, 20), bus, "t4", epoch_id=0, producer_id="pb")
+    out = _read_all(spark, bus, "t4", str(tmp_path / "ck"), "bus_mp").collect()
+    assert sorted(r.value for r in out) == sorted(f"v{i}" for i in range(20))

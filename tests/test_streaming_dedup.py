@@ -117,3 +117,75 @@ def test_streaming_dup_bucket_cap_bounds_state(spark, tmp_path):
     q.awaitTermination()
     collapsed = collapse_dup_flags(spark.read.parquet(out), "doc_id").collect()
     assert sorted(r.doc_id for r in collapsed) == [1, 2, 3, 4, 5, 6]
+
+
+def test_streaming_dup_state_ttl_expires(spark, tmp_path):
+    """Windowed dedup: with a short TTL and a long pause between runs,
+    the bucket state expires and a later exact copy is NOT flagged —
+    'duplicate' means within-horizon only (ttl_map mechanism)."""
+    import time
+
+    bus, ck, out = str(tmp_path / "bus"), str(tmp_path / "ck"), str(tmp_path / "out")
+    _produce(spark, bus, [(1, BASE)], 0)
+    register_message_bus_source(spark)
+
+    def drain():
+        raw = (
+            spark.readStream.format("malstrom_bus")
+            .option("path", bus)
+            .option("topic", "docs")
+            .load()
+            .select(
+                F.col("key").cast("long").alias("doc_id"),
+                F.col("value").alias("text"),
+            )
+        )
+        flags = simhash_dup_flags_stream(raw, "doc_id", state_ttl_sec=1.0)
+        q = (
+            flags.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    drain()
+    time.sleep(3)  # > TTL: bucket state times out on the next run
+    _produce(spark, bus, [(2, BASE)], 1)  # exact copy, but horizon passed
+    rows = collapse_dup_flags(drain(), "doc_id").collect()
+    got = {r.doc_id: r.is_dup for r in rows}
+    assert got[1] is False
+    assert got[2] is False, "state should have expired past the TTL horizon"
+
+
+def test_streaming_dup_within_ttl_still_flags(spark, tmp_path):
+    """Same shape, generous TTL: the copy inside the horizon flags."""
+    bus, ck, out = str(tmp_path / "bus"), str(tmp_path / "ck"), str(tmp_path / "out")
+    _produce(spark, bus, [(1, BASE)], 0)
+    _produce(spark, bus, [(2, BASE)], 1)
+    register_message_bus_source(spark)
+    raw = (
+        spark.readStream.format("malstrom_bus")
+        .option("path", bus)
+        .option("topic", "docs")
+        .load()
+        .select(
+            F.col("key").cast("long").alias("doc_id"), F.col("value").alias("text")
+        )
+    )
+    flags = simhash_dup_flags_stream(raw, "doc_id", state_ttl_sec=3600.0)
+    q = (
+        flags.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: r.is_dup
+        for r in collapse_dup_flags(spark.read.parquet(out), "doc_id").collect()
+    }
+    assert got == {1: False, 2: True}
