@@ -131,3 +131,47 @@ def test_generate_epochs_closure_invariants(spark, tmp_path):
     assert got[3] == (190 * US, False)  # epoch advanced after record
     assert got[4] == (190 * US, True)   # ts == epoch -> late
     assert got[5] == (190 * US, False)  # 181 non-monotone -> ignored
+
+
+def test_late_twins_record_level_parity(spark, tmp_path):
+    """ADVICE r3 closure lock: with matching shard_cols/n_shards and
+    one record per microbatch (the granularity where the streaming
+    frontier advances per record, like the batch window), split_late
+    and flag_late_stream produce IDENTICAL verdicts record for
+    record."""
+    from datetime import datetime, timezone
+
+    from malstrom_spark.operators.eventtime import split_late
+    from malstrom_spark.streaming.eventtime import flag_late_stream
+    from malstrom_spark.testing import OperatorTester
+
+    ts_seconds = [50, 10, 60, 5, 55, 300, 20, 299, 61, 1]
+    delay = 30
+    rows = [
+        (i, datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None))
+        for i, s in enumerate(ts_seconds)
+    ]
+
+    bdf = spark.createDataFrame(rows, "arrival long, ts timestamp")
+    _, late = split_late(
+        bdf, "ts", f"INTERVAL {delay} SECONDS", ["arrival"],
+        n_shards=2, shard_cols=["arrival"],
+    )
+    batch_late = {r.arrival for r in late.collect()}
+
+    t = OperatorTester(
+        spark,
+        "arrival long, ts timestamp",
+        op=lambda sdf: flag_late_stream(
+            sdf, "ts", delay_sec=delay, n_shards=2, shard_cols=["arrival"]
+        ),
+        work_dir=str(tmp_path / "twin"),
+    )
+    try:
+        for row in rows:  # one record per microbatch = per-record frontier
+            t.send([row])
+        out = t.step()
+        stream_late = {r.arrival for b in out for r in b if r.is_late}
+    finally:
+        t.stop()
+    assert stream_late == batch_late and len(batch_late) > 0
