@@ -121,15 +121,24 @@ def simhash_dup_flags_stream(
             ids, shs = [], []
         out_ids, out_chunks, out_dups = [], [], []
         chunk_id = int(key[0])
+        import numpy as np
+
+        def first_match(dsh):
+            # vectorized popcount over the whole stored set (C-speed
+            # scan of <= bucket_cap hashes); first hit by stored order
+            if not shs:
+                return None
+            arr = np.array(shs, dtype=np.int64)
+            x = np.bitwise_xor(arr, np.int64(dsh))  # sh is a Spark bigint
+            pop = np.unpackbits(x.view(np.uint8)).reshape(len(shs), 64).sum(axis=1)
+            hits = np.nonzero(pop <= max_hamming)[0]
+            return ids[int(hits[0])] if len(hits) else None
+
         for pdf in pdfs:
             # deterministic within-batch order: ascending id
             pdf = pdf.sort_values(id_col)
             for did, dsh in zip(pdf[id_col].to_list(), pdf["sh"].to_list()):
-                dup_of = None
-                for sid, ssh in zip(ids, shs):
-                    if bin((ssh ^ dsh) & 0xFFFFFFFFFFFFFFFF).count("1") <= max_hamming:
-                        dup_of = sid
-                        break
+                dup_of = first_match(dsh)
                 if dup_of is None and len(ids) < bucket_cap:
                     ids.append(did)
                     shs.append(dsh)
