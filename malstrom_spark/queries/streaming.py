@@ -450,3 +450,34 @@ def streaming_simhash_dedup(spark, sf_dir):
         .select("doc_id", F.lit(True).alias("is_dup"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def streaming_static_enrich(spark, sf_dir):
+    """STREAM-STATIC enrichment join — the operator class the
+    reference would hand-build as broadcast state (a keyed dimension
+    resident on every worker, looked up per record): a streaming fact
+    joins a STATIC dimension table, which Spark broadcasts per
+    microbatch; aggregation then runs keyed on dimension attributes.
+    DECIMAL-summed totals keep the double engine-portable.
+    Registered outside the 50-row gate."""
+    ev = replay_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey"), F.col("c_mktsegment"))
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("total_value"),
+    )
+    return run_to_memory(agg, output_mode="complete")
