@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text
+from . import corpus, dedup, multimodal, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["corpus", "dedup", "multimodal", "similarity", "text"]

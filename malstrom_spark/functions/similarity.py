@@ -795,3 +795,50 @@ def embedding_dedup_clusters(
         pairs.select("id_a", "id_b"), df.select(id_col), id_col, max_iters=max_iters
     )
     return labels.withColumn("is_keeper", F.col(id_col) == F.col("group_id"))
+
+
+def ivf_write_assignments(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    c_vec: str = "c_vec",
+) -> None:
+    """Persist IVF cell assignments as a parquet table PARTITIONED BY
+    list_id — the serving-side layout for corpus-scale ANN: each
+    Voronoi cell is its own partition directory, so a query batch that
+    probes n_probe of n_lists cells READS only those directories
+    (partition pruning), ~n_probe/n_lists of the bytes, with no
+    shuffle and no recomputed quantizer map per query batch. The
+    assignment pass itself is one pure map over the corpus."""
+    assigned = corpus.withColumn("list_id", _nearest_list(F.col(c_vec), centroids))
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF top-k against persisted `ivf_write_assignments` output:
+    the query batch's probed cells form a LITERAL IN-list filter, so
+    the scan prunes to exactly those partition directories (verify:
+    PartitionFilters in the plan — tests/test_similarity.py). Rank
+    results are identical to `ivf_topk` with the same centroids
+    (scoring and probing logic are shared)."""
+    qb = queries.withColumn(
+        "list_id", F.explode(_nearest_lists(F.col(q_vec), centroids, n_probe))
+    )
+    probed = sorted({r.list_id for r in qb.select("list_id").distinct().collect()})
+    cb = spark.read.parquet(path).where(F.col("list_id").isin(probed))
+    scored = cb.join(F.broadcast(qb), "list_id").select(
+        F.col(q_id), F.col(c_id), cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

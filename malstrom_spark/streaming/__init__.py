@@ -1,4 +1,4 @@
-from . import stateful
+from . import dedup, stateful
 from .replay import replay_table
 
-__all__ = ["stateful", "replay_table"]
+__all__ = ["dedup", "stateful", "replay_table"]

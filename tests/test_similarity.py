@@ -351,3 +351,42 @@ def test_embedding_dedup_clusters_matches_union_find(spark, sf_dir):
     }
     assert {k: v[0] for k, v in got.items()} == want
     assert all(keeper == (k == grp) for k, (grp, keeper) in got.items())
+
+
+def test_ivf_partitioned_serving_prunes_cells(spark, sf_dir, tmp_path):
+    """The persisted-assignment serving path reads ONLY the probed
+    cells (partition pruning on list_id) and returns exactly the same
+    ranks as in-memory ivf_topk with the same centroids."""
+    import io
+    from contextlib import redirect_stdout
+
+    from malstrom_spark.functions import similarity
+    from malstrom_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    cents = similarity.ivf_build_centroids(corpus, "c_vec", n_lists=8, n_iters=1)
+    path = str(tmp_path / "ivf_cells")
+    similarity.ivf_write_assignments(corpus, cents, path)
+
+    served = similarity.ivf_topk_partitioned(
+        spark, path, queries, cents, k=3, n_probe=2
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "list_id" in pf, f"no partition pruning: {pf}"
+
+    want = {
+        (r.q_id, r.rank): r.c_id
+        for r in similarity.ivf_topk(
+            queries, corpus, k=3, n_lists=8, n_probe=2, centroids=cents
+        ).collect()
+    }
+    got = {(r.q_id, r.rank): r.c_id for r in served.collect()}
+    assert got == want and len(got) > 0
