@@ -219,3 +219,106 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text") -> Da
         .otherwise(F.lit(0.0))
         .alias("dup_trigram_frac"),
     )
+
+
+# ---------------------------------------- Gopher composite filter
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al.
+    2021, appendix A) as ONE pure-Column pass — the composite filter
+    pre-training pipelines run after dedup:
+
+    - word count in [min_words, max_words];
+    - mean word length in [3, 10];
+    - symbol-to-word ratio ('#' or ellipsis) <= 0.1;
+    - < 90% of lines starting with a bullet;
+    - <= 30% of lines ending with an ellipsis;
+    - >= 80% of words containing an alphabetic character;
+    - >= 2 distinct words from a small English stopword list.
+
+    Output: (id, n_words, one boolean per rule, keep = AND of all).
+    Zero shuffles (per-row expressions only); every ratio is an
+    integer count divided in double, so the DuckDB oracle matches
+    bit-for-bit. Null-text docs are dropped."""
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(text_col).alias("_x"),
+        t.alias("_t"),
+        F.size(t).alias("_n"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    )
+    mean_len = (
+        F.aggregate(F.col("_t"), F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / F.greatest(F.col("_n"), F.lit(1))
+    )
+    n_symbols = F.length(F.regexp_replace(F.col("_x"), "[^#…]", ""))
+    nl = F.greatest(F.size("_lines"), F.lit(1))
+    n_bullets = F.size(
+        F.filter(
+            F.col("_lines"),
+            lambda ln: F.trim(ln).startswith("•")
+            | F.trim(ln).startswith("-")
+            | F.trim(ln).startswith("*"),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            F.col("_lines"),
+            lambda ln: F.trim(ln).endswith("…") | F.trim(ln).endswith("..."),
+        )
+    )
+    n_alpha = F.size(F.filter(F.col("_t"), lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(F.col("_t"), F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = base.select(
+        id_col,
+        F.col("_n").cast("long").alias("n_words"),
+        ((F.col("_n") >= min_words) & (F.col("_n") <= max_words)).alias("pass_word_count"),
+        ((mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)).alias(
+            "pass_mean_word_len"
+        ),
+        (
+            n_symbols.cast("double") / F.greatest(F.col("_n"), F.lit(1))
+            <= max_symbol_ratio
+        ).alias("pass_symbol_ratio"),
+        (n_bullets.cast("double") / nl < max_bullet_frac).alias("pass_bullet_lines"),
+        (n_ellipsis.cast("double") / nl <= max_ellipsis_frac).alias("pass_ellipsis_lines"),
+        (
+            n_alpha.cast("double") / F.greatest(F.col("_n"), F.lit(1))
+            >= min_alpha_word_frac
+        ).alias("pass_alpha_words"),
+        (stop_hits >= min_stopwords).alias("pass_stopwords"),
+    )
+    keep = F.lit(True)
+    for c in [
+        "pass_word_count",
+        "pass_mean_word_len",
+        "pass_symbol_ratio",
+        "pass_bullet_lines",
+        "pass_ellipsis_lines",
+        "pass_alpha_words",
+        "pass_stopwords",
+    ]:
+        keep = keep & F.col(c)
+    return flags.withColumn("keep", keep)

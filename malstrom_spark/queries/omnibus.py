@@ -93,6 +93,11 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
     ("embedding_dedup_clusters", ["vec_id", "group_id", "is_keeper"], []),
     # round-4: per-source corpus cap (RefinedWeb-style domain balance)
     ("doc_source_cap", ["doc_id", "source", "n_chars"], []),
+    # round-4: composite Gopher quality rules (Rae et al. 2021 app. A)
+    ("doc_gopher_filter",
+     ["doc_id", "n_words", "pass_word_count", "pass_mean_word_len",
+      "pass_symbol_ratio", "pass_bullet_lines", "pass_ellipsis_lines",
+      "pass_alpha_words", "pass_stopwords", "keep"], []),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]

@@ -1287,3 +1287,85 @@ def doc_source_cap(spark, sf_dir):
     return corpus.cap_per_key(
         docs, ["source"], 30, [F.desc("n_chars"), F.asc("doc_id")]
     )
+
+
+@register(
+    "doc_gopher_filter",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 11 = 0 THEN ' ######## ## # ## # # # ## #' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN
+                  chr(10) || '- bullet one' || chr(10) || '* bullet two'
+                  || chr(10) || '- bullet three' ELSE '' END
+             || CASE WHEN doc_id % 17 = 0 THEN
+                  chr(10) || 'trailing thought...' || chr(10) || 'another one...'
+                ELSE '' END
+               AS text
+      FROM documents WHERE text IS NOT NULL
+    ), t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM seeded
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_len,
+             len(regexp_replace(text, '[^#…]', '', 'g')) AS n_symbols,
+             greatest(len(lines), 1) AS nl,
+             len(list_filter(lines, l -> starts_with(trim(l), '•')
+                 OR starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
+               AS n_bullets,
+             len(list_filter(lines, l -> ends_with(trim(l), '…')
+                 OR ends_with(trim(l), '...'))) AS n_ellipsis,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+                 ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+             len(toks) AS n
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           (n >= 50 AND n <= 100000) AS pass_word_count,
+           (mean_len >= 3.0 AND mean_len <= 10.0) AS pass_mean_word_len,
+           (CAST(n_symbols AS DOUBLE) / greatest(n, 1) <= 0.1) AS pass_symbol_ratio,
+           (CAST(n_bullets AS DOUBLE) / nl < 0.9) AS pass_bullet_lines,
+           (CAST(n_ellipsis AS DOUBLE) / nl <= 0.3) AS pass_ellipsis_lines,
+           (CAST(n_alpha AS DOUBLE) / greatest(n, 1) >= 0.8) AS pass_alpha_words,
+           (stop_hits >= 2) AS pass_stopwords,
+           ((n >= 50 AND n <= 100000)
+            AND (mean_len >= 3.0 AND mean_len <= 10.0)
+            AND (CAST(n_symbols AS DOUBLE) / greatest(n, 1) <= 0.1)
+            AND (CAST(n_bullets AS DOUBLE) / nl < 0.9)
+            AND (CAST(n_ellipsis AS DOUBLE) / nl <= 0.3)
+            AND (CAST(n_alpha AS DOUBLE) / greatest(n, 1) >= 0.8)
+            AND (stop_hits >= 2)) AS keep
+    FROM m
+    """,
+)
+def doc_gopher_filter(spark, sf_dir):
+    """Composite Gopher quality filter (functions/text.py
+    gopher_filter — Rae et al. 2021 appendix A rule set): each probe
+    row is seeded so every rule fires somewhere — a '#' burst on every
+    11th doc (symbol ratio), bullet lines on every 13th, ellipsis
+    lines on every 17th; word-count/mean-length/stopword rules judge
+    the natural text. Same construction in the oracle."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" ######## ## # ## # # # ## #")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("\n- bullet one\n* bullet two\n- bullet three"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit("\ntrailing thought...\nanother one..."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.gopher_filter(seeded, "doc_id")

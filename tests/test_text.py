@@ -63,3 +63,35 @@ def test_repetition_signals(spark):
     assert got[1] == (2 * 1 / 6, 0.0)
     assert got[2] == (0.0, 0.0)
     assert got[3] == (2 * 1 / 2, 0.0)
+
+
+# ---------------------------------------- Gopher composite filter
+
+
+def test_gopher_filter_rules(spark):
+    from malstrom_spark.functions.text import gopher_filter
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and all of them have "
+        "plenty to be doing with their friends today because the weather is "
+        "lovely and everyone would like to spend the afternoon outside in "
+        "the big sunny garden near the old stone wall by the river path"
+    )
+    rows = [
+        (1, good),                                     # passes everything
+        (2, "too short to pass."),                     # word count
+        (3, good + " " + "# " * 40),                   # symbol ratio
+        (4, good + ("\n- b" * 60)),                    # bullet lines > 90%
+        (5, good + "\nwait...\nmore...\nyes...\nno..." * 3),  # ellipsis
+        (6, " ".join(["12345"] * 60)),                 # no alpha, no stopwords
+        (7, None),                                     # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_filter(df, "doc_id").collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[1].keep
+    assert not got[2].pass_word_count and not got[2].keep
+    assert not got[3].pass_symbol_ratio and not got[3].keep
+    assert not got[4].pass_bullet_lines and not got[4].keep
+    assert not got[5].pass_ellipsis_lines and not got[5].keep
+    assert not got[6].pass_alpha_words and not got[6].pass_stopwords
