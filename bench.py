@@ -84,6 +84,10 @@ HEADLINE = [
     # noise rather than signal at toy scale.
     "doc_paragraph_dedup",
     "doc_lm_surprisal",
+    # round-4 session 2: range (interval) join and hypertable-style
+    # multi-grain rollup (exchange-reuse plan), both gate-verified
+    "events_purchase_window_join",
+    "event_hypertable_rollup",
 ]
 
 

@@ -1,0 +1,120 @@
+"""Funnel / ordered-sequence matching (CEP-lite) — the "did this user
+do A then B then C, in order, within N days of A" analysis that
+stream engines ship as dedicated operators (Flink CEP patterns,
+ClickHouse windowFunnel). The reference has no such operator (users
+would hand-roll it over `stateful_map` state); here it is a
+first-class batch operator with exact, deterministic semantics:
+
+  For each user, t1 = the EARLIEST event matching step 1;
+  t_k (k>1)   = the earliest event matching step k with
+                ts > t_{k-1} and ts <= t1 + within.
+
+Strictly increasing timestamps mean one event can never satisfy two
+steps, and equal-timestamp events cannot chain — the same contract a
+min()-chained SQL formulation produces, which is exactly how the
+oracle verifies it (queries/relational.py event_funnel_*).
+
+Physical shape (100 TB): events are pre-filtered map-side to rows
+matching ANY step and projected to (user, ts, K flag booleans) before
+the single shuffle on user; per-user matching is a codegen'd
+higher-order `aggregate` fold over the time-sorted event array — no
+Python, no window expansion, state per user = K timestamps. Per-user
+array size is bounded by that user's step-relevant events; pathological
+hot users are a data problem shared by every sessionization op (cap
+with a per-user limit upstream if needed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    steps: Sequence[tuple[str, Column]],
+    within: str | None = None,
+) -> DataFrame:
+    """Per-user earliest completion time of each funnel prefix.
+
+    steps: ordered (name, predicate Column) pairs; within: INTERVAL
+    literal (e.g. '7 days') bounding the whole chain relative to t1,
+    or None for unbounded. Output: user, t_<name> timestamp per step
+    (null = that prefix never completed).
+    """
+    names = [n for n, _ in steps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate step names: {names}")
+    flags = [p.cast("boolean").alias(f"__f{i}") for i, (_, p) in enumerate(steps)]
+    any_step = None
+    for _, p in steps:
+        any_step = p if any_step is None else (any_step | p)
+
+    ev = df.filter(any_step).select(
+        F.col(user).alias("__u"), F.col(ts).alias("__ts"), *flags
+    )
+    arr = ev.groupBy("__u").agg(
+        F.array_sort(
+            F.collect_list(F.struct("__ts", *[f"__f{i}" for i in range(len(steps))]))
+        ).alias("__evs")
+    )
+
+    k = len(steps)
+    init = F.struct(
+        *[F.lit(None).cast(df.schema[ts].dataType).alias(f"t{i}") for i in range(k)]
+    )
+
+    def update(acc: Column, e: Column) -> Column:
+        fields = []
+        for i in range(k):
+            cond = F.coalesce(e[f"__f{i}"], F.lit(False))
+            if i > 0:
+                cond = cond & acc[f"t{i-1}"].isNotNull() & (e["__ts"] > acc[f"t{i-1}"])
+                if within is not None:
+                    cond = cond & (e["__ts"] <= acc["t0"] + F.expr(f"INTERVAL {within}"))
+            # all new fields read the OLD acc, so one event can never
+            # fill two steps (parallel update = strict chaining)
+            fields.append(
+                F.coalesce(acc[f"t{i}"], F.when(cond, e["__ts"])).alias(f"t{i}")
+            )
+        return F.struct(*fields)
+
+    folded = arr.select("__u", F.aggregate("__evs", init, update).alias("__t"))
+    return folded.select(
+        F.col("__u").alias(user),
+        *[F.col(f"__t.t{i}").alias(f"t_{names[i]}") for i in range(k)],
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    steps: Sequence[tuple[str, Column]],
+    within: str | None = None,
+) -> DataFrame:
+    """Funnel conversion table: for each step (in order), how many
+    users completed the prefix ending at that step. Output columns:
+    step_idx (1-based), step, n_users — n_users is non-increasing by
+    construction."""
+    times = funnel_times(df, user, ts, steps, within)
+    names = [n for n, _ in steps]
+    counts = times.agg(
+        *[F.count(F.col(f"t_{n}")).cast("long").alias(f"c{i}") for i, n in enumerate(names)]
+    )
+    # one tiny row -> explode into (step, count) rows without another scan
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(n).alias("step"),
+                F.col(f"c{i}").alias("n_users"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    return counts.select(F.explode(pairs).alias("p")).select("p.*")

@@ -51,6 +51,75 @@ def sliding(
     return _unpack_window(g)
 
 
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, Column]],
+    grains: Sequence[str] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Multi-grain time rollup (TimescaleDB continuous-aggregate /
+    hypertable shape): one pass over the raw data computes the FINEST
+    grain's partial aggregates; every coarser grain re-aggregates
+    those partials instead of rescanning raw rows. Output is the
+    union of all grains tagged with a `grain` column and a `bucket`
+    timestamp (date_trunc of the finest bucket).
+
+    aggs maps output name -> (kind, column) where kind is one of
+    'count' | 'sum' | 'min' | 'max' — the decomposable aggregates
+    whose partials merge losslessly (count merges by sum; the rest by
+    themselves). avg is derived by the caller as sum/count so it
+    rolls up exactly too.
+
+    Scale shape: the finest-grain aggregation is ONE shuffle of the
+    raw data keyed on (bucket, keys); every coarser branch hangs off
+    that same aggregate subplan, so Catalyst's exchange reuse
+    materializes the partial-aggregate shuffle once and the coarser
+    grains re-shuffle only the (tiny) partials table
+    (tests/test_rangejoin.py asserts the ReusedExchange). At 100 TB
+    the same decomposition works across jobs: persist the finest
+    partials as a bucketed table (operators/bucketing.py) and derive
+    day/week/month views from it without touching raw data again —
+    the continuous-aggregate pattern.
+
+    grains must be ordered finest -> coarsest, each a valid
+    date_trunc unit, and each coarser grain must be a whole multiple
+    of buckets of the finer one (hour/day/week/month/quarter/year all
+    nest; month does NOT nest in week — Spark and every other engine
+    truncate them independently, so put at most one of week/month in
+    a chain... or start a second chain from the partials yourself).
+    """
+    keys = list(keys)
+    _PARTIAL = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
+    _MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    bad = [n for n, (k, _) in aggs.items() if k not in _PARTIAL]
+    if bad:
+        raise ValueError(
+            f"aggs {bad} are not decomposable "
+            "(use count/sum/min/max; derive avg as sum/count)"
+        )
+    finest = grains[0]
+    partials = df.groupBy(
+        F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *keys
+    ).agg(*[_PARTIAL[k](col).alias(n) for n, (k, col) in aggs.items()])
+    # merged aggregates cast back to the partials' exact types (sum
+    # over decimal widens precision; sum over count's long stays long)
+    # so every grain branch carries one schema through the union
+    merge_exprs = [
+        _MERGE[k](F.col(n)).cast(partials.schema[n].dataType).alias(n)
+        for n, (k, _) in aggs.items()
+    ]
+    out = partials.select(F.lit(finest).alias("grain"), "bucket", *keys, *list(aggs))
+    for g in grains[1:]:
+        rolled = partials.groupBy(
+            F.date_trunc(g, F.col("bucket")).alias("bucket"), *keys
+        ).agg(*merge_exprs)
+        out = out.unionByName(
+            rolled.select(F.lit(g).alias("grain"), "bucket", *keys, *list(aggs))
+        )
+    return out
+
+
 def session(
     df: DataFrame,
     ts_col: str,

@@ -73,6 +73,16 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     # along inside the fold, so pass-through byte-identity is still
     # gate-verified
     ("inspect_passthrough_lineitem", ["l_orderkey", "l_linenumber"], ["l_extendedprice"]),
+    # round-4: range (interval) join — events attributed to per-user
+    # purchase lookback windows (operators/rangejoin.py, keyed 'join')
+    ("events_purchase_window_join", ["purchase_id", "n_events"], ["sum_value"]),
+    # round-4: hypertable-style multi-grain rollup — day/week derived
+    # from hour partials via exchange reuse (operators/windows.py)
+    ("event_hypertable_rollup", ["grain", "bucket", "event_type", "n"],
+     ["sum_value", "max_value"]),
+    # round-4: funnel / ordered-sequence matching (operators/funnel.py)
+    # — HOF fold vs the oracle's min()-chained three-join formulation
+    ("event_funnel_s_c_p", ["step_idx", "step", "n_users"], []),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that

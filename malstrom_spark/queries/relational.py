@@ -699,3 +699,162 @@ def inspect_passthrough_lineitem(spark, sf_dir):
     return observed.select(
         "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("l_extendedprice")
     )
+
+
+# ------------------------------------------------ range (interval) join
+@register(
+    "events_purchase_window_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 4 HOUR
+     AND e.ts < p.ts
+    GROUP BY p.event_id
+    """,
+)
+def events_purchase_window_join(spark, sf_dir):
+    """Range-join operator (operators/rangejoin.py): attribution —
+    each purchase defines a per-user lookback window
+    [purchase_ts - 4h, purchase_ts); count / sum every event of that
+    user inside the window. Keyed shape -> 'join' strategy:
+    SortMergeJoin on the user key with the range predicate as a
+    codegen'd join filter; the unkeyed scale path ('bin') is
+    equality-pinned against this one in tests/test_rangejoin.py."""
+    from ..operators.rangejoin import range_join
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    windows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            (F.col("ts") - F.expr("INTERVAL 4 HOUR")).alias("win_start"),
+            F.col("ts").alias("win_end"),
+        )
+    )
+    pairs = range_join(
+        ev, windows, left_point="ts", right_start="win_start", right_end="win_end",
+        keys=["user_id"], strategy="join",
+    )
+    return pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+# ------------------------------------------------ hypertable rollup
+@register(
+    "event_hypertable_rollup",
+    oracle="""
+    WITH p AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+             MAX(value) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type, CAST(n AS BIGINT) AS n,
+           CAST(sv AS DOUBLE) AS sum_value, round(mx, 2) AS max_value
+    FROM p
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', bucket), '%Y-%m-%d %H:%M:%S'),
+           event_type, CAST(SUM(n) AS BIGINT),
+           CAST(SUM(sv) AS DOUBLE), round(MAX(mx), 2)
+    FROM p GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', strftime(date_trunc('week', bucket), '%Y-%m-%d %H:%M:%S'),
+           event_type, CAST(SUM(n) AS BIGINT),
+           CAST(SUM(sv) AS DOUBLE), round(MAX(mx), 2)
+    FROM p GROUP BY 2, 3
+    """,
+)
+def event_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style multi-grain rollup (operators/windows.py
+    hypertable_rollup): hour partials computed in ONE shuffle of the
+    raw events; day and week derive from those partials (exchange
+    reuse plan-asserted in tests/test_rangejoin.py), never rescanning
+    raw rows — the continuous-aggregate decomposition that holds at
+    100 TB when the partials are persisted bucketed. The oracle
+    mirrors the decomposition (partials CTE) so both engines compute
+    identical exact decimal sums."""
+    from ..operators.windows import hypertable_rollup
+
+    ev = table(spark, sf_dir, "events")
+    out = hypertable_rollup(
+        ev,
+        "ts",
+        keys=["event_type"],
+        aggs={
+            "n": ("count", F.lit(1)),
+            "sv": ("sum", F.col("value").cast("decimal(18,6)")),
+            "mx": ("max", F.col("value")),
+        },
+        grains=("hour", "day", "week"),
+    )
+    return out.select(
+        "grain",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sv").cast("double").alias("sum_value"),
+        F.round("mx", 2).alias("max_value"),
+    )
+
+
+# ------------------------------------------------ funnel (CEP-lite)
+@register(
+    "event_funnel_s_c_p",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN s2 ON s2.user_id = e.user_id
+      JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+    SELECT 1 AS step_idx, 'signup' AS step,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+)
+def event_funnel_s_c_p(spark, sf_dir):
+    """Funnel operator (operators/funnel.py): users completing
+    signup -> click -> purchase in strict timestamp order within 7
+    days of their first signup. The oracle is the min()-chained SQL
+    formulation — three joins and three aggregations — while the
+    operator does ONE shuffle on user and a codegen'd higher-order
+    fold; identical counts prove the fold's chaining semantics."""
+    from ..operators.funnel import funnel_counts
+
+    ev = table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("signup", F.col("event_type") == "signup"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="7 days",
+    )

@@ -1,0 +1,131 @@
+"""Funnel operator (operators/funnel.py): strict-order chaining,
+window bound, tie and out-of-order handling."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from malstrom_spark.operators.funnel import funnel_counts, funnel_times
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _steps():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        ("a", F.col("et") == "a"),
+        ("b", F.col("et") == "b"),
+        ("c", F.col("et") == "c"),
+    ]
+
+
+def _times(spark, rows, within=None):
+    df = spark.createDataFrame([Row(u=u, ts=_ts(t), et=e) for u, t, e in rows])
+    out = funnel_times(df, "u", "ts", _steps(), within=within)
+    return {r.u: (r.t_a, r.t_b, r.t_c) for r in out.collect()}
+
+
+def test_basic_chain(spark):
+    got = _times(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (1, "2024-01-01 01:00:00", "b"),
+            (1, "2024-01-01 02:00:00", "c"),
+        ],
+    )
+    assert got[1] == (_ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"),
+                      _ts("2024-01-01 02:00:00"))
+
+
+def test_order_matters(spark):
+    # b before a: prefix (a) completes, (a,b) does not
+    got = _times(
+        spark,
+        [(2, "2024-01-01 00:00:00", "b"), (2, "2024-01-01 01:00:00", "a")],
+    )
+    assert got[2][0] == _ts("2024-01-01 01:00:00")
+    assert got[2][1] is None
+
+
+def test_equal_ts_cannot_chain(spark):
+    got = _times(
+        spark,
+        [(3, "2024-01-01 00:00:00", "a"), (3, "2024-01-01 00:00:00", "b")],
+    )
+    assert got[3][1] is None  # strict > required
+
+
+def test_earliest_anchor_not_best_anchor(spark):
+    # earliest 'a' anchors the window even when a later 'a' would let
+    # the chain complete — min()-chaining semantics, same as the SQL
+    # oracle; the later 'b' falls outside t_a + 1 hour
+    got = _times(
+        spark,
+        [
+            (4, "2024-01-01 00:00:00", "a"),
+            (4, "2024-01-05 00:00:00", "a"),
+            (4, "2024-01-05 00:30:00", "b"),
+        ],
+        within="1 hour",
+    )
+    assert got[4][0] == _ts("2024-01-01 00:00:00")
+    assert got[4][1] is None
+
+
+def test_within_bound_inclusive(spark):
+    got = _times(
+        spark,
+        [
+            (5, "2024-01-01 00:00:00", "a"),
+            (5, "2024-01-01 01:00:00", "b"),  # exactly t_a + within
+            (6, "2024-01-01 00:00:00", "a"),
+            (6, "2024-01-01 01:00:01", "b"),  # just outside
+        ],
+        within="1 hour",
+    )
+    assert got[5][1] == _ts("2024-01-01 01:00:00")
+    assert got[6][1] is None
+
+
+def test_one_event_cannot_fill_two_steps(spark):
+    # a then a single 'b and c'-ambiguous event type can't happen with
+    # disjoint predicates; use overlapping predicates instead
+    steps = [
+        ("x", F.col("et").isin("a", "ab")),
+        ("y", F.col("et").isin("b", "ab")),
+    ]
+    df = spark.createDataFrame(
+        [Row(u=7, ts=_ts("2024-01-01 00:00:00"), et="ab")]
+    )
+    out = funnel_times(df, "u", "ts", steps)
+    r = out.collect()[0]
+    assert r.t_x == _ts("2024-01-01 00:00:00") and r.t_y is None
+
+
+def test_counts_monotone_on_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    steps = [
+        ("signup", F.col("event_type") == "signup"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    rows = funnel_counts(ev, "user_id", "ts", steps, within="7 days").collect()
+    by_idx = {r.step_idx: r.n_users for r in rows}
+    assert [r.step for r in sorted(rows, key=lambda r: r.step_idx)] == [
+        "signup", "click", "purchase"
+    ]
+    assert by_idx[1] >= by_idx[2] >= by_idx[3]
+    assert by_idx[1] > 0
+
+
+def test_duplicate_step_names_rejected(spark):
+    df = spark.createDataFrame([Row(u=1, ts=_ts("2024-01-01 00:00:00"), et="a")])
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_times(df, "u", "ts", [("a", F.col("et") == "a"), ("a", F.col("et") == "b")])

@@ -1,0 +1,160 @@
+"""Range (interval) join + hypertable rollup (round 4).
+
+Strategy-equality pins: 'join', 'bin' and 'broadcast' must produce
+identical pair sets; plan shape pins: the bin strategy must plan an
+equi-join (no BroadcastNestedLoop / CartesianProduct) even with NO
+equi-keys, and the hypertable rollup's coarser grains must reuse the
+finest grain's aggregate exchange instead of rescanning raw data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from malstrom_spark.operators.rangejoin import range_join
+from malstrom_spark.operators.windows import hypertable_rollup
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [
+        Row(k=1, pid=1, ts=_ts("2024-01-01 00:30:00")),
+        Row(k=1, pid=2, ts=_ts("2024-01-03 12:00:00")),
+        Row(k=2, pid=3, ts=_ts("2024-01-03 12:00:00")),
+        Row(k=2, pid=4, ts=_ts("2024-02-01 00:00:00")),
+        Row(k=3, pid=5, ts=_ts("2024-01-10 00:00:00")),
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    rows = [
+        # k=1: window covering Jan 1-2, window covering Jan 3-5
+        Row(k=1, wid=10, start=_ts("2024-01-01 00:00:00"), end=_ts("2024-01-02 00:00:00")),
+        Row(k=1, wid=11, start=_ts("2024-01-03 00:00:00"), end=_ts("2024-01-05 00:00:00")),
+        # k=2: overlapping windows both containing Jan 3 12:00
+        Row(k=2, wid=20, start=_ts("2024-01-02 00:00:00"), end=_ts("2024-01-04 00:00:00")),
+        Row(k=2, wid=21, start=_ts("2024-01-03 00:00:00"), end=_ts("2024-01-06 00:00:00")),
+        # k=3: empty window (start == end, half-open -> matches nothing)
+        Row(k=3, wid=30, start=_ts("2024-01-10 00:00:00"), end=_ts("2024-01-10 00:00:00")),
+        # k=9: no points with this key
+        Row(k=9, wid=90, start=_ts("2024-01-01 00:00:00"), end=_ts("2024-12-31 00:00:00")),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _pairs(df):
+    return sorted((r.pid, r.wid) for r in df.select("pid", "wid").collect())
+
+
+EXPECTED = [(1, 10), (2, 11), (3, 20), (3, 21)]
+
+
+def test_keyed_join_strategy(points, intervals):
+    out = range_join(points, intervals, "ts", "start", "end", keys=["k"], strategy="join")
+    assert _pairs(out) == EXPECTED
+    # half-open: point exactly at end excluded; empty window matches nothing
+    out_incl = range_join(
+        points, intervals, "ts", "start", "end", keys=["k"], strategy="join",
+        end_inclusive=True,
+    )
+    assert (5, 30) in _pairs(out_incl)
+
+
+def test_bin_strategy_matches_join(points, intervals):
+    for width in ("1 day", "3 days", "90 minutes"):
+        out = range_join(
+            points, intervals, "ts", "start", "end", keys=["k"],
+            strategy="bin", bin_width=width,
+        )
+        assert _pairs(out) == EXPECTED, width
+
+
+def test_unkeyed_bin_matches_broadcast(points, intervals):
+    bc = range_join(points, intervals.drop("k"), "ts", "start", "end", strategy="broadcast")
+    bn = range_join(
+        points, intervals.drop("k"), "ts", "start", "end",
+        strategy="bin", bin_width="2 days",
+    )
+    assert _pairs(bn) == _pairs(bc)
+
+
+def test_unkeyed_join_refused(points, intervals):
+    with pytest.raises(ValueError, match="bin"):
+        range_join(points, intervals.drop("k"), "ts", "start", "end", strategy="join")
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join(points, intervals.drop("k"), "ts", "start", "end", strategy="bin")
+
+
+def test_unkeyed_bin_plan_is_equi_join(points, intervals):
+    """The whole point of the bin strategy: no nested-loop even with
+    zero equi-keys — the synthetic bin column carries the join."""
+    out = range_join(
+        points, intervals.drop("k"), "ts", "start", "end",
+        strategy="bin", bin_width="2 days",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_values_match_direct(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hypertable_rollup(
+        ev, "ts", keys=["event_type"],
+        aggs={
+            "n": ("count", F.lit(1)),
+            "sv": ("sum", F.col("value").cast("decimal(18,6)")),
+            "mn": ("min", F.col("value")),
+            "mx": ("max", F.col("value")),
+        },
+        grains=("hour", "day", "week"),
+    ).cache()
+    try:
+        for grain in ("hour", "day", "week"):
+            direct = (
+                ev.groupBy(
+                    F.date_trunc(grain, "ts").alias("bucket"), "event_type"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+                    F.min("value").alias("mn"),
+                    F.max("value").alias("mx"),
+                )
+            )
+            got = out.filter(F.col("grain") == grain).drop("grain")
+            sym = got.select(direct.columns).exceptAll(direct).count() + direct.exceptAll(
+                got.select(direct.columns)
+            ).count()
+            assert sym == 0, f"grain {grain} diverges from direct aggregation"
+    finally:
+        out.unpersist()
+
+
+def test_rollup_reuses_partial_exchange(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hypertable_rollup(
+        ev, "ts", keys=["event_type"],
+        aggs={"n": ("count", F.lit(1))}, grains=("hour", "day", "week"),
+    )
+    out.collect()  # AQE materializes reuse at runtime -> final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # day AND week branches hang off the hour partials' exchange: one
+    # materialized shuffle of raw data, two reuses
+    assert plan.count("ReusedExchange") == 2
+
+
+def test_rollup_rejects_non_decomposable():
+    with pytest.raises(ValueError, match="decomposable"):
+        hypertable_rollup(None, "ts", [], {"a": ("avg", F.col("x"))})
