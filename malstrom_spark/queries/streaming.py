@@ -481,3 +481,70 @@ def streaming_static_enrich(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("total_value"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_funnel_s_c_p",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN s2 ON s2.user_id = e.user_id
+      JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+    SELECT 1 AS step_idx, 'signup' AS step,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+)
+def streaming_funnel_s_c_p(spark, sf_dir):
+    """STREAMING funnel (streaming/funnel.py): the per-user chain
+    state lives in the state store and is advanced by a vectorized
+    min()-chaining kernel per microbatch; with the bounded availableNow
+    replay the final chain equals the batch operator, so the SAME
+    min()-chained SQL oracle as event_funnel_s_c_p verifies the
+    stateful-streaming path end-to-end. Registered outside the 50-row
+    gate (checked by tools/oracle_check.py + pytest parity)."""
+    from ..streaming.funnel import funnel_stream
+
+    ev = replay_table(spark, sf_dir, "events")
+    out = funnel_stream(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("signup", F.col("event_type") == "signup"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="7 days",
+    )
+    final = run_to_memory(out, output_mode="append")
+    counts = final.agg(
+        F.count("t_signup").cast("long").alias("c0"),
+        F.count("t_click").cast("long").alias("c1"),
+        F.count("t_purchase").cast("long").alias("c2"),
+    )
+    pairs = F.array(
+        F.struct(F.lit(1).alias("step_idx"), F.lit("signup").alias("step"),
+                 F.col("c0").alias("n_users")),
+        F.struct(F.lit(2).alias("step_idx"), F.lit("click").alias("step"),
+                 F.col("c1").alias("n_users")),
+        F.struct(F.lit(3).alias("step_idx"), F.lit("purchase").alias("step"),
+                 F.col("c2").alias("n_users")),
+    )
+    return counts.select(F.explode(pairs).alias("p")).select("p.*")

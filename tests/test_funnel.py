@@ -129,3 +129,33 @@ def test_duplicate_step_names_rejected(spark):
     df = spark.createDataFrame([Row(u=1, ts=_ts("2024-01-01 00:00:00"), et="a")])
     with pytest.raises(ValueError, match="duplicate"):
         funnel_times(df, "u", "ts", [("a", F.col("et") == "a"), ("a", F.col("et") == "b")])
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir):
+    """Streaming twin parity: the state-store chaining must equal the
+    batch fold on the bounded replay (per-user times, not just
+    counts)."""
+    from malstrom_spark.streaming.funnel import funnel_stream
+    from malstrom_spark.streaming.replay import replay_table, run_to_memory
+
+    steps = lambda: [  # noqa: E731 — fresh Columns per DataFrame
+        ("signup", F.col("event_type") == "signup"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    stream_out = run_to_memory(
+        funnel_stream(
+            replay_table(spark, sf_dir, "events"), "user_id", "ts", steps(),
+            within="7 days",
+        ),
+        output_mode="append",
+    )
+    batch_out = funnel_times(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        "user_id", "ts", steps(), within="7 days",
+    )
+    got = {r.u: (r.t_signup, r.t_click, r.t_purchase) for r in stream_out.collect()}
+    want = {
+        r.user_id: (r.t_signup, r.t_click, r.t_purchase) for r in batch_out.collect()
+    }
+    assert got == want and len(got) > 0
