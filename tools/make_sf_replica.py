@@ -8,7 +8,7 @@ would inflate joins quadratically).
   customer/supplier/part : surrogate keys offset per replica
   orders                 : o_orderkey/o_custkey offset
   lineitem               : l_orderkey/l_partkey/l_suppkey offset
-  events                 : user_id offset (ts kept: same time range,
+  events                 : event_id/user_id offset (ts kept: same time range,
                            N× denser — how event streams actually grow)
   documents              : doc_id offset, text copied (dup clusters
                            grow N×, the adversarial case for dedup)
@@ -39,7 +39,7 @@ TABLES = {
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["user_id"],
+    "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
