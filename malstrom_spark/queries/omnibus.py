@@ -83,6 +83,10 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     # round-4: funnel / ordered-sequence matching (operators/funnel.py)
     # — HOF fold vs the oracle's min()-chained three-join formulation
     ("event_funnel_s_c_p", ["step_idx", "step", "n_users"], []),
+    # round-4: SCD2 type-2 dimension history (operators/scd.py) —
+    # lag-dedup + lead-close over one shuffle, vs two-window SQL
+    ("customer_priority_scd2",
+     ["o_custkey", "o_orderpriority", "valid_from", "valid_to", "is_current"], []),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that

@@ -858,3 +858,55 @@ def event_funnel_s_c_p(spark, sf_dir):
         ],
         within="7 days",
     )
+
+
+# ------------------------------------------------ SCD2 history
+@register(
+    "customer_priority_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    changes AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+      FROM ordered WHERE prev IS DISTINCT FROM o_orderpriority),
+    final AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS valid_to
+      FROM changes)
+    SELECT o_custkey, o_orderpriority,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(valid_to, '%Y-%m-%d'), 'current') AS valid_to,
+           CAST(valid_to IS NULL AS BIGINT) AS is_current
+    FROM final
+    """,
+)
+def customer_priority_scd2(spark, sf_dir):
+    """SCD2 operator (operators/scd.py): each customer's order-
+    priority history as type-2 dimension rows — consecutive orders
+    with the same priority open no new interval; valid_to chains to
+    the next change (half-open, gap-free). The oracle is the
+    two-window SQL formulation; the operator computes both window
+    passes over ONE shuffle+sort on the key."""
+    from ..operators.scd import scd2_history
+
+    orders = table(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders,
+        key="o_custkey",
+        ts="o_orderdate",
+        attrs=["o_orderpriority"],
+        tiebreak="o_orderkey",
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", "yyyy-MM-dd"), F.lit("current")).alias(
+            "valid_to"
+        ),
+        F.col("is_current").cast("long").alias("is_current"),
+    )

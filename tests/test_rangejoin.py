@@ -158,3 +158,42 @@ def test_rollup_reuses_partial_exchange(spark, sf_dir):
 def test_rollup_rejects_non_decomposable():
     with pytest.raises(ValueError, match="decomposable"):
         hypertable_rollup(None, "ts", [], {"a": ("avg", F.col("x"))})
+
+
+# ---------------------------------------------------------- property
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_POINT = st.integers(min_value=0, max_value=500)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(_POINT, min_size=1, max_size=30),
+    wins=st.lists(st.tuples(_POINT, st.integers(min_value=0, max_value=60)),
+                  min_size=1, max_size=15),
+    width=st.sampled_from(["1 minute", "7 minutes", "1 hour"]),
+)
+def test_bin_equals_reference_on_random_data(spark, pts, wins, width):
+    """For ANY point/interval layout and ANY bin width, the bin
+    strategy must produce exactly the pairs a nested-loop (broadcast)
+    join produces — including empty, touching and contained
+    intervals."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    mins = lambda m: base + dt.timedelta(minutes=int(m))  # noqa: E731
+    left = spark.createDataFrame(
+        [(i, mins(p)) for i, p in enumerate(pts)], "pid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(i, mins(s), mins(s + d)) for i, (s, d) in enumerate(wins)],
+        "wid int, s timestamp, e timestamp",
+    )
+    expect = sorted(
+        (pi, wi)
+        for pi, p in enumerate(pts)
+        for wi, (s, d) in enumerate(wins)
+        if s <= p < s + d
+    )
+    got = range_join(left, right, "ts", "s", "e", strategy="bin", bin_width=width)
+    assert sorted((r.pid, r.wid) for r in got.collect()) == expect

@@ -1,0 +1,95 @@
+"""SCD2 history builder (operators/scd.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from malstrom_spark.operators.scd import scd2_history
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _hist(spark, rows, **kw):
+    df = spark.createDataFrame([Row(k=k, ts=_ts(t), v=v, tb=i) for i, (k, t, v) in enumerate(rows)])
+    out = scd2_history(df, key="k", ts="ts", attrs=["v"], tiebreak="tb", **kw)
+    return sorted(
+        ((r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out.collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+
+
+def test_intervals_chain_gap_free(spark):
+    got = _hist(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (1, "2024-01-02 00:00:00", "b"),
+            (1, "2024-01-03 00:00:00", "c"),
+        ],
+    )
+    assert got == [
+        (1, "a", _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"), False),
+        (1, "b", _ts("2024-01-02 00:00:00"), _ts("2024-01-03 00:00:00"), False),
+        (1, "c", _ts("2024-01-03 00:00:00"), None, True),
+    ]
+
+
+def test_unchanged_values_open_no_interval(spark):
+    got = _hist(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (1, "2024-01-02 00:00:00", "a"),  # no-op change
+            (1, "2024-01-03 00:00:00", "b"),
+        ],
+    )
+    # the no-op row is absorbed: 'a' runs until the 'b' change
+    assert got == [
+        (1, "a", _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00"), False),
+        (1, "b", _ts("2024-01-03 00:00:00"), None, True),
+    ]
+    raw = _hist(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (1, "2024-01-02 00:00:00", "a"),
+        ],
+        drop_unchanged=False,
+    )
+    assert len(raw) == 2  # audit mode keeps every event
+
+
+def test_null_transitions_are_changes(spark):
+    got = _hist(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (1, "2024-01-02 00:00:00", None),
+            (1, "2024-01-03 00:00:00", None),  # null -> null: no-op
+            (1, "2024-01-04 00:00:00", "a"),
+        ],
+    )
+    assert [v for _, v, *_ in got] == ["a", None, "a"]
+
+
+def test_single_shuffle_plan(spark, sf_dir):
+    """lag-dedup and lead-close share one window spec; the filter in
+    between preserves order, so the whole history builds off a single
+    Exchange+Sort on the key."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = scd2_history(
+        orders, key="o_custkey", ts="o_orderdate",
+        attrs=["o_orderpriority"], tiebreak="o_orderkey",
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final AND Initial plans; assert on the final only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("Sort [") == 1, final
+    assert final.count("Window [") == 2, final  # lag pass + lead pass
