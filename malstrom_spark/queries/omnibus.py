@@ -87,6 +87,9 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     # lag-dedup + lead-close over one shuffle, vs two-window SQL
     ("customer_priority_scd2",
      ["o_custkey", "o_orderpriority", "valid_from", "valid_to", "is_current"], []),
+    # round-4: unpivot/melt — inverse of the pivot matrix, Expand node
+    ("lineitem_measures_unpivot",
+     ["l_orderkey", "l_linenumber", "measure"], ["value"]),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that

@@ -910,3 +910,52 @@ def customer_priority_scd2(spark, sf_dir):
         ),
         F.col("is_current").cast("long").alias("is_current"),
     )
+
+
+# ------------------------------------------------ unpivot / melt
+@register(
+    "lineitem_measures_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, m AS measure, round(v, 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS m, l_quantity AS v
+      FROM lineitem WHERE l_quantity >= 49
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem WHERE l_quantity >= 49
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_quantity >= 49
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_quantity >= 49
+    ) t
+    """,
+)
+def lineitem_measures_unpivot(spark, sf_dir):
+    """Unpivot (melt) surface — the inverse of the pivot exercised by
+    user_event_type_matrix: wide measure columns to (measure, value)
+    rows via the native DataFrame.unpivot (a Generate/Expand node, no
+    shuffle at all; the filter still pushes into the scan). Oracle is
+    the portable UNION ALL formulation."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    # unpivot names variable columns after the source columns; map to
+    # the oracle's measure labels
+    label = (
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "extendedprice")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax")
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        label.alias("measure"),
+        F.round("value", 2).alias("value"),
+    )

@@ -20,6 +20,7 @@ EXAMPLES = [
     "training_pipeline",
     "message_bus",
     "streaming_corpus_ingest",
+    "temporal_analytics",
 ]
 
 
