@@ -32,6 +32,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType, TimestampType
 
 
+_UNIT_US = {
+    "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+    "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def _interval_micros(sdf: DataFrame, within: str) -> int:
+    """'<n> <unit>' intervals resolve in Python (no job at plan
+    construction); anything fancier falls back to one engine-side
+    evaluation of the INTERVAL literal."""
+    parts = within.strip().lower().split()
+    if len(parts) == 2 and parts[1].rstrip("s") in _UNIT_US:
+        try:
+            return int(float(parts[0]) * _UNIT_US[parts[1].rstrip("s")])
+        except ValueError:
+            pass
+    return (
+        sdf.sparkSession.range(1)
+        .select(
+            F.unix_micros(
+                F.lit(0).cast("timestamp") + F.expr(f"INTERVAL {within}")
+            ).alias("us")
+        )
+        .collect()[0]
+        .us
+    )
+
+
 def funnel_stream(
     sdf: DataFrame,
     user: str,
@@ -51,15 +80,7 @@ def funnel_stream(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
     k = len(steps)
-    within_us = None
-    if within is not None:
-        # resolve the interval ONCE, engine-side, to exact micros
-        sess = sdf.sparkSession
-        within_us = sess.range(1).select(
-            (
-                F.unix_micros(F.lit(0).cast("timestamp") + F.expr(f"INTERVAL {within}"))
-            ).alias("us")
-        ).collect()[0].us
+    within_us = None if within is None else _interval_micros(sdf, within)
 
     any_step = None
     for _, p in steps:
