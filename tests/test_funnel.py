@@ -159,3 +159,30 @@ def test_streaming_funnel_matches_batch(spark, sf_dir):
         r.user_id: (r.t_signup, r.t_click, r.t_purchase) for r in batch_out.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_five_step_interleaved(spark):
+    """Longer chains: steps interleaved with noise and regressions;
+    prefix depth must follow the strict order exactly."""
+    steps = [(n, F.col("et") == n) for n in ("a", "b", "c", "d", "e")]
+    rows = [
+        (1, "2024-01-01 00:00:00", "b"),  # too early, before 'a'
+        (1, "2024-01-01 01:00:00", "a"),
+        (1, "2024-01-01 02:00:00", "c"),  # skips 'b' -> can't count yet
+        (1, "2024-01-01 03:00:00", "b"),
+        (1, "2024-01-01 04:00:00", "c"),  # now valid
+        (1, "2024-01-01 05:00:00", "e"),  # skips 'd'
+        (1, "2024-01-01 06:00:00", "d"),
+        (1, "2024-01-01 07:00:00", "e"),  # completes
+    ]
+    df = spark.createDataFrame(
+        [Row(u=u, ts=_ts(t), et=e) for u, t, e in rows]
+    )
+    out = funnel_times(df, "u", "ts", steps).collect()[0]
+    assert (out.t_a, out.t_b, out.t_c, out.t_d, out.t_e) == (
+        _ts("2024-01-01 01:00:00"),
+        _ts("2024-01-01 03:00:00"),
+        _ts("2024-01-01 04:00:00"),
+        _ts("2024-01-01 06:00:00"),
+        _ts("2024-01-01 07:00:00"),
+    )
