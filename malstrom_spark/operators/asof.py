@@ -3,9 +3,13 @@
 alignment at scale.
 
 Semantics: for each left row, attach the single right row with the
-same key and the greatest right_ts <= left_ts ('backward' strategy).
-Ties on right_ts break by the largest tiebreak column, making results
-deterministic.
+same key and — direction='backward' (default) — the greatest
+right_ts <= left_ts, ties on right_ts breaking to the LARGEST
+tiebreak; direction='forward' mirrors it (smallest right_ts >=
+left_ts, ties to the SMALLEST tiebreak); direction='nearest' takes
+whichever directional pick is closer in time, exact ties preferring
+backward (pandas merge_asof convention). Every strategy implements
+every direction with identical results (tests/test_asof.py).
 
 Three physical strategies:
 - 'window': union both sides tagged with a side marker, ONE shuffle
@@ -46,23 +50,75 @@ def as_of_join(
     tiebreak: str | None = None,
     strategy: str | None = None,
     broadcast_right: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
+    """direction: 'backward' (default — greatest right_ts <= left_ts;
+    ties on right_ts break by LARGEST tiebreak), 'forward' (smallest
+    right_ts >= left_ts; ties break by SMALLEST tiebreak — the
+    mirror-image pick every strategy can express identically), or
+    'nearest' (whichever of the two is closer in time; exact ties
+    prefer backward, the pandas merge_asof convention)."""
     keys = [key] if isinstance(key, str) else list(key)
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, keys, left_ts, right_ts, list(right_cols), tiebreak,
+            strategy, broadcast_right,
+        )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     if strategy is None:
         strategy = "join" if broadcast_right else "window"
     if strategy == "window":
         return _asof_via_union_window(
-            left, right, keys, left_ts, right_ts, list(right_cols), tiebreak
+            left, right, keys, left_ts, right_ts, list(right_cols), tiebreak, direction
         )
     if strategy == "join":
         return _asof_via_join(
-            left, right, keys, left_ts, right_ts, list(right_cols), tiebreak, broadcast_right
+            left, right, keys, left_ts, right_ts, list(right_cols), tiebreak,
+            broadcast_right, direction,
         )
     if strategy == "pandas":
         return _asof_via_pandas(
-            left, right, keys, left_ts, right_ts, list(right_cols), tiebreak
+            left, right, keys, left_ts, right_ts, list(right_cols), tiebreak, direction
         )
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _asof_nearest(
+    left, right, keys, left_ts, right_ts, right_cols, tiebreak, strategy, broadcast_right
+):
+    """Both directional picks, then the closer one per left row. Two
+    passes over the same shuffle layout; |Δt| compares on the common
+    timestamp type, exact ties -> backward."""
+    lid = "__asof_nid"
+    l = left.withColumn(lid, F.monotonically_increasing_id())
+    # the distance compare needs the right ts even when the caller
+    # didn't ask for it; fetch it internally, emit only right_cols
+    fetch = right_cols if right_ts in right_cols else [right_ts, *right_cols]
+    back = as_of_join(
+        l, right, keys, left_ts, right_ts, fetch, tiebreak,
+        strategy, broadcast_right, "backward",
+    )
+    fwd = as_of_join(
+        l, right, keys, left_ts, right_ts, fetch, tiebreak,
+        strategy, broadcast_right, "forward",
+    )
+    b = back.select(lid, *[F.col(c).alias(f"__b_{c}") for c in fetch])
+    f = fwd.select(lid, *[F.col(c).alias(f"__f_{c}") for c in fetch])
+    l_ts_expr, _ = _common_ts(l, right, left_ts, right_ts)
+    j = l.join(b, lid).join(f, lid)
+    bd = F.abs(l_ts_expr.cast("double") - F.col(f"__b_{right_ts}").cast("double"))
+    fd = F.abs(l_ts_expr.cast("double") - F.col(f"__f_{right_ts}").cast("double"))
+    take_b = F.col(f"__f_{right_ts}").isNull() | (
+        F.col(f"__b_{right_ts}").isNotNull() & (bd <= fd)
+    )
+    return j.select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.when(take_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+            for c in right_cols
+        ],
+    )
 
 
 def _common_ts(left, right, left_ts, right_ts):
@@ -83,7 +139,9 @@ def _common_ts(left, right, left_ts, right_ts):
     return F.col(left_ts).cast(target), F.col(right_ts).cast(target)
 
 
-def _asof_via_union_window(left, right, keys, left_ts, right_ts, right_cols, tiebreak):
+def _asof_via_union_window(
+    left, right, keys, left_ts, right_ts, right_cols, tiebreak, direction="backward"
+):
     from pyspark.sql import Window
     from pyspark.sql.types import StructType
 
@@ -109,11 +167,18 @@ def _asof_via_union_window(left, right, keys, left_ts, right_ts, right_cols, tie
         F.lit(None).cast(p_type).alias("__p"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
-    # right rows sort before left rows at equal ts (inclusive <=);
-    # among equal right ts the largest tiebreak is seen last and wins
+    # backward: ascending scan — right rows sort before left rows at
+    # equal ts (inclusive <=); among equal right ts the largest
+    # tiebreak is seen last and wins. forward: the same scan over
+    # DESCENDING ts (so 'last seen' = smallest right_ts >= left_ts),
+    # tiebreak descending so the smallest tiebreak is seen last.
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__tb").desc()]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = r2.unionByName(l2).withColumn("__best", F.last("__p", ignorenulls=True).over(w))
@@ -123,20 +188,29 @@ def _asof_via_union_window(left, right, keys, left_ts, right_ts, right_cols, tie
     )
 
 
-def _asof_via_join(left, right, keys, left_ts, right_ts, right_cols, tiebreak, broadcast_right):
+def _asof_via_join(
+    left, right, keys, left_ts, right_ts, right_cols, tiebreak, broadcast_right,
+    direction="backward",
+):
     lid = "__asof_lid"
     l = left.withColumn(lid, F.monotonically_increasing_id())
     r = right.select(*keys, right_ts, *[c for c in right_cols if c not in keys and c != right_ts])
     if broadcast_right:
         r = F.broadcast(r)
-    cond = [l[k] == r[k] for k in keys] + [r[right_ts] <= l[left_ts]]
+    ts_cond = (
+        r[right_ts] <= l[left_ts] if direction == "backward" else r[right_ts] >= l[left_ts]
+    )
+    cond = [l[k] == r[k] for k in keys] + [ts_cond]
     joined = l.join(r, cond, "left")
-    # pick the max (right_ts, tiebreak, payload...) struct per left row
+    # backward: max (right_ts, tiebreak, ...) struct -> latest ts, ties
+    # to the LARGEST tiebreak; forward: min struct -> earliest ts, ties
+    # to the SMALLEST tiebreak (the pick both orderings agree on)
     struct_cols = [r[right_ts].alias("__ts")]
     if tiebreak:
         struct_cols.append(r[tiebreak].alias("__tb"))
     struct_cols += [r[c].alias(c) for c in right_cols]
-    pick = F.max(F.struct(*struct_cols)).alias("__best")
+    agg = F.max if direction == "backward" else F.min
+    pick = agg(F.struct(*struct_cols)).alias("__best")
     out = joined.groupBy(l[lid]).agg(
         *[F.first(l[c]).alias(c) for c in left.columns], pick
     )
@@ -144,7 +218,9 @@ def _asof_via_join(left, right, keys, left_ts, right_ts, right_cols, tiebreak, b
     return out.select(*proj)
 
 
-def _asof_via_pandas(left, right, keys, left_ts, right_ts, right_cols, tiebreak=None):
+def _asof_via_pandas(
+    left, right, keys, left_ts, right_ts, right_cols, tiebreak=None, direction="backward"
+):
     import pandas as pd
 
     out_fields = list(left.schema.fields) + [
@@ -164,15 +240,17 @@ def _asof_via_pandas(left, right, keys, left_ts, right_ts, right_cols, tiebreak=
             for c in extra:
                 out[c] = None
             return out
-        # merge_asof picks the LAST right row among equal right_ts in
-        # sort order; sorting by [right_ts, tiebreak] makes ties break
-        # by the largest tiebreak — same contract as the join strategy
-        # (without a tiebreak, equal-ts winners follow input order).
+        # backward: merge_asof picks the LAST right row among equal
+        # right_ts in sort order -> [ts, tiebreak] ascending breaks
+        # ties by the LARGEST tiebreak; forward picks the FIRST ->
+        # the same sort breaks ties by the SMALLEST tiebreak. Both
+        # match the join/window strategies' contracts (without a
+        # tiebreak, equal-ts winners follow input order).
         sort_keys = [right_ts, tiebreak] if tiebreak else [right_ts]
         keep = [right_ts, *[c for c in extra if c != right_ts]]
         r_sorted = r_pdf.sort_values(sort_keys, kind="mergesort")[keep]
         merged = pd.merge_asof(
-            l_sorted, r_sorted, left_on=left_ts, right_on=right_ts, direction="backward"
+            l_sorted, r_sorted, left_on=left_ts, right_on=right_ts, direction=direction
         )
         return merged[[f.name for f in out_fields]]
 

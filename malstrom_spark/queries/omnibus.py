@@ -90,6 +90,10 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     # round-4: unpivot/melt — inverse of the pivot matrix, Expand node
     ("lineitem_measures_unpivot",
      ["l_orderkey", "l_linenumber", "measure"], ["value"]),
+    # round-4: FORWARD as-of join (asof.py direction='forward') —
+    # next purchase after each error, ties to the smallest id
+    ("error_next_purchase_asof",
+     ["event_id", "user_id", "next_purchase_id", "next_purchase_ts"], []),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that

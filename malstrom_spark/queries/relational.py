@@ -959,3 +959,48 @@ def lineitem_measures_unpivot(spark, sf_dir):
         label.alias("measure"),
         F.round("value", 2).alias("value"),
     )
+
+
+# ------------------------------------------------ forward as-of join
+@register(
+    "error_next_purchase_asof",
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    pur AS (
+      SELECT event_id AS pid, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'),
+    ranked AS (
+      SELECT err.event_id, err.user_id, pur.pid, pur.pts,
+             ROW_NUMBER() OVER (PARTITION BY err.event_id
+                                ORDER BY pur.pts ASC, pur.pid ASC) AS rn
+      FROM err LEFT JOIN pur
+        ON pur.user_id = err.user_id AND pur.pts >= err.ts)
+    SELECT event_id, user_id, pid AS next_purchase_id,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def error_next_purchase_asof(spark, sf_dir):
+    """FORWARD as-of join (operators/asof.py direction='forward'):
+    for each error event, the same user's next purchase at-or-after
+    it — ties on the purchase timestamp break to the SMALLEST id,
+    the forward mirror of backward's largest. Union+window strategy:
+    one sort-shuffle over both sides, descending scan. Unmatched
+    errors keep null columns (left-join semantics)."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    out = asof.as_of_join(
+        err, pur, key="user_id", left_ts="ts", right_ts="pts",
+        right_cols=["pid", "pts"], tiebreak="pid",
+        strategy="window", direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("pid").alias("next_purchase_id"),
+        F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("next_purchase_ts"),
+    )

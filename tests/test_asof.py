@@ -108,3 +108,61 @@ def test_asof_default_strategy_plans(sides):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_bcast or "BroadcastNestedLoopJoin" in plan_bcast
     assert "FlatMapCoGroupsInPandas" not in plan_bcast
+
+
+# ------------------------------------------------- directions (r4)
+# forward golden for the shared fixture: smallest rts >= lts per key
+#   lid 1 (a,10): rts 10 -> 101 (inclusive); lid 2 (a,20): none
+#   lid 3 (b,15): rts 15 -> 103; lid 4 (c,5): none
+GOLDEN_FWD = {1: 101, 2: None, 3: 103, 4: None}
+# nearest: lid 2 (a,20) -> 102 (|20-18|=2 beats nothing forward);
+# lid 4 stays None (no right rows for key c at all)
+GOLDEN_NEAR = {1: 101, 2: 102, 3: 103, 4: None}
+
+
+@pytest.mark.parametrize("strategy", ["join", "window", "pandas"])
+def test_asof_forward_all_strategies(sides, strategy):
+    left, right = sides
+    out = as_of_join(
+        left, right, "key", "lts", "rts", ["rid"], tiebreak="rid",
+        strategy=strategy, direction="forward",
+    )
+    assert {r.lid: r.rid for r in out.collect()} == GOLDEN_FWD
+
+
+@pytest.mark.parametrize("strategy", ["join", "window"])
+def test_asof_nearest(sides, strategy):
+    left, right = sides
+    out = as_of_join(
+        left, right, "key", "lts", "rts", ["rid"], tiebreak="rid",
+        strategy=strategy, direction="nearest",
+    )
+    assert {r.lid: r.rid for r in out.collect()} == GOLDEN_NEAR
+
+
+def test_asof_forward_tiebreak(spark):
+    """Equal right_ts ties resolve to the SMALLEST tiebreak going
+    forward — the mirror of backward's largest — identically on every
+    strategy."""
+    left = spark.createDataFrame([("a", 10, 1)], "key string, lts long, lid long")
+    right = spark.createDataFrame(
+        [("a", 12, 200), ("a", 12, 201)], "key string, rts long, rid long"
+    )
+    for strategy in ("join", "window", "pandas"):
+        out = as_of_join(
+            left, right, "key", "lts", "rts", ["rid"], tiebreak="rid",
+            strategy=strategy, direction="forward",
+        )
+        assert out.collect()[0].rid == 200, strategy
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([("a", 10, 1)], "key string, lts long, lid long")
+    right = spark.createDataFrame(
+        [("a", 8, 300), ("a", 12, 301)], "key string, rts long, rid long"
+    )
+    out = as_of_join(
+        left, right, "key", "lts", "rts", ["rid"], tiebreak="rid",
+        direction="nearest", strategy="window",
+    )
+    assert out.collect()[0].rid == 300
