@@ -84,10 +84,14 @@ HEADLINE = [
     # noise rather than signal at toy scale.
     "doc_paragraph_dedup",
     "doc_lm_surprisal",
-    # round-4 session 2: range (interval) join and hypertable-style
-    # multi-grain rollup (exchange-reuse plan), both gate-verified
+    # round-4 session 2: range (interval) join, hypertable-style
+    # multi-grain rollup (exchange-reuse plan), funnel sequence
+    # matching, SCD2 history, forward as-of — all gate-verified
     "events_purchase_window_join",
     "event_hypertable_rollup",
+    "event_funnel_s_c_p",
+    "customer_priority_scd2",
+    "error_next_purchase_asof",
 ]
 
 
