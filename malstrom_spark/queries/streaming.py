@@ -548,3 +548,53 @@ def streaming_funnel_s_c_p(spark, sf_dir):
                  F.col("c2").alias("n_users")),
     )
     return counts.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+@register(
+    "streaming_user_state_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered WHERE prev IS DISTINCT FROM event_type),
+    final AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes)
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+           CAST(valid_to IS NULL AS BIGINT) AS is_current
+    FROM final
+    """,
+)
+def streaming_user_state_scd2(spark, sf_dir):
+    """STREAMING SCD2 (streaming/scd.py): per-user event-type
+    intervals built incrementally in the state store — closed
+    intervals emitted as later events arrive, the open interval
+    carried as keyed state; with the bounded availableNow replay the
+    emitted set equals the batch operator, so the SAME two-window SQL
+    oracle verifies the stateful path. Registered outside the 50-row
+    gate (tools/oracle_check.py + pytest parity)."""
+    from ..streaming.scd import scd2_stream
+
+    ev = replay_table(spark, sf_dir, "events")
+    out = run_to_memory(
+        scd2_stream(ev, key="user_id", ts="ts", attrs=["event_type"],
+                    tiebreak="event_id"),
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"), F.lit("current")
+        ).alias("valid_to"),
+        F.col("is_current").cast("long").alias("is_current"),
+    )

@@ -93,3 +93,31 @@ def test_single_shuffle_plan(spark, sf_dir):
     assert final.count("Exchange hashpartitioning") == 1, final
     assert final.count("Sort [") == 1, final
     assert final.count("Window [") == 2, final  # lag pass + lead pass
+
+
+def test_streaming_scd2_matches_batch(spark, sf_dir):
+    """Streaming twin parity: with the bounded replay, the emitted
+    interval set must equal the batch scd2_history exactly."""
+    from malstrom_spark.streaming.replay import replay_table, run_to_memory
+    from malstrom_spark.streaming.scd import scd2_stream
+
+    stream_out = run_to_memory(
+        scd2_stream(
+            replay_table(spark, sf_dir, "events"),
+            key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id",
+        ),
+        output_mode="append",
+    )
+    batch_out = scd2_history(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id",
+    )
+    got = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in stream_out.collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in batch_out.collect()
+    }
+    assert got == want and len(got) > 0
