@@ -88,27 +88,60 @@ def _asof_nearest(
     left, right, keys, left_ts, right_ts, right_cols, tiebreak, strategy, broadcast_right
 ):
     """Both directional picks, then the closer one per left row. Two
-    passes over the same shuffle layout; |Δt| compares on the common
-    timestamp type, exact ties -> backward."""
+    passes over the same shuffle layout; |Δt| compares in epoch
+    micros for temporal types (date/timestamp/ntz all cast cleanly to
+    timestamp) and as doubles for numeric ones; exact ties -> backward.
+
+    Determinism caveat: the three branches are stitched on a
+    monotonically_increasing_id over `left`; like every Spark pattern
+    built on that function, `left` must be deterministic (no
+    un-ordered limit()/sample() inputs), or a task retry can pair a
+    row with another row's directional match.
+    """
     lid = "__asof_nid"
     l = left.withColumn(lid, F.monotonically_increasing_id())
-    # the distance compare needs the right ts even when the caller
-    # didn't ask for it; fetch it internally, emit only right_cols
+    # fetch every needed right column under collision-proof names so
+    # same-named left/right columns (the common left_ts == right_ts
+    # shape) never produce AMBIGUOUS_REFERENCE in the stitching joins;
+    # the distance compare needs right_ts even if the caller didn't
+    # ask for it
     fetch = right_cols if right_ts in right_cols else [right_ts, *right_cols]
+    ren = {c: f"__asof_r_{c}" for c in fetch}
+    proj = []
+    for c in right.columns:
+        if c in keys or c not in ren:
+            proj.append(F.col(c))  # keys (and e.g. a tiebreak outside
+            # right_cols) keep their names for the directional join
+        if c in ren:
+            proj.append(F.col(c).alias(ren[c]))
+    r2 = right.select(*proj)
+    rts2 = ren[right_ts]
+    tb2 = (ren[tiebreak] if tiebreak in ren and tiebreak not in keys else tiebreak) if tiebreak else None
     back = as_of_join(
-        l, right, keys, left_ts, right_ts, fetch, tiebreak,
+        l, r2, keys, left_ts, rts2, list(ren.values()), tb2,
         strategy, broadcast_right, "backward",
     )
     fwd = as_of_join(
-        l, right, keys, left_ts, right_ts, fetch, tiebreak,
+        l, r2, keys, left_ts, rts2, list(ren.values()), tb2,
         strategy, broadcast_right, "forward",
     )
-    b = back.select(lid, *[F.col(c).alias(f"__b_{c}") for c in fetch])
-    f = fwd.select(lid, *[F.col(c).alias(f"__f_{c}") for c in fetch])
+    b = back.select(lid, *[F.col(ren[c]).alias(f"__b_{c}") for c in fetch])
+    f = fwd.select(lid, *[F.col(ren[c]).alias(f"__f_{c}") for c in fetch])
     l_ts_expr, _ = _common_ts(l, right, left_ts, right_ts)
+
+    def dist(ts_expr, other):
+        if _is_temporal(left.schema[left_ts].dataType) or _is_temporal(
+            right.schema[right_ts].dataType
+        ):
+            return F.abs(
+                F.unix_micros(ts_expr.cast("timestamp"))
+                - F.unix_micros(other.cast("timestamp"))
+            )
+        return F.abs(ts_expr.cast("double") - other.cast("double"))
+
     j = l.join(b, lid).join(f, lid)
-    bd = F.abs(l_ts_expr.cast("double") - F.col(f"__b_{right_ts}").cast("double"))
-    fd = F.abs(l_ts_expr.cast("double") - F.col(f"__f_{right_ts}").cast("double"))
+    bd = dist(l_ts_expr, F.col(f"__b_{right_ts}"))
+    fd = dist(l_ts_expr, F.col(f"__f_{right_ts}"))
     take_b = F.col(f"__f_{right_ts}").isNull() | (
         F.col(f"__b_{right_ts}").isNotNull() & (bd <= fd)
     )
@@ -119,6 +152,10 @@ def _asof_nearest(
             for c in right_cols
         ],
     )
+
+
+def _is_temporal(dtype) -> bool:
+    return dtype.simpleString() in ("date", "timestamp", "timestamp_ntz")
 
 
 def _common_ts(left, right, left_ts, right_ts):

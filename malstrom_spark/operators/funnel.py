@@ -32,6 +32,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_within(within: str | None) -> None:
+    """Calendar units (month/quarter/year) have no fixed width, so
+    the batch engine (calendar arithmetic) and the streaming twin
+    (fixed-micros state kernel) would silently disagree — rejected in
+    both to keep the documented exact-parity contract."""
+    if within is None:
+        return
+    low = within.lower()
+    if any(u in low for u in ("month", "quarter", "year")):
+        raise ValueError(
+            f"within={within!r}: calendar units are not supported "
+            "(no fixed width; use days/hours/minutes)"
+        )
+
+
 def funnel_times(
     df: DataFrame,
     user: str,
@@ -49,12 +64,14 @@ def funnel_times(
     names = [n for n, _ in steps]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
+    _check_within(within)
     flags = [p.cast("boolean").alias(f"__f{i}") for i, (_, p) in enumerate(steps)]
     any_step = None
     for _, p in steps:
         any_step = p if any_step is None else (any_step | p)
 
-    ev = df.filter(any_step).select(
+    # null event times can't order in a chain; both twins drop them
+    ev = df.filter(any_step & F.col(ts).isNotNull()).select(
         F.col(user).alias("__u"), F.col(ts).alias("__ts"), *flags
     )
     arr = ev.groupBy("__u").agg(
@@ -102,7 +119,13 @@ def funnel_counts(
     step_idx (1-based), step, n_users — n_users is non-increasing by
     construction."""
     times = funnel_times(df, user, ts, steps, within)
-    names = [n for n, _ in steps]
+    return counts_table(times, [n for n, _ in steps])
+
+
+def counts_table(times: DataFrame, names: Sequence[str]) -> DataFrame:
+    """(step_idx, step, n_users) conversion table from a per-user
+    chain-times frame with t_<name> columns — shared by the batch and
+    streaming funnels so both emit the same contract."""
     counts = times.agg(
         *[F.count(F.col(f"t_{n}")).cast("long").alias(f"c{i}") for i, n in enumerate(names)]
     )

@@ -61,7 +61,7 @@ def range_join(
     right_end: str,
     keys: Sequence[str] | None = None,
     strategy: str | None = None,
-    bin_width: str | None = None,
+    bin_width: str | int | float | None = None,
     broadcast_right: bool = False,
     end_inclusive: bool = False,
 ) -> DataFrame:
@@ -70,9 +70,11 @@ def range_join(
     left_point / right_start / right_end are timestamp (or numeric)
     columns; keys are equi-join columns present on BOTH sides (the
     right side's key columns are dropped from the output, Spark
-    `join(on=...)` style). bin_width is an INTERVAL literal string
-    (e.g. '7 days') for the 'bin' strategy. end_inclusive picks
-    [start, end] vs the default [start, end).
+    `join(on=...)` style). bin_width drives the 'bin' strategy: an
+    interval string (e.g. '7 days', '500 milliseconds' — fixed-width
+    units only, micros-exact) for temporal columns, a plain number
+    for numeric ones. end_inclusive picks [start, end] vs the default
+    [start, end).
     """
     keys = list(keys) if keys else []
     if strategy is None:
@@ -132,26 +134,73 @@ def _project(joined, left, right, keys):
     return joined.select(*out)
 
 
-def _epoch_bin(col, bin_width):
-    """Bin index for timestamps: floor(epoch_seconds / width_seconds).
-    The width is resolved by Spark's interval arithmetic so '7 days',
-    '90 minutes' etc. all work; unix_timestamp keeps everything
-    codegen'd (no Python)."""
-    width_s = F.lit(0).cast("timestamp") + F.expr(f"INTERVAL {bin_width}")
-    width_s = F.unix_timestamp(width_s)
-    return F.floor(F.unix_timestamp(col) / width_s)
+def _epoch_bin(col, bin_width, dtype):
+    """Bin index: floor(epoch_micros / width_micros) for temporal
+    columns (micros precision, so sub-second and 1-2 s widths bin
+    exactly — whole-second truncation would silently coarsen them),
+    floor(value / width) for numeric ones (bin_width then must be a
+    number, not an interval string). Widths resolve via Spark's
+    interval arithmetic, keeping everything codegen'd (no Python)."""
+    kind = dtype.simpleString()
+    if kind in ("date", "timestamp", "timestamp_ntz"):
+        if isinstance(bin_width, (int, float)):
+            raise ValueError(
+                f"temporal column needs an INTERVAL bin_width string, got {bin_width!r}"
+            )
+        width_us = _interval_us(bin_width)
+        if width_us <= 0:
+            raise ValueError(f"bin_width {bin_width!r} resolves to {width_us} us")
+        return F.floor(F.unix_micros(col.cast("timestamp")) / F.lit(width_us))
+    if isinstance(bin_width, str):
+        raise ValueError(
+            f"numeric column needs a numeric bin_width, got {bin_width!r}"
+        )
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width!r}")
+    return F.floor(col / F.lit(bin_width))
+
+
+_US = {
+    "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+    "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def _interval_us(bin_width: str) -> int:
+    """'<n> <unit>' in micros. Calendar units (month/year) are
+    rejected: a fixed-width bin cannot represent them."""
+    parts = bin_width.strip().lower().split()
+    if len(parts) == 2:
+        unit = parts[1].rstrip("s")
+        if unit in ("month", "year", "quarter"):
+            raise ValueError(
+                f"calendar unit {unit!r} has no fixed width; use days/hours"
+            )
+        if unit in _US:
+            return int(float(parts[0]) * _US[unit])
+    raise ValueError(
+        f"bin_width {bin_width!r} not understood; use '<n> "
+        "<microseconds|milliseconds|seconds|minutes|hours|days|weeks>'"
+    )
 
 
 def _bin_join(left, right, left_point, right_start, right_end, keys, bin_width, end_inclusive):
-    l2 = left.withColumn(_BIN, _epoch_bin(F.col(left_point), bin_width))
+    l2 = left.withColumn(
+        _BIN, _epoch_bin(F.col(left_point), bin_width, left.schema[left_point].dataType)
+    )
     # each interval explodes to every bin it overlaps; sequence() is a
     # codegen'd array builder, explode is a Generate node — no Python
     r2 = right.withColumn(
         _BIN,
         F.explode(
             F.sequence(
-                _epoch_bin(F.col(right_start), bin_width),
-                _epoch_bin(F.col(right_end), bin_width),
+                _epoch_bin(
+                    F.col(right_start), bin_width, right.schema[right_start].dataType
+                ),
+                _epoch_bin(
+                    F.col(right_end), bin_width, right.schema[right_end].dataType
+                ),
             )
         ),
     )

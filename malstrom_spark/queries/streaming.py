@@ -534,20 +534,9 @@ def streaming_funnel_s_c_p(spark, sf_dir):
         within="7 days",
     )
     final = run_to_memory(out, output_mode="append")
-    counts = final.agg(
-        F.count("t_signup").cast("long").alias("c0"),
-        F.count("t_click").cast("long").alias("c1"),
-        F.count("t_purchase").cast("long").alias("c2"),
-    )
-    pairs = F.array(
-        F.struct(F.lit(1).alias("step_idx"), F.lit("signup").alias("step"),
-                 F.col("c0").alias("n_users")),
-        F.struct(F.lit(2).alias("step_idx"), F.lit("click").alias("step"),
-                 F.col("c1").alias("n_users")),
-        F.struct(F.lit(3).alias("step_idx"), F.lit("purchase").alias("step"),
-                 F.col("c2").alias("n_users")),
-    )
-    return counts.select(F.explode(pairs).alias("p")).select("p.*")
+    from ..operators.funnel import counts_table
+
+    return counts_table(final, ["signup", "click", "purchase"])
 
 
 @register(

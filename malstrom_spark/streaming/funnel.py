@@ -79,13 +79,17 @@ def funnel_stream(
     names = [n for n, _ in steps]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
+    from ..operators.funnel import _check_within
+
+    _check_within(within)
     k = len(steps)
     within_us = None if within is None else _interval_micros(sdf, within)
 
     any_step = None
     for _, p in steps:
         any_step = p if any_step is None else (any_step | p)
-    ev = sdf.filter(any_step).select(
+    # null event times can't order in a chain; both twins drop them
+    ev = sdf.filter(any_step & F.col(ts).isNotNull()).select(
         F.col(user).alias("u"),
         F.unix_micros(F.col(ts)).alias("e_us"),
         *[p.cast("boolean").alias(f"f{i}") for i, (_, p) in enumerate(steps)],

@@ -166,3 +166,35 @@ def test_asof_nearest_tie_prefers_backward(spark):
         direction="nearest", strategy="window",
     )
     assert out.collect()[0].rid == 300
+
+
+def test_nearest_same_named_ts(spark):
+    """left_ts == right_ts == 'ts' (the most common shape) must not
+    raise AMBIGUOUS_REFERENCE on the nearest path."""
+    left = spark.createDataFrame([("a", 10, 1)], "key string, ts long, lid long")
+    right = spark.createDataFrame(
+        [("a", 8, 300), ("a", 13, 301)], "key string, ts long, rid long"
+    )
+    out = as_of_join(
+        left, right, "key", "ts", "ts", ["rid"], tiebreak="rid",
+        direction="nearest", strategy="window",
+    )
+    assert out.collect()[0].rid == 300  # |10-8| < |13-10|
+
+
+def test_nearest_on_dates(spark):
+    """DATE columns (un-castable to double) must work on the nearest
+    distance compare."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 10), 1)], "key string, d date, lid long"
+    )
+    right = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1), 300), ("a", dt.date(2024, 1, 12), 301)],
+        "key string, rd date, rid long",
+    )
+    out = as_of_join(
+        left, right, "key", "d", "rd", ["rid"], tiebreak="rid", direction="nearest"
+    )
+    assert out.collect()[0].rid == 301  # 2 days beats 9 days

@@ -186,3 +186,20 @@ def test_five_step_interleaved(spark):
         _ts("2024-01-01 06:00:00"),
         _ts("2024-01-01 07:00:00"),
     )
+
+
+def test_calendar_within_rejected(spark):
+    df = spark.createDataFrame([Row(u=1, ts=_ts("2024-01-01 00:00:00"), et="a")])
+    with pytest.raises(ValueError, match="calendar"):
+        funnel_times(df, "u", "ts", [("a", F.col("et") == "a")], within="1 month")
+
+
+def test_null_ts_dropped_both_twins(spark):
+    """A null event time must neither poison the batch chain nor
+    crash the streaming kernel; both twins drop the row."""
+    df = spark.createDataFrame(
+        [Row(u=1, ts=None, et="a"), Row(u=1, ts=_ts("2024-01-01 01:00:00"), et="a")],
+        "u long, ts timestamp, et string",
+    )
+    out = funnel_times(df, "u", "ts", [("a", F.col("et") == "a")]).collect()[0]
+    assert out.t_a == _ts("2024-01-01 01:00:00")

@@ -197,3 +197,33 @@ def test_bin_equals_reference_on_random_data(spark, pts, wins, width):
     )
     got = range_join(left, right, "ts", "s", "e", strategy="bin", bin_width=width)
     assert sorted((r.pid, r.wid) for r in got.collect()) == expect
+
+
+def test_numeric_bin_join(spark):
+    """The docstring promises numeric point/interval columns; the bin
+    strategy must honor it (numeric bin_width, no unix_timestamp)."""
+    pts = spark.createDataFrame([(1, 5.0), (2, 42.5), (3, -3.0)], "pid int, x double")
+    wins = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 40.0, 45.0), (12, -10.0, 0.0)],
+        "wid int, s double, e double",
+    )
+    out = range_join(pts, wins, "x", "s", "e", strategy="bin", bin_width=7.0)
+    assert sorted((r.pid, r.wid) for r in out.collect()) == [(1, 10), (2, 11), (3, 12)]
+    with pytest.raises(ValueError, match="numeric bin_width"):
+        range_join(pts, wins, "x", "s", "e", strategy="bin", bin_width="7 days")
+
+
+def test_subsecond_bin_width(spark):
+    """Micros-exact binning: sub-second widths must neither divide by
+    zero nor silently coarsen (the old seconds-truncation failure)."""
+    base = dt.datetime(2024, 1, 1)
+    ms = lambda m: base + dt.timedelta(milliseconds=m)  # noqa: E731
+    pts = spark.createDataFrame([(1, ms(100)), (2, ms(900))], "pid int, ts timestamp")
+    wins = spark.createDataFrame(
+        [(10, ms(0), ms(500)), (11, ms(600), ms(1000))],
+        "wid int, s timestamp, e timestamp",
+    )
+    out = range_join(pts, wins, "ts", "s", "e", strategy="bin", bin_width="250 milliseconds")
+    assert sorted((r.pid, r.wid) for r in out.collect()) == [(1, 10), (2, 11)]
+    with pytest.raises(ValueError, match="calendar unit"):
+        range_join(pts, wins, "ts", "s", "e", strategy="bin", bin_width="1 month")
