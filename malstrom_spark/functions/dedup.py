@@ -525,7 +525,7 @@ def near_dup_pairs_minhash(
     threshold: float = 0.8,
     portable: bool = False,
     collapse_exact: bool = True,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: hashed shingle sets ->
     signatures -> banded candidates -> exact hash-set-Jaccard verify
@@ -555,7 +555,14 @@ def near_dup_pairs_minhash(
     SCALE NOTE: pair output is inherently quadratic in duplicate
     cluster depth (a 10k-copy cluster = ~50M pairs). For corpus-scale
     dedup prefer `dedup_clusters`, which emits one (id, group_id,
-    is_keeper) row per document — output linear in corpus size."""
+    is_keeper) row per document — output linear in corpus size.
+
+    ``max_bucket_size`` defaults ON (4096, round 5): buckets above the
+    cap emit star edges instead of all pairs, so a mega-bucket cannot
+    blow up candidate generation; pairs bridged only by a capped
+    bucket may be missed (recall trade documented at
+    `_bucket_candidate_pairs`). Pass ``max_bucket_size=None`` for the
+    exact uncapped pair set."""
     verified, members, hs = _minhash_verified(
         df, id_col, text_col, n_hashes, n_bands, threshold, portable, collapse_exact,
         max_bucket_size,
@@ -696,7 +703,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     portable: bool = False,
     collapse_exact: bool = True,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the hash into 4 chunks (16 bits
     each for the 64-bit hash, 15 for the portable 60-bit one; any pair
@@ -716,7 +723,12 @@ def simhash_near_dups(
 
     SCALE NOTE: pair output is quadratic in duplicate cluster depth
     (the sf10 probe emitted 1.009B pairs, BASELINE.md); prefer
-    `dedup_clusters` at corpus scale — one label row per document."""
+    `dedup_clusters` at corpus scale — one label row per document.
+
+    ``max_bucket_size`` defaults ON (4096, round 5): oversized chunk
+    buckets emit star edges instead of all pairs (recall trade
+    documented at `_bucket_candidate_pairs`); pass ``None`` for the
+    exact uncapped pair set."""
     verified, members = _simhash_verified(
         df, id_col, text_col, max_hamming, portable, collapse_exact, max_bucket_size
     )

@@ -3,16 +3,18 @@ columns + typed metadata structs, processed by Arrow-batched pandas
 iterators (`mapInPandas`).
 
 North-star operator (absent from the reference). The heavy codec
-libraries (Pillow/ffmpeg/librosa) are NOT in this environment, so the
-JPEG/PNG/video kernels are STUBS — deterministic fakes clearly marked
-below — while everything Spark-side is real and tested: schema
-contract, binary column handling, Arrow batch shape,
-partition-parallel UDF signature. Two kernels ARE real, stdlib-only:
-`decode_bmp_bytes` (struct-parsed BMP headers) and `decode_wav_bytes`
-/ `audio_features_wav` (wave-module WAV decode + numpy RMS over the
-actual samples) — proof the plumbing carries a genuine decoder
-unchanged. Swapping any remaining stub for a real decoder changes
-only the inner `_decode_*_bytes` function.
+libraries (Pillow/ffmpeg/librosa) are NOT in this environment, but the
+metadata decoders are REAL and stdlib-only: `decode_bmp_bytes`
+(struct-parsed DIB headers), `decode_png_bytes` (IHDR + CRC32 check),
+`decode_jpeg_bytes` (SOF marker-segment scan), `sniff_image_bytes`
+(magic-byte dispatch over all three), and `decode_wav_bytes` /
+`audio_features_wav` (wave-module WAV decode + numpy RMS over the
+actual samples). Only full pixel/video decode remains stubbed
+(`frame_sample` — needs ffmpeg); `_decode_image_bytes` keeps a
+deterministic fake so the driver's SQL oracle can hash-verify the
+mapInPandas plumbing itself. Everything Spark-side is real and
+tested: schema contract, binary column handling, Arrow batch shape,
+partition-parallel UDF signature.
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 binary + Arrow). Keep batches bounded via
@@ -81,6 +83,95 @@ def decode_bmp_bytes(payload: bytes) -> tuple[int, int, str]:
         raise ValueError(f"unknown BMP header size {hdr_size}")
     mode = {1: "1", 8: "L", 16: "BGR;16", 24: "BGR", 32: "BGRA"}.get(bpp, f"bpp{bpp}")
     return int(w), abs(int(h)), mode
+
+
+def decode_png_bytes(payload: bytes) -> tuple[int, int, str]:
+    """REAL image decode for PNG — stdlib-only: the 8-byte signature,
+    then the IHDR chunk (must be first per the spec) parsed with
+    `struct`, its CRC32 verified with `zlib.crc32` so truncated or
+    bit-flipped payloads fail loudly instead of yielding garbage
+    dimensions. Returns (width, height, mode)."""
+    import struct
+    import zlib
+
+    if payload is None or len(payload) < 33 or not payload.startswith(
+        b"\x89PNG\r\n\x1a\n"
+    ):
+        raise ValueError("not a PNG payload")
+    length, ctype = struct.unpack_from(">I4s", payload, 8)
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("PNG first chunk is not a 13-byte IHDR")
+    data = payload[16:29]
+    (crc,) = struct.unpack_from(">I", payload, 29)
+    if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch (corrupt payload)")
+    w, h, depth, color = struct.unpack_from(">IIBB", data, 0)
+    mode = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}.get(color)
+    if mode is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    if depth == 16:
+        mode += ";16"
+    return int(w), int(h), mode
+
+
+# SOF markers carry dimensions; C4/C8/CC look like SOFs but are
+# DHT/JPG-extension/DAC. Segments without a length: SOI/EOI/TEM/RSTn.
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+_JPEG_NO_LENGTH = {0xD8, 0xD9, 0x01} | set(range(0xD0, 0xD8))
+
+
+def decode_jpeg_bytes(payload: bytes) -> tuple[int, int, str]:
+    """REAL image decode for JPEG dimensions — stdlib-only marker-
+    segment scan: walk the segment chain from SOI to the first SOF
+    (baseline C0, progressive C2, or any other SOFn) and read the
+    frame header's height/width/component count. No entropy decode —
+    exactly the metadata pass a 100 TB ingest filter needs. Returns
+    (width, height, mode)."""
+    import struct
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i, n = 2, len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"JPEG marker desync at offset {i}")
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1  # fill bytes
+        marker = payload[i + 1]
+        i += 2
+        if marker in _JPEG_NO_LENGTH:
+            continue
+        if i + 2 > n:
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2:
+            raise ValueError("JPEG segment length < 2")
+        if marker in _JPEG_SOF:
+            if i + 8 > n:
+                raise ValueError("truncated JPEG SOF segment")
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, i + 2)
+            mode = {1: "L", 3: "YCbCr", 4: "CMYK"}.get(ncomp, f"ncomp{ncomp}")
+            return int(w), int(h), mode
+        if marker == 0xDA:  # SOS: frame header must precede scan data
+            break
+        i += seg_len
+    raise ValueError("no SOF frame header found (truncated JPEG?)")
+
+
+def sniff_image_bytes(payload: bytes) -> tuple[int, int, str]:
+    """Magic-byte dispatcher over the REAL stdlib decoders: BMP, PNG
+    and JPEG payloads route to their parser; anything else raises.
+    Pass as `extract_image_meta(decode=sniff_image_bytes)` for a real
+    mixed-format metadata scan with zero codec dependencies."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    if payload[:2] == b"BM":
+        return decode_bmp_bytes(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_bytes(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_bytes(payload)
+    raise ValueError(f"unrecognized image magic {payload[:4]!r}")
 
 
 def attach_binary_column(df: DataFrame, source_col: str, out_col: str = "payload") -> DataFrame:

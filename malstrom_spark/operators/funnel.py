@@ -53,6 +53,7 @@ def funnel_times(
     ts: str,
     steps: Sequence[tuple[str, Column]],
     within: str | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Per-user earliest completion time of each funnel prefix.
 
@@ -60,8 +61,21 @@ def funnel_times(
     literal (e.g. '7 days') bounding the whole chain relative to t1,
     or None for unbounded. Output: user, t_<name> timestamp per step
     (null = that prefix never completed).
+
+    ``max_events_per_user=N`` bounds the per-user state: BEFORE the
+    fold, keep only the earliest N events per (user, step) — a rank
+    prune sharing the fold's single Exchange+Sort on user, so the
+    collected array is <= K*N rows however hot the user (a 10M-event
+    bot user otherwise makes one task hold a 10M-element array).
+    CONTRACT: exact whenever every (user, step) has <= N matching
+    events (nothing is pruned); beyond that, pruning can only delay or
+    null a chain time — it drops LATER events per step, and the chain
+    reads the earliest matches first — never invent an earlier one.
+    Pick N >= the step multiplicity a real (non-bot) user can produce.
     """
     names = [n for n, _ in steps]
+    if not names:
+        raise ValueError("steps must be non-empty")
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
     _check_within(within)
@@ -74,6 +88,27 @@ def funnel_times(
     ev = df.filter(any_step & F.col(ts).isNotNull()).select(
         F.col(user).alias("__u"), F.col(ts).alias("__ts"), *flags
     )
+    if max_events_per_user is not None:
+        if max_events_per_user < 1:
+            raise ValueError("max_events_per_user must be >= 1")
+        from pyspark.sql import Window
+
+        # earliest-N-per-(user, step) prune: one running count per step
+        # over a single window spec — same partitioning as the fold's
+        # groupBy, so Catalyst plans ONE Exchange for prune + fold
+        # (flag columns break timestamp ties deterministically)
+        w = (
+            Window.partitionBy("__u")
+            .orderBy("__ts", *[f"__f{i}" for i in range(len(steps))])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        keep = None
+        for i in range(len(steps)):
+            fi = F.coalesce(F.col(f"__f{i}"), F.lit(False))
+            rank_i = F.sum(fi.cast("int")).over(w)
+            k_i = fi & (rank_i <= max_events_per_user)
+            keep = k_i if keep is None else (keep | k_i)
+        ev = ev.withColumn("__keep", keep).filter("__keep").drop("__keep")
     arr = ev.groupBy("__u").agg(
         F.array_sort(
             F.collect_list(F.struct("__ts", *[f"__f{i}" for i in range(len(steps))]))
@@ -113,13 +148,30 @@ def funnel_counts(
     ts: str,
     steps: Sequence[tuple[str, Column]],
     within: str | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Funnel conversion table: for each step (in order), how many
     users completed the prefix ending at that step. Output columns:
     step_idx (1-based), step, n_users — n_users is non-increasing by
     construction."""
-    times = funnel_times(df, user, ts, steps, within)
+    times = funnel_times(df, user, ts, steps, within, max_events_per_user)
     return counts_table(times, [n for n, _ in steps])
+
+
+def latest_chain_times(times: DataFrame, user: str, names: Sequence[str]) -> DataFrame:
+    """Consolidate a MULTI-EMISSION chain-times frame (the streaming
+    funnel emits one row per user per microbatch / per watermark fold)
+    to the latest chain per user — required before `counts_table`
+    whenever the replay may produce more than one microbatch, or the
+    per-batch rows overcount every step.
+
+    Exact without any ordering column because chain times only fill
+    FORWARD (a set t_k is never revised): the latest row per user is
+    recovered as max(t_k) per step — max ignores nulls, and a non-null
+    t_k is identical in every row that carries it."""
+    return times.groupBy(F.col(user)).agg(
+        *[F.max(F.col(f"t_{n}")).alias(f"t_{n}") for n in names]
+    )
 
 
 def counts_table(times: DataFrame, names: Sequence[str]) -> DataFrame:

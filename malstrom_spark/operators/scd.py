@@ -39,6 +39,9 @@ def scd2_history(
 ) -> DataFrame:
     """Build the SCD2 table: key cols + attrs + valid_from/valid_to
     (+ is_current boolean)."""
+    attrs = list(attrs)
+    if not attrs:
+        raise ValueError("attrs must be non-empty: SCD2 tracks at least one attribute")
     keys = [key] if isinstance(key, str) else list(key)
     order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = Window.partitionBy(*keys).orderBy(*order)

@@ -51,6 +51,48 @@ def sliding(
     return _unpack_window(g)
 
 
+# date_trunc units ordered finest -> coarsest; used to validate that a
+# rollup chain is computable from the finest grain's partials alone
+_GRAIN_RANK = {
+    "second": 0, "minute": 1, "hour": 2, "day": 3,
+    "week": 4, "month": 5, "quarter": 6, "year": 7,
+}
+
+
+def _validate_grains(grains: Sequence[str]) -> None:
+    """Reject grain chains whose coarser members cannot be derived
+    exactly from the finest grain's buckets. `date_trunc(g,
+    date_trunc(finest, ts)) == date_trunc(g, ts)` holds only when
+    every g-boundary is a finest-boundary: true for the whole
+    second..day..month..quarter..year tower, but week boundaries are
+    not month/quarter/year boundaries (and vice versa), so the two
+    calendar families cannot share one chain."""
+    if not grains:
+        raise ValueError("grains must be non-empty")
+    unknown = [g for g in grains if g not in _GRAIN_RANK]
+    if unknown:
+        raise ValueError(
+            f"unknown grain(s) {unknown}; supported: {list(_GRAIN_RANK)}"
+        )
+    finest = grains[0]
+    for finer, coarser in zip(grains, grains[1:]):
+        if _GRAIN_RANK[coarser] <= _GRAIN_RANK[finer]:
+            raise ValueError(
+                f"grains must be ordered finest -> coarsest; got {coarser!r} "
+                f"after {finer!r}"
+            )
+    for g in grains[1:]:
+        week_mismatch = (finest == "week" and g in ("month", "quarter", "year")) or (
+            g == "week" and _GRAIN_RANK[finest] > _GRAIN_RANK["day"]
+        )
+        if week_mismatch:
+            raise ValueError(
+                f"grain {g!r} does not nest the finest grain {finest!r} "
+                "(week and month/quarter/year boundaries do not align); "
+                "run them as separate chains over the same partials"
+            )
+
+
 def hypertable_rollup(
     df: DataFrame,
     ts_col: str,
@@ -83,13 +125,18 @@ def hypertable_rollup(
     the continuous-aggregate pattern.
 
     grains must be ordered finest -> coarsest, each a valid
-    date_trunc unit, and each coarser grain must be a whole multiple
-    of buckets of the finer one (hour/day/week/month/quarter/year all
-    nest; month does NOT nest in week — Spark and every other engine
-    truncate them independently, so put at most one of week/month in
-    a chain... or start a second chain from the partials yourself).
+    date_trunc unit, and each coarser grain must nest the finest one
+    (every coarser bucket is a whole number of finest buckets) —
+    VALIDATED here, because a non-nesting chain silently produces
+    wrong buckets: week boundaries are not month boundaries, so
+    `date_trunc('month', week_start)` lands mid-month rows in the
+    previous month. Concretely: week may only appear as the LAST
+    grain of a chain whose finest grain is day or finer; month/
+    quarter/year never follow week — start a second chain from the
+    persisted partials for the other calendar family.
     """
     keys = list(keys)
+    _validate_grains(grains)
     _PARTIAL = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
     _MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
     bad = [n for n, (k, _) in aggs.items() if k not in _PARTIAL]

@@ -534,9 +534,13 @@ def streaming_funnel_s_c_p(spark, sf_dir):
         within="7 days",
     )
     final = run_to_memory(out, output_mode="append")
-    from ..operators.funnel import counts_table
+    from ..operators.funnel import counts_table, latest_chain_times
 
-    return counts_table(final, ["signup", "click", "purchase"])
+    # the append-mode sink holds one row per user per microbatch;
+    # consolidate to the latest chain (exact under fill-forward) so the
+    # counts stay correct under ANY replay batching, not just one batch
+    names = ["signup", "click", "purchase"]
+    return counts_table(latest_chain_times(final, "u", names), names)
 
 
 @register(
@@ -570,14 +574,17 @@ def streaming_user_state_scd2(spark, sf_dir):
     emitted set equals the batch operator, so the SAME two-window SQL
     oracle verifies the stateful path. Registered outside the 50-row
     gate (tools/oracle_check.py + pytest parity)."""
-    from ..streaming.scd import scd2_stream
+    from ..streaming.scd import consolidate_scd2, scd2_stream
 
     ev = replay_table(spark, sf_dir, "events")
-    out = run_to_memory(
+    emitted = run_to_memory(
         scd2_stream(ev, key="user_id", ts="ts", attrs=["event_type"],
                     tiebreak="event_id"),
         output_mode="append",
     )
+    # supersede-not-delete contract: collapse to the latest version per
+    # interval so a multi-microbatch replay can't keep superseded opens
+    out = consolidate_scd2(emitted, "user_id", ["event_type"])
     return out.select(
         "user_id",
         "event_type",

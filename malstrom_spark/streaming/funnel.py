@@ -74,11 +74,14 @@ def funnel_stream(
     import numpy as np
     import pandas as pd
 
-    from .stateful import stateful_map_stream
+    from .stateful import require_utc_session, stateful_map_stream
 
     names = [n for n, _ in steps]
+    if not names:
+        raise ValueError("steps must be non-empty")
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
+    require_utc_session(sdf, "funnel_stream")
     from ..operators.funnel import _check_within
 
     _check_within(within)

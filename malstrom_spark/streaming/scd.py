@@ -41,9 +41,12 @@ def scd2_stream(
     intervals close, plus the open interval per touched key."""
     import pandas as pd
 
-    from .stateful import stateful_map_stream
+    from .stateful import require_utc_session, stateful_map_stream
 
     attrs = list(attrs)
+    if not attrs:
+        raise ValueError("attrs must be non-empty: SCD2 tracks at least one attribute")
+    require_utc_session(sdf, "scd2_stream")
     cols = [key, ts] + attrs + ([tiebreak] if tiebreak else [])
     ev = sdf.select(*cols)
 
@@ -93,3 +96,27 @@ def scd2_stream(
         return [out], new_state
 
     return stateful_map_stream(ev, [key], fn, out_schema, state_schema)
+
+
+def consolidate_scd2(
+    emitted: DataFrame, key: str, attrs: Sequence[str]
+) -> DataFrame:
+    """Collapse the append-mode emission log of `scd2_stream` to the
+    CURRENT history: the stream supersedes (never deletes) an open row
+    when a later batch closes it, so a multi-microbatch replay leaves
+    both versions in the sink — required before comparing against the
+    batch operator whenever the replay may produce more than one
+    microbatch.
+
+    Exact without an emission-order column because valid_to transitions
+    exactly once (null while open -> the close timestamp, never
+    revised): max(valid_to) per (key, attrs, valid_from) ignores the
+    null open-version and recovers the latest row; is_current is
+    re-derived from the surviving valid_to."""
+    from pyspark.sql import functions as F
+
+    return (
+        emitted.groupBy(F.col(key), *[F.col(a) for a in attrs], F.col("valid_from"))
+        .agg(F.max("valid_to").alias("valid_to"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

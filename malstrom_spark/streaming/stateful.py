@@ -23,6 +23,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def require_utc_session(sdf: DataFrame, op: str) -> None:
+    """The pandas-side twins round-trip event time through naive
+    pd.Timestamp values, which Spark reinterprets in the SESSION time
+    zone on Arrow conversion — exact batch parity therefore requires
+    spark.sql.session.timeZone=UTC (build_session pins it). Fail
+    loudly at operator construction instead of silently shifting every
+    emitted timestamp by the tz offset in a non-UTC session."""
+    tz = sdf.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"{op} requires spark.sql.session.timeZone=UTC for exact "
+            f"batch/stream timestamp parity (session has {tz!r}); set "
+            'spark.conf.set("spark.sql.session.timeZone", "UTC")'
+        )
+
+
 def stateful_map_stream(
     sdf: DataFrame,
     key_cols: list[str],

@@ -203,3 +203,92 @@ def test_null_ts_dropped_both_twins(spark):
     )
     out = funnel_times(df, "u", "ts", [("a", F.col("et") == "a")]).collect()[0]
     assert out.t_a == _ts("2024-01-01 01:00:00")
+
+
+def test_empty_steps_rejected(spark):
+    df = spark.createDataFrame([Row(u=1, ts=_ts("2024-01-01 00:00:00"), et="a")])
+    with pytest.raises(ValueError, match="steps must be non-empty"):
+        funnel_times(df, "u", "ts", [])
+
+
+def test_latest_chain_times_consolidates_multibatch_emissions(spark):
+    """latest_chain_times recovers the final chain per user from a
+    multi-microbatch emission log (fill-forward contract), so
+    counts_table stays exact under any replay batching."""
+    from malstrom_spark.operators.funnel import counts_table, latest_chain_times
+
+    t1, t2 = _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00")
+    emitted = spark.createDataFrame(
+        [
+            Row(u=1, t_a=t1, t_b=None, t_c=None),  # batch 1
+            Row(u=1, t_a=t1, t_b=t2, t_c=None),    # batch 2: chain advanced
+            Row(u=2, t_a=t2, t_b=None, t_c=None),
+        ],
+        "u long, t_a timestamp, t_b timestamp, t_c timestamp",
+    )
+    latest = latest_chain_times(emitted, "u", ["a", "b", "c"])
+    got = {r.u: (r.t_a, r.t_b, r.t_c) for r in latest.collect()}
+    assert got == {1: (t1, t2, None), 2: (t2, None, None)}
+    counts = {r.step: r.n_users for r in counts_table(latest, ["a", "b", "c"]).collect()}
+    assert counts == {"a": 2, "b": 1, "c": 0}
+
+
+def test_max_events_per_user_exact_when_within_bound(spark):
+    """The prune is a no-op (exact equality) whenever every
+    (user, step) has <= N matching events — the documented contract."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for u in range(25):
+        base = dt.datetime(2024, 1, 1) + dt.timedelta(hours=u)
+        n = rng.randint(0, 9)  # max multiplicity per (user, step) <= 3
+        ets = (["a"] * 3 + ["b"] * 3 + ["c"] * 3)[:n]
+        rng.shuffle(ets)
+        for i, e in enumerate(ets):
+            rows.append((u, (base + dt.timedelta(minutes=rng.randint(0, 500))).isoformat(sep=" "), e))
+    df = spark.createDataFrame([Row(u=u, ts=_ts(t), et=e) for u, t, e in rows])
+    want = {r.u: (r.t_a, r.t_b, r.t_c)
+            for r in funnel_times(df, "u", "ts", _steps(), within="2 hours").collect()}
+    got = {r.u: (r.t_a, r.t_b, r.t_c)
+           for r in funnel_times(df, "u", "ts", _steps(), within="2 hours",
+                                 max_events_per_user=3).collect()}
+    assert got == want
+
+
+def test_max_events_per_user_caps_hot_user_monotone(spark):
+    """On a hot user beyond the cap, t1 stays exact (earliest step-1
+    event is always kept) and every pruned chain time is >= the
+    unbounded one or null — pruning never invents an earlier chain."""
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # hot user: 500 'a' events, then one b, one c late in the tail
+    for i in range(500):
+        rows.append((1, base + dt.timedelta(seconds=i), "a"))
+    rows.append((1, base + dt.timedelta(seconds=600), "b"))
+    rows.append((1, base + dt.timedelta(seconds=700), "c"))
+    df = spark.createDataFrame([Row(u=u, ts=t, et=e) for u, t, e in rows])
+    unbounded = funnel_times(df, "u", "ts", _steps()).collect()[0]
+    capped = funnel_times(df, "u", "ts", _steps(), max_events_per_user=10).collect()[0]
+    assert capped.t_a == unbounded.t_a == base
+    for name in ("t_a", "t_b", "t_c"):
+        c, ub = getattr(capped, name), getattr(unbounded, name)
+        assert c is None or (ub is not None and c >= ub)
+    # b/c come after the pruned 'a' tail but pruning keeps the first
+    # 10 a's, so the chain still completes here
+    assert capped.t_b == unbounded.t_b and capped.t_c == unbounded.t_c
+
+
+def test_max_events_per_user_single_exchange(spark, sf_dir):
+    """The rank prune shares the fold's shuffle: exactly one Exchange
+    on the user key in the whole plan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = funnel_times(
+        ev, "user_id", "ts",
+        [("signup", F.col("event_type") == "signup"),
+         ("click", F.col("event_type") == "click")],
+        max_events_per_user=100,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -105,3 +105,117 @@ def test_real_wav_decode_kernel(spark):
     assert rows[1].sample_rate == 8000 and rows[1].duration_ms == 500
     assert rows[2].sample_rate == 16000 and rows[2].duration_ms == 1000
     assert abs(rows[2].rms - 8192 / 32768) < 1e-9
+
+
+def _make_png(w, h, color=2, depth=8):
+    """A fully valid minimal PNG: signature + IHDR + one IDAT holding
+    zlib-compressed zero scanlines + IEND — real bytes any viewer
+    accepts, generated stdlib-only."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = (b"\x00" + b"\x00" * (w * nch * depth // 8)) * h
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_jpeg(w, h, ncomp=3, progressive=False, extra_segments=True):
+    """A structurally valid JPEG header chain: SOI, optional APP0/DQT
+    (exercising the segment walk), then SOF0 or SOF2 with the real
+    dimensions, a truncated SOS — enough for any metadata scanner."""
+    import struct
+
+    out = b"\xff\xd8"  # SOI
+    if extra_segments:
+        jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif  # APP0
+        dqt = b"\x00" + bytes(64)
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt  # DQT
+        out += b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"  # DHT (not a SOF!)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    body = struct.pack(">BHHB", 8, h, w, ncomp) + comps
+    out += sof + struct.pack(">H", 2 + len(body)) + body
+    out += b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"  # SOS
+    return out
+
+
+def test_real_png_decode_kernel(spark):
+    from malstrom_spark.functions.multimodal import decode_png_bytes, extract_image_meta
+
+    png = _make_png(11, 4)
+    assert decode_png_bytes(png) == (11, 4, "RGB")
+    assert decode_png_bytes(_make_png(2, 9, color=6)) == (2, 9, "RGBA")
+    assert decode_png_bytes(_make_png(3, 3, color=0, depth=16)) == (3, 3, "L;16")
+    df = spark.createDataFrame([(1, png)], "id long, payload binary")
+    r = extract_image_meta(df, decode=decode_png_bytes).collect()[0]
+    assert (r.width, r.height, r.mode, r.n_bytes) == (11, 4, "RGB", len(png))
+
+
+def test_png_crc_corruption_detected():
+    import pytest as _pytest
+
+    from malstrom_spark.functions.multimodal import decode_png_bytes
+
+    png = bytearray(_make_png(11, 4))
+    png[18] ^= 0x01  # flip a width bit without fixing the CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png_bytes(bytes(png))
+
+
+def test_real_jpeg_decode_kernel(spark):
+    from malstrom_spark.functions.multimodal import decode_jpeg_bytes, extract_image_meta
+
+    jpg = _make_jpeg(640, 480)
+    assert decode_jpeg_bytes(jpg) == (640, 480, "YCbCr")
+    # progressive SOF2, grayscale, CMYK, and a bare SOI+SOF chain
+    assert decode_jpeg_bytes(_make_jpeg(31, 17, progressive=True)) == (31, 17, "YCbCr")
+    assert decode_jpeg_bytes(_make_jpeg(8, 8, ncomp=1)) == (8, 8, "L")
+    assert decode_jpeg_bytes(_make_jpeg(5, 6, ncomp=4)) == (5, 6, "CMYK")
+    assert decode_jpeg_bytes(_make_jpeg(9, 9, extra_segments=False)) == (9, 9, "YCbCr")
+    df = spark.createDataFrame([(1, jpg)], "id long, payload binary")
+    r = extract_image_meta(df, decode=decode_jpeg_bytes).collect()[0]
+    assert (r.width, r.height) == (640, 480)
+
+
+def test_jpeg_truncated_rejected():
+    import pytest as _pytest
+
+    from malstrom_spark.functions.multimodal import decode_jpeg_bytes
+
+    jpg = _make_jpeg(640, 480)
+    sof_at = jpg.index(b"\xff\xc0")
+    with _pytest.raises(ValueError, match="SOF"):
+        decode_jpeg_bytes(jpg[:sof_at])  # cut before the frame header
+    with _pytest.raises(ValueError):
+        decode_jpeg_bytes(b"\x00\x01\x02\x03")
+
+
+def test_sniff_dispatch_mixed_formats(spark):
+    """One mixed-format column through ONE mapInPandas pass — the real
+    ingest shape: sniff routes each payload to its stdlib decoder."""
+    from malstrom_spark.functions.multimodal import extract_image_meta, sniff_image_bytes
+
+    rows = [
+        (1, _make_bmp(5, 3)),
+        (2, _make_png(11, 4)),
+        (3, _make_jpeg(640, 480)),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: (r.width, r.height) for r in
+           extract_image_meta(df, decode=sniff_image_bytes).collect()}
+    assert got == {1: (5, 3), 2: (11, 4), 3: (640, 480)}

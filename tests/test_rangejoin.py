@@ -227,3 +227,40 @@ def test_subsecond_bin_width(spark):
     assert sorted((r.pid, r.wid) for r in out.collect()) == [(1, 10), (2, 11)]
     with pytest.raises(ValueError, match="calendar unit"):
         range_join(pts, wins, "ts", "s", "e", strategy="bin", bin_width="1 month")
+
+
+def test_rollup_grain_validation():
+    """Non-nesting and misordered grain chains fail loudly instead of
+    silently emitting wrong buckets (round-5 ADVICE)."""
+    aggs = {"n": ("count", F.lit(1))}
+    with pytest.raises(ValueError, match="finest -> coarsest"):
+        hypertable_rollup(None, "ts", [], aggs, grains=("day", "hour"))
+    with pytest.raises(ValueError, match="does not nest"):
+        hypertable_rollup(None, "ts", [], aggs, grains=("week", "month"))
+    with pytest.raises(ValueError, match="does not nest"):
+        hypertable_rollup(None, "ts", [], aggs, grains=("week", "year"))
+    with pytest.raises(ValueError, match="unknown grain"):
+        hypertable_rollup(None, "ts", [], aggs, grains=("hour", "fortnight"))
+    with pytest.raises(ValueError, match="non-empty"):
+        hypertable_rollup(None, "ts", [], aggs, grains=())
+
+
+def test_rollup_mixed_calendar_families_from_day(spark, sf_dir):
+    """week AND month may share a chain when the finest grain nests in
+    both (day nests in week and in month) — only deriving month FROM
+    week is wrong; deriving both from day partials is exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hypertable_rollup(
+        ev, "ts", keys=[], aggs={"n": ("count", F.lit(1))},
+        grains=("day", "week", "month"),
+    )
+    month = {
+        (r.bucket, r.n) for r in out.filter(F.col("grain") == "month").collect()
+    }
+    direct = {
+        (r.bucket, r.n)
+        for r in ev.groupBy(F.date_trunc("month", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert month == direct

@@ -121,3 +121,36 @@ def test_streaming_scd2_matches_batch(spark, sf_dir):
         for r in batch_out.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_empty_attrs_rejected(spark):
+    import pytest
+
+    from malstrom_spark.operators.scd import scd2_history
+
+    df = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01 00:00:00"), v="a")])
+    with pytest.raises(ValueError, match="attrs must be non-empty"):
+        scd2_history(df, key="k", ts="ts", attrs=[])
+
+
+def test_consolidate_scd2_collapses_superseded_opens(spark):
+    """consolidate_scd2 keeps the closed version of an interval that a
+    later microbatch superseded, and re-derives is_current."""
+    from malstrom_spark.streaming.scd import consolidate_scd2
+
+    t1, t2 = _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00")
+    emitted = spark.createDataFrame(
+        [
+            # batch 1 emitted v=a as the open interval
+            Row(k=1, v="a", valid_from=t1, valid_to=None, is_current=True),
+            # batch 2 closed it and opened v=b
+            Row(k=1, v="a", valid_from=t1, valid_to=t2, is_current=False),
+            Row(k=1, v="b", valid_from=t2, valid_to=None, is_current=True),
+        ],
+        "k long, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    got = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in consolidate_scd2(emitted, "k", ["v"]).collect()
+    )
+    assert got == [(1, "a", t1, t2, False), (1, "b", t2, None, True)]
