@@ -51,6 +51,19 @@ def sliding(
     return _unpack_window(g)
 
 
+_PARTIAL = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
+_MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _check_decomposable(aggs: Mapping[str, tuple[str, Column]]) -> None:
+    bad = [n for n, (k, _) in aggs.items() if k not in _PARTIAL]
+    if bad:
+        raise ValueError(
+            f"aggs {bad} are not decomposable "
+            "(use count/sum/min/max; derive avg as sum/count)"
+        )
+
+
 # date_trunc units ordered finest -> coarsest; used to validate that a
 # rollup chain is computable from the finest grain's partials alone
 _GRAIN_RANK = {
@@ -135,20 +148,49 @@ def hypertable_rollup(
     quarter/year never follow week — start a second chain from the
     persisted partials for the other calendar family.
     """
+    _validate_grains(grains)  # whole chain, before any plan is built
+    partials = hypertable_partials(df, ts_col, keys, aggs, grain=grains[0])
+    return hypertable_from_partials(partials, keys, aggs, grains)
+
+
+def hypertable_partials(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, Column]],
+    grain: str = "hour",
+) -> DataFrame:
+    """The finest-grain partial-aggregate table of a hypertable rollup
+    — (bucket, keys..., agg columns), one shuffle over the raw data.
+    This is the CONTINUOUS-AGGREGATE stage table: persist it once per
+    ingest batch (operators/bucketing.persist_stage, bucketed on the
+    series keys) and every coarser grain, in any later job, derives
+    from it with zero raw-data scan — and zero Exchange, because a
+    hash bucketing on `keys` already satisfies the coarser
+    groupBy(date_trunc(g, bucket), keys) clustering (keys is a subset
+    of the grouping). Bucket on a high-cardinality series key (device,
+    user, symbol) so the buckets stay balanced at 100 TB."""
+    _validate_grains((grain,))
+    _check_decomposable(aggs)
+    return df.groupBy(F.date_trunc(grain, F.col(ts_col)).alias("bucket"), *keys).agg(
+        *[_PARTIAL[k](col).alias(n) for n, (k, col) in aggs.items()]
+    )
+
+
+def hypertable_from_partials(
+    partials: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, Column]],
+    grains: Sequence[str] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Derive the multi-grain rollup from an existing finest-grain
+    partials table (grains[0] must be the grain `partials` was built
+    at — it labels the passthrough branch; coarser grains re-aggregate
+    the partials). Same output contract as `hypertable_rollup`."""
     keys = list(keys)
     _validate_grains(grains)
-    _PARTIAL = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
-    _MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
-    bad = [n for n, (k, _) in aggs.items() if k not in _PARTIAL]
-    if bad:
-        raise ValueError(
-            f"aggs {bad} are not decomposable "
-            "(use count/sum/min/max; derive avg as sum/count)"
-        )
+    _check_decomposable(aggs)
     finest = grains[0]
-    partials = df.groupBy(
-        F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *keys
-    ).agg(*[_PARTIAL[k](col).alias(n) for n, (k, col) in aggs.items()])
     # merged aggregates cast back to the partials' exact types (sum
     # over decimal widens precision; sum over count's long stays long)
     # so every grain branch carries one schema through the union

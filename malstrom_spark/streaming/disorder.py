@@ -1,0 +1,143 @@
+"""Watermark-finalized buffered fold — the out-of-order hardening
+layer for the streaming funnel/SCD2 twins (round-5 item #1).
+
+The default twins (streaming/funnel.py, streaming/scd.py) fold events
+in ARRIVAL order and are exact only when event time never regresses
+across microbatches. The reference's pattern for true out-of-order
+streams is to buffer within the disorder horizon and finalize on the
+watermark (`generate_epochs` closures emit epochs, `on_epoch` fires
+when the frontier passes — operators/time/generate_epochs.rs:39-127,
+stateful_op.rs:154-157). This module is that pattern on Spark's
+stateful machinery:
+
+- per key, incoming events are BUFFERED in state (parallel arrays,
+  one per event column);
+- whenever the watermark W passes buffered work — on a fired
+  event-time timer, or directly in `on_data` when W already moved —
+  every buffered event with ts < W is RIPE: folded, in event-time
+  order, through the operator's fold function, which updates the
+  inner state (funnel chain / SCD2 open interval) and emits;
+- events that arrive with ts < W are LATE beyond the horizon and are
+  deterministically dropped (the engine may or may not pre-filter
+  them; the operator does not depend on it) — the same contract as
+  the reference's late side-output, minus the side channel;
+- a single pending timer per key re-arms at the earliest remaining
+  buffered event (the apws engine holds one timer; the TWS engine
+  would fire per-timer and re-arm through the same code path).
+
+Correctness argument: Spark's watermark guarantees W is computed from
+data already SEEN, and this operator folds strictly below W while
+accepting new events only at-or-above W (late ones are dropped), so
+folded prefixes are immutable and the fold sees every surviving event
+exactly once, in global event-time order — a late-but-in-horizon
+event lands in its correct chain position. With a horizon >= the
+stream's true disorder nothing is dropped and the result equals the
+batch operator exactly (tests/test_disorder.py replays shuffled
+microbatch orders through OperatorTester and pins equality).
+
+State size: the buffer holds only events inside the horizon — bounded
+by rate x horizon per key, the same bound the reference's epoch
+buffer carries; RocksDB-backed, so it spills rather than OOMs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def disorder_fold_stream(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_us_col: str,
+    buf_cols: Sequence[tuple[str, str]],
+    sort_cols: Sequence[str],
+    inner_fields: Sequence[tuple[str, str]],
+    fold: Callable,
+    out_schema,
+) -> DataFrame:
+    """Generic watermark-finalized keyed fold.
+
+    sdf          already watermarked; projected to key_cols + buf_cols.
+    buf_cols     (name, spark_type) event columns to buffer; must
+                 include (ts_us_col, 'bigint') event-time micros.
+    sort_cols    buffer columns ordering the fold within a ripe batch
+                 (ts first; add a tiebreak for deterministic ties).
+    inner_fields (name, spark_type) of the operator's inner state.
+    fold         fold(key, ripe_pdf_sorted, inner_tuple_or_None)
+                 -> (list[pd.DataFrame], new_inner_tuple) — called only
+                 when ripe events exist; sees them in event-time order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .stateful_op import stateful_op_stream
+
+    buf_names = [n for n, _ in buf_cols]
+    n_inner = len(inner_fields)
+    state_schema = ", ".join(
+        [f"{n} {t}" for n, t in inner_fields]
+        + [f"__b_{n} array<{t}>" for n, t in buf_cols]
+    )
+
+    def _unpack(state):
+        if state is None:
+            return None, {n: [] for n in buf_names}
+        inner = tuple(state[:n_inner])
+        if all(v is None for v in inner):
+            inner = None
+        bufs = {
+            n: list(state[n_inner + i]) if state[n_inner + i] is not None else []
+            for i, n in enumerate(buf_names)
+        }
+        return inner, bufs
+
+    def _pack(inner, bufs):
+        inner_part = tuple(inner) if inner is not None else (None,) * n_inner
+        return inner_part + tuple(bufs[n] for n in buf_names)
+
+    def _advance(key, new_pdf, wm_ms, state):
+        """Shared by on_data and on_timer: drop beyond-horizon lates,
+        buffer the rest, fold everything strictly below the frontier."""
+        inner, bufs = _unpack(state)
+        wm_us = int(wm_ms) * 1000
+        if new_pdf is not None and len(new_pdf):
+            fresh = new_pdf[new_pdf[ts_us_col].to_numpy(dtype="int64") >= wm_us]
+            for n in buf_names:
+                bufs[n].extend(fresh[n].tolist())
+        outs = []
+        if bufs[ts_us_col]:
+            ts_arr = np.asarray(bufs[ts_us_col], dtype="int64")
+            ripe_mask = ts_arr < wm_us
+            if ripe_mask.any():
+                ripe = pd.DataFrame(
+                    {n: [v for v, r in zip(bufs[n], ripe_mask) if r] for n in buf_names}
+                ).sort_values(list(sort_cols), kind="mergesort", ignore_index=True)
+                outs, inner = fold(key, ripe, inner)
+                bufs = {
+                    n: [v for v, r in zip(bufs[n], ripe_mask) if not r]
+                    for n in buf_names
+                }
+        timers = []
+        if bufs[ts_us_col]:
+            # fire once the watermark passes the earliest buffered
+            # event; clamp above the current watermark (the apws
+            # engine rejects a timer at-or-below it)
+            timers = [max(min(bufs[ts_us_col]) // 1000 + 1, int(wm_ms) + 1)]
+        return list(outs), _pack(inner, bufs), timers
+
+    def on_data(key, pdfs, state, timer_values):
+        wm_ms = timer_values.getCurrentWatermarkInMs() if timer_values else 0
+        new_pdf = pd.concat(list(pdfs), ignore_index=True)
+        return _advance(key, new_pdf, wm_ms, state)
+
+    def on_timer(key, fired_at_ms, state):
+        # apws hands the current watermark, TWS the timer expiry —
+        # either way "the frontier passed this point": fold below it
+        # and re-arm for the remainder
+        return _advance(key, None, fired_at_ms, state)
+
+    return stateful_op_stream(
+        sdf, list(key_cols), on_data, on_timer, out_schema, state_schema
+    )

@@ -152,6 +152,24 @@ def _via_transform_with_state(
     )
 
 
+class _ApwsTimerValues:
+    """Parity shim for the TWS path's `timer_values` argument: exposes
+    the current watermark to `on_data` on the apws path too, so logic
+    like the disorder-horizon fold (streaming/disorder.py) can run ripe
+    folds and clamp timer arms identically on both engines."""
+
+    def __init__(self, state):
+        self._state = state
+
+    def getCurrentWatermarkInMs(self) -> int:
+        return max(int(self._state.getCurrentWatermarkMs()), 0)
+
+    def getCurrentProcessingTimeInMs(self) -> int:
+        import time
+
+        return int(time.time() * 1000)
+
+
 def make_apws_wrapped(on_data, on_timer):
     """The applyInPandasWithState wrapper function, module-level so the
     engine-divergence property test can drive it against a fake
@@ -178,7 +196,7 @@ def make_apws_wrapped(on_data, on_timer):
             yield from outs
             return
         cur = state.get if state.exists else None
-        outs, new_state, timers = on_data(key, pdfs, cur, None)
+        outs, new_state, timers = on_data(key, pdfs, cur, _ApwsTimerValues(state))
         if new_state is None:
             if timers:
                 raise ValueError(

@@ -92,3 +92,52 @@ def test_multipass_dedup_stages_join_exchange_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS stage_dedup_labels")
         spark.sql("DROP TABLE IF EXISTS stage_corpus")
+
+
+def test_continuous_aggregate_rollup_exchange_free(spark, sf_dir):
+    """Round-5 item #7: the continuous-aggregate composition the
+    hypertable docstring promises — job 1 persists hour partials
+    bucketed on the series key; job 2 derives hour+day+week from the
+    stage table with ZERO raw-data scan and ZERO Exchange (bucketing
+    on `keys` satisfies every coarser groupBy(date_trunc(g, bucket),
+    keys) clustering)."""
+    from malstrom_spark.operators.bucketing import persist_stage
+    from malstrom_spark.operators.windows import (
+        hypertable_from_partials,
+        hypertable_partials,
+        hypertable_rollup,
+    )
+    from malstrom_spark.queries import table
+
+    ev = table(spark, sf_dir, "events")
+    aggs = {
+        "n": ("count", F.lit(1)),
+        "sv": ("sum", F.col("value").cast("decimal(18,6)")),
+        "mx": ("max", F.col("value")),
+    }
+    # ---- job 1: ingest batch -> hour partials, bucketed on event_type
+    persist_stage(
+        hypertable_partials(ev, "ts", ["event_type"], aggs, grain="hour"),
+        "stage_ht_hour", ["event_type"], n_buckets=8,
+        sort_cols=["event_type", "bucket"],
+    )
+    try:
+        # ---- job 2: reads ONLY the stage table
+        out = hypertable_from_partials(
+            spark.table("stage_ht_hour"), ["event_type"], aggs,
+            grains=("hour", "day", "week"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "events.parquet" not in plan  # no raw-data scan
+
+        direct = hypertable_rollup(
+            ev, "ts", ["event_type"], aggs, grains=("hour", "day", "week")
+        )
+        sym = (
+            out.exceptAll(direct.select(out.columns)).count()
+            + direct.select(out.columns).exceptAll(out).count()
+        )
+        assert sym == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stage_ht_hour")

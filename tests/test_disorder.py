@@ -1,0 +1,238 @@
+"""Out-of-order hardening (round 5): the disorder_horizon mode of the
+streaming funnel/SCD2 twins buffers per-key events in state and folds
+them only when the watermark passes (streaming/disorder.py — the
+reference's generate_epochs/on_epoch pattern, operators/time/
+generate_epochs.rs:39-127, stateful_op.rs:154-157). These tests replay
+the SAME events in shuffled microbatch order through OperatorTester
+and pin exact equality with the batch operators — the done-criterion
+for round-5 item #1 — plus deterministic drop of beyond-horizon lates
+and state survival across a checkpoint restart."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from malstrom_spark.operators.funnel import funnel_times
+from malstrom_spark.operators.scd import scd2_history
+from malstrom_spark.streaming.funnel import funnel_stream
+from malstrom_spark.streaming.scd import scd2_stream
+from malstrom_spark.testing import OperatorTester
+
+BASE = dt.datetime(2024, 3, 1, 12, 0, 0)
+SCHEMA = "user_id long, ts timestamp, event_type string"
+SENTINEL = 10_000  # noise user whose far-future event flushes the watermark
+
+
+def _steps():
+    return [
+        ("a", F.col("event_type") == "a"),
+        ("b", F.col("event_type") == "b"),
+        ("c", F.col("event_type") == "c"),
+    ]
+
+
+def _gen_events(n_users=18, n_per_user=8, seed=5):
+    """Per-user event sequences on a shared minute grid, then a global
+    bounded shuffle: every event lands within 5 positions of its grid
+    slot, so a 10-minute horizon strictly bounds the disorder."""
+    rng = random.Random(seed)
+    evs = []
+    for u in range(n_users):
+        for i in range(n_per_user):
+            et = rng.choice(["a", "b", "c", "noise"])
+            evs.append((u, BASE + dt.timedelta(minutes=i), et))
+    evs.sort(key=lambda e: e[1])
+    for i in range(len(evs)):  # bounded perturbation: <= 5 grid slots
+        j = min(i + rng.randint(0, 5), len(evs) - 1)
+        evs[i], evs[j] = evs[j], evs[i]
+    return evs
+
+
+def _batches(evs, size=23):
+    return [evs[i : i + size] for i in range(0, len(evs), size)]
+
+
+def _final_chains(rows):
+    """Latest chain per user from the emission log — max per step is
+    exact under fill-forward (operators/funnel.latest_chain_times)."""
+    out = {}
+    for r in rows:
+        cur = out.get(r.u, (None, None, None))
+        nxt = tuple(
+            max((x for x in (a, b) if x is not None), default=None)
+            for a, b in zip(cur, (r.t_a, r.t_b, r.t_c))
+        )
+        out[r.u] = nxt
+    return {u: v for u, v in out.items() if u != SENTINEL}
+
+
+def _run_funnel_stream(spark, batches, restart_at=None, **kw):
+    t = OperatorTester(
+        spark,
+        SCHEMA,
+        op=lambda sdf: funnel_stream(
+            sdf, "user_id", "ts", _steps(), disorder_horizon="10 minutes", **kw
+        ),
+    )
+    try:
+        rows = []
+        for i, b in enumerate(batches):
+            if restart_at is not None and i == restart_at:
+                t.restart()
+            t.send(b)
+            rows += [r for batch in t.step() for r in batch]
+        # flush: one far-future STEP event (the step filter is pushed
+        # below the watermark node, so only step-matching events
+        # advance the watermark) fires every pending timer
+        t.send([(SENTINEL, BASE + dt.timedelta(days=30), "a")])
+        rows += [r for batch in t.step() for r in batch]
+        return _final_chains(rows)
+    finally:
+        t.stop()
+
+
+def _batch_funnel(spark, evs, **kw):
+    df = spark.createDataFrame(evs, SCHEMA)
+    out = funnel_times(df, "user_id", "ts", _steps(), **kw)
+    return {r.user_id: (r.t_a, r.t_b, r.t_c) for r in out.collect()}
+
+
+def test_funnel_disorder_matches_batch_under_shuffled_microbatches(spark):
+    evs = _gen_events()
+    got = _run_funnel_stream(spark, _batches(evs))
+    want = _batch_funnel(spark, evs)
+    assert len(got) > 0 and any(v[2] is not None for v in got.values())
+    assert got == want
+
+
+def test_funnel_disorder_with_within_bound(spark):
+    evs = _gen_events(seed=11)
+    got = _run_funnel_stream(spark, _batches(evs), within="3 minutes")
+    want = _batch_funnel(spark, evs, within="3 minutes")
+    assert got == want
+
+
+def test_funnel_disorder_survives_restart(spark):
+    """Buffered (unfolded) events and chain state both live in the
+    checkpoint: a mid-replay restart changes nothing."""
+    evs = _gen_events(seed=7)
+    batches = _batches(evs, size=31)
+    got = _run_funnel_stream(spark, batches, restart_at=len(batches) // 2)
+    assert got == _batch_funnel(spark, evs)
+
+
+def test_funnel_beyond_horizon_late_event_dropped(spark):
+    """An event older than the watermark at arrival is dropped
+    deterministically — the batch equivalent excludes it."""
+    early = [(1, BASE + dt.timedelta(minutes=i), et)
+             for i, et in enumerate(["a", "b"])]
+    # push the watermark far past BASE (+2h - 10min horizon)
+    push = [(2, BASE + dt.timedelta(hours=2), "a")]
+    # a 'c' event at BASE+2min is now ~108 min behind the watermark
+    late = [(1, BASE + dt.timedelta(minutes=2), "c")]
+    got = _run_funnel_stream(spark, [early, push, late])
+    want = _batch_funnel(spark, early + push)  # late event excluded
+    assert got == want
+    assert got[1][2] is None  # the dropped 'c' never completed a chain
+
+
+# --------------------------------------------------------------- SCD2
+
+SCD_SCHEMA = "user_id long, ts timestamp, event_id long, event_type string"
+
+
+def _gen_scd_events(n_users=15, n_per_user=9, seed=3):
+    rng = random.Random(seed)
+    evs = []
+    eid = 0
+    for u in range(n_users):
+        for i in range(n_per_user):
+            evs.append((u, BASE + dt.timedelta(minutes=i), eid, rng.choice("xyz")))
+            eid += 1
+    evs.sort(key=lambda e: e[1])
+    for i in range(len(evs)):
+        j = min(i + rng.randint(0, 5), len(evs) - 1)
+        evs[i], evs[j] = evs[j], evs[i]
+    return evs
+
+
+def _consolidate(rows):
+    """Latest version per (key, attr, valid_from): valid_to goes null
+    -> close exactly once, so max() recovers the surviving version."""
+    out = {}
+    for r in rows:
+        k = (r.user_id, r.event_type, r.valid_from)
+        if k not in out or (out[k] is None and r.valid_to is not None):
+            out[k] = r.valid_to
+    return {
+        (u, et, vf, vt, vt is None)
+        for (u, et, vf), vt in out.items()
+        if u != SENTINEL
+    }
+
+
+def test_scd2_disorder_matches_batch_under_shuffled_microbatches(spark):
+    evs = _gen_scd_events()
+    t = OperatorTester(
+        spark,
+        SCD_SCHEMA,
+        op=lambda sdf: scd2_stream(
+            sdf, key="user_id", ts="ts", attrs=["event_type"],
+            tiebreak="event_id", disorder_horizon="10 minutes",
+        ),
+    )
+    try:
+        rows = []
+        for b in _batches(evs, size=19):
+            t.send(b)
+            rows += [r for batch in t.step() for r in batch]
+        t.send([(SENTINEL, BASE + dt.timedelta(days=30), 999_999, "x")])
+        rows += [r for batch in t.step() for r in batch]
+    finally:
+        t.stop()
+    got = _consolidate(rows)
+    batch = scd2_history(
+        spark.createDataFrame(evs, SCD_SCHEMA),
+        key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id",
+    )
+    want = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in batch.collect()
+    }
+    assert len(got) > 20
+    assert got == want
+
+
+def test_scd2_disorder_multibatch_out_of_order_minimal(spark):
+    """Round-5 item #8: the minimal multi-batch regression — a late
+    change event arriving in a LATER microbatch must open its interval
+    in the middle of the chain, closing its predecessor correctly."""
+    t = OperatorTester(
+        spark,
+        SCD_SCHEMA,
+        op=lambda sdf: scd2_stream(
+            sdf, key="user_id", ts="ts", attrs=["event_type"],
+            tiebreak="event_id", disorder_horizon="10 minutes",
+        ),
+    )
+    t0, t1, t2 = (BASE + dt.timedelta(minutes=m) for m in (0, 2, 4))
+    try:
+        rows = []
+        # batch 1: x@t0, z@t2 — batch 2 delivers y@t1 out of order
+        t.send([(1, t0, 0, "x"), (1, t2, 2, "z")])
+        rows += [r for b in t.step() for r in b]
+        t.send([(1, t1, 1, "y")])
+        rows += [r for b in t.step() for r in b]
+        t.send([(SENTINEL, BASE + dt.timedelta(days=1), 99, "x")])
+        rows += [r for b in t.step() for r in b]
+    finally:
+        t.stop()
+    cons = _consolidate(rows)
+    assert cons == {
+        (1, "x", t0, t1, False),
+        (1, "y", t1, t2, False),
+        (1, "z", t2, None, True),
+    }

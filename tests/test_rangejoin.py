@@ -229,7 +229,7 @@ def test_subsecond_bin_width(spark):
         range_join(pts, wins, "ts", "s", "e", strategy="bin", bin_width="1 month")
 
 
-def test_rollup_grain_validation():
+def test_rollup_grain_validation(spark):
     """Non-nesting and misordered grain chains fail loudly instead of
     silently emitting wrong buckets (round-5 ADVICE)."""
     aggs = {"n": ("count", F.lit(1))}
