@@ -145,6 +145,57 @@ def measure_streaming_eps(spark, sf_dir: str) -> float:
     return round(n / one_run(), 1)
 
 
+# The headline scale twins use xxhash64 (no SQL oracle), so the
+# DuckDB-comparable set would otherwise exclude exactly the pipeline
+# workloads this engine is for. These PORTABLE gate twins are the
+# identical dataflow with the md5-prefix hash both engines can
+# compute; they are co-measured on BOTH engines (outside the headline
+# total, which stays cross-round comparable) so the ratio covers the
+# heavy pipelines too.
+DUCKDB_COMPARE_EXTRA = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "training_data_pipeline",
+    "similarity_ann_lsh",
+]
+
+
+def measure_duckdb(registry, sf_dir: str) -> dict[str, float]:
+    """Same-session DuckDB co-measurement (round-5 item #4): run the
+    oracle SQL of every headline query that has one, plus the portable
+    pipeline twins above, on the same parquet and the same host,
+    min-of-2 like the Spark side — so the bench_vs_duckdb ratio in the
+    JSON line is computed from ONE session instead of mixing hosts
+    measured rounds apart. Queries without an oracle (xxhash scale
+    twins) are skipped and listed in `duckdb_skipped`."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 32}")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in HEADLINE + DUCKDB_COMPARE_EXTRA:
+            sql = registry[name].oracle
+            if sql is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            print(f"# duckdb pass{_pass} {name}: {dt:.2f}s", file=sys.stderr)
+    con.close()
+    return timings
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -175,8 +226,28 @@ def main():
                 timings[name] = dt
             print(f"# pass{_pass} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # Spark side of the portable-pipeline comparison set (not part of
+    # the headline total, which stays cross-round comparable)
+    extra_timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in DUCKDB_COMPARE_EXTRA:
+            fn = registry[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in extra_timings or dt < extra_timings[name]:
+                extra_timings[name] = dt
+            print(f"# extra pass{_pass} {name}: {dt:.2f}s", file=sys.stderr)
+
     eps = measure_streaming_eps(spark, sf_dir)
     print(f"# streaming_stateful: {eps:,.0f} events/s", file=sys.stderr)
+
+    duck = measure_duckdb(registry, sf_dir)
+    # the apples-to-apples ratio: Spark wall over the SAME queries
+    # DuckDB could run, both measured in this session on this host
+    spark_all = {**timings, **extra_timings}
+    common_spark = round(sum(spark_all[n] for n in duck), 4)
+    duck_total = round(sum(duck.values()), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -187,6 +258,14 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "streaming_stateful_events_per_sec": eps,
+                "compare_extra_queries": extra_timings,
+                "duckdb_total_wall": duck_total,
+                "duckdb_queries": duck,
+                "spark_wall_on_duckdb_subset": common_spark,
+                "bench_vs_duckdb_ratio": round(common_spark / duck_total, 3)
+                if duck_total
+                else None,
+                "duckdb_skipped": [n for n in HEADLINE if n not in duck],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

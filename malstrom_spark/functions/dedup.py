@@ -393,10 +393,15 @@ def _bucket_candidate_pairs(
     if some other band/chunk puts it in a small bucket — the standard
     bounded-candidates trade, documented not silent.
 
-    When no bucket exceeds the cap the broadcast side is EMPTY and
-    the plan degenerates to the uncapped self-join plus the narrow
-    count — measured 500k-doc overhead well under the 2x a
-    window-based guard cost. ``payload_cols`` ride along as
+    When no bucket exceeds the cap — the common case outside template
+    corpora, and the one the cap's round-5 default-ON makes hot — an
+    EAGER PROBE (one narrow aggregation job at DataFrame-construction
+    time, same eager-construction contract as the collapse pre-pass)
+    detects it and returns the exact uncapped plan unchanged, so the
+    guard costs only the probe instead of threading a broadcast join
+    through both self-join sides (measured sf0.1: the always-guarded
+    plan cost +0.75-2 s per pair query for identical output; the
+    probe form returns that). ``payload_cols`` ride along as
     ``<col>_a``/``<col>_b`` (e.g. SimHash values for the verify)."""
 
     pair_cols = [
@@ -427,6 +432,8 @@ def _bucket_candidate_pairs(
         .where(F.col("__bn") > max_bucket_size)
         .select(*bucket_cols, "__bmin")
     )
+    if oversized.isEmpty():
+        return _full_pairs(bucketed).distinct()
     t = bucketed.join(F.broadcast(oversized), bucket_cols, "left")
     small = _full_pairs(t.where(F.col("__bmin").isNull()).drop("__bmin"))
     big = t.where(
