@@ -89,6 +89,8 @@ HEADLINE = [
     # matching, SCD2 history, forward as-of — all gate-verified
     "events_purchase_window_join",
     "event_hypertable_rollup",
+    # round-5: mergeable HLL distinct rollup (approx_distinct kind)
+    "event_hypertable_distinct",
     "event_funnel_s_c_p",
     "customer_priority_scd2",
     "error_next_purchase_asof",

@@ -51,8 +51,29 @@ def sliding(
     return _unpack_window(g)
 
 
-_PARTIAL = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
-_MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+# approx_distinct partials are Apache DataSketches HLL sketches
+# (binary, mergeable): the ONLY way a distinct count can roll up —
+# COUNT(DISTINCT) partials don't merge, so a continuous aggregate
+# either re-scans raw data per grain or carries a mergeable sketch.
+# hll_union_agg over sub-sketches == sketching the unioned data, so
+# day/week/month distincts derive from persisted hour partials with
+# zero raw rescan, same as every other kind here.
+_PARTIAL = {
+    "count": F.count, "sum": F.sum, "min": F.min, "max": F.max,
+    "approx_distinct": F.hll_sketch_agg,
+}
+_MERGE = {
+    "count": F.sum, "sum": F.sum, "min": F.min, "max": F.max,
+    "approx_distinct": F.hll_union_agg,
+}
+
+
+def _final_expr(kind: str, name: str) -> Column:
+    """Per-branch output projection: sketches estimate to a BIGINT at
+    the edge; every other kind passes through."""
+    if kind == "approx_distinct":
+        return F.hll_sketch_estimate(F.col(name)).alias(name)
+    return F.col(name)
 
 
 def _check_decomposable(aggs: Mapping[str, tuple[str, Column]]) -> None:
@@ -60,7 +81,9 @@ def _check_decomposable(aggs: Mapping[str, tuple[str, Column]]) -> None:
     if bad:
         raise ValueError(
             f"aggs {bad} are not decomposable "
-            "(use count/sum/min/max; derive avg as sum/count)"
+            "(use count/sum/min/max/approx_distinct; derive avg as "
+            "sum/count; exact distinct does not decompose — that is "
+            "what approx_distinct's mergeable HLL sketch is for)"
         )
 
 
@@ -121,10 +144,15 @@ def hypertable_rollup(
     timestamp (date_trunc of the finest bucket).
 
     aggs maps output name -> (kind, column) where kind is one of
-    'count' | 'sum' | 'min' | 'max' — the decomposable aggregates
-    whose partials merge losslessly (count merges by sum; the rest by
-    themselves). avg is derived by the caller as sum/count so it
-    rolls up exactly too.
+    'count' | 'sum' | 'min' | 'max' | 'approx_distinct' — the
+    decomposable aggregates whose partials merge losslessly (count
+    merges by sum; min/max by themselves; approx_distinct carries a
+    mergeable DataSketches HLL sketch whose union over sub-buckets
+    equals sketching the union, estimated to BIGINT at the output
+    edge). avg is derived by the caller as sum/count so it rolls up
+    exactly too; EXACT distinct does not decompose — at 100 TB a
+    distinct-per-grain either rescans raw data per grain or rides a
+    sketch, which is why approx_distinct is first-class here.
 
     Scale shape: the finest-grain aggregation is ONE shuffle of the
     raw data keyed on (bucket, keys); every coarser branch hangs off
@@ -198,13 +226,14 @@ def hypertable_from_partials(
         _MERGE[k](F.col(n)).cast(partials.schema[n].dataType).alias(n)
         for n, (k, _) in aggs.items()
     ]
-    out = partials.select(F.lit(finest).alias("grain"), "bucket", *keys, *list(aggs))
+    final_exprs = [_final_expr(k, n) for n, (k, _) in aggs.items()]
+    out = partials.select(F.lit(finest).alias("grain"), "bucket", *keys, *final_exprs)
     for g in grains[1:]:
         rolled = partials.groupBy(
             F.date_trunc(g, F.col("bucket")).alias("bucket"), *keys
         ).agg(*merge_exprs)
         out = out.unionByName(
-            rolled.select(F.lit(g).alias("grain"), "bucket", *keys, *list(aggs))
+            rolled.select(F.lit(g).alias("grain"), "bucket", *keys, *final_exprs)
         )
     return out
 

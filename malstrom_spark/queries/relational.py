@@ -808,6 +808,38 @@ def event_hypertable_rollup(spark, sf_dir):
     )
 
 
+@register("event_hypertable_distinct")  # estimates are engine-specific
+def event_hypertable_distinct(spark, sf_dir):
+    """Distinct users per (grain, bucket, event_type) via MERGEABLE
+    DataSketches HLL sketches (operators/windows.py 'approx_distinct'
+    kind, round 5): the only distinct count that rolls up — hour
+    sketches union into day/week with zero raw rescans, same
+    continuous-aggregate decomposition as the exact kinds. No SQL
+    oracle: DuckDB's approx_count_distinct is a different HLL
+    implementation with different estimates, so the driver check is
+    rows-only; accuracy vs exact COUNT(DISTINCT) (<=5% at every grain)
+    and estimate-identity through persisted binary partials are pinned
+    in tests/test_rangejoin.py."""
+    from ..operators.windows import hypertable_rollup
+
+    ev = table(spark, sf_dir, "events")
+    out = hypertable_rollup(
+        ev,
+        "ts",
+        keys=["event_type"],
+        aggs={"users": ("approx_distinct", F.col("user_id")),
+              "n": ("count", F.lit(1))},
+        grains=("hour", "day", "week"),
+    )
+    return out.select(
+        "grain",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        F.col("users").cast("long").alias("users"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 # ------------------------------------------------ funnel (CEP-lite)
 @register(
     "event_funnel_s_c_p",

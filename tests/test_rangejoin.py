@@ -264,3 +264,74 @@ def test_rollup_mixed_calendar_families_from_day(spark, sf_dir):
         .collect()
     }
     assert month == direct
+
+
+def test_rollup_approx_distinct_sketches(spark, sf_dir):
+    """approx_distinct partials are mergeable HLL sketches: every
+    grain's estimate tracks the exact COUNT(DISTINCT) within HLL
+    error, and the day/week branches derive from the hour partials
+    (same ReusedExchange shape as the other kinds)."""
+    from malstrom_spark.queries import table
+
+    ev = table(spark, sf_dir, "events")
+    out = hypertable_rollup(
+        ev, "ts", keys=["event_type"],
+        aggs={"users": ("approx_distinct", F.col("user_id")),
+              "n": ("count", F.lit(1))},
+        grains=("hour", "day", "week"),
+    ).cache()
+    try:
+        for grain in ("hour", "day", "week"):
+            exact = {
+                (r.bucket, r.event_type): r.u
+                for r in ev.groupBy(
+                    F.date_trunc(grain, "ts").alias("bucket"), "event_type"
+                ).agg(F.countDistinct("user_id").alias("u")).collect()
+            }
+            got = {
+                (r.bucket, r.event_type): r.users
+                for r in out.filter(F.col("grain") == grain).collect()
+            }
+            assert set(got) == set(exact)
+            for k, est in got.items():
+                # default lgConfigK=12 -> ~1.6% rel err; allow 5%
+                assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (
+                    grain, k, est, exact[k]
+                )
+    finally:
+        out.unpersist()
+
+
+def test_rollup_approx_distinct_from_persisted_partials(spark, sf_dir):
+    """The continuous-aggregate path holds for sketches too: binary
+    HLL partials persist in the bucketed stage table and coarser
+    grains derive from them exchange-free with identical estimates."""
+    from malstrom_spark.operators.bucketing import persist_stage
+    from malstrom_spark.operators.windows import (
+        hypertable_from_partials,
+        hypertable_partials,
+    )
+    from malstrom_spark.queries import table
+
+    ev = table(spark, sf_dir, "events")
+    aggs = {"users": ("approx_distinct", F.col("user_id"))}
+    persist_stage(
+        hypertable_partials(ev, "ts", ["event_type"], aggs, grain="hour"),
+        "stage_ht_hll", ["event_type"], n_buckets=8,
+        sort_cols=["event_type", "bucket"],
+    )
+    try:
+        out = hypertable_from_partials(
+            spark.table("stage_ht_hll"), ["event_type"], aggs,
+            grains=("hour", "day", "week"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        direct = hypertable_rollup(
+            ev, "ts", ["event_type"], aggs, grains=("hour", "day", "week")
+        )
+        got = {(r.grain, r.bucket, r.event_type): r.users for r in out.collect()}
+        want = {(r.grain, r.bucket, r.event_type): r.users for r in direct.collect()}
+        assert got == want  # same sketches -> same estimates
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stage_ht_hll")
