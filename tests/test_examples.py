@@ -21,6 +21,7 @@ EXAMPLES = [
     "message_bus",
     "streaming_corpus_ingest",
     "temporal_analytics",
+    "out_of_order_streams",
 ]
 
 
