@@ -141,3 +141,67 @@ def disorder_fold_stream(
     return stateful_op_stream(
         sdf, list(key_cols), on_data, on_timer, out_schema, state_schema
     )
+
+
+def stateful_map_ordered_stream(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    fn: Callable,
+    output_schema,
+    state_schema: str,
+    disorder_horizon: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """`stateful_map` whose closure sees each key's records in
+    EVENT-TIME order regardless of arrival order — the general form of
+    the reference's event-time programming model (a `stateful_op`
+    buffering records and folding them when the epoch closes;
+    examples/event_time.rs:107-152 builds its monthly account balance
+    exactly this way). The funnel/SCD2 disorder modes are specialized
+    instances; this is the user-facing escape hatch for custom logic.
+
+    `fn(key: tuple, pdf, state_tuple | None) -> (list[pd.DataFrame],
+    new_state_tuple)` — pdf holds the key's newly-FINALIZED records
+    (every column of `sdf` except the key columns), sorted by event
+    time (+ `tiebreak` for deterministic ties), with `ts_col`
+    reconstructed as datetime64; called only when the watermark passes
+    records, so consecutive calls never hand it out-of-order work.
+    Records later than `disorder_horizon` behind the watermark are
+    dropped deterministically. `state_schema` is a DDL string; state
+    with every field None is indistinguishable from "no state yet" —
+    keep at least one non-null field in any live state."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    key_cols = list(key_cols)
+    wm = sdf.withWatermark(ts_col, disorder_horizon)
+    data_cols = [c for c in sdf.columns if c not in key_cols and c != ts_col]
+    # micros twin drives ripeness; the watermarked ts attribute rides
+    # along for the event-time-timeout requirement (projected away by
+    # the stateful operator's output schema)
+    proj = wm.filter(F.col(ts_col).isNotNull()).select(
+        *key_cols,
+        F.unix_micros(F.col(ts_col)).alias("__e_us"),
+        *data_cols,
+        F.col(ts_col).alias("__wm_ts"),
+    )
+    buf_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    buf_cols = [("__e_us", "bigint")] + [(c, buf_types[c]) for c in data_cols]
+    sort_cols = ["__e_us"] + ([tiebreak] if tiebreak else [])
+    inner_fields = [
+        (f.name, f.dataType.simpleString())
+        for f in StructType.fromDDL(state_schema).fields
+    ]
+
+    def fold(key, ripe, inner):
+        import pandas as pd
+
+        pdf = ripe.rename(columns={"__e_us": ts_col})
+        pdf[ts_col] = pd.to_datetime(pdf[ts_col], unit="us")
+        return fn(key, pdf, inner)
+
+    return disorder_fold_stream(
+        proj, key_cols, "__e_us", buf_cols, sort_cols, inner_fields,
+        fold, output_schema,
+    )

@@ -236,3 +236,74 @@ def test_scd2_disorder_multibatch_out_of_order_minimal(spark):
         (1, "y", t1, t2, False),
         (1, "z", t2, None, True),
     }
+
+
+# ------------------------------------------- generic ordered stateful map
+
+def test_stateful_map_ordered_running_balance(spark):
+    """The reference's event_time.rs monthly-balance pattern as a
+    custom fold: per-account running balance emitted per transaction,
+    IN EVENT-TIME ORDER, from a shuffled multi-batch replay — the
+    general-purpose form of the disorder machinery."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    from malstrom_spark.streaming.disorder import stateful_map_ordered_stream
+
+    import pandas as pd
+
+    out_schema = StructType([
+        StructField("account", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("balance", DoubleType()),
+    ])
+
+    def fn(key, pdf, state):
+        bal = state[0] if state is not None and state[0] is not None else 0.0
+        rows = []
+        for _, r in pdf.iterrows():
+            bal = round(bal + r["amount"], 2)
+            rows.append({"account": key[0], "ts": r["ts"], "balance": bal})
+        return [pd.DataFrame(rows)], (bal,)
+
+    rng = random.Random(17)
+    evs = []
+    for acct in range(8):
+        for i in range(12):
+            evs.append((acct, BASE + dt.timedelta(minutes=i),
+                        round(rng.uniform(-50, 100), 2)))
+    evs.sort(key=lambda e: e[1])
+    for i in range(len(evs)):  # bounded disorder, <= 5 grid slots
+        j = min(i + rng.randint(0, 5), len(evs) - 1)
+        evs[i], evs[j] = evs[j], evs[i]
+
+    t = OperatorTester(
+        spark,
+        "account long, ts timestamp, amount double",
+        op=lambda sdf: stateful_map_ordered_stream(
+            sdf, ["account"], "ts", fn, out_schema,
+            "bal double", disorder_horizon="10 minutes",
+        ),
+    )
+    try:
+        rows = []
+        for b in _batches(evs, size=17):
+            t.send(b)
+            rows += [r for batch in t.step() for r in batch]
+        t.send([(SENTINEL, BASE + dt.timedelta(days=5), 0.0)])
+        rows += [r for batch in t.step() for r in batch]
+    finally:
+        t.stop()
+    got = {(r.account, r.ts): r.balance for r in rows if r.account != SENTINEL}
+
+    # batch reference: cumulative sum in event-time order, same rounding
+    want = {}
+    for acct in range(8):
+        bal = 0.0
+        for u, ts, amt in sorted((e for e in evs if e[0] == acct),
+                                 key=lambda e: e[1]):
+            bal = round(bal + amt, 2)
+            want[(acct, ts)] = bal
+    assert len(got) == 8 * 12
+    assert got == want
