@@ -47,39 +47,22 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame
 
 
-def disorder_fold_stream(
-    sdf: DataFrame,
-    key_cols: Sequence[str],
+def make_disorder_handlers(
     ts_us_col: str,
-    buf_cols: Sequence[tuple[str, str]],
+    buf_names: Sequence[str],
     sort_cols: Sequence[str],
-    inner_fields: Sequence[tuple[str, str]],
+    n_inner: int,
     fold: Callable,
-    out_schema,
-) -> DataFrame:
-    """Generic watermark-finalized keyed fold.
-
-    sdf          already watermarked; projected to key_cols + buf_cols.
-    buf_cols     (name, spark_type) event columns to buffer; must
-                 include (ts_us_col, 'bigint') event-time micros.
-    sort_cols    buffer columns ordering the fold within a ripe batch
-                 (ts first; add a tiebreak for deterministic ties).
-    inner_fields (name, spark_type) of the operator's inner state.
-    fold         fold(key, ripe_pdf_sorted, inner_tuple_or_None)
-                 -> (list[pd.DataFrame], new_inner_tuple) — called only
-                 when ripe events exist; sees them in event-time order.
-    """
+):
+    """Build the (on_data, on_timer) pair implementing the buffered
+    watermark-finalized fold — module-level factory so the
+    engine-divergence property tests can drive the SAME handlers
+    through fake TWS and apws engines without Spark (the TWS path
+    needs protobuf at runtime; tests/test_disorder.py pins the two
+    engines output-identical on this logic the same way
+    tests/test_engine_divergence.py pins the generic wrappers)."""
     import numpy as np
     import pandas as pd
-
-    from .stateful_op import stateful_op_stream
-
-    buf_names = [n for n, _ in buf_cols]
-    n_inner = len(inner_fields)
-    state_schema = ", ".join(
-        [f"{n} {t}" for n, t in inner_fields]
-        + [f"__b_{n} array<{t}>" for n, t in buf_cols]
-    )
 
     def _unpack(state):
         if state is None:
@@ -138,6 +121,41 @@ def disorder_fold_stream(
         # and re-arm for the remainder
         return _advance(key, None, fired_at_ms, state)
 
+    return on_data, on_timer
+
+
+def disorder_fold_stream(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_us_col: str,
+    buf_cols: Sequence[tuple[str, str]],
+    sort_cols: Sequence[str],
+    inner_fields: Sequence[tuple[str, str]],
+    fold: Callable,
+    out_schema,
+) -> DataFrame:
+    """Generic watermark-finalized keyed fold.
+
+    sdf          already watermarked; projected to key_cols + buf_cols.
+    buf_cols     (name, spark_type) event columns to buffer; must
+                 include (ts_us_col, 'bigint') event-time micros.
+    sort_cols    buffer columns ordering the fold within a ripe batch
+                 (ts first; add a tiebreak for deterministic ties).
+    inner_fields (name, spark_type) of the operator's inner state.
+    fold         fold(key, ripe_pdf_sorted, inner_tuple_or_None)
+                 -> (list[pd.DataFrame], new_inner_tuple) — called only
+                 when ripe events exist; sees them in event-time order.
+    """
+    from .stateful_op import stateful_op_stream
+
+    buf_names = [n for n, _ in buf_cols]
+    state_schema = ", ".join(
+        [f"{n} {t}" for n, t in inner_fields]
+        + [f"__b_{n} array<{t}>" for n, t in buf_cols]
+    )
+    on_data, on_timer = make_disorder_handlers(
+        ts_us_col, buf_names, list(sort_cols), len(inner_fields), fold
+    )
     return stateful_op_stream(
         sdf, list(key_cols), on_data, on_timer, out_schema, state_schema
     )

@@ -307,3 +307,179 @@ def test_stateful_map_ordered_running_balance(spark):
             want[(acct, ts)] = bal
     assert len(got) == 8 * 12
     assert got == want
+
+
+# ------------------------------------- TWS/apws engine equivalence (no Spark)
+# The TWS path cannot run here (protobuf absent); like
+# test_engine_divergence.py for the generic wrappers, these fakes
+# drive the SAME disorder handlers through both engine semantics —
+# TWS fires each due timer individually at its expiry, apws holds one
+# timeout and hands the current watermark — and pin identical outputs
+# and state, plus agreement with a plain-Python ordered-fold oracle.
+
+from types import SimpleNamespace  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from malstrom_spark.streaming.disorder import make_disorder_handlers  # noqa: E402
+from malstrom_spark.streaming.stateful_op import (  # noqa: E402
+    make_apws_wrapped,
+    make_tws_processor,
+)
+
+
+def _handlers():
+    import pandas as pd
+
+    def fold(key, ripe, inner):
+        n, total = inner if inner is not None else (0, 0)
+        rows = []
+        for e, v in zip(ripe["e"], ripe["v"]):
+            n, total = n + 1, total + v
+            rows.append((key[0], int(e), int(total)))
+        return rows, (n, total)
+
+    return make_disorder_handlers("e", ["e", "v"], ["e"], 2, fold)
+
+
+def _pdf(batch):
+    import pandas as pd
+
+    return pd.DataFrame({"e": [e for e, _ in batch], "v": [v for _, v in batch]})
+
+
+class _WmShim:
+    def __init__(self, wm):
+        self.wm = wm
+
+    def getCurrentWatermarkInMs(self):
+        return self.wm
+
+
+class _TwsDisorder:
+    """TWS semantics: all returned timers registered; each due timer
+    fires individually at its expiry, in order, re-arms drain again."""
+
+    def __init__(self):
+        on_data, on_timer = _handlers()
+        from tests.test_engine_divergence import _FakeHandle
+
+        self.handle = _FakeHandle()
+        self.op = make_tws_processor(on_data, on_timer, state_schema=None)()
+        self.op.init(self.handle)
+        self.wm = 0
+
+    def data(self, key, batch):
+        return list(self.op.handleInputRows(key, iter([_pdf(batch)]), _WmShim(self.wm)))
+
+    def advance(self, key, wm):
+        self.wm = max(self.wm, wm)
+        outs = []
+        while True:
+            due = sorted(t for t in self.handle.timers if t <= self.wm)
+            if not due:
+                return outs
+            t = due[0]
+            self.handle.timers.discard(t)
+            info = SimpleNamespace(getExpiryTimeInMs=lambda t=t: t)
+            outs += list(self.op.handleExpiredTimer(key, None, info))
+
+    def state(self):
+        return self.handle.state.get()
+
+
+class _ApwsDisorder:
+    """apws semantics: ONE pending timeout; on_timer sees the CURRENT
+    watermark; setTimeoutTimestamp at-or-below it raises (the real
+    engine's rule — the handlers' clamp must keep this impossible)."""
+
+    def __init__(self):
+        on_data, on_timer = _handlers()
+        self.wrapped = make_apws_wrapped(on_data, on_timer)
+        from tests.test_engine_divergence import _FakeGroupState
+
+        self.gs = _FakeGroupState()
+        orig = self.gs.setTimeoutTimestamp
+
+        def strict(t_ms):
+            assert t_ms > self.gs.wm, "timer at-or-below watermark"
+            orig(t_ms)
+
+        self.gs.setTimeoutTimestamp = strict
+
+    def data(self, key, batch):
+        self.gs.hasTimedOut = False
+        return list(self.wrapped(key, iter([_pdf(batch)]), self.gs))
+
+    def advance(self, key, wm):
+        self.gs.wm = max(self.gs.wm, wm)
+        outs = []
+        while (
+            self.gs.timeout is not None
+            and self.gs.timeout <= self.gs.wm
+            and self.gs._exists
+        ):
+            self.gs.timeout = None
+            self.gs.hasTimedOut = True
+            outs += list(self.wrapped(key, iter([]), self.gs))
+        self.gs.hasTimedOut = False
+        return outs
+
+    def state(self):
+        return self.gs._v
+
+
+def _canon(state):
+    """(inner, sorted buffer) — buffer order is arrival order, which
+    the two engines may legitimately interleave differently around
+    timer fires; content equality is the contract."""
+    if state is None:
+        return None
+    inner = tuple(state[:2])
+    buf = sorted(zip(state[2], state[3]))
+    return inner, buf
+
+
+_EV = st.tuples(
+    st.integers(min_value=0, max_value=5_000_000),   # event micros
+    st.integers(min_value=-9, max_value=9),          # value
+)
+_STEP = st.one_of(
+    st.tuples(st.just("data"), st.lists(_EV, min_size=1, max_size=5)),
+    st.tuples(st.just("wm"), st.integers(min_value=0, max_value=6_000)),  # ms
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(steps=st.lists(_STEP, min_size=1, max_size=12))
+def test_disorder_handlers_engine_equivalence(steps):
+    key = ("k",)
+    tws, apws = _TwsDisorder(), _ApwsDisorder()
+    out_t, out_a = [], []
+    wm = 0
+    accepted = []  # plain-Python oracle: events surviving the drop rule
+    for kind, payload in steps:
+        if kind == "data":
+            accepted += [(e, v) for e, v in payload if e >= wm * 1000]
+            out_t += tws.data(key, payload)
+            out_a += apws.data(key, payload)
+        else:
+            wm = max(wm, payload)
+            out_t += tws.advance(key, wm)
+            out_a += apws.advance(key, wm)
+        assert out_t == out_a, f"divergence after {kind}({payload})"
+        assert _canon(tws.state()) == _canon(apws.state())
+    # final flush: everything accepted becomes ripe
+    final_wm = 10_000
+    out_t += tws.advance(key, final_wm)
+    out_a += apws.advance(key, final_wm)
+    assert out_t == out_a
+    # ordered-fold oracle: running totals over accepted events in
+    # (event-time, arrival) order — mergesort stability gives arrival
+    # order within equal timestamps in both engines and here
+    total, want = 0, []
+    for e, v in sorted(accepted, key=lambda ev: ev[0]):
+        total += v
+        want.append(("k", e, total))
+    assert out_t == want
