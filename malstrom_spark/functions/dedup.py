@@ -611,12 +611,16 @@ def _minhash_verified(
         # once, truncate lineage — see _collapse_exact docstring
         hs = hs.localCheckpoint(eager=True)
     sigs = _signature_from_hash_sets(hs, id_col, n_hashes)
-    if members is not None and max_bucket_size is not None:
-        # the hot-bucket guard adds a third consumer of the signature
-        # fold (bucket-population count besides the two join sides);
-        # inside the collapse regime the pipeline is already eager, so
-        # materialize the narrow (id, array<long>) signature table
-        # once instead of folding shingles three times
+    if max_bucket_size is not None:
+        # the hot-bucket guard adds an extra consumer of the signature
+        # fold (the eager oversized-bucket probe, plus the broadcast
+        # side when a mega-bucket exists) — materialize the narrow
+        # (id, array<long>) signature table once instead of re-folding
+        # shingles per consumer; the probe makes this path eager at
+        # construction regardless, so the checkpoint adds no new
+        # contract (applies with or without the collapse pre-pass —
+        # collapse_exact=False would otherwise recompute the whole
+        # pipeline for the probe and again for the join)
         sigs = sigs.localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
         sigs, id_col, n_bands, portable=portable, max_bucket_size=max_bucket_size
@@ -770,8 +774,11 @@ def _simhash_verified(
     else:
         rep_docs, members = df, None
     sh = simhash_df(rep_docs, id_col, text_col, portable=portable)
-    if members is not None:
+    if members is not None or max_bucket_size is not None:
         # narrow (id, bigint) stage table feeding both self-join sides
+        # (and, with the cap on, the eager oversized-bucket probe —
+        # which would otherwise re-run the whole SimHash fold once for
+        # the probe and again per join side when collapse is off)
         sh = sh.localCheckpoint(eager=True)
     chunks = sh.select(
         id_col,

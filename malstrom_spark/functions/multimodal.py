@@ -137,6 +137,8 @@ def decode_jpeg_bytes(payload: bytes) -> tuple[int, int, str]:
             raise ValueError(f"JPEG marker desync at offset {i}")
         while i + 1 < n and payload[i + 1] == 0xFF:
             i += 1  # fill bytes
+        if i + 1 >= n:  # truncated inside fill-byte padding
+            break
         marker = payload[i + 1]
         i += 2
         if marker in _JPEG_NO_LENGTH:

@@ -117,15 +117,17 @@ def _validate_grains(grains: Sequence[str]) -> None:
                 f"grains must be ordered finest -> coarsest; got {coarser!r} "
                 f"after {finer!r}"
             )
+    # every coarser grain must nest the FINEST one (each branch derives
+    # from the finest partials): the only non-nesting case the ordering
+    # check leaves reachable is finest=week under month/quarter/year
+    # (month boundaries fall mid-week); day-or-finer roots may carry
+    # BOTH week and calendar grains, since each nests day independently
     for g in grains[1:]:
-        week_mismatch = (finest == "week" and g in ("month", "quarter", "year")) or (
-            g == "week" and _GRAIN_RANK[finest] > _GRAIN_RANK["day"]
-        )
-        if week_mismatch:
+        if finest == "week" and g in ("month", "quarter", "year"):
             raise ValueError(
-                f"grain {g!r} does not nest the finest grain {finest!r} "
+                f"grain {g!r} does not nest the finest grain 'week' "
                 "(week and month/quarter/year boundaries do not align); "
-                "run them as separate chains over the same partials"
+                "root the chain at day or finer, or run separate chains"
             )
 
 
@@ -166,15 +168,15 @@ def hypertable_rollup(
     the continuous-aggregate pattern.
 
     grains must be ordered finest -> coarsest, each a valid
-    date_trunc unit, and each coarser grain must nest the finest one
-    (every coarser bucket is a whole number of finest buckets) —
+    date_trunc unit, and each coarser grain must nest the FINEST one
+    (every coarser bucket is a whole number of finest buckets; each
+    branch derives from the finest partials, not from each other) —
     VALIDATED here, because a non-nesting chain silently produces
     wrong buckets: week boundaries are not month boundaries, so
     `date_trunc('month', week_start)` lands mid-month rows in the
-    previous month. Concretely: week may only appear as the LAST
-    grain of a chain whose finest grain is day or finer; month/
-    quarter/year never follow week — start a second chain from the
-    persisted partials for the other calendar family.
+    previous month. Concretely: a chain rooted at week cannot carry
+    month/quarter/year; a chain rooted at day or finer may carry
+    BOTH week and the calendar grains (each nests day independently).
     """
     _validate_grains(grains)  # whole chain, before any plan is built
     partials = hypertable_partials(df, ts_col, keys, aggs, grain=grains[0])

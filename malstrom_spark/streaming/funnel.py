@@ -68,8 +68,6 @@ def _advance_chain(t: list, pdf, k: int, within_us: int | None) -> list:
     """The vectorized min-chaining kernel, shared by the fill-forward
     and disorder-horizon modes: advance chain state `t` (k epoch-micros
     or None) over one batch of events (columns e_us, f0..f{k-1})."""
-    import numpy as np  # noqa: F401 — kernel math stays numpy-backed
-
     e = pdf["e_us"].to_numpy(dtype="int64")
     for i in range(k):
         if t[i] is not None:

@@ -23,17 +23,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+# zone ids whose wall clock equals UTC at every instant — a session
+# set to any of these produces bit-identical timestamps to "UTC"
+_UTC_ALIASES = {
+    "UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Etc/GMT0", "Etc/GMT+0",
+    "Etc/GMT-0", "UCT", "Etc/UCT", "Universal", "Etc/Universal", "Zulu",
+    "Etc/Zulu", "Z", "+00:00", "UTC+00:00", "GMT+00:00",
+}
+
+
 def require_utc_session(sdf: DataFrame, op: str) -> None:
     """The pandas-side twins round-trip event time through naive
     pd.Timestamp values, which Spark reinterprets in the SESSION time
-    zone on Arrow conversion — exact batch parity therefore requires
-    spark.sql.session.timeZone=UTC (build_session pins it). Fail
-    loudly at operator construction instead of silently shifting every
-    emitted timestamp by the tz offset in a non-UTC session."""
+    zone on Arrow conversion — exact batch parity therefore requires a
+    UTC session time zone (build_session pins it). Fail loudly at
+    operator construction instead of silently shifting every emitted
+    timestamp by the tz offset in a non-UTC session."""
     tz = sdf.sparkSession.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
+    if tz not in _UTC_ALIASES:
         raise ValueError(
-            f"{op} requires spark.sql.session.timeZone=UTC for exact "
+            f"{op} requires a UTC spark.sql.session.timeZone for exact "
             f"batch/stream timestamp parity (session has {tz!r}); set "
             'spark.conf.set("spark.sql.session.timeZone", "UTC")'
         )

@@ -219,3 +219,17 @@ def test_sniff_dispatch_mixed_formats(spark):
     got = {r.id: (r.width, r.height) for r in
            extract_image_meta(df, decode=sniff_image_bytes).collect()}
     assert got == {1: (5, 3), 2: (11, 4), 3: (640, 480)}
+
+
+def test_jpeg_truncated_in_fill_bytes_raises_valueerror():
+    """Regression (round-5 review): a payload ending inside 0xFF fill
+    padding must raise the decoder's documented ValueError, not an
+    IndexError that escapes an ingest filter's error handling."""
+    import pytest as _pytest
+
+    from malstrom_spark.functions.multimodal import decode_jpeg_bytes
+
+    with _pytest.raises(ValueError, match="SOF"):
+        decode_jpeg_bytes(b"\xff\xd8\xff\xff")
+    with _pytest.raises(ValueError):  # under the 4-byte minimum
+        decode_jpeg_bytes(b"\xff\xd8\xff")
