@@ -47,12 +47,32 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame
 
 
+_INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
+
+
+def _buf_coercer(spark_type: str | None):
+    """Arrow->pandas widens nullable ints to float64 (3 -> 3.0, null ->
+    NaN) and nullable timestamps to NaT; stuffing those into an
+    array<bigint>/array<timestamp> state field silently nulls REAL
+    values. Coerce per the DECLARED Spark type: ints round-trip
+    exactly through int(), every non-float NA becomes None; float
+    columns pass through untouched (NaN is a legitimate double)."""
+    import pandas as pd
+
+    if spark_type in _INT_TYPES:
+        return lambda v: None if pd.isna(v) else int(v)
+    if spark_type in (None, "double", "float"):
+        return None
+    return lambda v: None if not isinstance(v, (list, tuple)) and pd.isna(v) else v
+
+
 def make_disorder_handlers(
     ts_us_col: str,
     buf_names: Sequence[str],
     sort_cols: Sequence[str],
     n_inner: int,
     fold: Callable,
+    buf_types: dict | None = None,
 ):
     """Build the (on_data, on_timer) pair implementing the buffered
     watermark-finalized fold — module-level factory so the
@@ -88,7 +108,11 @@ def make_disorder_handlers(
         if new_pdf is not None and len(new_pdf):
             fresh = new_pdf[new_pdf[ts_us_col].to_numpy(dtype="int64") >= wm_us]
             for n in buf_names:
-                bufs[n].extend(fresh[n].tolist())
+                vals = fresh[n].tolist()
+                coerce = _buf_coercer((buf_types or {}).get(n))
+                if coerce is not None:
+                    vals = [coerce(v) for v in vals]
+                bufs[n].extend(vals)
         outs = []
         if bufs[ts_us_col]:
             ts_arr = np.asarray(bufs[ts_us_col], dtype="int64")
@@ -154,7 +178,8 @@ def disorder_fold_stream(
         + [f"__b_{n} array<{t}>" for n, t in buf_cols]
     )
     on_data, on_timer = make_disorder_handlers(
-        ts_us_col, buf_names, list(sort_cols), len(inner_fields), fold
+        ts_us_col, buf_names, list(sort_cols), len(inner_fields), fold,
+        buf_types=dict(buf_cols),
     )
     return stateful_op_stream(
         sdf, list(key_cols), on_data, on_timer, out_schema, state_schema

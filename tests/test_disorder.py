@@ -483,3 +483,39 @@ def test_disorder_handlers_engine_equivalence(steps):
         total += v
         want.append(("k", e, total))
     assert out_t == want
+
+
+def test_scd2_disorder_nullable_int_attr(spark):
+    """Regression (round 5): Arrow->pandas widens a nullable long attr
+    to float64 (3 -> 3.0, null -> NaN); unbuffered, array<bigint>
+    state nulled the REAL values. The typed buffer coercion must
+    round-trip ints exactly and map NA -> None."""
+    t = OperatorTester(
+        spark,
+        "user_id long, ts timestamp, event_id long, tier long",
+        op=lambda sdf: scd2_stream(
+            sdf, key="user_id", ts="ts", attrs=["tier"],
+            tiebreak="event_id", disorder_horizon="10 minutes",
+        ),
+    )
+    t0, t1, t2 = (BASE + dt.timedelta(minutes=m) for m in (0, 1, 2))
+    try:
+        rows = []
+        t.send([(1, t0, 0, 3), (1, t2, 1, None)])
+        rows += [r for b in t.step() for r in b]
+        t.send([(1, t1, 2, 5)])  # late but in horizon
+        rows += [r for b in t.step() for r in b]
+        t.send([(SENTINEL, BASE + dt.timedelta(days=1), 9, 0)])
+        rows += [r for b in t.step() for r in b]
+    finally:
+        t.stop()
+    got = sorted(
+        {(r.user_id, r.tier, r.valid_from, r.valid_to, r.is_current)
+         for r in rows if r.user_id != SENTINEL},
+        key=lambda x: (x[2], x[3] is None),
+    )
+    assert got == [
+        (1, 3, t0, t1, False),
+        (1, 5, t1, t2, False),
+        (1, None, t2, None, True),
+    ]
