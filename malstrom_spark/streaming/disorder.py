@@ -19,8 +19,12 @@ stateful machinery:
   inner state (funnel chain / SCD2 open interval) and emits;
 - events that arrive with ts < W are LATE beyond the horizon and are
   deterministically dropped (the engine may or may not pre-filter
-  them; the operator does not depend on it) — the same contract as
-  the reference's late side-output, minus the side channel;
+  them; the operator does not depend on it). Users who need the
+  reference's late SIDE-STREAM instead of a drop compose the
+  existing machinery upstream: `streaming/eventtime.py` flag_late /
+  split_late marks records against the tracked frontier before this
+  operator, so the late branch can route to its own sink while the
+  on-time branch feeds the fold;
 - a single pending timer per key re-arms at the earliest remaining
   buffered event (the apws engine holds one timer; the TWS engine
   would fire per-timer and re-arm through the same code path).

@@ -154,3 +154,42 @@ def test_consolidate_scd2_collapses_superseded_opens(spark):
         for r in consolidate_scd2(emitted, "k", ["v"]).collect()
     )
     assert got == [(1, "a", t1, t2, False), (1, "b", t2, None, True)]
+
+
+def test_streaming_scd2_nullable_int_attr_default_mode(spark):
+    """Default (fill-forward) twin with a nullable long attr: the
+    scalar state round-trip must keep real ints and null-close
+    correctly (companion to the disorder-mode regression in
+    test_disorder.py)."""
+    import datetime as dt
+
+    from malstrom_spark.streaming.scd import scd2_stream
+    from malstrom_spark.testing import OperatorTester
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    t = OperatorTester(
+        spark,
+        "user_id long, ts timestamp, event_id long, tier long",
+        op=lambda sdf: scd2_stream(
+            sdf, key="user_id", ts="ts", attrs=["tier"], tiebreak="event_id"
+        ),
+    )
+    m = lambda k: base + dt.timedelta(minutes=k)  # noqa: E731
+    try:
+        rows = []
+        t.send([(1, m(0), 0, 3), (1, m(2), 1, None)])
+        rows += [r for b in t.step() for r in b]
+        t.send([(1, m(4), 2, 5)])
+        rows += [r for b in t.step() for r in b]
+    finally:
+        t.stop()
+    latest = {}
+    for r in rows:
+        k = (r.tier, r.valid_from)
+        if k not in latest or (latest[k] is None and r.valid_to is not None):
+            latest[k] = r.valid_to
+    assert sorted(latest.items(), key=lambda kv: kv[0][1]) == [
+        ((3, m(0)), m(2)),
+        ((None, m(2)), m(4)),
+        ((5, m(4)), None),
+    ]
