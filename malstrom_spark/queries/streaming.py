@@ -594,3 +594,126 @@ def streaming_user_state_scd2(spark, sf_dir):
         ).alias("valid_to"),
         F.col("is_current").cast("long").alias("is_current"),
     )
+
+
+_FLUSH_EVENT = [(-1, None, -1, "signup", 0.0, None)]  # ts filled at build
+
+
+def _flush_rows():
+    import datetime as dt
+
+    e = list(_FLUSH_EVENT[0])
+    e[1] = dt.datetime(2030, 1, 1)
+    return [tuple(e)]
+
+
+@register(
+    "streaming_funnel_disorder",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN s2 ON s2.user_id = e.user_id
+      JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+    SELECT 1 AS step_idx, 'signup' AS step,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+)
+def streaming_funnel_disorder(spark, sf_dir):
+    """STREAMING funnel in the WATERMARK-FINALIZED disorder mode
+    (streaming/disorder.py, round 5) over a REAL multi-microbatch
+    replay: 8 time-ranged files + a far-future flush event, one file
+    per trigger, so per-user chains assemble across batches through
+    the buffered state + event-time timers — and must still equal the
+    same min()-chained SQL oracle as the batch row. The flush/sentinel
+    user (-1) is excluded from the counts."""
+    from ..operators.funnel import counts_table, latest_chain_times
+    from ..streaming.funnel import funnel_stream
+    from ..streaming.replay import replay_table_multibatch
+
+    ev = replay_table_multibatch(
+        spark, sf_dir, "events", n_files=8, flush_rows=_flush_rows()
+    )
+    out = funnel_stream(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("signup", F.col("event_type") == "signup"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="7 days",
+        disorder_horizon="1 minute",
+    )
+    emitted = run_to_memory(out, output_mode="append").filter(F.col("u") >= 0)
+    names = ["signup", "click", "purchase"]
+    return counts_table(latest_chain_times(emitted, "u", names), names)
+
+
+@register(
+    "streaming_scd2_disorder",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered WHERE prev IS DISTINCT FROM event_type),
+    final AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes)
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+           CAST(valid_to IS NULL AS BIGINT) AS is_current
+    FROM final
+    """,
+)
+def streaming_scd2_disorder(spark, sf_dir):
+    """STREAMING SCD2 in the disorder mode over the same 8-batch
+    replay: intervals open and close across microbatches as the
+    watermark finalizes events in event-time order; consolidated
+    history must equal the batch operator's two-window SQL oracle
+    exactly. Flush user (-1) excluded."""
+    from ..streaming.replay import replay_table_multibatch
+    from ..streaming.scd import consolidate_scd2, scd2_stream
+
+    ev = replay_table_multibatch(
+        spark, sf_dir, "events", n_files=8, flush_rows=_flush_rows()
+    )
+    emitted = run_to_memory(
+        scd2_stream(ev, key="user_id", ts="ts", attrs=["event_type"],
+                    tiebreak="event_id", disorder_horizon="1 minute"),
+        output_mode="append",
+    ).filter(F.col("user_id") >= 0)
+    out = consolidate_scd2(emitted, "user_id", ["event_type"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"), F.lit("current")
+        ).alias("valid_to"),
+        F.col("is_current").cast("long").alias("is_current"),
+    )

@@ -49,6 +49,75 @@ def replay_table(
     return sdf
 
 
+def replay_table_multibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_files: int = 8,
+    order_col: str = "ts",
+    flush_rows: list | None = None,
+) -> DataFrame:
+    """Streaming DataFrame replaying a driver table as n_files
+    SEQUENTIAL microbatches ordered by `order_col` ranges (file k's
+    values all precede file k+1's; order WITHIN a file is arbitrary),
+    plus an optional final flush file — the realistic multi-batch
+    shape the watermark-finalized (disorder_horizon) operators need:
+    the watermark advances between batches and fires the buffered
+    folds, and the flush rows push it past everything at the end.
+
+    Staged once per (sf, table, n) under /tmp; construction writes the
+    staging files eagerly (same construction-time contract as the
+    collapse/probe pipelines)."""
+    from ..queries import _ensure_conf, table
+
+    _ensure_conf(spark)
+    stage = (
+        pathlib.Path(tempfile.gettempdir())
+        / "malstrom_replay_mb"
+        / f"{sf_dir.strip('/').replace('/', '_')}_{name}_{n_files}"
+    )
+    done = stage / "_STAGED"
+    if not done.exists():
+        stage.mkdir(parents=True, exist_ok=True)
+        df = table(spark, sf_dir, name)
+        tmp = str(stage / "raw")
+        df.repartitionByRange(n_files, order_col).write.mode("overwrite").parquet(tmp)
+        parts = sorted(pathlib.Path(tmp).glob("part-*.parquet"))
+        # range partitions come back in order_col order under the
+        # default ascending range partitioner; land them under
+        # monotone names so listing order == time order
+        import os as _os
+        import time as _time
+
+        # the file stream source orders by modification time: stamp
+        # strictly increasing mtimes so batch order == time order
+        t0 = _time.time()
+        for i, p in enumerate(parts):
+            dst = stage / f"batch-{i:06d}.parquet"
+            p.rename(dst)
+            _os.utime(dst, (t0 + i, t0 + i))
+        if flush_rows:
+            fdf = spark.createDataFrame(flush_rows, df.schema)
+            ftmp = str(stage / "flush")
+            fdf.coalesce(1).write.mode("overwrite").parquet(ftmp)
+            fpart = next(pathlib.Path(ftmp).glob("part-*.parquet"))
+            dst = stage / f"batch-{n_files:06d}.parquet"
+            fpart.rename(dst)
+            _os.utime(dst, (t0 + n_files, t0 + n_files))
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+        _sh.rmtree(str(stage / "flush"), ignore_errors=True)
+        done.touch()
+    schema = spark.read.parquet(str(stage / "batch-000000.parquet")).schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(stage))
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:
