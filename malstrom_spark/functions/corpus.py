@@ -416,3 +416,49 @@ def cap_per_key(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+# ----------------------------------------- mixture upsampling
+
+
+def upsample_by_weight(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    seed: int = 0,
+    portable: bool = False,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic fractional upsampling — the data-MIXING primitive
+    (LLaMA-style domain weights: 'repeat wikipedia 2.5x, downweight
+    web to 0.7x') that complements `cap_per_key`'s downsampling side.
+
+    Each row appears floor(w) + Bernoulli(frac(w)) times, where the
+    'coin' is a pure hash of (id, seed) — reproducible across runs,
+    engines and partitionings, no RNG state. Output rows carry
+    ``copy_col`` (0-based copy index) so downstream packing can
+    deterministic-shuffle copies apart (order by hash(id, copy_idx)).
+
+    Shape (100 TB): zero shuffle — the repeat count and the explode
+    are map-side; output volume is sum(w) rows. ``portable=True``
+    uses the md5-prefix hash so a SQL oracle reproduces the exact
+    Bernoulli draws (registry `doc_mixture_upsample`); default is
+    xxhash64 (no hex materialization on the hot path)."""
+    from .dedup import md5_prefix_hash
+
+    if portable:
+        u_int = md5_prefix_hash(F.concat_ws("\x1f", F.col(id_col), F.lit(str(seed))))
+    else:
+        u_int = F.xxhash64(F.col(id_col), F.lit(seed))
+    # pmod, not %/abs: xxhash64 spans the full signed range and
+    # abs(Long.MIN_VALUE) overflows
+    u = F.pmod(u_int, F.lit(1_000_000)) / F.lit(1_000_000.0)
+    n = (F.floor(weight) + F.when(u < weight - F.floor(weight), 1).otherwise(0)).cast(
+        "int"
+    )
+    return (
+        df.withColumn("__n", n)
+        .where(F.col("__n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

@@ -1290,6 +1290,47 @@ def doc_source_cap(spark, sf_dir):
 
 
 @register(
+    "doc_mixture_upsample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src1','src2') THEN 2.5
+                  WHEN source IN ('src3','src4') THEN 0.4
+                  ELSE 1.0 END AS wt,
+             (COALESCE(('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '7'), 1, 15))::BIGINT, 0)
+              % 1000000) / 1000000.0 AS u
+      FROM documents
+    ), n AS (
+      SELECT doc_id, source,
+             CAST(FLOOR(wt) AS INT)
+               + CASE WHEN u < wt - FLOOR(wt) THEN 1 ELSE 0 END AS n_copies
+      FROM w
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS INT) AS copy_idx
+    FROM n
+    WHERE n_copies > 0
+    """,
+)
+def doc_mixture_upsample(spark, sf_dir):
+    """Deterministic fractional upsampling (functions/corpus.py
+    upsample_by_weight, round 5): LLaMA-style domain mixture — src0-2
+    repeated 2.5x, src3-4 downweighted to 0.4x, the rest 1x; the
+    fractional Bernoulli coin is a pure md5 hash of (doc_id, seed) so
+    the oracle reproduces the exact draws. Zero shuffle: repeat count
+    and explode are map-side; `cap_per_key` is the downsampling
+    companion."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    weight = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 2.5)
+        .when(F.col("source").isin("src3", "src4"), 0.4)
+        .otherwise(1.0)
+    )
+    return corpus.upsample_by_weight(
+        docs, "doc_id", weight, seed=7, portable=True
+    )
+
+
+@register(
     "doc_gopher_filter",
     oracle="""
     WITH seeded AS (

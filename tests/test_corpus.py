@@ -214,3 +214,42 @@ def test_cap_per_key(spark):
     # longest-first: source a keeps docs 0,1,2 (n_chars 100,99,98);
     # source b has only 4 docs, keeps its top 3 (8,9,10)
     assert got == {"a": [0, 1, 2], "b": [8, 9, 10]}
+
+
+def test_upsample_by_weight_semantics(spark):
+    """Integer weights repeat exactly; zero drops; fractional weights
+    hit the expected proportion via the deterministic hash coin; the
+    draw is stable across partitionings (pure function of id+seed)."""
+    from malstrom_spark.functions.corpus import upsample_by_weight
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    tripled = upsample_by_weight(df, "doc_id", F.lit(3.0))
+    assert tripled.count() == 3000
+    assert tripled.groupBy("doc_id").count().where("count != 3").count() == 0
+    assert {r.copy_idx for r in tripled.where("doc_id = 5").collect()} == {0, 1, 2}
+
+    assert upsample_by_weight(df, "doc_id", F.lit(0.0)).count() == 0
+
+    frac = upsample_by_weight(df, "doc_id", F.lit(1.5), seed=3)
+    n = frac.count()
+    assert 1350 <= n <= 1650  # ~1500 expected, hash-uniform coin
+
+    # determinism: same ids, different partitioning, identical draws
+    again = upsample_by_weight(df.repartition(17), "doc_id", F.lit(1.5), seed=3)
+    a = {(r.doc_id, r.copy_idx) for r in frac.collect()}
+    b = {(r.doc_id, r.copy_idx) for r in again.collect()}
+    assert a == b
+
+    # portable twin draws may differ from xxhash but obey the same law
+    p = upsample_by_weight(df, "doc_id", F.lit(1.5), seed=3, portable=True)
+    assert 1350 <= p.count() <= 1650
+
+
+def test_upsample_by_weight_no_shuffle(spark):
+    """The mixing primitive must be map-side: no Exchange in the plan."""
+    from malstrom_spark.functions.corpus import upsample_by_weight
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    out = upsample_by_weight(df, "doc_id", F.lit(2.5))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
