@@ -91,6 +91,8 @@ HEADLINE = [
     "event_hypertable_rollup",
     # round-5: mergeable HLL distinct rollup (approx_distinct kind)
     "event_hypertable_distinct",
+    # round-5: mergeable binned-histogram quantiles (integer-exact)
+    "event_value_quantile_rollup",
     "event_funnel_s_c_p",
     "customer_priority_scd2",
     "error_next_purchase_asof",

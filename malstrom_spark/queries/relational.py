@@ -808,6 +808,67 @@ def event_hypertable_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "event_value_quantile_rollup",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), b AS (
+      SELECT event_type, bucket,
+             CASE WHEN c < 0 THEN -1
+                  WHEN c >= 50000 THEN 500
+                  ELSE c // 100 END AS bin
+      FROM s
+    ), h AS (
+      SELECT event_type, bucket, bin, COUNT(*) AS n
+      FROM b GROUP BY 1, 2, 3
+    ), c AS (
+      SELECT event_type, bucket, bin,
+             SUM(n) OVER (PARTITION BY event_type, bucket) AS total,
+             SUM(n) OVER (PARTITION BY event_type, bucket
+                          ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h
+    ), q(qn, qd, q) AS (VALUES (1, 2, 0.5), (19, 20, 0.95), (99, 100, 0.99))
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d') AS day,
+           q.q AS q,
+           (MIN(CASE WHEN cum >= (q.qn * total + q.qd - 1) // q.qd
+                     THEN bin END) + 1) * 100 / 100.0 AS est_upper
+    FROM c, q
+    GROUP BY 1, 2, 3
+    """,
+)
+def event_value_quantile_rollup(spark, sf_dir):
+    """MERGEABLE quantiles (operators/histogram.py, round 5): daily
+    p50/p95/p99 of event value from integer-cent binned-histogram
+    partials — bin assignment is integer division and rank targets are
+    rational arithmetic, so the DuckDB oracle reproduces every chosen
+    bin bit-for-bit (the decomposable-percentile answer at 100 TB:
+    histogram partials roll up by count-sum through hypertable_rollup
+    / persist_stage where exact percentile partials cannot merge;
+    composition pinned in tests/test_histogram.py). est_upper = the
+    chosen bin's upper edge in dollars; the discrete ceil(q*n)-rank
+    statistic lies within one bin (1.00) below it."""
+    from ..operators.histogram import histogram, linear_bin, quantile_bins
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hist = histogram(
+        ev.withColumn("bucket", F.date_trunc("day", "ts")),
+        ["event_type", "bucket"],
+        linear_bin(cents, 0, 50_000, 500),
+    )
+    qb = quantile_bins(hist, ["event_type", "bucket"], [0.5, 0.95, 0.99])
+    return qb.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "q",
+        ((F.col("qbin") + 1) * 100 / F.lit(100.0)).alias("est_upper"),
+    )
+
+
 @register("event_hypertable_distinct")  # estimates are engine-specific
 def event_hypertable_distinct(spark, sf_dir):
     """Distinct users per (grain, bucket, event_type) via MERGEABLE

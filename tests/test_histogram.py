@@ -1,0 +1,132 @@
+"""Mergeable binned-histogram quantiles (operators/histogram.py,
+round 5): integer-exact linear binning, log binning vs a Python
+reference, rank targets in rational arithmetic, quantile-within-bin
+guarantee against exact percentiles, and decomposability — the same
+histogram partials roll up through hypertable_rollup (bin as a key)
+and yield identical quantiles at the coarser grain."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from malstrom_spark.operators.histogram import (
+    histogram,
+    linear_bin,
+    log_bin,
+    quantile_bins,
+)
+
+LO, HI, NB = 0, 50_000, 500  # cents: [0, 500.00) in 1.00 bins
+QS = [0.5, 0.9, 0.95, 0.99]
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+def test_linear_bin_matches_python_reference(spark):
+    rng = random.Random(11)
+    vals = [round(rng.uniform(-10, 600), 2) for _ in range(2000)] + [
+        0.0, 499.99, 500.0, -0.01, 123.45,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {
+        r.i: r.b
+        for r in df.select("i", linear_bin(_cents(F.col("v")), LO, HI, NB).alias("b")).collect()
+    }
+    for i, v in enumerate(vals):
+        c = round(v * 100)
+        want = -1 if c < LO else NB if c >= HI else (c - LO) // ((HI - LO) // NB)
+        assert got[i] == want, (v, got[i], want)
+
+
+def test_log_bin_matches_python_reference(spark):
+    rng = random.Random(7)
+    vals = [rng.uniform(0.05, 5000) for _ in range(2000)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {
+        r.i: r.b
+        for r in df.select("i", log_bin(F.col("v"), 0.1, 1.1, 120).alias("b")).collect()
+    }
+    for i, v in enumerate(vals):
+        if v < 0.1:
+            want = -1
+        else:
+            want = math.floor(math.log(v / 0.1) / math.log(1.1))
+            want = 120 if want >= 120 else want
+        assert got[i] == want, (v, got[i], want)
+
+
+def test_quantiles_contain_exact_rank_statistic(spark, sf_dir):
+    """The guarantee, stated exactly: the qbin CONTAINS the k-th
+    smallest value with k = ceil(q * n) — the discrete quantile the
+    rational rank target defines. (Interpolated `percentile()` can sit
+    below it on sparse groups; the discrete statistic is the
+    engine-portable definition the histogram answers.)"""
+    import math
+
+    from malstrom_spark.queries import table
+
+    ev = table(spark, sf_dir, "events")
+    hist = histogram(ev, ["event_type"], linear_bin(_cents(F.col("value")), LO, HI, NB))
+    qb = {
+        (r.event_type, r.q): r.qbin
+        for r in quantile_bins(hist, ["event_type"], QS).collect()
+    }
+    width = (HI - LO) // NB
+    vals: dict[str, list] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(round(r.value * 100))
+    checked = 0
+    for et, cs in vals.items():
+        cs.sort()
+        for q in QS:
+            k = math.ceil(q * len(cs))
+            kth = cs[k - 1]
+            b = qb[(et, q)]
+            assert LO + b * width <= kth < LO + (b + 1) * width, (et, q, b, kth)
+            checked += 1
+    assert checked == len(vals) * len(QS)
+
+
+def test_histogram_rolls_up_through_hypertable(spark, sf_dir):
+    """Decomposability: hour-grain histogram partials roll to day via
+    hypertable_rollup (bin among the keys) and the day-grain quantiles
+    equal quantiles computed from a direct day-grain histogram."""
+    from malstrom_spark.operators.windows import hypertable_rollup
+    from malstrom_spark.queries import table
+
+    ev = table(spark, sf_dir, "events")
+    binned = ev.withColumn("bin", linear_bin(_cents(F.col("value")), LO, HI, NB))
+    rolled = hypertable_rollup(
+        binned, "ts", keys=["event_type", "bin"],
+        aggs={"n": ("count", F.lit(1))}, grains=("hour", "day"),
+    )
+    day_hist = rolled.filter(F.col("grain") == "day").select(
+        F.col("bucket"), "event_type", "bin", "n"
+    )
+    via_rollup = {
+        (r.bucket, r.event_type, r.q): r.qbin
+        for r in quantile_bins(day_hist, ["bucket", "event_type"], QS).collect()
+    }
+    direct_hist = histogram(
+        ev.withColumn("bucket", F.date_trunc("day", "ts")),
+        ["bucket", "event_type"],
+        linear_bin(_cents(F.col("value")), LO, HI, NB),
+    )
+    direct = {
+        (r.bucket, r.event_type, r.q): r.qbin
+        for r in quantile_bins(direct_hist, ["bucket", "event_type"], QS).collect()
+    }
+    assert len(via_rollup) > 50
+    assert via_rollup == direct
+
+
+def test_linear_bin_rejects_uneven_width():
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple"):
+        linear_bin(F.lit(1), 0, 100, 33)
