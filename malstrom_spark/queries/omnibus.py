@@ -68,6 +68,11 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     # round-3 TPC-H completions (adapted to the testdata's schema)
     ("q12_late_priority", ["ship_bucket", "high_line_count", "low_line_count"], []),
     ("q21_blocking_suppliers", ["s_name", "numwait"], []),
+    # round-5 TPC-H completions: all 22 query shapes now covered
+    # (no partsupp in the testdata — lineitem plays the supply relation)
+    ("q2_min_cost_supplier", ["p_partkey", "p_type", "p_size", "s_name", "n_name"],
+     ["cost"]),
+    ("q11_important_stock", ["partkey"], ["value"]),
     # inspect passthrough folded here (round 3) to free a priority
     # slot for the pipeline omnibus below; the observe() node rides
     # along inside the fold, so pass-through byte-identity is still

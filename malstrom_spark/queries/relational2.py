@@ -944,3 +944,108 @@ def q21_blocking_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------- q2 shape
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(CAST(l_extendedprice AS DECIMAL(28,2))) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), elig AS (
+      SELECT ps.pk, ps.sk, ps.cost, s_name, n_name
+      FROM ps
+      JOIN supplier ON s_suppkey = ps.sk
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+    ), best AS (
+      SELECT *, MIN(cost) OVER (PARTITION BY pk) AS best_cost FROM elig
+    )
+    SELECT p_partkey, p_type, p_size, s_name, n_name,
+           CAST(cost AS DOUBLE) AS cost
+    FROM best JOIN part ON p_partkey = pk
+    WHERE cost = best_cost AND p_size <= 15 AND p_type = 'PROMO'
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (the driver testdata ships no partsupp table, so
+    lineitem's per-(part, supplier) minimum extended price plays the
+    supply-cost relation): cheapest ASIA supplier(s) per small PROMO
+    part. The correlated MIN subquery becomes a window min partitioned
+    by part over the ALREADY-AGGREGATED supply relation (never a
+    re-scan of lineitem); region/nation dims broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "PROMO")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice").cast("decimal(28,2)")).alias("cost"))
+    elig = (
+        ps.join(F.broadcast(supp), ps.sk == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("pk", "sk", "cost", "s_name", "n_name")
+    )
+    w = Window.partitionBy("pk")
+    best = elig.withColumn("best_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("best_cost")
+    )
+    return (
+        best.join(F.broadcast(part), best.pk == part.p_partkey)
+        .select(
+            "p_partkey", "p_type", "p_size", "s_name", "n_name",
+            F.col("cost").cast("double").alias("cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------- q11 shape
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS value
+    FROM v
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) FROM v) * 0.001
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (lineitem value standing in for the missing
+    partsupp stock): parts whose supplied value from two nations
+    exceeds 0.1% of those nations' total — the global scalar subquery
+    becomes an unpartitioned window sum over the already-aggregated
+    per-part relation (|parts| rows), so the raw data is scanned
+    exactly once and no value collects to the driver."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("val"))
+    )
+    w = Window.partitionBy()
+    return (
+        v.withColumn("total", F.sum("val").over(w))
+        .filter(F.col("val").cast("double") > F.col("total").cast("double") * 0.001)
+        .select("partkey", F.col("val").cast("double").alias("value"))
+    )
