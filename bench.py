@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # TPC-H-shaped relational
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_top_revenue_orders",
     "q5_region_nation_revenue",
     "q6_revenue_delta",
@@ -34,6 +35,7 @@ HEADLINE = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
+    "q11_important_stock",
     "q14_promo_share",
     "q16_brand_supplier_counts",
     "q18_large_orders",
