@@ -717,3 +717,53 @@ def streaming_scd2_disorder(spark, sf_dir):
         ).alias("valid_to"),
         F.col("is_current").cast("long").alias("is_current"),
     )
+
+
+@register(
+    "streaming_value_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN c < 0 THEN -1
+                  WHEN c >= 50000 THEN 500
+                  ELSE c // 100 END AS bin
+      FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events)
+    ), h AS (
+      SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bin,
+             SUM(n) OVER (PARTITION BY event_type) AS total,
+             SUM(n) OVER (PARTITION BY event_type
+                          ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h
+    ), q(qn, qd, q) AS (VALUES (1, 2, 0.5), (19, 20, 0.95), (99, 100, 0.99))
+    SELECT event_type, q.q AS q,
+           (MIN(CASE WHEN cum >= (q.qn * total + q.qd - 1) // q.qd
+                     THEN bin END) + 1) * 100 / 100.0 AS est_upper
+    FROM c, q
+    GROUP BY 1, 2
+    """,
+)
+def streaming_value_quantiles(spark, sf_dir):
+    """STREAMING mergeable quantiles: the binned histogram is a plain
+    streaming aggregation on (event_type, bin) — counts maintained in
+    the state store, mergeable across microbatches by construction
+    (the same property that lets the batch partials roll up) — and the
+    rank read-off runs on the final materialized counts. Same
+    integer-exact bins and rational rank targets as the batch row
+    (`event_value_quantile_rollup`), same bit-for-bit oracle."""
+    from ..operators.histogram import linear_bin, quantile_bins
+
+    ev = replay_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hist = ev.groupBy(
+        "event_type", linear_bin(cents, 0, 50_000, 500).alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    final = run_to_memory(hist, output_mode="complete")
+    qb = quantile_bins(final, ["event_type"], [0.5, 0.95, 0.99])
+    return qb.select(
+        "event_type",
+        "q",
+        ((F.col("qbin") + 1) * 100 / F.lit(100.0)).alias("est_upper"),
+    )
