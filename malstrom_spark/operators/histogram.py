@@ -74,14 +74,24 @@ def log_bin(col: Column, lo: float, ratio: float, n_bins: int) -> Column:
 
 
 def histogram(
-    df: DataFrame, keys: Sequence[str], bin_expr: Column, bin_col: str = "bin"
+    df: DataFrame,
+    keys: Sequence[str],
+    bin_expr: Column,
+    bin_col: str = "bin",
+    weight: Column | None = None,
 ) -> DataFrame:
     """Long-format histogram partials: (keys..., bin, n). One shuffle;
     map-side combined. Rolls up along ANY dimension by summing n —
     time grains via hypertable_rollup with `bin` among the keys,
-    cross-job via persist_stage."""
+    cross-job via persist_stage.
+
+    ``weight`` switches to a WEIGHTED histogram (n = sum of weights,
+    e.g. bytes per request for a bytes-weighted latency percentile);
+    keep the weight integer (or cast DECIMAL and round) so the rank
+    arithmetic in `quantile_bins` stays engine-exact."""
+    n = F.count(F.lit(1)) if weight is None else F.sum(weight)
     return df.groupBy(*keys, bin_expr.alias(bin_col)).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+        n.cast("long").alias("n")
     )
 
 

@@ -130,3 +130,29 @@ def test_linear_bin_rejects_uneven_width():
 
     with pytest.raises(ValueError, match="multiple"):
         linear_bin(F.lit(1), 0, 100, 33)
+
+
+def test_weighted_histogram_quantiles(spark):
+    """Weighted quantiles (bytes-weighted latency shape): qbin must
+    contain the smallest value v where cumulative weight of values
+    <= v reaches ceil(q * total_weight)."""
+    import math
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, rng.randint(0, 9999), rng.randint(1, 500)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "i long, v long, w long")
+    hist = histogram(df, [], linear_bin(F.col("v"), 0, 10_000, 100), weight=F.col("w"))
+    qb = {r.q: r.qbin for r in quantile_bins(hist, [], [0.5, 0.99]).collect()}
+
+    total = sum(w for _, _, w in rows)
+    ordered = sorted((v, w) for _, v, w in rows)
+    for q in (0.5, 0.99):
+        target, cum = math.ceil(q * total), 0
+        for v, w in ordered:
+            cum += w
+            if cum >= target:
+                kth = v
+                break
+        b = qb[q]
+        assert b * 100 <= kth < (b + 1) * 100, (q, b, kth)
