@@ -93,9 +93,56 @@ def main(spark):
         (_m(20), "enterprise", None),
     ], history
 
+    # ---------- the generic form: any custom fold, event-time ordered ----------
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    from malstrom_spark.streaming.disorder import stateful_map_ordered_stream
+
+    out_schema = StructType([
+        StructField("account", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("balance", DoubleType()),
+    ])
+
+    def running_balance(key, pdf, state):
+        bal = state[0] if state is not None and state[0] is not None else 0.0
+        out = []
+        for _, r in pdf.iterrows():
+            bal = round(bal + r["amount"], 2)
+            out.append({"account": key[0], "ts": r["ts"], "balance": bal})
+        return [pd.DataFrame(out)], (bal,)
+
+    t3 = OperatorTester(
+        spark,
+        "account long, ts timestamp, amount double",
+        op=lambda sdf: stateful_map_ordered_stream(
+            sdf, ["account"], "ts", running_balance, out_schema,
+            "bal double", disorder_horizon="15 minutes",
+        ),
+    )
+    try:
+        rows3 = []
+        t3.send([(42, _m(0), 100.0), (42, _m(20), -30.0)])
+        rows3 += [r for b in t3.step() for r in b]
+        t3.send([(42, _m(10), 50.0)])  # late deposit, inside horizon
+        rows3 += [r for b in t3.step() for r in b]
+        t3.send([(999, _m(24 * 60), 0.0)])
+        rows3 += [r for b in t3.step() for r in b]
+        rows3 = [r for r in rows3 if r.account == 42]
+    finally:
+        t3.stop()
+    balances = [r.balance for r in sorted(rows3, key=lambda r: r.ts)]
+    # the late deposit lands between the two batch-1 events, so the
+    # final balance sequence is 100 -> 150 -> 120 (not 100 -> 70 -> 120)
+    assert balances == [100.0, 150.0, 120.0], balances
+
     return {
         "funnel_chain": (final.t_signup, final.t_click, final.t_purchase),
         "scd2_intervals": len(history),
+        "balance_sequence": balances,
     }
 
 

@@ -451,7 +451,7 @@ _STEP = st.one_of(
 )
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=200, deadline=None)
 @given(steps=st.lists(_STEP, min_size=1, max_size=12))
 def test_disorder_handlers_engine_equivalence(steps):
     key = ("k",)
