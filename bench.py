@@ -171,10 +171,12 @@ def measure_duckdb(registry, sf_dir: str) -> dict[str, float]:
     """Same-session DuckDB co-measurement (round-5 item #4): run the
     oracle SQL of every headline query that has one, plus the portable
     pipeline twins above, on the same parquet and the same host,
-    min-of-2 like the Spark side — so the bench_vs_duckdb ratio in the
-    JSON line is computed from ONE session instead of mixing hosts
-    measured rounds apart. Queries without an oracle (xxhash scale
-    twins) are skipped and listed in `duckdb_skipped`."""
+    min-of-2 LIKE THE SPARK SIDE (symmetric methodology — a cold-only
+    DuckDB pass would bias the ratio in Spark's favor) — so the
+    bench_vs_duckdb ratio in the JSON line is computed from ONE
+    session instead of mixing hosts measured rounds apart. Queries
+    without an oracle (xxhash scale twins) are skipped and listed in
+    `duckdb_skipped`."""
     import duckdb
 
     con = duckdb.connect()
@@ -187,18 +189,17 @@ def measure_duckdb(registry, sf_dir: str) -> dict[str, float]:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     timings: dict[str, float] = {}
-    # single pass: DuckDB in-process runs are low-variance (no
-    # scheduler/JIT hiccups to min away) and the heavy pipeline
-    # oracles cost real minutes — keep the bench's wall bounded
-    for name in HEADLINE + DUCKDB_COMPARE_EXTRA:
-        sql = registry[name].oracle
-        if sql is None:
-            continue
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        dt = round(time.perf_counter() - t0, 4)
-        timings[name] = dt
-        print(f"# duckdb {name}: {dt:.2f}s", file=sys.stderr)
+    for _pass in range(2):
+        for name in HEADLINE + DUCKDB_COMPARE_EXTRA:
+            sql = registry[name].oracle
+            if sql is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            print(f"# duckdb pass{_pass} {name}: {dt:.2f}s", file=sys.stderr)
     con.close()
     return timings
 

@@ -46,11 +46,19 @@ def linear_bin(
         )
     width = (hi - lo) // n_bins
     v = scaled_col.cast("long")
-    idx = ((v - F.lit(lo)) / F.lit(width)).cast("long")
+    d = v - F.lit(lo)
+    # Column `/` is double division, which rounds above 2^53 (e.g.
+    # nanosecond-scaled ranges) and could land a value one bin off vs
+    # an engine doing exact integer division. The float quotient is
+    # at most n_bins, so its absolute error is far below 1 — floor it,
+    # then correct the possible off-by-one with EXACT int64 compares.
+    q = F.floor(d / F.lit(float(width))).cast("long")
+    q = F.when(d < q * F.lit(width), q - 1).otherwise(q)
+    q = F.when(d >= (q + 1) * F.lit(width), q + 1).otherwise(q)
     return (
         F.when(v < lo, F.lit(-1))
         .when(v >= hi, F.lit(n_bins))
-        .otherwise(idx)
+        .otherwise(q)
         .cast("int")
     )
 
@@ -88,11 +96,15 @@ def histogram(
     ``weight`` switches to a WEIGHTED histogram (n = sum of weights,
     e.g. bytes per request for a bytes-weighted latency percentile);
     keep the weight integer (or cast DECIMAL and round) so the rank
-    arithmetic in `quantile_bins` stays engine-exact."""
+    arithmetic in `quantile_bins` stays engine-exact.
+
+    NULL values (null bin) are EXCLUDED: a null carries no rank
+    information, and counting it into the total would shift every
+    quantile — and do so differently per engine (NULLS FIRST vs LAST
+    window ordering)."""
     n = F.count(F.lit(1)) if weight is None else F.sum(weight)
-    return df.groupBy(*keys, bin_expr.alias(bin_col)).agg(
-        n.cast("long").alias("n")
-    )
+    binned = df.withColumn(bin_col, bin_expr).where(F.col(bin_col).isNotNull())
+    return binned.groupBy(*keys, bin_col).agg(n.cast("long").alias("n"))
 
 
 def quantile_bins(
@@ -115,6 +127,9 @@ def quantile_bins(
 
     keys = list(keys)
     fracs = [Fraction(str(q)) for q in qs]
+    # defensive twin of histogram()'s null exclusion, for hand-built
+    # partials: a null bin must not count toward totals or cum order
+    hist = hist.where(F.col(bin_col).isNotNull())
     w_all = Window.partitionBy(*keys)
     w_cum = (
         Window.partitionBy(*keys)

@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 from ..functions import corpus, dedup, multimodal, similarity, text
 from . import register, table
 from ._oracle_sql import (
+    H60 as _H60,
+)
+from ._oracle_sql import (
     ann_ivf_oracle,
     ann_lsh_oracle,
     decontaminate_oracle,
@@ -1291,13 +1294,16 @@ def doc_source_cap(spark, sf_dir):
 
 @register(
     "doc_mixture_upsample",
-    oracle="""
+    # the Bernoulli coin reuses the shared H60 template + concat_ws on
+    # BOTH engines (null-skipping on both), so the twins stay
+    # bit-identical by construction, not caller discipline (ADVICE r02)
+    oracle=f"""
     WITH w AS (
       SELECT doc_id, source,
              CASE WHEN source IN ('src0','src1','src2') THEN 2.5
                   WHEN source IN ('src3','src4') THEN 0.4
                   ELSE 1.0 END AS wt,
-             (COALESCE(('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '7'), 1, 15))::BIGINT, 0)
+             ({_H60.format(x="concat_ws(chr(31), doc_id, '7')")}
               % 1000000) / 1000000.0 AS u
       FROM documents
     ), n AS (

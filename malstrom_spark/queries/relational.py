@@ -818,7 +818,7 @@ def event_hypertable_rollup(spark, sf_dir):
     ), b AS (
       SELECT event_type, bucket,
              CASE WHEN c < 0 THEN -1
-                  WHEN c >= 50000 THEN 500
+                  WHEN c >= 60000 THEN 600
                   ELSE c // 100 END AS bin
       FROM s
     ), h AS (
@@ -858,7 +858,7 @@ def event_value_quantile_rollup(spark, sf_dir):
     hist = histogram(
         ev.withColumn("bucket", F.date_trunc("day", "ts")),
         ["event_type", "bucket"],
-        linear_bin(cents, 0, 50_000, 500),
+        linear_bin(cents, 0, 60_000, 600),
     )
     qb = quantile_bins(hist, ["event_type", "bucket"], [0.5, 0.95, 0.99])
     return qb.select(

@@ -725,7 +725,7 @@ def streaming_scd2_disorder(spark, sf_dir):
     WITH b AS (
       SELECT event_type,
              CASE WHEN c < 0 THEN -1
-                  WHEN c >= 50000 THEN 500
+                  WHEN c >= 60000 THEN 600
                   ELSE c // 100 END AS bin
       FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
             FROM events)
@@ -758,7 +758,7 @@ def streaming_value_quantiles(spark, sf_dir):
     ev = replay_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     hist = ev.groupBy(
-        "event_type", linear_bin(cents, 0, 50_000, 500).alias("bin")
+        "event_type", linear_bin(cents, 0, 60_000, 600).alias("bin")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     final = run_to_memory(hist, output_mode="complete")
     qb = quantile_bins(final, ["event_type"], [0.5, 0.95, 0.99])

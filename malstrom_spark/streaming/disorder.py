@@ -88,6 +88,16 @@ def make_disorder_handlers(
     import numpy as np
     import pandas as pd
 
+    coercers = {n: _buf_coercer((buf_types or {}).get(n)) for n in buf_names}
+    # the ripe frame must NOT re-widen coerced ints back to float64
+    # (pd.DataFrame infers float64 for [3, None]); non-float columns
+    # are built as object series so real ints stay ints all the way
+    # into the fold and its state packing
+    ripe_dtype = {
+        n: ("float64" if (buf_types or {}).get(n) in ("double", "float") else "object")
+        for n in buf_names
+    }
+
     def _unpack(state):
         if state is None:
             return None, {n: [] for n in buf_names}
@@ -113,9 +123,8 @@ def make_disorder_handlers(
             fresh = new_pdf[new_pdf[ts_us_col].to_numpy(dtype="int64") >= wm_us]
             for n in buf_names:
                 vals = fresh[n].tolist()
-                coerce = _buf_coercer((buf_types or {}).get(n))
-                if coerce is not None:
-                    vals = [coerce(v) for v in vals]
+                if coercers[n] is not None:
+                    vals = [coercers[n](v) for v in vals]
                 bufs[n].extend(vals)
         outs = []
         if bufs[ts_us_col]:
@@ -123,7 +132,13 @@ def make_disorder_handlers(
             ripe_mask = ts_arr < wm_us
             if ripe_mask.any():
                 ripe = pd.DataFrame(
-                    {n: [v for v, r in zip(bufs[n], ripe_mask) if r] for n in buf_names}
+                    {
+                        n: pd.Series(
+                            [v for v, r in zip(bufs[n], ripe_mask) if r],
+                            dtype=ripe_dtype[n],
+                        )
+                        for n in buf_names
+                    }
                 ).sort_values(list(sort_cols), kind="mergesort", ignore_index=True)
                 outs, inner = fold(key, ripe, inner)
                 bufs = {

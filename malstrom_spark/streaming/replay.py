@@ -68,16 +68,26 @@ def replay_table_multibatch(
     Staged once per (sf, table, n) under /tmp; construction writes the
     staging files eagerly (same construction-time contract as the
     collapse/probe pipelines)."""
+    import hashlib
+    import shutil as _shutil
+
     from ..queries import _ensure_conf, table
 
     _ensure_conf(spark)
+    # cache key covers EVERY argument that shapes the staged files —
+    # a different flush/order must never reuse another call's staging
+    arg_key = hashlib.md5(
+        repr((order_col, flush_rows)).encode()
+    ).hexdigest()[:10]
     stage = (
         pathlib.Path(tempfile.gettempdir())
         / "malstrom_replay_mb"
-        / f"{sf_dir.strip('/').replace('/', '_')}_{name}_{n_files}"
+        / f"{sf_dir.strip('/').replace('/', '_')}_{name}_{n_files}_{arg_key}"
     )
     done = stage / "_STAGED"
     if not done.exists():
+        # a crash mid-staging leaves partial batch files; start clean
+        _shutil.rmtree(stage, ignore_errors=True)
         stage.mkdir(parents=True, exist_ok=True)
         df = table(spark, sf_dir, name)
         tmp = str(stage / "raw")

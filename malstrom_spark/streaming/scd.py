@@ -29,11 +29,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StructField, StructType, TimestampType
 
 
-def _fold_scd2(k, seq_events, attrs: Sequence[str], key: str, open_state):
+def _fold_scd2(k, seq_events, attrs: Sequence[str], key: str, open_state, coerce=None):
     """Shared SCD2 fold: `seq_events` is a pandas frame with columns
     attrs + '__from' ALREADY in event-time order; `open_state` is the
     open interval (attr values..., valid_from) or None. Emits closed
-    intervals + the new open interval; returns the new open state."""
+    intervals + the new open interval; returns the new open state.
+
+    ``coerce`` maps attr -> value coercer for STATE PACKING: Arrow
+    widens nullable int columns to float64 (3 -> 3.0, null -> NaN),
+    and a float crossing the bigint state boundary is silently nulled
+    — real history values would corrupt (round-5 review repro). The
+    OUTPUT frame is unaffected (Arrow converts 3.0 back to 3); only
+    the state tuple needs exact types."""
     import pandas as pd
 
     frames = [seq_events[list(attrs) + ["__from"]]]
@@ -59,7 +66,13 @@ def _fold_scd2(k, seq_events, attrs: Sequence[str], key: str, open_state):
     out["is_current"] = out["valid_to"].isna()
 
     last = groups.iloc[-1]
-    new_state = tuple(last[a] for a in attrs) + (last["__from"],)
+
+    def pack(a):
+        v = last[a]
+        c = (coerce or {}).get(a)
+        return c(v) if c is not None else v
+
+    new_state = tuple(pack(a) for a in attrs) + (last["__from"],)
     return [out], new_state
 
 
@@ -108,6 +121,14 @@ def scd2_stream(
         ]
     )
 
+    from .disorder import _buf_coercer
+
+    # state-packing coercers per attr: exact int/None round-trips for
+    # Arrow's float-widened nullable ints (see _fold_scd2 docstring)
+    attr_coerce = {
+        a: _buf_coercer(ev.schema[a].dataType.simpleString()) for a in attrs
+    }
+
     if disorder_horizon is not None:
         from pyspark.sql import functions as F
 
@@ -141,7 +162,9 @@ def scd2_stream(
                 open_state = tuple(inner[:-1]) + (
                     pd.Timestamp(inner[-1], unit="us"),
                 )
-            outs, new_state = _fold_scd2(k, seq, attrs, key, open_state)
+            outs, new_state = _fold_scd2(
+                k, seq, attrs, key, open_state, coerce=attr_coerce
+            )
             packed = tuple(new_state[:-1]) + (int(new_state[-1].value // 1000),)
             return outs, packed
 
@@ -159,7 +182,7 @@ def scd2_stream(
         sort_keys = [ts] + ([tiebreak] if tiebreak else [])
         pdf = pdf.sort_values(sort_keys, kind="mergesort", ignore_index=True)
         seq = pdf[attrs + [ts]].rename(columns={ts: "__from"})
-        return _fold_scd2(k, seq, attrs, key, state)
+        return _fold_scd2(k, seq, attrs, key, state, coerce=attr_coerce)
 
     return stateful_map_stream(ev, [key], fn, out_schema, state_schema)
 

@@ -519,3 +519,69 @@ def test_scd2_disorder_nullable_int_attr(spark):
         (1, 5, t1, t2, False),
         (1, None, t2, None, True),
     ]
+
+
+def test_scd2_disorder_int_attr_survives_state_roundtrip(spark):
+    """Round-5 review repro: a REAL int attr value crossing the state
+    boundary after a fold (not just the null) — tier 7 becomes the
+    open interval in fold 1; a later unchanged tier-7 event must be a
+    no-op, not a spurious (None, ...) interval from a nulled state."""
+    t = OperatorTester(
+        spark,
+        "user_id long, ts timestamp, event_id long, tier long",
+        op=lambda sdf: scd2_stream(
+            sdf, key="user_id", ts="ts", attrs=["tier"],
+            tiebreak="event_id", disorder_horizon="10 minutes",
+        ),
+    )
+    t0, t1, t2, t3 = (BASE + dt.timedelta(minutes=m) for m in (0, 1, 2, 60))
+    try:
+        rows = []
+        t.send([(1, t0, 0, 3), (1, t1, 1, None), (1, t2, 2, 7)])
+        rows += [r for b in t.step() for r in b]
+        # advance the watermark far enough to finalize all three
+        t.send([(SENTINEL, BASE + dt.timedelta(minutes=30), 8, 0)])
+        rows += [r for b in t.step() for r in b]
+        t.send([(1, t3, 3, 7)])  # unchanged value in a later batch
+        rows += [r for b in t.step() for r in b]
+        t.send([(SENTINEL, BASE + dt.timedelta(days=1), 9, 0)])
+        rows += [r for b in t.step() for r in b]
+    finally:
+        t.stop()
+    latest = {}
+    for r in rows:
+        if r.user_id == SENTINEL:
+            continue
+        kk = (r.tier, r.valid_from)
+        if kk not in latest or (latest[kk] is None and r.valid_to is not None):
+            latest[kk] = r.valid_to
+    history = sorted(((vf, tier, vt) for (tier, vf), vt in latest.items()))
+    assert history == [(t0, 3, t1), (t1, None, t2), (t2, 7, None)], history
+
+
+def test_scd2_default_mode_int_attr_survives_state_roundtrip(spark):
+    """Same repro on the fill-forward default path: the Arrow-widened
+    float 7.0 must pack back to bigint state as 7, not None."""
+    t = OperatorTester(
+        spark,
+        "user_id long, ts timestamp, event_id long, tier long",
+        op=lambda sdf: scd2_stream(
+            sdf, key="user_id", ts="ts", attrs=["tier"], tiebreak="event_id"
+        ),
+    )
+    t0, t1, t2, t3 = (BASE + dt.timedelta(minutes=m) for m in (0, 1, 2, 60))
+    try:
+        rows = []
+        t.send([(1, t0, 0, 3), (1, t1, 1, None), (1, t2, 2, 7)])
+        rows += [r for b in t.step() for r in b]
+        t.send([(1, t3, 3, 7)])  # unchanged -> must NOT open an interval
+        rows += [r for b in t.step() for r in b]
+    finally:
+        t.stop()
+    latest = {}
+    for r in rows:
+        kk = (r.tier, r.valid_from)
+        if kk not in latest or (latest[kk] is None and r.valid_to is not None):
+            latest[kk] = r.valid_to
+    history = sorted(((vf, tier, vt) for (tier, vf), vt in latest.items()))
+    assert history == [(t0, 3, t1), (t1, None, t2), (t2, 7, None)], history

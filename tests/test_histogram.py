@@ -19,7 +19,7 @@ from malstrom_spark.operators.histogram import (
     quantile_bins,
 )
 
-LO, HI, NB = 0, 50_000, 500  # cents: [0, 500.00) in 1.00 bins
+LO, HI, NB = 0, 60_000, 600  # cents: [0, 600.00) in 1.00 bins — covers sf0.1's max 560.21
 QS = [0.5, 0.9, 0.95, 0.99]
 
 
@@ -156,3 +156,28 @@ def test_weighted_histogram_quantiles(spark):
                 break
         b = qb[q]
         assert b * 100 <= kth < (b + 1) * 100, (q, b, kth)
+
+
+def test_linear_bin_exact_beyond_double_precision(spark):
+    """Round-5 review: values beyond 2^53 (nanosecond-scaled ranges)
+    must bin by EXACT integer arithmetic — double division would land
+    boundary values one bin off."""
+    lo, hi = 1_700_000_000_000_000_000, 1_700_000_000_000_000_000 + 7_000_000_000
+    nb = 7_000  # width = 1_000_000
+    width = (hi - lo) // nb
+    import random
+
+    rng = random.Random(31)
+    vals = [lo + rng.randrange(0, hi - lo) for _ in range(500)]
+    # exact boundaries and off-by-one-ulp neighborhoods
+    for k in (0, 1, 3499, 6999):
+        edge = lo + k * width
+        vals += [edge - 1, edge, edge + 1]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    got = {
+        r.i: r.b
+        for r in df.select("i", linear_bin(F.col("v"), lo, hi, nb).alias("b")).collect()
+    }
+    for i, v in enumerate(vals):
+        want = -1 if v < lo else nb if v >= hi else (v - lo) // width
+        assert got[i] == want, (v, got[i], want)
