@@ -113,3 +113,53 @@ def kafka_stream(
                 "(not bundled in this test environment)"
             ) from exc
         raise  # unrelated failures propagate unchanged
+
+
+def jsonl_corpus_source(
+    spark: SparkSession,
+    path: str,
+    schema,
+    streaming: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL corpus ingestion with CORRUPT-RECORD ROUTING — the
+    format real web corpora arrive in, where a truncated shard or a
+    stray log line must neither kill the job (FAILFAST) nor vanish
+    silently (DROPMALFORMED). PERMISSIVE mode captures every
+    unparseable line in a rescue column; returns (good, bad):
+
+    - good: rows matching `schema`, rescue column dropped;
+    - bad:  (corrupt_record string) — the raw offending lines, ready
+      for a quarantine sink / count alert.
+
+    Built as text-scan + `from_json` rather than the native JSON
+    reader: Spark forbids queries whose pruned schema is ONLY the
+    internal corrupt-record column (exactly what a quarantine branch
+    is), and the text form works identically for batch and streaming
+    with one scan serving both sides. Blank lines are skipped like the
+    native reader. `streaming=True` returns streaming DataFrames
+    (file-source checkpointing gives exactly-once over arriving
+    shards)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    rescue = "_corrupt_record"
+    full = StructType(list(schema.fields) + [StructField(rescue, StringType())])
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": rescue},
+        ).alias("j"),
+        F.col("value"),
+    )
+    good = parsed.filter(F.col(f"j.{rescue}").isNull()).select(
+        *[F.col(f"j.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    bad = parsed.filter(F.col(f"j.{rescue}").isNotNull()).select(
+        F.col("value").alias("corrupt_record")
+    )
+    return good, bad
