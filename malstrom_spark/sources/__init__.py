@@ -14,6 +14,7 @@ these are thin builders, not ports.
 | StatelessSource (stateless.rs:24-69)            | rate_stream       |
 | StatefulSource trait itself (stateful.rs:30-89) | custom.py (Python DataSource API) |
 | Kafka CONTRACT, jar-free (source.rs:96-215)     | bus.py message bus twin |
+| (beyond reference) JSONL corpus ingest          | jsonl_corpus_source (corrupt-record quarantine) |
 """
 
 from __future__ import annotations
