@@ -63,3 +63,42 @@ def scd2_history(
         F.lead(F.col(ts)).over(w).alias("valid_to"),
     )
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """POINT-IN-TIME enrichment against an SCD2 dimension (the read
+    side of `scd2_history` — 'the customer's tier as of the order
+    date'): each fact row joins the dim version whose half-open
+    [valid_from, valid_to) interval contains fact.`ts`; the open
+    interval (valid_to null) extends to +infinity. Intervals are
+    non-overlapping per key by SCD2 construction, so at most one dim
+    row matches — `how='left'` (default) keeps facts that predate the
+    key's first interval, with null dim attributes.
+
+    Physical shape (100 TB): an equi-join on the key with the
+    containment predicate as a join residual — SortMergeJoin on the
+    key (or broadcast when the dim is small), never a
+    nested-loop/cartesian; dim state per key is its version count,
+    not the fact volume."""
+    keys = [key] if isinstance(key, str) else list(key)
+    f, d = facts.alias("__f"), dim.alias("__d")
+    cond = None
+    for k in keys:
+        c = F.col(f"__f.{k}") == F.col(f"__d.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (F.col(f"__f.{ts}") >= F.col("__d.valid_from"))
+        & (F.col("__d.valid_to").isNull() | (F.col(f"__f.{ts}") < F.col("__d.valid_to")))
+    )
+    dim_cols = [c for c in dim.columns if c not in keys]
+    return f.join(d, cond, how).select(
+        *[F.col(f"__f.{c}") for c in facts.columns],
+        *[F.col(f"__d.{c}") for c in dim_cols],
+    )

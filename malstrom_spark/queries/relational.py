@@ -1005,6 +1005,64 @@ def customer_priority_scd2(spark, sf_dir):
     )
 
 
+@register(
+    "events_user_state_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered WHERE prev IS DISTINCT FROM event_type),
+    hist AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           h.state
+    FROM purchases p
+    LEFT JOIN hist h
+      ON h.user_id = p.user_id
+     AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+)
+def events_user_state_lookup(spark, sf_dir):
+    """POINT-IN-TIME lookup against an SCD2 dimension (operators/
+    scd.py scd2_lookup, round 5 — the read side the SCD2 docstring
+    promises): every purchase joins the user-state interval containing
+    its timestamp (drop_unchanged means the state can come from an
+    EARLIER event, not the purchase itself). Equi-join on the user key
+    with the containment predicate as join residual — SMJ, no
+    nested-loop; the oracle replays the interval-containment LEFT JOIN
+    in SQL."""
+    from ..operators.scd import scd2_history, scd2_lookup
+
+    ev = table(spark, sf_dir, "events")
+    dim = scd2_history(
+        ev, key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id"
+    ).select(
+        "user_id", F.col("event_type").alias("state"), "valid_from", "valid_to"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = scd2_lookup(purchases, dim, key="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "state",
+    )
+
+
 # ------------------------------------------------ unpivot / melt
 @register(
     "lineitem_measures_unpivot",

@@ -193,3 +193,38 @@ def test_streaming_scd2_nullable_int_attr_default_mode(spark):
         ((None, m(2)), m(4)),
         ((5, m(4)), None),
     ]
+
+
+def test_scd2_lookup_point_in_time(spark):
+    """scd2_lookup: each fact joins the interval containing its ts;
+    facts before the first interval keep null attrs (left); boundary
+    semantics are half-open [valid_from, valid_to)."""
+    from malstrom_spark.operators.scd import scd2_history, scd2_lookup
+
+    events = spark.createDataFrame(
+        [Row(k=1, ts=_ts(t), v=v, tb=i) for i, (t, v) in enumerate([
+            ("2024-01-01 00:00:00", "bronze"),
+            ("2024-01-10 00:00:00", "silver"),
+            ("2024-01-20 00:00:00", "gold"),
+        ])]
+    )
+    dim = scd2_history(events, key="k", ts="ts", attrs=["v"], tiebreak="tb")
+    facts = spark.createDataFrame(
+        [
+            Row(fid=0, k=1, at=_ts("2023-12-25 00:00:00")),  # before history
+            Row(fid=1, k=1, at=_ts("2024-01-05 00:00:00")),  # bronze
+            Row(fid=2, k=1, at=_ts("2024-01-10 00:00:00")),  # boundary -> silver
+            Row(fid=3, k=1, at=_ts("2024-01-19 23:59:59")),  # silver
+            Row(fid=4, k=1, at=_ts("2024-06-01 00:00:00")),  # open interval
+            Row(fid=5, k=2, at=_ts("2024-01-05 00:00:00")),  # unknown key
+        ]
+    )
+    out = scd2_lookup(facts, dim, key="k", ts="at")
+    got = {r.fid: r.v for r in out.collect()}
+    assert got == {0: None, 1: "bronze", 2: "silver", 3: "silver",
+                   4: "gold", 5: None}
+    assert out.count() == facts.count()  # at most one interval matches
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
