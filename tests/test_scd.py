@@ -228,3 +228,34 @@ def test_scd2_lookup_point_in_time(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_lookup_streaming_facts(spark):
+    """Point-in-time enrichment works with a STREAMING fact side: the
+    SCD2 dim is static/broadcastable, the containment predicate rides
+    the stream-static left join — per-microbatch lookups, no state."""
+    from malstrom_spark.operators.scd import scd2_history, scd2_lookup
+    from malstrom_spark.testing import OperatorTester
+
+    events = spark.createDataFrame(
+        [Row(k=1, ts=_ts(t), v=v, tb=i) for i, (t, v) in enumerate([
+            ("2024-01-01 00:00:00", "bronze"),
+            ("2024-01-10 00:00:00", "gold"),
+        ])]
+    )
+    dim = scd2_history(events, key="k", ts="ts", attrs=["v"], tiebreak="tb")
+
+    t = OperatorTester(
+        spark,
+        "fid long, k long, at timestamp",
+        op=lambda sdf: scd2_lookup(sdf, dim, key="k", ts="at"),
+    )
+    try:
+        t.send([(1, 1, _ts("2024-01-05 00:00:00")),
+                (2, 1, _ts("2024-02-01 00:00:00")),
+                (3, 9, _ts("2024-01-05 00:00:00"))])
+        rows = [r for b in t.step() for r in b]
+    finally:
+        t.stop()
+    got = {r.fid: r.v for r in rows}
+    assert got == {1: "bronze", 2: "gold", 3: None}
