@@ -68,7 +68,49 @@ def main(spark, sf_dir: str = SF_DIR):
     n_users = ev.select("user_id").distinct().count()
     assert current == n_users, (current, n_users)  # exactly one open row per key
 
-    return {"attributed_pairs": n_pairs, "funnel": counts, "current_rows": current}
+    # 5. point-in-time lookup (round 5): each purchase reads the user
+    # state interval containing its timestamp from the SCD2 dim
+    from malstrom_spark.operators.scd import scd2_lookup
+
+    dim = hist.select(
+        "user_id", F.col("event_type").alias("state"), "valid_from", "valid_to"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    looked = scd2_lookup(purchases, dim, key="user_id", ts="ts")
+    assert looked.count() == purchases.count()  # exactly one interval each
+    assert looked.filter("state IS NULL").count() == 0  # facts inside history
+
+    # 6. mergeable rollups (round 5): HLL distinct users + histogram
+    # p95 per day, both decomposable through persisted partials
+    from malstrom_spark.operators.histogram import (
+        histogram, linear_bin, quantile_bins,
+    )
+
+    hll = hypertable_rollup(
+        ev, "ts", keys=[],
+        aggs={"users": ("approx_distinct", F.col("user_id"))},
+        grains=("day",),
+    )
+    day_users = {r.bucket: r.users for r in hll.collect()}
+    assert all(u > 0 for u in day_users.values())
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    day_hist = histogram(
+        ev.withColumn("bucket", F.date_trunc("day", "ts")),
+        ["bucket"], linear_bin(cents, 0, 60_000, 600),
+    )
+    p95 = quantile_bins(day_hist, ["bucket"], [0.95]).collect()
+    assert len(p95) == len(day_users) and all(r.qbin >= 0 for r in p95)
+
+    return {
+        "attributed_pairs": n_pairs,
+        "funnel": counts,
+        "current_rows": current,
+        "pit_lookups": looked.count(),
+        "days_with_quantiles": len(p95),
+    }
 
 
 if __name__ == "__main__":
