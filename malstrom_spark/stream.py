@@ -244,6 +244,53 @@ class Stream:
             )
         )
 
+    def range_join(
+        self, other: "Stream", left_point: str, right_start: str, right_end: str, **kw
+    ) -> "Stream":
+        """Interval containment join (operators/rangejoin.py): this
+        stream's rows land in `other`'s [start, end) intervals; keyed
+        on this stream's keys when set (SMJ), else pass strategy/
+        bin_width through kw."""
+        from .operators.rangejoin import range_join
+
+        keys = kw.pop("keys", list(self.key_cols) or None)
+        return self._with(
+            range_join(self.df, other.df, left_point, right_start, right_end,
+                       keys=keys, **kw)
+        )
+
+    # ---- temporal modeling (round 4/5 operators, fluent form) ----
+
+    def funnel_times(self, ts: str, steps, **kw) -> "Stream":
+        """Ordered-sequence chain times per key (operators/funnel.py)."""
+        self._need_keys()
+        from .operators.funnel import funnel_times
+
+        return self._with(funnel_times(self.df, self.key_cols[0], ts, steps, **kw))
+
+    def scd2_history(self, ts: str, attrs, **kw) -> "Stream":
+        """Type-2 dimension history on this stream's key (operators/scd.py)."""
+        self._need_keys()
+        from .operators.scd import scd2_history
+
+        return self._with(scd2_history(self.df, list(self.key_cols), ts, attrs, **kw))
+
+    def scd2_lookup(self, dim: "Stream", ts: str, **kw) -> "Stream":
+        """Point-in-time enrichment against an SCD2 dim (operators/scd.py)."""
+        self._need_keys()
+        from .operators.scd import scd2_lookup
+
+        return self._with(scd2_lookup(self.df, dim.df, list(self.key_cols), ts, **kw))
+
+    def hypertable_rollup(self, ts_col: str, aggs, grains=("hour", "day", "week")) -> "Stream":
+        """Multi-grain continuous-aggregate rollup keyed on this
+        stream's keys (operators/windows.py)."""
+        from .operators.windows import hypertable_rollup
+
+        return self._with(
+            hypertable_rollup(self.df, ts_col, list(self.key_cols), aggs, grains)
+        )
+
     # ---- sinks (SURVEY §2.7; full set in malstrom_spark.sinks) ----
 
     def collect(self):

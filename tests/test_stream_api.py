@@ -54,3 +54,48 @@ def test_as_of_join_via_stream(spark):
     )
     got = {(r.key, r.ts.second): r.px for r in out}
     assert got == {("k1", 10): 100.0, ("k1", 30): 200.0, ("k2", 10): None}
+
+
+def test_temporal_operators_via_stream(spark):
+    """Round-5 fluent surface: funnel, SCD2 (history + point-in-time
+    lookup), range join and hypertable rollup compose off the Stream
+    builder exactly like their module forms."""
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, t(0), "a"), (1, t(10), "b"), (1, t(20), "a"), (2, t(5), "a")],
+        "u long, ts timestamp, et string",
+    )
+    s = Stream.from_df(ev, key_cols=("u",), ts_col="ts")
+
+    chain = {
+        r.u: (r.t_a, r.t_b)
+        for r in s.funnel_times(
+            "ts", [("a", F.col("et") == "a"), ("b", F.col("et") == "b")]
+        ).collect()
+    }
+    assert chain == {1: (t(0), t(10)), 2: (t(5), None)}
+
+    hist = s.scd2_history("ts", ["et"])
+    assert hist.df.filter("is_current").count() == 2
+
+    dim = hist.map({"state": F.col("et")})
+    dim = Stream.from_df(dim.df.select("u", "state", "valid_from", "valid_to"))
+    facts = Stream.from_df(
+        spark.createDataFrame([(10, 1, t(15))], "fid long, u long, at timestamp"),
+        key_cols=("u",),
+    )
+    looked = facts.scd2_lookup(dim, "at").collect()
+    assert [r.state for r in looked] == ["b"]
+
+    windows = Stream.from_df(
+        spark.createDataFrame(
+            [(1, t(5), t(15), 100)], "u long, s timestamp, e timestamp, wid long"
+        )
+    )
+    rj = s.range_join(windows, "ts", "s", "e").collect()
+    assert [(r.ts, r.wid) for r in rj] == [(t(10), 100)]
+
+    roll = Stream.from_df(ev, key_cols=("et",)).hypertable_rollup(
+        "ts", {"n": ("count", F.lit(1))}, grains=("hour", "day")
+    )
+    assert {r.grain for r in roll.collect()} == {"hour", "day"}
