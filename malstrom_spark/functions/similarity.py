@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # module-level: pandas_udf type hints ('pd.Series'
+                     # under future-annotations) resolve via __globals__
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -678,31 +681,38 @@ def ivf_build_centroids(
         corpus
         if sample_fraction is None or sample_fraction >= 1.0
         else corpus.sample(fraction=sample_fraction, seed=seed)
-    )
-    seeds = (
-        fit.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")).alias("h"))
-        .orderBy("h")
-        .limit(n_lists)
-        .collect()
-    )
-    centroids = [[float(x) for x in r.v] for r in seeds]
-    for _ in range(n_iters):
-        assigned = fit.select(
-            F.col(vec_col).alias("v"),
-            _nearest_list(F.col(vec_col), centroids).alias("list_id"),
-        )
-        # mean per (list, dim): posexplode -> two-level agg; k*dim rows out
-        means = (
-            assigned.select("list_id", F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("x").alias("m"))
+    ).select(F.col(vec_col).alias("v"))
+    # the fit set is scanned once for seeding plus once per Lloyd
+    # round — persist it (spill-safe) so each round reads the cached
+    # sample instead of re-scanning + re-sampling the corpus
+    persisted = n_iters > 0
+    if persisted:
+        fit = fit.persist()
+    try:
+        seeds = (
+            fit.select("v", F.xxhash64(F.col("v").cast("array<double>").cast("string")).alias("h"))
+            .orderBy("h")
+            .limit(n_lists)
             .collect()
         )
-        by_list: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_list.setdefault(r.list_id, {})[r.pos] = r.m
-        for lid, dims in by_list.items():
-            centroids[lid] = [dims[i] for i in range(len(centroids[lid]))]
+        centroids = [[float(x) for x in r.v] for r in seeds]
+        for _ in range(n_iters):
+            assigned = with_nearest_list(fit, "v", centroids)
+            # mean per (list, dim): posexplode -> two-level agg; k*dim rows out
+            means = (
+                assigned.select("list_id", F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"))
+                .groupBy("list_id", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_list: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_list.setdefault(r.list_id, {})[r.pos] = r.m
+            for lid, dims in by_list.items():
+                centroids[lid] = [dims[i] for i in range(len(centroids[lid]))]
+    finally:
+        if persisted:
+            fit.unpersist()
     return centroids
 
 
@@ -729,7 +739,114 @@ def _nearest_lists(vec: Column, centroids: list[list[float]], n_probe: int) -> C
     darr = F.array(*dists)
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     pairs = F.zip_with(darr, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-    return F.slice(F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n_probe)
+    ranked = F.slice(F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n_probe)
+    # a null vector has all-null distances; without this guard the
+    # struct sort would still yield list ids, probing arbitrary cells
+    return F.when(vec.isNotNull(), ranked)
+
+
+# Above this many literal nodes (n_lists * dim) the inlined-centroid
+# expression itself becomes the bottleneck — analysis/codegen cost
+# grows with plan size, and a production quantizer (4096 lists x 768
+# dims ~ 3M nodes) would never finish planning. The Arrow scorer
+# carries ONE udf node regardless of quantizer size.
+IVF_LITERAL_MAX_NODES = 64 * 1024
+
+
+def _centroid_bc(spark, centroids: list[list[float]]):
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    return spark.sparkContext.broadcast((C, (C * C).sum(axis=1)))
+
+
+def with_nearest_list(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "list_id",
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment (squared-L2 argmin, first-min
+    tie-break) with two rank-identical engines, auto-dispatched on
+    quantizer size (tests pin identity on the testdata):
+
+    - literal (small quantizers): the centroid matrix inlined as a
+      native Column expression — whole-stage codegen, zero Python.
+      Plan size is O(n_lists * dim) literal nodes.
+    - arrow (production ANN scale, n_lists * dim > IVF_LITERAL_MAX_NODES):
+      a pandas_udf scoring -2 v@C^T + ||c||^2 against a BROADCAST
+      numpy centroid matrix; plan size is O(1), per-batch cost is one
+      BLAS matmul. Null vectors assign NULL, matching the literal
+      path's null propagation."""
+    if use_arrow is None:
+        use_arrow = len(centroids) * len(centroids[0]) > IVF_LITERAL_MAX_NODES
+    if not use_arrow:
+        return df.withColumn(out_col, _nearest_list(F.col(vec_col), centroids))
+
+    import numpy as np
+    import pandas as pd
+
+    bc = _centroid_bc(df.sparkSession, centroids)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        C, n2 = bc.value
+        res: list = [None] * len(v)
+        mask = v.notna().to_numpy()
+        if mask.any():
+            M = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in v[mask]]
+            )
+            d = -2.0 * (M @ C.T) + n2[None, :]
+            ids = np.argmin(d, axis=1)  # first-min, same as array_position
+            for pos, lid in zip(np.nonzero(mask)[0], ids):
+                res[pos] = int(lid)
+        return pd.Series(res, dtype="Int32")
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def with_probe_lists(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_probe: int,
+    out_col: str = "list_id",
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """Explode each row into its `n_probe` nearest cells — the query
+    side of IVF probing. Same literal/arrow dispatch and tie-break
+    (distance asc, then list id asc: np.argsort(kind='stable') ==
+    array_sort on (d, i) structs) as `with_nearest_list`."""
+    if use_arrow is None:
+        use_arrow = len(centroids) * len(centroids[0]) > IVF_LITERAL_MAX_NODES
+    if not use_arrow:
+        return df.withColumn(
+            out_col, F.explode(_nearest_lists(F.col(vec_col), centroids, n_probe))
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    bc = _centroid_bc(df.sparkSession, centroids)
+
+    @F.pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        C, n2 = bc.value
+        res: list = [None] * len(v)
+        mask = v.notna().to_numpy()
+        if mask.any():
+            M = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in v[mask]]
+            )
+            d = -2.0 * (M @ C.T) + n2[None, :]
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            for pos, row in zip(np.nonzero(mask)[0], order):
+                res[pos] = [int(i) for i in row]
+        return pd.Series(res)
+
+    return df.withColumn(out_col, F.explode(probes(F.col(vec_col))))
 
 
 def ivf_topk(
@@ -758,10 +875,8 @@ def ivf_topk(
     cents = centroids or ivf_build_centroids(
         corpus, c_vec, n_lists, n_iters, sample_fraction=sample_fraction
     )
-    cb = corpus.withColumn("list_id", _nearest_list(F.col(c_vec), cents))
-    qb = queries.withColumn(
-        "list_id", F.explode(_nearest_lists(F.col(q_vec), cents, n_probe))
-    )
+    cb = with_nearest_list(corpus, c_vec, cents)
+    qb = with_probe_lists(queries, q_vec, cents, n_probe)
     scored = cb.join(F.broadcast(qb), "list_id").select(
         F.col(q_id), F.col(c_id), cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
     )
@@ -810,7 +925,7 @@ def ivf_write_assignments(
     (partition pruning), ~n_probe/n_lists of the bytes, with no
     shuffle and no recomputed quantizer map per query batch. The
     assignment pass itself is one pure map over the corpus."""
-    assigned = corpus.withColumn("list_id", _nearest_list(F.col(c_vec), centroids))
+    assigned = with_nearest_list(corpus, c_vec, centroids)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
 
@@ -832,9 +947,7 @@ def ivf_topk_partitioned(
     PartitionFilters in the plan — tests/test_similarity.py). Rank
     results are identical to `ivf_topk` with the same centroids
     (scoring and probing logic are shared)."""
-    qb = queries.withColumn(
-        "list_id", F.explode(_nearest_lists(F.col(q_vec), centroids, n_probe))
-    )
+    qb = with_probe_lists(queries, q_vec, centroids, n_probe)
     probed = sorted({r.list_id for r in qb.select("list_id").distinct().collect()})
     cb = spark.read.parquet(path).where(F.col("list_id").isin(probed))
     scored = cb.join(F.broadcast(qb), "list_id").select(
