@@ -258,26 +258,55 @@ def main():
     duck_total = round(sum(duck.values()), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "streaming_stateful_events_per_sec": eps,
-                "compare_extra_queries": extra_timings,
-                "duckdb_total_wall": duck_total,
-                "duckdb_queries": duck,
-                "spark_wall_on_duckdb_subset": common_spark,
-                "bench_vs_duckdb_ratio": round(common_spark / duck_total, 3)
-                if duck_total
-                else None,
-                "duckdb_skipped": [n for n in HEADLINE if n not in duck],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "streaming_stateful_events_per_sec": eps,
+        "compare_extra_queries": extra_timings,
+        "duckdb_total_wall": duck_total,
+        "duckdb_queries": duck,
+        "spark_wall_on_duckdb_subset": common_spark,
+        "bench_vs_duckdb_ratio": round(common_spark / duck_total, 3)
+        if duck_total
+        else None,
+        "duckdb_skipped": [n for n in HEADLINE if n not in duck],
+        "sf": sf_val,
+    }
+    # Full per-query detail goes to a file plus stderr; stdout gets ONE
+    # compact final line. The driver captures only the tail of stdout
+    # (~2 kB) and parses the last JSON line — round 5's detailed
+    # ~4 kB single line was truncated mid-dict and recorded as
+    # parsed:null, losing the headline wall (VERDICT r5 item #1).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "streaming_stateful_events_per_sec": eps,
+        "spark_wall_on_duckdb_subset": common_spark,
+        "duckdb_total_wall": duck_total,
+        "bench_vs_duckdb_ratio": detail["bench_vs_duckdb_ratio"],
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:
+        # still too long for the driver's ~2 kB stdout tail capture:
+        # keep only the 10 slowest queries inline (full detail is in
+        # BENCH_DETAIL.json and on stderr)
+        top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+        compact["queries"] = {n: round(t, 2) for n, t in top10.items()}
+        compact["queries_truncated_to_top10_of"] = len(timings)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
