@@ -53,6 +53,11 @@ _PRIORITY = [
     "streaming_daily_close",
     "streaming_click_purchase_left_join",
     "streaming_epoch_close",
+    "streaming_funnel_disorder",    # watermark-finalized out-of-order fold
+    "streaming_scd2_disorder",      # (r6 gate rotation; the evicted
+                                    # dedup_groups_probe and
+                                    # sliding_event_counts moved into the
+                                    # omnibus rows, so they stay gate-visible)
     # --- LLM-data-pipeline operators (north-star, first-class) ---
     "doc_text_stats",
     "doc_lang_guess",
@@ -68,8 +73,9 @@ _PRIORITY = [
     "doc_decontaminate",        # benchmark decontamination (13-gram)
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_clusters",           # cluster-output near-dup (100 TB default)
-    "dedup_groups_probe",
+    "dedup_clusters",           # cluster-output near-dup (100 TB default;
+                                # dedup_groups_probe folded into
+                                # pipeline_omnibus — same CC capability)
     "dedup_embedding_cosine",
     "embedding_near_dup_cosine",
     "similarity_topk_cosine",
@@ -77,8 +83,8 @@ _PRIORITY = [
     "similarity_ann_ivf",
     "multimodal_pipeline",
     # --- event-time / keyed operators over the events table ---
-    "hourly_event_rollup",
-    "sliding_event_counts",
+    "hourly_event_rollup",      # (sliding_event_counts folded into
+                                # relational_omnibus_b)
     "event_sessions",
     "events_asof_latest_order",
     "events_value_by_type_salted",

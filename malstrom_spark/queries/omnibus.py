@@ -99,6 +99,10 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     # next purchase after each error, ties to the smallest id
     ("error_next_purchase_asof",
      ["event_id", "user_id", "next_purchase_id", "next_purchase_ts"], []),
+    # round-6 gate rotation: sliding windows folded here to free a
+    # priority slot for the streaming disorder twins; still covered by
+    # hourly_event_rollup (tumbling) + this row (overlap semantics)
+    ("sliding_event_counts", ["window_start", "n"], []),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that
@@ -124,6 +128,10 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
      ["doc_id", "n_words", "pass_word_count", "pass_mean_word_len",
       "pass_symbol_ratio", "pass_bullet_lines", "pass_ellipsis_lines",
       "pass_alpha_words", "pass_stopwords", "keep"], []),
+    # round-6 gate rotation: connected-components probe folded here to
+    # free a priority slot for the streaming disorder twins; the CC
+    # capability stays priority-visible through dedup_clusters
+    ("dedup_groups_probe", ["doc_id", "group_id"], []),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]
