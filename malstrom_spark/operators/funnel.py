@@ -49,7 +49,7 @@ def _check_within(within: str | None) -> None:
 
 def funnel_times(
     df: DataFrame,
-    user: str,
+    user: str | Sequence[str],
     ts: str,
     steps: Sequence[tuple[str, Column]],
     within: str | None = None,
@@ -57,10 +57,12 @@ def funnel_times(
 ) -> DataFrame:
     """Per-user earliest completion time of each funnel prefix.
 
-    steps: ordered (name, predicate Column) pairs; within: INTERVAL
-    literal (e.g. '7 days') bounding the whole chain relative to t1,
-    or None for unbounded. Output: user, t_<name> timestamp per step
-    (null = that prefix never completed).
+    user: the grouping key — one column name, or a sequence of names
+    for composite keys (e.g. tenant + user); chains are computed per
+    distinct key tuple. steps: ordered (name, predicate Column) pairs;
+    within: INTERVAL literal (e.g. '7 days') bounding the whole chain
+    relative to t1, or None for unbounded. Output: the key column(s),
+    t_<name> timestamp per step (null = that prefix never completed).
 
     ``max_events_per_user=N`` bounds the per-user state: BEFORE the
     fold, keep only the earliest N events per (user, step) — a rank
@@ -73,6 +75,10 @@ def funnel_times(
     reads the earliest matches first — never invent an earlier one.
     Pick N >= the step multiplicity a real (non-bot) user can produce.
     """
+    users = [user] if isinstance(user, str) else list(user)
+    if not users:
+        raise ValueError("user key columns must be non-empty")
+    ukeys = [f"__u{i}" for i in range(len(users))]
     names = [n for n, _ in steps]
     if not names:
         raise ValueError("steps must be non-empty")
@@ -86,7 +92,9 @@ def funnel_times(
 
     # null event times can't order in a chain; both twins drop them
     ev = df.filter(any_step & F.col(ts).isNotNull()).select(
-        F.col(user).alias("__u"), F.col(ts).alias("__ts"), *flags
+        *[F.col(c).alias(k) for c, k in zip(users, ukeys)],
+        F.col(ts).alias("__ts"),
+        *flags,
     )
     if max_events_per_user is not None:
         if max_events_per_user < 1:
@@ -98,7 +106,7 @@ def funnel_times(
         # groupBy, so Catalyst plans ONE Exchange for prune + fold
         # (flag columns break timestamp ties deterministically)
         w = (
-            Window.partitionBy("__u")
+            Window.partitionBy(*ukeys)
             .orderBy("__ts", *[f"__f{i}" for i in range(len(steps))])
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -109,7 +117,7 @@ def funnel_times(
             k_i = fi & (rank_i <= max_events_per_user)
             keep = k_i if keep is None else (keep | k_i)
         ev = ev.withColumn("__keep", keep).filter("__keep").drop("__keep")
-    arr = ev.groupBy("__u").agg(
+    arr = ev.groupBy(*ukeys).agg(
         F.array_sort(
             F.collect_list(F.struct("__ts", *[f"__f{i}" for i in range(len(steps))]))
         ).alias("__evs")
@@ -135,16 +143,16 @@ def funnel_times(
             )
         return F.struct(*fields)
 
-    folded = arr.select("__u", F.aggregate("__evs", init, update).alias("__t"))
+    folded = arr.select(*ukeys, F.aggregate("__evs", init, update).alias("__t"))
     return folded.select(
-        F.col("__u").alias(user),
+        *[F.col(uk).alias(c) for uk, c in zip(ukeys, users)],
         *[F.col(f"__t.t{i}").alias(f"t_{names[i]}") for i in range(k)],
     )
 
 
 def funnel_counts(
     df: DataFrame,
-    user: str,
+    user: str | Sequence[str],
     ts: str,
     steps: Sequence[tuple[str, Column]],
     within: str | None = None,

@@ -87,6 +87,21 @@ def scd2_lookup(
     nested-loop/cartesian; dim state per key is its version count,
     not the fact volume."""
     keys = [key] if isinstance(key, str) else list(key)
+    missing = [c for c in ("valid_from", "valid_to") if c not in dim.columns]
+    if missing:
+        raise ValueError(
+            f"scd2_lookup: dim is missing SCD2 interval column(s) {missing}; "
+            "build it with scd2_history (valid_from/valid_to required)"
+        )
+    overlap = sorted(
+        (set(facts.columns) & set(dim.columns)) - set(keys)
+    )
+    if overlap:
+        raise ValueError(
+            f"scd2_lookup: non-key column(s) {overlap} exist on both facts "
+            "and dim — the output would carry ambiguous duplicate names; "
+            "rename or drop them on one side first"
+        )
     f, d = facts.alias("__f"), dim.alias("__d")
     cond = None
     for k in keys:

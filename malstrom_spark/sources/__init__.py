@@ -135,11 +135,14 @@ def jsonl_corpus_source(
     Built as text-scan + `from_json` rather than the native JSON
     reader: Spark forbids queries whose pruned schema is ONLY the
     internal corrupt-record column (exactly what a quarantine branch
-    is), and the text form works identically for batch and streaming
-    with one scan serving both sides. Blank lines are skipped like the
-    native reader. `streaming=True` returns streaming DataFrames
-    (file-source checkpointing gives exactly-once over arriving
-    shards)."""
+    is), and the text form works identically for batch and streaming.
+    The two returned DataFrames share the scan DEFINITION, not one
+    execution: materializing both re-scans and re-parses the input
+    once per side — callers consuming both branches should persist
+    the parsed frame first (batch) or split inside one foreachBatch
+    (streaming). Blank lines are skipped like the native reader.
+    `streaming=True` returns streaming DataFrames (file-source
+    checkpointing gives exactly-once over arriving shards)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField, StructType
 

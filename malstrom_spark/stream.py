@@ -262,11 +262,12 @@ class Stream:
     # ---- temporal modeling (round 4/5 operators, fluent form) ----
 
     def funnel_times(self, ts: str, steps, **kw) -> "Stream":
-        """Ordered-sequence chain times per key (operators/funnel.py)."""
+        """Ordered-sequence chain times per key (operators/funnel.py);
+        composite keys chain per distinct key tuple."""
         self._need_keys()
         from .operators.funnel import funnel_times
 
-        return self._with(funnel_times(self.df, self.key_cols[0], ts, steps, **kw))
+        return self._with(funnel_times(self.df, list(self.key_cols), ts, steps, **kw))
 
     def scd2_history(self, ts: str, attrs, **kw) -> "Stream":
         """Type-2 dimension history on this stream's key (operators/scd.py)."""

@@ -114,13 +114,33 @@ def make_disorder_handlers(
         inner_part = tuple(inner) if inner is not None else (None,) * n_inner
         return inner_part + tuple(bufs[n] for n in buf_names)
 
+    # position of the event-time buffer inside the packed state tuple,
+    # for peeking ripeness without unpacking every column
+    ts_slot = n_inner + list(buf_names).index(ts_us_col)
+
     def _advance(key, new_pdf, wm_ms, state):
         """Shared by on_data and on_timer: drop beyond-horizon lates,
         buffer the rest, fold everything strictly below the frontier."""
-        inner, bufs = _unpack(state)
         wm_us = int(wm_ms) * 1000
+        fresh = None
         if new_pdf is not None and len(new_pdf):
             fresh = new_pdf[new_pdf[ts_us_col].to_numpy(dtype="int64") >= wm_us]
+            if not len(fresh):
+                fresh = None
+        if fresh is None and state is not None:
+            # fast path: nothing new survived the late-drop and no
+            # buffered event is ripe -> the fold state is unchanged;
+            # skip the O(buffer x columns) unpack/repack and only
+            # re-arm the timer (a fired timer consumed it)
+            ts_buf = state[ts_slot]
+            n_buf = 0 if ts_buf is None else len(ts_buf)
+            if n_buf == 0:
+                return [], state, []
+            earliest = min(ts_buf)
+            if earliest >= wm_us:
+                return [], state, [max(earliest // 1000 + 1, int(wm_ms) + 1)]
+        inner, bufs = _unpack(state)
+        if fresh is not None:
             for n in buf_names:
                 vals = fresh[n].tolist()
                 if coercers[n] is not None:

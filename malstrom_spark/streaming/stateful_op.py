@@ -30,11 +30,13 @@ Two engine paths, chosen by capability:
 Engine equivalence is pinned by tests/test_engine_divergence.py:
 fake-engine harnesses drive both wrappers through arbitrary
 multi-timer schedules asserting identical cumulative output + state.
-One documented argument-level difference remains: `on_timer`'s
-`fired_at_ms` is the timer's EXPIRY in the TWS path but the current
-WATERMARK in the apws path — treat it as "the frontier has passed
-this point" (close everything <= fired_at), as all shipped operators
-do, and the two paths are output-identical.
+`on_timer`'s `fired_at_ms` means "the frontier has passed this point"
+(close everything <= fired_at) on both paths: apws hands the current
+WATERMARK; the TWS wrapper hands max(timer expiry, current watermark)
+so a deep buffer finalizes in the firing microbatch instead of
+draining through re-armed timers across batches (when `timer_values`
+is unavailable — fake-engine harnesses — it degrades to the bare
+expiry, which the cascade still drains correctly).
 
 Scale: state lives in the RocksDB state store (spills, incremental
 checkpoints); timers are engine-managed per key — no scan-all-keys
@@ -118,9 +120,17 @@ def make_tws_processor(on_data, on_timer, state_schema):
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
             cur = self._state.get() if self._state.exists() else None
-            outs, new_state, timers = on_timer(
-                key, expired_timer_info.getExpiryTimeInMs(), cur
-            )
+            fired = int(expired_timer_info.getExpiryTimeInMs())
+            # Fold below the actual frontier, not just this timer's
+            # expiry: the watermark is >= expiry whenever a timer
+            # fires, and on a real TWS runtime a re-armed
+            # already-expired timer may not fire again until a later
+            # microbatch — draining a deep buffer through cascading
+            # timers would defer finalization of its tail. Same
+            # "frontier passed this point" contract, tighter bound.
+            if timer_values is not None:
+                fired = max(fired, int(timer_values.getCurrentWatermarkInMs()))
+            outs, new_state, timers = on_timer(key, fired, cur)
             if new_state is None:
                 if timers:
                     raise ValueError(

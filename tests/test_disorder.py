@@ -383,7 +383,10 @@ class _TwsDisorder:
             t = due[0]
             self.handle.timers.discard(t)
             info = SimpleNamespace(getExpiryTimeInMs=lambda t=t: t)
-            outs += list(self.op.handleExpiredTimer(key, None, info))
+            # real TWS always hands timer_values; the wrapper folds
+            # below max(expiry, watermark) so deep buffers finalize in
+            # the firing batch rather than via cascaded timers
+            outs += list(self.op.handleExpiredTimer(key, _WmShim(self.wm), info))
 
     def state(self):
         return self.handle.state.get()

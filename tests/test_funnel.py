@@ -292,3 +292,67 @@ def test_max_events_per_user_single_exchange(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_composite_key_chains_per_tuple(spark):
+    """A (tenant, user) composite key chains per distinct tuple: the
+    same user id under two tenants must NOT share a funnel (the bug
+    class the single-column form would silently produce)."""
+    rows = [
+        # tenant 1 / user 1: full a->b->c chain
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (1, 1, "2024-01-01 01:00:00", "b"),
+        (1, 1, "2024-01-01 02:00:00", "c"),
+        # tenant 2 / SAME user id: only the b and c halves -- merging
+        # across tenants would wrongly complete this chain
+        (2, 1, "2024-01-01 03:00:00", "b"),
+        (2, 1, "2024-01-01 04:00:00", "c"),
+    ]
+    df = spark.createDataFrame(
+        [Row(tn=tn, u=u, ts=_ts(t), et=e) for tn, u, t, e in rows]
+    )
+    out = funnel_times(df, ["tn", "u"], "ts", _steps())
+    got = {(r.tn, r.u): (r.t_a, r.t_b, r.t_c) for r in out.collect()}
+    assert got[(1, 1)] == (
+        _ts("2024-01-01 00:00:00"),
+        _ts("2024-01-01 01:00:00"),
+        _ts("2024-01-01 02:00:00"),
+    )
+    assert got[(2, 1)] == (None, None, None)
+    # counts twin agrees on the composite form
+    counts = {
+        r.step: r.users
+        for r in funnel_counts(
+            df, ["tn", "u"], "ts", _steps()
+        ).collect()
+    }
+    assert counts == {"a": 1, "b": 1, "c": 1}
+
+
+def test_composite_key_empty_rejected(spark):
+    df = spark.createDataFrame([Row(u=1, ts=_ts("2024-01-01 00:00:00"), et="a")])
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_times(df, [], "ts", _steps())
+
+
+def test_stream_builder_composite_key_funnel(spark):
+    """Stream.funnel_times forwards the FULL key list (regression:
+    it used to index key_cols[0], silently merging tenants)."""
+    from malstrom_spark import Stream
+
+    df = spark.createDataFrame(
+        [
+            Row(tn=1, u=1, ts=_ts("2024-01-01 00:00:00"), et="a"),
+            Row(tn=2, u=1, ts=_ts("2024-01-01 01:00:00"), et="b"),
+        ]
+    )
+    out = (
+        Stream(df)
+        .key_local("tn", "u")
+        .funnel_times("ts", [("a", F.col("et") == "a"), ("b", F.col("et") == "b")])
+        .df
+    )
+    assert set(out.columns) == {"tn", "u", "t_a", "t_b"}
+    got = {(r.tn, r.u): (r.t_a, r.t_b) for r in out.collect()}
+    assert got[(1, 1)] == (_ts("2024-01-01 00:00:00"), None)
+    assert got[(2, 1)] == (None, None)

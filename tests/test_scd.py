@@ -259,3 +259,34 @@ def test_scd2_lookup_streaming_facts(spark):
         t.stop()
     got = {r.fid: r.v for r in rows}
     assert got == {1: "bronze", 2: "gold", 3: None}
+
+
+def test_scd2_lookup_rejects_dim_without_intervals(spark):
+    """dim lacking valid_from/valid_to is a usage error, not a
+    silent AnalysisException deep in the join."""
+    import pytest
+
+    from malstrom_spark.operators.scd import scd2_lookup
+
+    facts = spark.createDataFrame([Row(k=1, at=_ts("2024-01-01 00:00:00"))])
+    dim = spark.createDataFrame([Row(k=1, v="bronze")])
+    with pytest.raises(ValueError, match="valid_from"):
+        scd2_lookup(facts, dim, key="k", ts="at")
+
+
+def test_scd2_lookup_rejects_overlapping_nonkey_columns(spark):
+    """facts and dim sharing a non-key column would emit ambiguous
+    duplicate output names; raise up front instead."""
+    import pytest
+
+    from malstrom_spark.operators.scd import scd2_history, scd2_lookup
+
+    events = spark.createDataFrame(
+        [Row(k=1, ts=_ts("2024-01-01 00:00:00"), v="bronze", tb=0)]
+    )
+    dim = scd2_history(events, key="k", ts="ts", attrs=["v"], tiebreak="tb")
+    facts = spark.createDataFrame(
+        [Row(k=1, at=_ts("2024-01-05 00:00:00"), v="fact-side")]
+    )
+    with pytest.raises(ValueError, match="ambiguous|both facts"):
+        scd2_lookup(facts, dim, key="k", ts="at")
