@@ -31,6 +31,18 @@ def key_local(df: DataFrame, key: Column | str, key_col: str = "key") -> DataFra
     on co-location — use `key_distribute` before stateful ops.
     """
     expr = F.col(key) if isinstance(key, str) else key
+    # A plain reference to key_col itself (key_local("u", "u") or
+    # key_local(F.col("u"), "u")) is a no-op overwrite — allowed.
+    is_self_ref = str(expr) == str(F.col(key_col))
+    if key_col in df.columns and not is_self_ref:
+        # withColumn would silently REPLACE an existing column's values
+        # (e.g. key_local("tn", "u") clobbers column u with tn's data —
+        # the composite-key form is Stream.key_by("tn", "u")).
+        raise ValueError(
+            f"key_local would overwrite existing column {key_col!r}; "
+            f"pass a fresh key_col name, or use key_by(...) to declare "
+            f"existing columns as a (composite) key"
+        )
     return df.withColumn(key_col, expr)
 
 

@@ -321,7 +321,7 @@ def test_composite_key_chains_per_tuple(spark):
     assert got[(2, 1)] == (None, None, None)
     # counts twin agrees on the composite form
     counts = {
-        r.step: r.users
+        r.step: r.n_users
         for r in funnel_counts(
             df, ["tn", "u"], "ts", _steps()
         ).collect()
@@ -348,7 +348,7 @@ def test_stream_builder_composite_key_funnel(spark):
     )
     out = (
         Stream(df)
-        .key_local("tn", "u")
+        .key_by("tn", "u")
         .funnel_times("ts", [("a", F.col("et") == "a"), ("b", F.col("et") == "b")])
         .df
     )

@@ -99,3 +99,20 @@ def test_temporal_operators_via_stream(spark):
         "ts", {"n": ("count", F.lit(1))}, grains=("hour", "day")
     )
     assert {r.grain for r in roll.collect()} == {"hour", "day"}
+
+
+def test_key_local_refuses_silent_overwrite(spark):
+    """key_local(key, key_col) with key_col naming a DIFFERENT existing
+    column would clobber that column's values (the round-6 test-authoring
+    trap: key_local("tn", "u") aliased tn INTO u). Guarded since r7."""
+    import pytest
+    from malstrom_spark.operators import keyed
+
+    df = spark.createDataFrame([(1, 2)], "tn int, u int")
+    with pytest.raises(ValueError, match="overwrite"):
+        keyed.key_local(df, "tn", "u")
+    # self-reference forms stay legal (no-op overwrite)
+    assert keyed.key_local(df, "u", "u").columns == ["tn", "u"]
+    assert keyed.key_local(df, F.col("u"), "u").columns == ["tn", "u"]
+    # fresh key_col stays legal
+    assert keyed.key_local(df, "tn", "key").columns == ["tn", "u", "key"]
