@@ -716,18 +716,27 @@ def q13_order_count_distribution(spark, sf_dir):
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
-    — the scalar MAX subquery becomes an unpartitioned window max over
-    the (small, already-aggregated) revenue relation, avoiding a
-    driver collect."""
+    — the scalar MAX subquery becomes a broadcast one-row aggregate
+    crossJoined back onto the revenue relation. NOT an empty window
+    spec max: that plans WindowExec over a single partition, funneling
+    every per-supplier row through one buffering task at scale. Here
+    both branches share the groupBy's shuffle via ReuseExchange, so
+    raw data is still scanned once."""
     li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+        # explicit, so BOTH consumers of `revenue` below see the same
+        # child plan: the supplier join infers isnotnull(l_suppkey) on
+        # its branch only, which would break canonical equality and
+        # with it the ReuseExchange single-scan guarantee.
+        & F.col("l_suppkey").isNotNull()
     )
     supp = table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("total_revenue")
     )
-    w = Window.partitionBy()
-    best = revenue.withColumn("mx", F.max("total_revenue").over(w)).filter(
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    best = revenue.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("mx")
     )
     return (
@@ -1029,9 +1038,13 @@ def q11_important_stock(spark, sf_dir):
     """TPC-H Q11 shape (lineitem value standing in for the missing
     partsupp stock): parts whose supplied value from two nations
     exceeds 0.1% of those nations' total — the global scalar subquery
-    becomes an unpartitioned window sum over the already-aggregated
-    per-part relation (|parts| rows), so the raw data is scanned
-    exactly once and no value collects to the driver."""
+    becomes a broadcast one-row aggregate crossJoined onto the
+    per-part relation. NOT an empty-partitionBy window sum: that
+    single-partition WindowExec buffers the whole per-part relation
+    (billions of rows at the 100 TB design point) in one task. The
+    scalar branch shares the groupBy shuffle via ReuseExchange, so
+    lineitem is still scanned exactly once and nothing collects to
+    the driver."""
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation").filter(
@@ -1043,9 +1056,9 @@ def q11_important_stock(spark, sf_dir):
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("val"))
     )
-    w = Window.partitionBy()
+    total = v.agg(F.sum("val").alias("total"))
     return (
-        v.withColumn("total", F.sum("val").over(w))
+        v.crossJoin(F.broadcast(total))
         .filter(F.col("val").cast("double") > F.col("total").cast("double") * 0.001)
         .select("partkey", F.col("val").cast("double").alias("value"))
     )

@@ -161,6 +161,17 @@ def test_no_unpartitioned_windows_in_package():
         if "Window.orderBy(" in p.read_text()
     ]
     assert not bad, f"unpartitioned Window.orderBy in: {bad}"
+    # Same killer in disguise (round-6 VERDICT #2): Window.partitionBy()
+    # with ZERO columns plans WindowExec over a single partition that
+    # buffers the entire relation in one task. Scalar aggregates belong
+    # in a broadcast one-row agg crossJoin (see q11/q15), never an
+    # empty window spec.
+    bad = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if "Window.partitionBy()" in p.read_text()
+    ]
+    assert not bad, f"empty Window.partitionBy() in: {bad}"
 
 
 def test_no_rdd_access_in_package():
