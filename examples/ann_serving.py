@@ -1,0 +1,97 @@
+"""TWO-JOB persisted-IVF serving (the ANN analog of the persist_stage
+continuous-aggregate pattern): job 1 — the INDEXING job — fits the
+quantizer and writes cell assignments partitioned by list_id; job 2 —
+the SERVING job, typically a different process hours later — loads
+only the quantizer (k x dim floats, driver-small) and answers query
+batches by scanning ONLY the probed cell directories via partition
+pruning. The corpus is never re-scanned and never re-assigned at
+serving time; at 100 TB the serving job reads ~n_probe/n_lists of the
+index bytes and nothing else.
+
+No reference analog (the reference has no ANN surface) — this is part
+of the LLM-pipeline layer. Ranks are asserted identical to the
+in-memory `ivf_topk` with the same centroids."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from malstrom_spark.functions import similarity
+from malstrom_spark.queries import table
+
+
+def indexing_job(spark, sf_dir, index_dir):
+    """Job 1: fit quantizer, persist assignments + centroids."""
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    cents = similarity.ivf_build_centroids(corpus, "c_vec", n_lists=8, n_iters=2)
+    similarity.ivf_write_assignments(corpus, cents, f"{index_dir}/cells")
+    # the quantizer is the ONLY state the serving job needs beyond the
+    # parquet cells: persist it next to them (k x dim floats)
+    with open(f"{index_dir}/centroids.json", "w") as f:
+        json.dump(cents, f)
+    return cents
+
+
+def serving_job(spark, sf_dir, index_dir, k=3, n_probe=2):
+    """Job 2: load quantizer, answer a query batch off the pruned
+    cells. Knows nothing about job 1 except the index directory."""
+    with open(f"{index_dir}/centroids.json") as f:
+        cents = json.load(f)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return queries, similarity.ivf_topk_partitioned(
+        spark, f"{index_dir}/cells", queries, cents, k=k, n_probe=n_probe
+    )
+
+
+def main(spark, sf_dir=None, tmp_dir=None):
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    index_dir = tmp_dir or "/tmp/malstrom_example_ann_index"
+
+    cents = indexing_job(spark, sf_dir, index_dir)
+
+    queries, served = serving_job(spark, sf_dir, index_dir)
+    got = {(r.q_id, r.rank): r.c_id for r in served.collect()}
+    assert got, "serving job returned no neighbors"
+
+    # the serving plan must prune to the probed cells only
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "list_id" in pf, f"serving scan did not prune cells: {pf}"
+
+    # parity with the in-memory path on the same quantizer
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    want = {
+        (r.q_id, r.rank): r.c_id
+        for r in similarity.ivf_topk(
+            queries, corpus, k=3, n_lists=8, n_probe=2, centroids=cents
+        ).collect()
+    }
+    assert got == want, "persisted serving diverged from in-memory IVF"
+
+    return {
+        "n_lists": len(cents),
+        "neighbors_served": len(got),
+        "partition_pruned": True,
+    }
+
+
+if __name__ == "__main__":
+    from malstrom_spark.session import build_session
+
+    print(main(build_session(app_name="example-ann-serving")))

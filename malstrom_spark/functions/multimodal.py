@@ -214,10 +214,93 @@ def extract_image_meta(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def _have_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _split_png_stream(blob: bytes) -> list[bytes]:
+    """Split an `-f image2pipe -c:v png` output stream into individual
+    PNG frames (each starts with the 8-byte magic; frames abut)."""
+    frames, start = [], blob.find(_PNG_MAGIC)
+    while start >= 0:
+        nxt = blob.find(_PNG_MAGIC, start + len(_PNG_MAGIC))
+        frames.append(blob[start:nxt] if nxt >= 0 else blob[start:])
+        start = nxt
+    return frames
+
+
+def frame_sample_ffmpeg(
+    df: DataFrame, payload_col: str = "payload", every_n: int = 10
+) -> DataFrame:
+    """REAL video frame sampling: each binary payload is handed to an
+    ffmpeg subprocess per row inside the mapInPandas batch — `select=
+    not(mod(n,every_n))` keeps every Nth frame, emitted as a
+    concatenated PNG stream over `-f image2pipe` (no temp output
+    files) and split on the PNG magic. Same output schema as the
+    `frame_sample` stub (passthrough cols + frame_idx int + frame
+    binary), so pipelines are source-compatible between the stub and
+    ffmpeg environments. Raises RuntimeError up front when ffmpeg is
+    absent. Deliberately NOT auto-dispatched from `frame_sample`: the
+    stub is deterministic in the payload BYTES (the driver's oracle
+    hash-verifies it on synthetic non-video payloads), while this path
+    requires real container bytes — callers opt in explicitly."""
+    if not _have_ffmpeg():
+        raise RuntimeError("ffmpeg not found on PATH — use frame_sample()")
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        list(keep)
+        + [StructField("frame_idx", IntegerType()), StructField("frame", BinaryType())]
+    )
+    step = max(every_n, 1)
+
+    def batches(it: Iterator) -> Iterator:
+        import subprocess
+        import tempfile
+
+        import pandas as pd
+
+        for pdf in it:
+            rep_rows, frame_idx, frames = [], [], []
+            for r, payload in enumerate(pdf[payload_col]):
+                # container demuxers need seekable input: stage the blob
+                # to a tempfile, stream frames OUT over the pipe
+                with tempfile.NamedTemporaryFile(suffix=".bin") as tf:
+                    tf.write(bytes(payload))
+                    tf.flush()
+                    proc = subprocess.run(
+                        [
+                            "ffmpeg", "-v", "error", "-i", tf.name,
+                            "-vf", f"select=not(mod(n\\,{step}))",
+                            "-fps_mode", "vfr",
+                            "-f", "image2pipe", "-c:v", "png", "-",
+                        ],
+                        capture_output=True,
+                        check=True,
+                    )
+                for i, png in enumerate(_split_png_stream(proc.stdout)):
+                    rep_rows.append(r)
+                    frame_idx.append(i * step)  # source frame number
+                    frames.append(png)
+            out = pdf.drop(columns=[payload_col]).iloc[rep_rows].reset_index(drop=True)
+            out["frame_idx"] = pd.array(frame_idx, dtype="int32")
+            out["frame"] = frames
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, payload_col: str = "payload", every_n: int = 10) -> DataFrame:
-    """Video frame-sampling STUB: real impl shells to ffmpeg per batch;
-    the fake emits (frame_idx, frame_bytes=slice) rows, exercising the
-    1->N explode shape a real sampler produces."""
+    """Video frame-sampling STUB, deterministic in the payload bytes
+    (oracle-hashable): emits (frame_idx, frame_bytes=slice) rows,
+    exercising the 1->N explode shape and exact output schema of the
+    real sampler. With ffmpeg on PATH, `frame_sample_ffmpeg` is the
+    real `-f image2pipe` implementation (same schema; its test
+    auto-activates — tests/test_multimodal.py)."""
     keep = [f for f in df.schema.fields if f.name != payload_col]
     out_schema = StructType(
         list(keep)

@@ -753,11 +753,37 @@ def _nearest_lists(vec: Column, centroids: list[list[float]], n_probe: int) -> C
 IVF_LITERAL_MAX_NODES = 64 * 1024
 
 
+# One broadcast per distinct centroid MATRIX per SparkContext, not per
+# call: ivf_build_centroids assigns once per Lloyd round and serving
+# calls with_nearest_list/with_probe_lists repeatedly with the same
+# quantizer — naive per-call broadcasts accumulate executor blocks for
+# a long-lived session's lifetime. Keyed on a content digest (id()
+# recycles); evicted entries are unpersist()ed, which frees executor
+# blocks while staying safe for any in-flight plan (Spark lazily
+# re-broadcasts from the driver copy on next use — only destroy()
+# would invalidate them).
+_CENTROID_BC_MAX = 8
+_centroid_bc_cache: dict = {}
+
+
 def _centroid_bc(spark, centroids: list[list[float]]):
+    import hashlib
+
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
-    return spark.sparkContext.broadcast((C, (C * C).sum(axis=1)))
+    sc = spark.sparkContext
+    key = (sc.applicationId, C.shape, hashlib.sha1(C.tobytes()).hexdigest())
+    bc = _centroid_bc_cache.get(key)
+    if bc is None:
+        bc = sc.broadcast((C, (C * C).sum(axis=1)))
+        # drop stale contexts' entries, then bound the live set (FIFO)
+        for k in [k for k in _centroid_bc_cache if k[0] != sc.applicationId]:
+            del _centroid_bc_cache[k]
+        while len(_centroid_bc_cache) >= _CENTROID_BC_MAX:
+            _centroid_bc_cache.pop(next(iter(_centroid_bc_cache))).unpersist()
+        _centroid_bc_cache[key] = bc
+    return bc
 
 
 def with_nearest_list(
@@ -778,7 +804,11 @@ def with_nearest_list(
       a pandas_udf scoring -2 v@C^T + ||c||^2 against a BROADCAST
       numpy centroid matrix; plan size is O(1), per-batch cost is one
       BLAS matmul. Null vectors assign NULL, matching the literal
-      path's null propagation."""
+      path's null propagation; NaN distances are masked to +inf so
+      both engines rank them last (Spark's NaN ordering). Residual
+      caveat: a vector whose distances mix genuine +inf with NaN ties
+      them in the arrow path where Spark orders inf before NaN —
+      reachable only via overflowing inputs."""
     if use_arrow is None:
         use_arrow = len(centroids) * len(centroids[0]) > IVF_LITERAL_MAX_NODES
     if not use_arrow:
@@ -799,6 +829,11 @@ def with_nearest_list(
                 [np.asarray(x, dtype=np.float64) for x in v[mask]]
             )
             d = -2.0 * (M @ C.T) + n2[None, :]
+            # Spark orders NaN greater-than-everything (a NaN distance
+            # LOSES the argmin); np.argmin would propagate it first.
+            # Mask to +inf so both engines rank NaN-poisoned cells
+            # last (ties then break by index, = array_sort on (d, i)).
+            d[np.isnan(d)] = np.inf
             ids = np.argmin(d, axis=1)  # first-min, same as array_position
             for pos, lid in zip(np.nonzero(mask)[0], ids):
                 res[pos] = int(lid)
@@ -841,6 +876,7 @@ def with_probe_lists(
                 [np.asarray(x, dtype=np.float64) for x in v[mask]]
             )
             d = -2.0 * (M @ C.T) + n2[None, :]
+            d[np.isnan(d)] = np.inf  # match Spark's NaN-last ordering
             order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             for pos, row in zip(np.nonzero(mask)[0], order):
                 res[pos] = [int(i) for i in row]

@@ -720,6 +720,80 @@ def streaming_scd2_disorder(spark, sf_dir):
 
 
 @register(
+    "streaming_ordered_balance",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             SUM(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS bal
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(bal) AS BIGINT) AS max_balance_cents,
+           CAST(SUM(cents) AS BIGINT) AS final_balance_cents
+    FROM r GROUP BY user_id
+    """,
+)
+def streaming_ordered_balance(spark, sf_dir):
+    """The GENERIC event-time-ordered stateful map
+    (`stateful_map_ordered_stream`, streaming/disorder.py) on the
+    reference's own motivating example — a per-account running balance
+    folded in EVENT-TIME order under out-of-order arrival
+    (examples/event_time.rs:107-152 builds its monthly balance exactly
+    this way). Replayed as 8 time-ranged microbatches + flush; the
+    closure keeps (balance, running-max, count) as integer-cents state
+    and sees each user's events watermark-finalized in (ts, event_id)
+    order, so the emitted running-MAX — which is order-SENSITIVE,
+    unlike the final sum — must equal the batch prefix-sum window
+    oracle exactly. Each fold emits a snapshot; the monotone event
+    count picks the final one per user (max_by), keeping the append
+    sink replay-batching-proof like the other disorder rows."""
+    from ..streaming.disorder import stateful_map_ordered_stream
+    from ..streaming.replay import replay_table_multibatch
+
+    ev = replay_table_multibatch(
+        spark, sf_dir, "events", n_files=8, flush_rows=_flush_rows()
+    ).select("user_id", "ts", "event_id", "value")
+
+    def fold(key, pdf, state):
+        import pandas as pd
+
+        bal, mx, n = state if state is not None else (0, None, 0)
+        for v in pdf["value"]:
+            bal += int(round(v * 100))
+            mx = bal if mx is None or bal > mx else mx
+            n += 1
+        out = pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "max_balance_cents": [mx], "final_balance_cents": [bal]}
+        )
+        return [out], (bal, mx, n)
+
+    emitted = run_to_memory(
+        stateful_map_ordered_stream(
+            ev,
+            ["user_id"],
+            "ts",
+            fold,
+            "user_id bigint, n_events bigint, max_balance_cents bigint, "
+            "final_balance_cents bigint",
+            state_schema="bal bigint, mx bigint, n bigint",
+            disorder_horizon="1 minute",
+            tiebreak="event_id",
+        ),
+        output_mode="append",
+    ).filter(F.col("user_id") >= 0)
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("max_balance_cents", "n_events").alias("max_balance_cents"),
+        F.max_by("final_balance_cents", "n_events").alias("final_balance_cents"),
+    )
+
+
+@register(
     "streaming_value_quantiles",
     oracle="""
     WITH b AS (

@@ -22,6 +22,7 @@ EXAMPLES = [
     "streaming_corpus_ingest",
     "temporal_analytics",
     "out_of_order_streams",
+    "ann_serving",
 ]
 
 

@@ -233,3 +233,54 @@ def test_jpeg_truncated_in_fill_bytes_raises_valueerror():
         decode_jpeg_bytes(b"\xff\xd8\xff\xff")
     with _pytest.raises(ValueError):  # under the 4-byte minimum
         decode_jpeg_bytes(b"\xff\xd8\xff")
+
+
+# ---- ffmpeg-gated REAL video sampling (r6 VERDICT #8) --------------
+
+
+def test_frame_sample_ffmpeg_real_video(spark, tmp_path):
+    """AUTO-ACTIVATES when ffmpeg lands in the environment (the same
+    standing-gap pattern as the Kafka jar and TWS protobuf tests):
+    synthesizes a real 16-frame video with ffmpeg's testsrc, runs the
+    `-f image2pipe` sampler, and checks frame count, source frame
+    numbering, PNG validity, and passthrough columns."""
+    import subprocess
+
+    import pytest
+
+    from malstrom_spark.functions.multimodal import _have_ffmpeg
+
+    if not _have_ffmpeg():
+        pytest.skip("ffmpeg not on PATH — stub path covered above")
+
+    vid = tmp_path / "clip.mp4"
+    subprocess.run(
+        [
+            "ffmpeg", "-v", "error",
+            "-f", "lavfi", "-i", "testsrc=duration=2:size=64x48:rate=8",
+            "-frames:v", "16", "-c:v", "mpeg4", str(vid),
+        ],
+        check=True,
+    )
+    blob = vid.read_bytes()
+    df = spark.createDataFrame([(7, blob)], "id long, payload binary")
+    rows = multimodal.frame_sample_ffmpeg(df, every_n=4).collect()
+    # 16 frames, every 4th kept -> frames 0, 4, 8, 12
+    assert [r.frame_idx for r in rows] == [0, 4, 8, 12]
+    assert all(r.id == 7 for r in rows)
+    # each emitted frame is a standalone, well-formed PNG
+    for r in rows:
+        meta = multimodal.decode_png_bytes(bytes(r.frame))
+        assert (meta[0], meta[1]) == (64, 48)
+
+
+def test_frame_sample_ffmpeg_refuses_without_ffmpeg(spark):
+    import pytest
+
+    from malstrom_spark.functions.multimodal import _have_ffmpeg
+
+    if _have_ffmpeg():
+        pytest.skip("ffmpeg present; the real-video test above covers it")
+    df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        multimodal.frame_sample_ffmpeg(df)

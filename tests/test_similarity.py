@@ -491,3 +491,58 @@ def test_ivf_large_quantizer_uses_arrow_and_plans_fast(spark):
     assert n == 64
     # generous bound: the point is it finishes in seconds, not minutes
     assert dt < 60, f"arrow assignment took {dt:.1f}s"
+
+
+def test_ivf_arrow_nan_vector_matches_literal(spark):
+    """NaN-poisoned vectors (r6 ADVICE): Spark orders NaN greater than
+    everything, so a NaN distance loses the argmin in the literal
+    path; the arrow scorers mask NaN distances to +inf to match. A
+    vector that is ALL NaN has every distance NaN — both engines then
+    pick cell 0 (first-min of equal keys)."""
+    from malstrom_spark.functions import similarity
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [nan, nan]), (2, [0.0, 1.0])],
+        "c_id long, c_vec array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    results = {}
+    for use_arrow in (False, True):
+        results[use_arrow] = {
+            r.c_id: r.list_id
+            for r in similarity.with_nearest_list(
+                df, "c_vec", cents, use_arrow=use_arrow
+            ).collect()
+        }
+    assert results[True] == results[False], results
+    probe_results = {}
+    for use_arrow in (False, True):
+        probe_results[use_arrow] = sorted(
+            (r.c_id, r.list_id)
+            for r in similarity.with_probe_lists(
+                df, "c_vec", cents, n_probe=2, use_arrow=use_arrow
+            ).collect()
+        )
+    assert probe_results[True] == probe_results[False], probe_results
+
+
+def test_centroid_broadcast_cached_per_matrix(spark):
+    """r6 ADVICE: repeated arrow-path calls with the same quantizer
+    must reuse ONE broadcast (long-lived serving sessions previously
+    accumulated executor broadcast blocks per call); a different
+    matrix gets its own entry, and the cache stays bounded."""
+    from malstrom_spark.functions import similarity
+
+    c1 = [[1.0, 0.0], [0.0, 1.0]]
+    b1 = similarity._centroid_bc(spark, c1)
+    b2 = similarity._centroid_bc(spark, c1)
+    assert b1 is b2
+    b3 = similarity._centroid_bc(spark, [[2.0, 0.0], [0.0, 2.0]])
+    assert b3 is not b1
+    # equal CONTENT from a fresh list object still hits the cache
+    assert similarity._centroid_bc(spark, [list(r) for r in c1]) is b1
+    # bounded: churn past the cap; the cache never exceeds it
+    for i in range(similarity._CENTROID_BC_MAX + 3):
+        similarity._centroid_bc(spark, [[float(i + 10), 1.0]])
+    assert len(similarity._centroid_bc_cache) <= similarity._CENTROID_BC_MAX
