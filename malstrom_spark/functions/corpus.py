@@ -462,3 +462,53 @@ def upsample_by_weight(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+# --------------------------------------------- deterministic shuffle
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    n_shards: int = 32,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic GLOBAL training shuffle + shard assignment — the
+    last step of a training-data pipeline: every record lands in
+    exactly one of ``n_shards`` output shards at a stable position,
+    and the whole permutation is a pure function of (seed, id). A new
+    epoch is a new seed; re-running on a grown corpus only reorders
+    within shards (no RNG state, no sampling drift across engines or
+    partitionings).
+
+    shard = hash(seed, id) mod n_shards  — uniform, so shard sizes
+    stay balanced regardless of id distribution (no hot shard);
+    pos   = rank of hash(seed+1, id) within the shard (ties broken by
+    id). Two INDEPENDENT hash draws: the shard draw must not leak
+    into the within-shard order, or the low bits that chose the shard
+    would correlate positions across shards.
+
+    Shape (100 TB): ONE hash shuffle on shard + a per-shard window
+    sort — the same cost as writing the shards at all; there is no
+    global sort and no driver-side state. With n_shards sized to the
+    writer parallelism this is the standard "shuffle then shard"
+    layout job. ``portable=True`` swaps xxhash64 for the md5-prefix
+    hash so a SQL oracle reproduces the permutation exactly.
+
+    Output: input columns + shard (int) + pos (long, 0-based)."""
+    from .dedup import md5_prefix_hash
+
+    if portable:
+        h = lambda s: md5_prefix_hash(  # noqa: E731
+            F.concat_ws("\x1f", F.lit(str(s)), F.col(id_col))
+        )
+    else:
+        h = lambda s: F.xxhash64(F.lit(str(s)), F.col(id_col))  # noqa: E731
+    shard = F.pmod(h(seed), F.lit(n_shards)).cast("int")
+    order = h(seed + 1)
+    w = Window.partitionBy("shard").orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+    )

@@ -1337,6 +1337,35 @@ def doc_mixture_upsample(spark, sf_dir):
 
 
 @register(
+    "doc_shuffle_shard",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST({_H60.format(x="concat_ws(chr(31), '42', doc_id)")}
+                  % 8 AS INT) AS shard,
+             {_H60.format(x="concat_ws(chr(31), '43', doc_id)")} AS ord
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY ord, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def doc_shuffle_shard(spark, sf_dir):
+    """Deterministic global training shuffle (functions/corpus.py
+    shuffle_shard, round 7): every doc lands in one of 8 shards at a
+    stable position, the whole permutation a pure function of
+    (seed=42, doc_id) — two independent md5 draws (shard and
+    within-shard order), one hash shuffle + per-shard window, no
+    global sort. The oracle reproduces the exact permutation, so this
+    row pins both the shard balance hash and the position ranks."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return corpus.shuffle_shard(docs, "doc_id", seed=42, n_shards=8, portable=True)
+
+
+@register(
     "doc_gopher_filter",
     oracle="""
     WITH seeded AS (

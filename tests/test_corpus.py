@@ -253,3 +253,34 @@ def test_upsample_by_weight_no_shuffle(spark):
     out = upsample_by_weight(df, "doc_id", F.lit(2.5))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_shuffle_shard_deterministic_permutation(spark):
+    from malstrom_spark.functions import corpus
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = corpus.shuffle_shard(df, "doc_id", seed=1, n_shards=4)
+    rows = out.collect()
+    # a permutation: every doc exactly once, positions contiguous
+    # 0..n-1 within each shard
+    assert len(rows) == 500 and len({r.doc_id for r in rows}) == 500
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), shard
+    # balanced shards (hash-uniform): no shard under/over 2x its share
+    sizes = sorted(len(p) for p in by_shard.values())
+    assert sizes[0] > 500 // 4 // 2 and sizes[-1] < 500 // 4 * 2
+    # stable across re-runs; a new seed is a different permutation
+    again = {(r.doc_id, r.shard, r.pos) for r in
+             corpus.shuffle_shard(df, "doc_id", seed=1, n_shards=4).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    epoch2 = {(r.doc_id, r.shard, r.pos) for r in
+              corpus.shuffle_shard(df, "doc_id", seed=2, n_shards=4).collect()}
+    assert epoch2 != again
+    # portable twin is also a valid permutation (exactness vs the SQL
+    # oracle is pinned by the doc_shuffle_shard registry row)
+    port = corpus.shuffle_shard(df, "doc_id", seed=1, n_shards=4, portable=True)
+    assert port.count() == 500
