@@ -462,7 +462,19 @@ def lsh_candidate_pairs(
     `_bucket_candidate_pairs`). ``portable=True`` hashes the band slice
     via md5-prefix of the chr(31)-joined decimal values (DuckDB twin:
     array_to_string(list_slice(sig, ...), chr(31)))."""
-    sig = signatures
+    banded = band_table(signatures, id_col, n_bands, portable)
+    return _bucket_candidate_pairs(
+        banded, id_col, ["band", "bhash"], max_bucket_size=max_bucket_size
+    )
+
+
+def band_table(
+    signatures: DataFrame, id_col: str, n_bands: int = 8, portable: bool = False
+) -> DataFrame:
+    """(id, band, bhash) rows from a (id, signature) table — the LSH
+    bucket keys themselves, exposed so they can be PERSISTED as an
+    incremental dedup store (see `minhash_band_table`) as well as
+    self-joined (`lsh_candidate_pairs`)."""
 
     def band_hash(slice_col):
         if portable:
@@ -476,8 +488,8 @@ def lsh_candidate_pairs(
     # emitted row after projection collapse (measured 14 s -> 2 s at
     # 50k docs for the md5 portable path)
     rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
-    banded = (
-        sig.select(
+    return (
+        signatures.select(
             F.col(id_col),
             "signature",
             F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
@@ -489,9 +501,6 @@ def lsh_candidate_pairs(
                 F.slice("signature", F.col("band") * rows_per_band + F.lit(1), rows_per_band)
             ).alias("bhash"),
         )
-    )
-    return _bucket_candidate_pairs(
-        banded, id_col, ["band", "bhash"], max_bucket_size=max_bucket_size
     )
 
 
@@ -1169,3 +1178,123 @@ def dedup_clusters(
         )
     )
     return out.withColumn("is_keeper", F.col(id_col) == F.col("group_id"))
+
+
+# ------------------------------------------ incremental (daily-batch)
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """(id, band, bhash) LSH bucket rows for a corpus — the PERSISTED
+    HISTORY STORE of incremental dedup. A 100 TB corpus builds this
+    once (and each daily batch appends its own rows after flagging);
+    write it via `persist_stage(..., bucket_cols=["band", "bhash"])`
+    so every future batch's probe join shuffles ONLY the batch side.
+
+    ``max_bucket_size`` caps degenerate buckets AT BUILD TIME: a
+    bucket over the cap keeps only its minimum-id row as a
+    representative, so a boilerplate bhash shared by millions of docs
+    costs one row in the store and one candidate per probing doc
+    instead of a fan-out — the store-side analog of the hot-bucket
+    star-edge guard (`_bucket_candidate_pairs`). Batches colliding
+    with such a bucket still flag (they verify against the
+    representative); only dup-of attribution WITHIN the mega-bucket
+    is coarsened. None = exact, unbounded."""
+    sig = minhash_signature_portable(df, id_col, text_col, n_hashes, shingle_n) \
+        if portable else minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    banded = band_table(sig, id_col, n_bands, portable)
+    if max_bucket_size is None:
+        return banded
+    w_counts = banded.groupBy("band", "bhash").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep")
+    )
+    over = w_counts.filter(F.col("__n") > max_bucket_size)
+    kept = banded.join(
+        F.broadcast(over.select("band", "bhash")), ["band", "bhash"], "left_anti"
+    )
+    reps = over.select(F.col("__rep").alias(id_col), "band", "bhash")
+    return kept.unionByName(reps)
+
+
+def minhash_signature_portable(
+    df: DataFrame, id_col: str, text_col: str = "text", n_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """`minhash_signature` on the md5-prefix 60-bit hash (DuckDB twin)
+    — the oracle-checkable variant used by portable pipelines."""
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_n, portable=True)
+    return _signature_from_hash_sets(hs, id_col, n_hashes)
+
+
+def dedup_against_history(
+    new_docs: DataFrame,
+    history_bands: DataFrame,
+    history_hash_sets: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Flag a NEW batch's near-dups of an EXISTING corpus — the
+    incremental form every production ingest needs: yesterday's 100 TB
+    history is NOT re-deduped per day; the daily batch probes the
+    persisted band store and verifies against the persisted hash-set
+    store. Output: one row per flagged new doc — (id, dup_of =
+    minimum matching history id, n_matches). Unflagged docs are
+    absent (left-join the batch to keep them).
+
+    Plan shape: batch -> signatures -> band rows (pure map) ->
+    equi-join the band store on (band, bhash) -> distinct candidate
+    (new, hist) pairs -> hash-set Jaccard verify against the hash-set
+    store -> per-new-doc aggregate. With both stores written by
+    `persist_stage` (bands bucketed on [band, bhash], hash sets on
+    [id]), the only shuffles are the batch's own: history is read
+    pre-bucketed on both join keys (plan-asserted in
+    tests/test_dedup.py). Within-batch duplicates are a separate
+    `near_dup_pairs_minhash`/`dedup_clusters` pass on the batch;
+    ids must be disjoint from history ids (new corpora allocate
+    monotone ids).
+
+    Same verify semantics as `near_dup_pairs_minhash` (exact Jaccard
+    over hashed shingle sets); candidacy requires sharing >=1 of
+    n_bands buckets, so recall matches the batch pipeline's for the
+    same parameters."""
+    nb = minhash_band_table(
+        new_docs, id_col, text_col, n_hashes, n_bands, shingle_n, portable,
+        max_bucket_size=None,
+    )
+    cand = (
+        nb.alias("n")
+        .join(
+            history_bands.alias("h"),
+            (F.col("n.band") == F.col("h.band")) & (F.col("n.bhash") == F.col("h.bhash")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"), F.col(f"h.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    new_sh = shingle_hash_sets(new_docs, id_col, text_col, shingle_n, portable)
+    a = new_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = history_hash_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    uni = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / F.greatest(uni, F.lit(1.0))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.min("id_b").alias("dup_of"), F.count(F.lit(1)).alias("n_matches")
+    )

@@ -428,3 +428,59 @@ def embedding_near_dup_lsh_oracle(dim: int = 64, n_planes: int = 8, threshold: f
     FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {sim} >= {threshold}
     """
+
+
+def incremental_minhash_oracle(
+    n_hashes: int = 32, n_bands: int = 8, threshold: float = 0.5, batch_mod: int = 5
+) -> str:
+    """First-principles twin of `dedup_against_history`: documents
+    split into history (doc_id % batch_mod != 0) and batch (== 0);
+    batch docs sharing a band bucket with a history doc verify by
+    exact shingle-set Jaccard; flagged rows aggregate to
+    (doc_id, dup_of = min match, n_matches)."""
+    params = _perm_params(n_hashes)
+    a_lit = "[" + ",".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ",".join(str(b) for _, b in params) + "]"
+    rows = n_hashes // n_bands
+    p = _MERSENNE
+    bh = _h60(
+        "array_to_string(list_transform("
+        f"sig[band*{rows}+1 : band*{rows}+{rows}], x -> CAST(x AS VARCHAR)), chr(31))"
+    )
+    return f"""
+    WITH toks AS MATERIALIZED ({_TOKS}),
+    shseq AS MATERIALIZED ({_SHSEQ}),
+    sh AS MATERIALIZED (SELECT doc_id, list_distinct(s) AS sh FROM shseq),
+    shm AS MATERIALIZED (
+      SELECT doc_id, sh, list_transform(sh, h -> h % {p}) AS shm FROM sh
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(1, {n_hashes + 1}),
+               i -> list_min(list_transform(shm,
+                 h -> (h * ({a_lit})[i] + ({b_lit})[i]) % {p}))) AS sig
+      FROM shm
+    ),
+    banded AS MATERIALIZED (
+      SELECT doc_id, band, {bh} AS bhash
+      FROM sigs, (SELECT unnest(range({n_bands})) AS band)
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT n.doc_id AS id_a, h.doc_id AS id_b
+      FROM banded n JOIN banded h
+        ON n.band = h.band AND n.bhash = h.bhash
+      WHERE n.doc_id % {batch_mod} = 0 AND h.doc_id % {batch_mod} != 0
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+            >= {threshold}
+    )
+    SELECT id_a AS doc_id, MIN(id_b) AS dup_of,
+           COUNT(*) AS n_matches
+    FROM ver GROUP BY id_a
+    """

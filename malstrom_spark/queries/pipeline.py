@@ -23,6 +23,7 @@ from ._oracle_sql import (
     dedup_clusters_oracle,
     embedding_near_dup_lsh_oracle,
     fingerprint_sketch_oracle,
+    incremental_minhash_oracle,
     minhash_lsh_oracle,
     simhash_oracle,
     training_pipeline_oracle,
@@ -121,6 +122,30 @@ def dedup_minhash_lsh(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return dedup.near_dup_pairs_minhash(
         docs, "doc_id", n_hashes=32, n_bands=8, threshold=0.5, portable=True
+    )
+
+
+@register("dedup_incremental", oracle=incremental_minhash_oracle())
+def dedup_incremental(spark, sf_dir):
+    """Incremental (daily-batch) near-dup dedup (functions/dedup.py
+    dedup_against_history, round 7): documents split into history
+    (doc_id % 5 != 0) and a new batch (% 5 == 0); the batch probes the
+    history BAND STORE on (band, bhash) and verifies by exact
+    shingle-set Jaccard against the history HASH-SET STORE — the shape
+    where yesterday's 100 TB corpus is never re-deduped. Portable
+    md5 hashing end to end, so the oracle recomputes the identical
+    stores and candidate set."""
+    docs = table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    bands = dedup.minhash_band_table(
+        history, "doc_id", n_hashes=32, n_bands=8, portable=True,
+        max_bucket_size=None,
+    )
+    hsets = dedup.shingle_hash_sets(history, "doc_id", portable=True)
+    return dedup.dedup_against_history(
+        batch, bands, hsets, "doc_id", threshold=0.5,
+        n_hashes=32, n_bands=8, portable=True,
     )
 
 

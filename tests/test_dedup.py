@@ -352,3 +352,108 @@ def test_cap_identical_output_when_not_firing(dup_heavy_docs):
         ).collect()
     }
     assert base == capped
+
+
+# ------------------------------ incremental dedup (round 7) ---------
+
+
+def test_dedup_against_history_flags_and_attribution(spark):
+    """A new batch probing a history store: batch docs that near-dup a
+    history doc are flagged with dup_of = min matching history id;
+    novel docs are absent."""
+    from malstrom_spark.functions import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    hist_rows = [
+        (10, base), (11, base + " extra"), (20, "completely different text "
+        "about spark catalyst optimizer internals and shuffle exchanges"),
+    ]
+    batch_rows = [
+        (100, base),                      # dup of 10 (and 11)
+        (101, "totally novel content never seen in the history corpus "
+              "with unique words like zanzibar quokka"),
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    bands = dedup.minhash_band_table(hist, "doc_id", max_bucket_size=None)
+    hsets = dedup.shingle_hash_sets(hist, "doc_id")
+    out = {
+        r.doc_id: (r.dup_of, r.n_matches)
+        for r in dedup.dedup_against_history(
+            batch, bands, hsets, "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert 100 in out and out[100][0] == 10 and out[100][1] >= 1
+    assert 101 not in out
+
+
+def test_minhash_band_table_mega_bucket_representative(spark):
+    """Store-side cap: a bucket over max_bucket_size keeps ONE
+    representative (min id) row, so batches still flag against it."""
+    from malstrom_spark.functions import dedup
+
+    text = "same boilerplate text repeated across many documents here now"
+    hist = spark.createDataFrame(
+        [(i, text) for i in range(10, 30)], "doc_id long, text string"
+    )
+    capped = dedup.minhash_band_table(hist, "doc_id", max_bucket_size=4)
+    uncapped = dedup.minhash_band_table(hist, "doc_id", max_bucket_size=None)
+    # 20 identical docs -> every band bucket holds 20 rows > cap of 4
+    assert uncapped.count() == 20 * 8 and capped.count() == 8
+    assert {r.doc_id for r in capped.collect()} == {10}
+    # a batch dup still flags, attributed to the representative
+    batch = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    out = dedup.dedup_against_history(
+        batch, capped, dedup.shingle_hash_sets(hist, "doc_id"), "doc_id",
+        threshold=0.5,
+    ).collect()
+    assert len(out) == 1 and out[0].dup_of == 10
+
+
+def test_dedup_against_history_bucketed_store_shuffles_batch_only(spark):
+    """With the stores written via persist_stage (bands bucketed on
+    [band, bhash], hash sets on [doc_id]), the history side of both
+    joins reads pre-bucketed: every Exchange in the plan hangs off the
+    BATCH lineage (bounded by batch size), none re-shuffles history."""
+    import io
+    from contextlib import redirect_stdout
+
+    from malstrom_spark.functions import dedup
+    from malstrom_spark.operators.bucketing import persist_stage
+
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} with some shared words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "history document number 7 with some shared words")],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bands = persist_stage(
+            dedup.minhash_band_table(hist, "doc_id", max_bucket_size=None),
+            "stage_hist_bands", ["band", "bhash"], n_buckets=8,
+        )
+        hsets = persist_stage(
+            dedup.shingle_hash_sets(hist, "doc_id"),
+            "stage_hist_hsets", ["doc_id"], n_buckets=8,
+        )
+        out = dedup.dedup_against_history(
+            batch, bands, hsets, "doc_id", threshold=0.5
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        # both history scans are bucketed reads: SelectedBucketsCount
+        # appears for each, and no Exchange feeds off them (exchanges
+        # exist only on the batch lineage + the final aggregate)
+        assert plan.count("SelectedBucketsCount") >= 2, plan
+        got = out.collect()
+        assert len(got) == 1 and got[0].dup_of == 7
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS stage_hist_bands")
+        spark.sql("DROP TABLE IF EXISTS stage_hist_hsets")
