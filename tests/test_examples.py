@@ -23,6 +23,7 @@ EXAMPLES = [
     "temporal_analytics",
     "out_of_order_streams",
     "ann_serving",
+    "incremental_dedup",
 ]
 
 
