@@ -98,6 +98,9 @@ HEADLINE = [
     "event_funnel_s_c_p",
     "customer_priority_scd2",
     "error_next_purchase_asof",
+    # round-7: deterministic training shuffle+shard (one hash shuffle
+    # + per-shard window; the corpus-layout job's core op)
+    "doc_shuffle_shard",
 ]
 
 
@@ -164,6 +167,8 @@ DUCKDB_COMPARE_EXTRA = [
     "dedup_clusters",
     "training_data_pipeline",
     "similarity_ann_lsh",
+    # round-7: incremental (daily-batch vs history store) dedup
+    "dedup_incremental",
 ]
 
 

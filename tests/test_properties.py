@@ -355,3 +355,44 @@ def test_lm_surprisal_matches_python(spark, token_lists):
                 s += 24
         want[i] = (len(pairs), s)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(ASCII_TEXT, min_size=4, max_size=10), st.data())
+def test_incremental_dedup_matches_batch_mode(spark, texts, data):
+    """`dedup_against_history` (round 7) must flag exactly the batch
+    docs that the from-scratch pair pipeline links across the
+    history/batch split at the same parameters — the incremental store
+    changes WHERE the joins happen, never the answer. Texts are drawn
+    with replacement so cross-split duplicates actually occur."""
+    from pyspark.sql import functions as F
+
+    from malstrom_spark.functions import dedup
+
+    n_docs = data.draw(st.integers(min_value=4, max_value=12))
+    docs = [
+        (i, data.draw(st.sampled_from(texts)))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hist = df.filter(F.col("doc_id") % 3 != 0)
+    batch = df.filter(F.col("doc_id") % 3 == 0)
+    got = {
+        r.doc_id: r.dup_of
+        for r in dedup.dedup_against_history(
+            batch,
+            dedup.minhash_band_table(hist, "doc_id", max_bucket_size=None),
+            dedup.shingle_hash_sets(hist, "doc_id"),
+            "doc_id",
+            threshold=0.5,
+        ).collect()
+    }
+    pairs = dedup.near_dup_pairs_minhash(
+        df, "doc_id", threshold=0.5, collapse_exact=False, max_bucket_size=None
+    ).collect()
+    want = {}
+    for r in pairs:
+        for b, h in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            if b % 3 == 0 and h % 3 != 0:
+                want[b] = min(want.get(b, h), h)
+    assert got == want
