@@ -1298,3 +1298,91 @@ def dedup_against_history(
     return verified.groupBy(F.col("id_a").alias(id_col)).agg(
         F.min("id_b").alias("dup_of"), F.count(F.lit(1)).alias("n_matches")
     )
+
+
+# ----------------------------------- exact-substring (token windows)
+
+
+def window_hash_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, pos, whash): hash of the ``window``-token window starting
+    at 0-based token position pos, ONE ROW PER POSITION — the exact-
+    substring dedup primitive (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated ~50-token
+    spans, not whole near-dup documents, drive memorization). Same
+    hashing discipline as `shingle_hash_sets` (multi-arg hash straight
+    from token cells — no window string is built; docs shorter than
+    the window hash their one truncated window via null-skipping
+    concat_ws, identical in SQL).
+
+    Scale: output is ~one row per corpus TOKEN — the same volume every
+    production exact-substring pass (Dolma, RefinedWeb) shuffles. The
+    hash keys are uniform, so the downstream groupBy is skew-free."""
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
+    toks = df.select(id_col, _tokens_cheap(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - window, F.lit(0)))
+    ws = F.transform(
+        idx, lambda i: hash_fn(*[F.try_element_at(t, i + j + 1) for j in range(window)])
+    )
+    return toks.select(id_col, F.posexplode(ws).alias("pos", "whash"))
+
+
+def repeated_window_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 16,
+    min_docs: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Positions of token windows that recur in >= ``min_docs``
+    DISTINCT documents: (id, pos, whash, n_docs). Pipelines mask or
+    cut these spans (they are the memorization surface the doc-level
+    near-dup passes cannot see — two mostly-different docs sharing one
+    boilerplate paragraph). Two shuffles, both on uniform hash keys:
+    count-distinct per window hash, then the flag join back."""
+    wh = window_hash_positions(df, id_col, text_col, window, portable)
+    rep = (
+        wh.groupBy("whash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return wh.join(rep, "whash").select(id_col, "pos", "whash", "n_docs")
+
+
+def substring_repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 16,
+    min_docs: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-doc exact-substring exposure: (id, n_windows,
+    n_repeated_windows, repeated_frac) where a window counts as
+    repeated when it appears in >= ``min_docs`` distinct docs. The
+    doc-level gate form of `repeated_window_spans` (drop or re-rank
+    docs above a repeated_frac threshold); same two uniform-key
+    shuffles plus the per-doc aggregate."""
+    wh = window_hash_positions(df, id_col, text_col, window, portable)
+    rep = (
+        wh.groupBy("whash")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("whash")
+    )
+    flagged = wh.join(rep.withColumn("__rep", F.lit(1)), "whash", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.coalesce(F.col("__rep"), F.lit(0))).cast("long").alias("n_repeated_windows"),
+        (
+            F.sum(F.coalesce(F.col("__rep"), F.lit(0)))
+            / F.count(F.lit(1))
+        ).alias("repeated_frac"),
+    )

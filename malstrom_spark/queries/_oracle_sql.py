@@ -484,3 +484,33 @@ def incremental_minhash_oracle(
            COUNT(*) AS n_matches
     FROM ver GROUP BY id_a
     """
+
+
+def repeated_windows_oracle(window: int = 8, min_docs: int = 2) -> str:
+    """Twin of `substring_repetition_stats` (exact-substring dedup,
+    round 7): positional ``window``-token hashes; a position counts as
+    repeated when its hash occurs in >= min_docs distinct docs."""
+    cells = ", ".join(f"t[i+{j}]" for j in range(window))
+    wh = _h60(f"concat_ws(chr(31), {cells})")
+    return f"""
+    WITH toks AS MATERIALIZED ({_TOKS}),
+    wseq AS MATERIALIZED (
+      SELECT doc_id, list_transform(
+        range(1, greatest(len(t) - {window}, 0) + 2),
+        i -> {wh}) AS ws
+      FROM toks
+    ),
+    wh AS MATERIALIZED (SELECT doc_id, unnest(ws) AS whash FROM wseq),
+    rep AS MATERIALIZED (
+      SELECT whash FROM wh GROUP BY whash
+      HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN r.whash IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeated_windows,
+           CAST(SUM(CASE WHEN r.whash IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS repeated_frac
+    FROM wh w LEFT JOIN rep r ON w.whash = r.whash
+    GROUP BY w.doc_id
+    """

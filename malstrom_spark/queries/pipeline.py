@@ -25,6 +25,7 @@ from ._oracle_sql import (
     fingerprint_sketch_oracle,
     incremental_minhash_oracle,
     minhash_lsh_oracle,
+    repeated_windows_oracle,
     simhash_oracle,
     training_pipeline_oracle,
 )
@@ -146,6 +147,20 @@ def dedup_incremental(spark, sf_dir):
     return dedup.dedup_against_history(
         batch, bands, hsets, "doc_id", threshold=0.5,
         n_hashes=32, n_bands=8, portable=True,
+    )
+
+
+@register("doc_repeated_windows", oracle=repeated_windows_oracle())
+def doc_repeated_windows(spark, sf_dir):
+    """Exact-substring dedup stats (functions/dedup.py
+    substring_repetition_stats, round 7): per-doc fraction of 8-token
+    windows that recur in >= 2 distinct documents — the
+    span-granularity memorization surface doc-level near-dup passes
+    cannot see (Lee et al. 2022). Portable md5 window hashes, so the
+    oracle recomputes the identical positional hash stream."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.substring_repetition_stats(
+        docs, "doc_id", window=8, min_docs=2, portable=True
     )
 
 

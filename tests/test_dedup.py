@@ -457,3 +457,52 @@ def test_dedup_against_history_bucketed_store_shuffles_batch_only(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS stage_hist_bands")
         spark.sql("DROP TABLE IF EXISTS stage_hist_hsets")
+
+
+# --------------------------- exact-substring windows (round 7) ------
+
+
+def test_repeated_window_spans_cross_doc_only(spark):
+    """Windows shared across >= min_docs DISTINCT docs flag, at the
+    right token positions; a window repeated only WITHIN one doc does
+    not (min_docs counts documents, not occurrences)."""
+    from malstrom_spark.functions import dedup
+
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"{shared} unique one tail words here"),
+        (2, f"prefix words {shared} other ending"),
+        (3, "self repeat self repeat self repeat self repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.repeated_window_spans(df, "doc_id", window=4, min_docs=2).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, set()).add(r.pos)
+    # doc 1: shared window at token 0; doc 2: at token 2
+    assert 0 in by_doc.get(1, set())
+    assert 2 in by_doc.get(2, set())
+    # doc 3's intra-doc repeats span only one document -> no flags
+    assert 3 not in by_doc
+    assert all(r.n_docs == 2 for r in spans)
+
+
+def test_substring_repetition_stats_fractions(spark):
+    from malstrom_spark.functions import dedup
+
+    shared = "one two three four"
+    rows = [
+        (1, f"{shared} aa bb"),        # 6 tokens -> 3 windows, 1 repeated
+        (2, f"{shared} cc dd ee"),     # 7 tokens -> 4 windows, 1 repeated
+        (3, "totally different words everywhere still going"),  # 6 -> 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_windows, r.n_repeated_windows, round(r.repeated_frac, 4))
+        for r in dedup.substring_repetition_stats(
+            df, "doc_id", window=4, min_docs=2
+        ).collect()
+    }
+    assert got[1] == (3, 1, 0.3333)
+    assert got[2] == (4, 1, 0.25)
+    assert got[3] == (3, 0, 0.0)
