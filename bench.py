@@ -169,6 +169,8 @@ DUCKDB_COMPARE_EXTRA = [
     "similarity_ann_lsh",
     # round-7: incremental (daily-batch vs history store) dedup
     "dedup_incremental",
+    # round-7: exact-substring (token-window) repetition stats
+    "doc_repeated_windows",
 ]
 
 

@@ -76,8 +76,11 @@ _PRIORITY = [
     "dedup_clusters",           # cluster-output near-dup (100 TB default;
                                 # dedup_groups_probe folded into
                                 # pipeline_omnibus — same CC capability)
-    "dedup_embedding_cosine",
-    "embedding_near_dup_cosine",
+    "dedup_embedding_cosine",  # (r7 rotation: the brute-force kernel
+                               # embedding_near_dup_cosine folded into
+                               # pipeline_omnibus)
+    "dedup_incremental",       # r7: daily batch vs persisted history store
+    "doc_repeated_windows",    # r7: exact-substring (token-window) stats
     "similarity_topk_cosine",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
@@ -88,8 +91,10 @@ _PRIORITY = [
     "event_sessions",
     "events_asof_latest_order",
     "events_value_by_type_salted",
-    "events_running_totals",
-    "user_event_type_matrix",
+    "events_running_totals",   # (r7 rotation: user_event_type_matrix
+                               # folded into relational_omnibus_b; pivot
+                               # + its inverse unpivot both gate-hashed
+                               # there)
     "pipeline_omnibus",         # doc-pipeline tail, hash-verified in one
                                 # row (inspect passthrough folded into
                                 # omnibus_b to free this slot)

@@ -103,6 +103,11 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     # priority slot for the streaming disorder twins; still covered by
     # hourly_event_rollup (tumbling) + this row (overlap semantics)
     ("sliding_event_counts", ["window_start", "n"], []),
+    # round-7 gate rotation: the pivot matrix folded here (its inverse,
+    # lineitem_measures_unpivot, is already above) to free a priority
+    # slot for the incremental-dedup row
+    ("user_event_type_matrix",
+     ["user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error"], []),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that
@@ -132,6 +137,12 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
     # free a priority slot for the streaming disorder twins; the CC
     # capability stays priority-visible through dedup_clusters
     ("dedup_groups_probe", ["doc_id", "group_id"], []),
+    # round-7 gate rotation: the brute-force cosine-pairs kernel folded
+    # here (exact cosine stays priority-visible through
+    # similarity_topk_cosine; the LSH-bucketed pair form keeps its slot
+    # as dedup_embedding_cosine) to free a slot for the exact-substring
+    # stats row
+    ("embedding_near_dup_cosine", ["id_a", "id_b"], ["sim"]),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]
