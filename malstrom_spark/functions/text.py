@@ -322,3 +322,91 @@ def gopher_filter(
     ]:
         keep = keep & F.col(c)
     return flags.withColumn("keep", keep)
+
+
+# ------------------------------------- trained linear quality filter
+
+# Named feature library for `linear_classifier`. Every feature is a
+# pure per-row Column expression over the text column producing a
+# DOUBLE, built from integer counts divided in double — IEEE-exact, so
+# a SQL oracle reproduces each value bit-for-bit. Keep this the single
+# source of truth: weights are keyed by these names.
+CLASSIFIER_FEATURES: dict[str, object] = {
+    # fraction of characters that are ASCII letters or space
+    "alpha_ratio": lambda c: alpha_ratio(c),
+    # fraction of characters that are digits
+    "digit_ratio": lambda c: digit_count(c).cast("double")
+    / F.greatest(F.length(c), F.lit(1)),
+    # fraction of characters that are symbols (not alnum/space)
+    "symbol_ratio": lambda c: F.length(
+        F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    ).cast("double")
+    / F.greatest(F.length(c), F.lit(1)),
+    # English stopword hit rate over whitespace tokens
+    "stopword_ratio": lambda c: stopword_ratio(c),
+    # mean whitespace-token length
+    "avg_token_len": lambda c: avg_token_len(c),
+    # doc length saturating at 100 tokens (the Gopher-style size term)
+    "length_term": lambda c: F.least(
+        token_count(c).cast("double") / F.lit(100.0), F.lit(1.0)
+    ),
+    # fraction of characters that are UPPERCASE letters
+    "upper_ratio": lambda c: F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast(
+        "double"
+    )
+    / F.greatest(F.length(c), F.lit(1)),
+}
+
+
+def linear_classifier(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    keep_features: bool = False,
+) -> DataFrame:
+    """Trained linear quality classifier — the model-based document
+    filter modern pre-training pipelines run after heuristic rules
+    (CCNet's fastText LM filter; DCLM's fastText quality classifier;
+    Llama's "quality classifier" pass). The model here is a logistic
+    regression over the named engineered features in
+    ``CLASSIFIER_FEATURES``; ``weights`` carries the TRAINED
+    coefficients (train anywhere — sklearn on a labeled sample — and
+    paste the coefficients; inference is what has to run at 100 TB,
+    and this makes it a pure column expression).
+
+    Scores only the LOGIT (bias + Σ w_f · feature_f, summed in sorted
+    feature order so the double rounding sequence is deterministic)
+    and decides ``keep = logit >= threshold``. The sigmoid is strictly
+    monotone, so thresholding the logit at t is identical to
+    thresholding the probability at sigmoid(t) — and unlike exp(),
+    +/* on doubles is bit-portable across engines, which keeps this
+    oracle-exact.
+
+    Shape (100 TB): zero shuffle, zero Python — one codegen'd
+    projection fused into the scan; the filter pushes into the parquet
+    reader when applied before joins.
+
+    Output: input id + (each feature if keep_features) + logit + keep.
+    """
+    unknown = sorted(set(weights) - set(CLASSIFIER_FEATURES))
+    if unknown:
+        raise ValueError(
+            f"unknown classifier features {unknown}; "
+            f"known: {sorted(CLASSIFIER_FEATURES)}"
+        )
+    c = F.col(text_col)
+    feats = {name: CLASSIFIER_FEATURES[name](c) for name in sorted(weights)}
+    logit = F.lit(float(bias))
+    for name in sorted(weights):
+        logit = logit + F.lit(float(weights[name])) * feats[name]
+    cols = [F.col(id_col)]
+    if keep_features:
+        cols += [feats[n].alias(n) for n in sorted(weights)]
+    return df.select(
+        *cols,
+        logit.alias("logit"),
+        (logit >= F.lit(float(threshold))).alias("keep"),
+    )

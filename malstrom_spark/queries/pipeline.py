@@ -1485,3 +1485,82 @@ def doc_gopher_filter(spark, sf_dir):
         ).alias("text"),
     )
     return text.gopher_filter(seeded, "doc_id")
+
+
+# -------------------------------------- trained linear quality filter
+@register(
+    "doc_quality_classifier",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+             length(text) AS n_chars
+      FROM documents
+      WHERE text IS NOT NULL
+    ), f AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(n_chars, 1) AS alpha_ratio,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / greatest(len(toks), 1) AS avg_token_len,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / greatest(n_chars, 1) AS digit_ratio,
+             least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS length_term,
+             CAST(len(list_filter(ltoks, x -> list_contains(
+                 ['the','and','of','to','a','in','is'], x))) AS DOUBLE)
+               / greatest(len(ltoks), 1) AS stopword_ratio
+      FROM t
+    ), s AS (
+      SELECT doc_id, alpha_ratio, avg_token_len, digit_ratio,
+             length_term, stopword_ratio,
+             -1.2 + 2.0 * alpha_ratio + -0.15 * avg_token_len
+                  + -4.0 * digit_ratio + 1.5 * length_term
+                  + 3.0 * stopword_ratio AS logit
+      FROM f
+    )
+    SELECT doc_id,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(avg_token_len, 6) AS avg_token_len,
+           round(digit_ratio, 6) AS digit_ratio,
+           round(length_term, 6) AS length_term,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(logit, 6) AS logit,
+           logit >= 0.0 AS keep
+    FROM s
+    """,
+)
+def doc_quality_classifier(spark, sf_dir):
+    """Trained linear quality classifier (functions/text.py
+    linear_classifier): logistic-regression inference over engineered
+    text features as ONE codegen'd projection — the model-based filter
+    pass (CCNet/DCLM-style) that runs after the heuristic rules.
+    Weights here stand in for coefficients fit offline on a labeled
+    sample; the oracle re-derives every feature and the exact
+    sorted-order logit sum in SQL, so this row is hash-exact including
+    the keep decision."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = text.linear_classifier(
+        docs,
+        "doc_id",
+        weights={
+            "alpha_ratio": 2.0,
+            "avg_token_len": -0.15,
+            "digit_ratio": -4.0,
+            "length_term": 1.5,
+            "stopword_ratio": 3.0,
+        },
+        bias=-1.2,
+        threshold=0.0,
+        keep_features=True,
+    )
+    return scored.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("length_term", 6).alias("length_term"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("logit", 6).alias("logit"),
+        "keep",
+    )

@@ -95,3 +95,51 @@ def test_gopher_filter_rules(spark):
     assert not got[4].pass_bullet_lines and not got[4].keep
     assert not got[5].pass_ellipsis_lines and not got[5].keep
     assert not got[6].pass_alpha_words and not got[6].pass_stopwords
+
+
+def test_linear_classifier_scores_and_threshold(spark):
+    from malstrom_spark.functions.text import linear_classifier
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog in a field of green"),
+            (2, "000 111 222 333 444 555 666 777 888 999"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    w = {"alpha_ratio": 2.0, "digit_ratio": -4.0, "stopword_ratio": 3.0}
+    out = linear_classifier(
+        df.where(F.col("text").isNotNull()), "doc_id", w, bias=-1.0
+    )
+    assert out.columns == ["doc_id", "logit", "keep"]
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    # prose doc: high alpha + stopwords -> positive logit; digit doc:
+    # digit penalty dominates -> negative
+    assert got[1].logit > 0 and got[1].keep
+    assert got[2].logit < 0 and not got[2].keep
+    # keep is exactly logit >= threshold (sigmoid-monotone equivalence)
+    out2 = linear_classifier(
+        df.where(F.col("text").isNotNull()), "doc_id", w, bias=-1.0,
+        threshold=got[1].logit,
+    )
+    got2 = {r.doc_id: r.keep for r in out2.collect()}
+    assert got2 == {1: True, 2: False}
+
+
+def test_linear_classifier_feature_columns_and_validation(spark):
+    import pytest as _pytest
+
+    from malstrom_spark.functions.text import linear_classifier
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = linear_classifier(
+        df, "doc_id", {"length_term": 1.0, "alpha_ratio": 1.0}, keep_features=True
+    )
+    # feature columns surface in sorted order between id and logit
+    assert out.columns == ["doc_id", "alpha_ratio", "length_term", "logit", "keep"]
+    r = out.collect()[0]
+    assert abs(r.logit - (r.alpha_ratio + r.length_term)) < 1e-12
+    with _pytest.raises(ValueError, match="unknown classifier features"):
+        linear_classifier(df, "doc_id", {"nope": 1.0})
