@@ -363,6 +363,55 @@ def ann_lsh_oracle(
     """
 
 
+def ann_pq_oracle(
+    dim: int = 64, m: int = 8, k_cb: int = 16, k: int = 5, n_queries: int = 8
+) -> str:
+    """PQ asymmetric-distance top-k over integer-quantized vectors
+    with head-row codebooks — mirrors functions/pq.py's portable tier
+    (pq_head_codebooks + pq_encode(integer=True) + pq_adc_topk
+    (integer=True)) in exact int64 arithmetic: code assignments, ADC
+    distances, and ranks are engine-identical."""
+    dsub = dim // m
+    d2 = (
+        f"list_sum(list_transform(range(1, {dsub + 1}),"
+        " i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {_quant('embedding')} AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sub AS (
+      SELECT vec_id, t.s AS sub, list_slice(q, t.s * {dsub} + 1, (t.s + 1) * {dsub}) AS sv
+      FROM e, (SELECT unnest(range(0, {m})) AS s) t
+    ),
+    cb AS (
+      SELECT sub, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {k_cb}
+    ),
+    enc AS (
+      SELECT sub.vec_id, sub.sub, cb.code,
+             ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.sub
+               ORDER BY {d2}, cb.code) AS rk
+      FROM sub JOIN cb USING (sub)
+    ),
+    codes AS (SELECT vec_id AS c_id, sub, code FROM enc WHERE rk = 1),
+    qsub AS (SELECT vec_id AS q_id, sub, sv FROM sub WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.q_id, c.c_id, CAST(SUM({d2}) AS BIGINT) AS d2
+      FROM qsub q
+      JOIN codes c USING (sub)
+      JOIN cb ON cb.sub = c.sub AND cb.code = c.code
+      GROUP BY q.q_id, c.c_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, d2, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def ann_ivf_oracle(
     dim: int = 64, n_lists: int = 8, n_probe: int = 3, k: int = 5, n_queries: int = 8
 ) -> str:

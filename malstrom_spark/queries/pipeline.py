@@ -19,6 +19,7 @@ from ._oracle_sql import (
 from ._oracle_sql import (
     ann_ivf_oracle,
     ann_lsh_oracle,
+    ann_pq_oracle,
     decontaminate_oracle,
     dedup_clusters_oracle,
     embedding_near_dup_lsh_oracle,
@@ -700,6 +701,36 @@ def similarity_ann_ivf(spark, sf_dir):
     )
     return similarity.ivf_topk_portable(queries, corpus, centroids, k=5, n_probe=3).select(
         "q_id", "c_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register("similarity_ann_pq", oracle=ann_pq_oracle())
+def similarity_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (functions/pq.py): corpus vectors
+    compress to m=8 one-byte codes (64x smaller than the float
+    vectors — the compressed serving tier a 100 TB embedding store
+    keeps hot), queries score them by asymmetric distance (per-
+    subspace codebook lookup). This gated row runs the PORTABLE tier:
+    integer-quantized arithmetic with head-row codebooks, so encode,
+    ADC distances, and ranks are reproduced bit-for-bit by the DuckDB
+    oracle; the learned k-means codebooks + Arrow LUT engines
+    (`pq_fit_codebooks`, use_arrow=True) are pytest-pinned
+    rank-identical and carry production. Encode is a zero-shuffle
+    projection; ADC is map-side with the top-k window as the only
+    exchange."""
+    from ..functions import pq
+
+    emb = table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    cbs = pq.pq_head_codebooks(emb, "embedding", "vec_id", 64, m=8, k=16)
+    codes = pq.pq_encode(
+        emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+        "embedding", cbs, 64, integer=True,
+    ).select("c_id", "codes")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq.pq_adc_topk(queries, codes, cbs, 64, k=5, integer=True).select(
+        "q_id", "c_id", "d2", F.col("rank").cast("long").alias("rank")
     )
 
 
