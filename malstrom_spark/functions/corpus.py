@@ -11,6 +11,10 @@ bounded window per shard — no Python in the row path, no global
 
 from __future__ import annotations
 
+import math
+
+import pandas as pd  # module-level: mapInPandas closures resolve here
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -511,4 +515,83 @@ def shuffle_shard(
     return (
         df.withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+    )
+
+
+# ----------------------------------------- heavy hitters
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    phi: float,
+    k: int | None = None,
+) -> DataFrame:
+    """Exact phi-heavy-hitters (every item occurring in more than
+    phi * N of the N item rows) at 100 TB cost: a single-pass
+    MERGEABLE Misra-Gries sketch proposes candidates, a second pass
+    recounts only those exactly — the classic candidates-then-exact
+    shape (Misra & Gries 1982; Agarwal et al., "Mergeable Summaries",
+    PODS 2012 for the merge step used across partitions).
+
+    Pass 1 keeps <= k weighted counters per partition (vectorized:
+    value_counts per Arrow batch folded into the counter dict; when it
+    overflows, subtract the (k+1)-th largest weight and keep
+    positives — the mergeable-summaries reduce). Per-partition
+    summaries merge by summed weight; total undercount is < N/(k+1),
+    so with the default k = ceil(2/phi) every true heavy hitter
+    survives into the candidate set (|candidates| <= k * partitions,
+    broadcast-small). Pass 2 broadcast-semi-joins the candidates and
+    counts exactly, so the OUTPUT is exact and deterministic — sketch
+    internals never leak into the answer, which keeps the row
+    oracle-checkable against a plain GROUP BY/HAVING.
+
+    Shuffles: candidate merge (<= k rows/partition) + the recount agg
+    of candidate rows only; the full relation is never shuffled.
+
+    Output: (item_col, cnt, share) for items with cnt > phi * N,
+    share = cnt / N.
+    """
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    if k is None:
+        k = int(math.ceil(2.0 / phi))
+    item_type = df.schema[item_col].dataType.simpleString()
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[item_col].dropna().value_counts()
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                # mergeable-summaries reduce: subtract the (k+1)-th
+                # largest weight from everything, keep positives
+                d = sorted(counters.values(), reverse=True)[k]
+                counters = {i: w - d for i, w in counters.items() if w > d}
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters.keys()), "w": list(counters.values())}
+            )
+
+    summaries = df.select(item_col).mapInPandas(mg, f"item {item_type}, w long")
+    cand = summaries.groupBy("item").agg(F.sum("w").alias("w")).select("item")
+    total = df.where(F.col(item_col).isNotNull()).agg(
+        F.count(item_col).alias("_n")
+    )
+    counted = (
+        df.join(
+            F.broadcast(cand), F.col(item_col) == F.col("item"), "leftsemi"
+        )
+        .groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.lit(float(phi)) * F.col("_n"))
+        .select(
+            item_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n"), 6).alias("share"),
+        )
     )

@@ -957,6 +957,40 @@ def corpus_top_trigrams(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- heavy hitters
+@register(
+    "corpus_heavy_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), nn AS (
+      SELECT token FROM toks WHERE token <> ''
+    ), t AS (SELECT count(*) AS n FROM nn)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+           round(CAST(count(*) AS DOUBLE) / any_value(t.n), 6) AS share
+    FROM nn, t
+    GROUP BY token
+    HAVING count(*) > 0.03 * any_value(t.n)
+    """,
+)
+def corpus_heavy_tokens(spark, sf_dir):
+    """phi-heavy-hitters over the corpus token stream
+    (functions/corpus.py heavy_hitters): a mergeable Misra-Gries
+    sketch proposes candidates in one map-side pass, a second pass
+    recounts candidates exactly — output is EXACT (phi = 3% of token
+    occurrences), so the sketch never leaks into the answer and the
+    oracle is a plain GROUP BY/HAVING. The vocabulary-scale heavy-key
+    query (stopword discovery, boilerplate tokens, tokenizer-table
+    seeding) that at 100 TB never shuffles the full token stream —
+    only <= k counters per partition plus the candidate recount."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return corpus.heavy_hitters(toks, "token", phi=0.03)
+
+
 # ------------------------------------------------- corpus assembly
 # Registered OUTSIDE the 50-row driver gate (it is full): checked by
 # tools/oracle_check.py (full_registry) and pytest instead.

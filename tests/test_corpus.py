@@ -284,3 +284,44 @@ def test_shuffle_shard_deterministic_permutation(spark):
     # oracle is pinned by the doc_shuffle_shard registry row)
     port = corpus.shuffle_shard(df, "doc_id", seed=1, n_shards=4, portable=True)
     assert port.count() == 500
+
+
+def test_heavy_hitters_exact_output(spark):
+    """Output must equal the exact groupBy/HAVING answer even with a
+    tiny k that forces constant Misra-Gries compression — the sketch
+    proposes, the recount decides."""
+    from malstrom_spark.functions.corpus import heavy_hitters
+
+    rows = (
+        [("big",)] * 40 + [("mid",)] * 25
+        + [(f"tail{i}",) for i in range(35)]
+    )
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    got = {
+        (r.token, r.cnt) for r in heavy_hitters(df, "token", phi=0.2, k=3).collect()
+    }
+    # N=100, phi=0.2 -> cnt > 20: big (40) and mid (25) only
+    assert got == {("big", 40), ("mid", 25)}
+
+
+def test_heavy_hitters_share_and_validation(spark):
+    import pytest as _pytest
+
+    from malstrom_spark.functions.corpus import heavy_hitters
+
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 1, "token string")
+    out = {r.token: (r.cnt, r.share) for r in heavy_hitters(df, "token", 0.5).collect()}
+    assert out == {"a": (3, 0.75)}
+    with _pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "token", 1.5)
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    from malstrom_spark.functions.corpus import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,), ("b",)], "token string"
+    )
+    # N counts non-null items only: N=3, phi=0.5 -> cnt > 1.5: a(2)
+    got = {(r.token, r.cnt) for r in heavy_hitters(df, "token", 0.5).collect()}
+    assert got == {("a", 2)}
