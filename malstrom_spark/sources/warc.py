@@ -1,0 +1,145 @@
+"""WARC / WET crawl-archive source — the container format web-scale
+training corpora actually arrive in (ISO 28500; Common Crawl's
+.warc/.warc.gz and the text-extracted .wet form).
+
+Spark-first shape: `spark.read.format("binaryFile")` lists and
+distributes the archive FILES (Common Crawl ships ~1 GB-gzipped
+segments, ~100k files per crawl — file-level parallelism is the
+standard unit; a 100 TB crawl saturates any executor count), and a
+`mapInPandas` parser expands each file into its records. Gzip is
+handled member-wise (crawl archives are multi-member gzip, one member
+per record, precisely so consumers can stream them); plain WARC is
+parsed by offset. Malformed tails never kill the job: parsing stops
+at the corruption point and emits a single `parse_error` record
+carrying the file path and a bounded snippet, mirroring
+`jsonl_corpus_source`'s quarantine contract.
+
+Batch only by design: crawl segments are immutable once written, so
+incremental ingestion is "new files in the prefix" — point
+`file_stream` at the same glob for the streaming variant.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "warc_file string, record_id string, warc_type string, "
+    "warc_date string, target_uri string, content_type string, "
+    "content_length long, payload binary"
+)
+
+_MAX_ERR_SNIPPET = 1024
+
+
+def _parse_warc_bytes(path: str, blob: bytes):
+    """Yield record dicts from one (possibly multi-member gzip) WARC
+    blob; on malformed input, yield a terminal parse_error record."""
+    import gzip
+    import io
+
+    if blob[:2] == b"\x1f\x8b":
+        try:
+            blob = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+        except OSError as e:
+            yield _err(path, f"gzip: {e}", blob[:_MAX_ERR_SNIPPET])
+            return
+    pos, n = 0, len(blob)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and blob[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        if not blob[pos:].startswith(b"WARC/"):
+            yield _err(path, "expected WARC/ version line",
+                       blob[pos : pos + _MAX_ERR_SNIPPET])
+            return
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            yield _err(path, "unterminated header block",
+                       blob[pos : pos + _MAX_ERR_SNIPPET])
+            return
+        headers: dict[str, str] = {}
+        for line in blob[pos:hdr_end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            yield _err(path, "missing/invalid Content-Length",
+                       blob[pos : pos + _MAX_ERR_SNIPPET])
+            return
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            yield _err(path, "truncated payload",
+                       blob[pos : pos + _MAX_ERR_SNIPPET])
+            return
+        yield {
+            "warc_file": path,
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": headers.get("warc-type"),
+            "warc_date": headers.get("warc-date"),
+            "target_uri": headers.get("warc-target-uri"),
+            "content_type": headers.get("content-type"),
+            "content_length": length,
+            "payload": blob[body_start : body_start + length],
+        }
+        pos = body_start + length
+
+
+def _err(path: str, msg: str, snippet: bytes) -> dict:
+    return {
+        "warc_file": path,
+        "record_id": None,
+        "warc_type": "parse_error",
+        "warc_date": None,
+        "target_uri": msg,
+        "content_type": None,
+        "content_length": None,
+        "payload": snippet,
+    }
+
+
+def warc_source(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC/WET archives under `path` (glob ok) into one row per
+    record: (warc_file, record_id, warc_type, warc_date, target_uri,
+    content_type, content_length, payload binary). `warc_type =
+    'parse_error'` rows mark corrupt files (target_uri carries the
+    reason) — filter or alert on them; well-formed records BEFORE the
+    corruption point are preserved.
+
+    Scale note: one task per archive file (binaryFile source); memory
+    per task is one decompressed segment, the same envelope any
+    Common Crawl reader budgets for."""
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            for path_, blob in zip(pdf["path"], pdf["content"]):
+                recs = list(_parse_warc_bytes(path_, bytes(blob)))
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    return raw.mapInPandas(parse, WARC_SCHEMA)
+
+
+def wet_text(records: DataFrame) -> DataFrame:
+    """Extract the text documents from a WET read: conversion records
+    decoded as UTF-8 (invalid bytes replaced, the crawl-standard
+    lenient decode), keyed by target URI. Output: (warc_file,
+    record_id, target_uri, warc_date, text) — feed straight into the
+    doc_* quality/dedup pipelines."""
+    return records.where(F.col("warc_type") == "conversion").select(
+        "warc_file",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )

@@ -1,0 +1,65 @@
+"""WARC/WET source: record parsing, gzip members, quarantine."""
+
+import gzip
+
+from malstrom_spark.sources.warc import warc_source, wet_text
+
+
+def _record(rec_id, rtype, uri, payload: bytes, date="2026-01-02T03:04:05Z"):
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def test_warc_source_plain_and_gzip(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    plain = _record("a1", "warcinfo", "-", b"info") + _record(
+        "a2", "conversion", "http://x.example/p", "téxt one".encode()
+    )
+    (d / "seg0.warc").write_bytes(plain)
+    # multi-member gzip: one member per record, the Common Crawl layout
+    gz = gzip.compress(
+        _record("b1", "conversion", "http://y.example/q", b"text two")
+    ) + gzip.compress(_record("b2", "request", "http://y.example/q", b"GET /q"))
+    (d / "seg1.warc.gz").write_bytes(gz)
+
+    recs = warc_source(spark, str(d)).collect()
+    by_id = {r.record_id: r for r in recs if r.record_id}
+    assert len(recs) == 4 and len(by_id) == 4
+    assert by_id["<urn:uuid:a2>"].warc_type == "conversion"
+    assert by_id["<urn:uuid:a2>"].content_length == len("téxt one".encode())
+    assert bytes(by_id["<urn:uuid:b1>"].payload) == b"text two"
+    assert by_id["<urn:uuid:b2>"].target_uri == "http://y.example/q"
+
+    texts = {r.target_uri: r.text for r in wet_text(warc_source(spark, str(d))).collect()}
+    assert texts == {"http://x.example/p": "téxt one", "http://y.example/q": "text two"}
+
+
+def test_warc_source_quarantines_corruption_keeps_prefix(spark, tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    good = _record("g1", "conversion", "http://ok.example", b"fine")
+    # truncated second record: claims 100 bytes, provides 3
+    trunc = good + (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 100\r\n\r\nabc"
+    )
+    (d / "seg.warc").write_bytes(trunc)
+    (d / "junk.warc").write_bytes(b"NOT A WARC FILE AT ALL")
+
+    recs = warc_source(spark, str(d)).collect()
+    errs = [r for r in recs if r.warc_type == "parse_error"]
+    ok = [r for r in recs if r.warc_type == "conversion"]
+    # the well-formed record before the truncation survives
+    assert len(ok) == 1 and bytes(ok[0].payload) == b"fine"
+    assert len(errs) == 2
+    reasons = {r.target_uri for r in errs}
+    assert "truncated payload" in reasons
+    assert "expected WARC/ version line" in reasons
