@@ -61,8 +61,12 @@ _PRIORITY = [
     # --- LLM-data-pipeline operators (north-star, first-class) ---
     "doc_text_stats",
     "doc_lang_guess",
-    "doc_quality_scores",
-    "doc_word_tokens",
+    "doc_quality_classifier",  # r7: trained linear quality filter (the
+                               # heuristic doc_quality_scores folded
+                               # into pipeline_omnibus)
+    "corpus_heavy_tokens",     # r7: Misra-Gries + exact-recount heavy
+                               # hitters (doc_word_tokens folded into
+                               # pipeline_omnibus)
     "doc_pii_scrub",
     "doc_fingerprint_sketch",
     "corpus_top_trigrams",
@@ -83,7 +87,9 @@ _PRIORITY = [
     "doc_repeated_windows",    # r7: exact-substring (token-window) stats
     "similarity_topk_cosine",
     "similarity_ann_lsh",
-    "similarity_ann_ivf",
+    "similarity_ann_pq",       # r7: product-quantization ADC (IVF
+                               # folded into pipeline_omnibus; LSH+PQ
+                               # keep the ANN family priority-visible)
     "multimodal_pipeline",
     # --- event-time / keyed operators over the events table ---
     "hourly_event_rollup",      # (sliding_event_counts folded into

@@ -143,6 +143,20 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
     # as dedup_embedding_cosine) to free a slot for the exact-substring
     # stats row
     ("embedding_near_dup_cosine", ["id_a", "id_b"], ["sim"]),
+    # round-7 gate rotation (batch 2): heuristic quality scoring and
+    # BPE-ish pre-tokenization folded here to free priority slots for
+    # the TRAINED quality classifier (doc_quality_classifier) and the
+    # heavy-hitters row; quality stays priority-visible through the
+    # classifier, token stats through doc_text_stats
+    ("doc_quality_scores", ["doc_id", "token_count"],
+     ["alpha_ratio", "avg_token_len", "stopword_ratio", "quality_score"]),
+    ("doc_word_tokens",
+     ["doc_id", "n_bpe_tokens", "n_number_tokens", "first_tokens"], []),
+    # round-7 gate rotation (batch 2): IVF folded here to free a slot
+    # for the PQ compressed-domain ANN row; the ANN family stays
+    # priority-visible through similarity_ann_lsh + similarity_ann_pq,
+    # and IVF remains individually oracle-checked via full_registry
+    ("similarity_ann_ivf", ["q_id", "c_id", "rank"], ["sim"]),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]
