@@ -101,6 +101,13 @@ HEADLINE = [
     # round-7: deterministic training shuffle+shard (one hash shuffle
     # + per-shard window; the corpus-layout job's core op)
     "doc_shuffle_shard",
+    # round-7 batch 2: trained linear quality classifier (pure
+    # codegen'd projection), Misra-Gries + exact-recount heavy
+    # hitters, and the Arrow/LUT product-quantization ADC engine
+    # (gate-verified bit-identical to the portable PQ row)
+    "doc_quality_classifier",
+    "corpus_heavy_tokens",
+    "similarity_ann_pq_arrow",
 ]
 
 

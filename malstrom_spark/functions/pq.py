@@ -416,12 +416,16 @@ def pq_adc_topk(
             d2 = np.zeros((n, len(qids)))
             for s in range(m):
                 d2 += lut[:, s, codes[:, s]].T
-            # local top-k per query bounds the shuffle to k rows/batch
+            # local top-k per query bounds the shuffle to k rows/batch.
+            # lexsort on (d2, c_id), not argpartition: equal-d2 ties at
+            # the k boundary must keep the smallest c_id or the global
+            # window's (d2, c_id) order could see a different candidate
+            # set than an exact engine
             top = min(k, n)
-            part = np.argpartition(d2, top - 1, axis=0)[:top, :]
             out = {q_id: [], c_id: [], "d2": []}
             for qi, qid in enumerate(qids):
-                for i in part[:, qi]:
+                order = np.lexsort((cids, d2[:, qi]))[:top]
+                for i in order:
                     out[q_id].append(qid)
                     out[c_id].append(cids[i])
                     out["d2"].append(float(d2[i, qi]))

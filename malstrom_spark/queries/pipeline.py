@@ -734,6 +734,36 @@ def similarity_ann_pq(spark, sf_dir):
     )
 
 
+@register("similarity_ann_pq_arrow", oracle=ann_pq_oracle())
+def similarity_ann_pq_arrow(spark, sf_dir):
+    """Arrow/LUT engine twin of `similarity_ann_pq`: same head-row
+    quantized codebooks, but encode runs as the broadcast-tensor
+    pandas_udf and ADC as the mapInPandas LUT scorer with per-batch
+    local top-k (functions/pq.py use_arrow=True) — the production
+    engines. BIT-IDENTICAL to the portable row by construction: the
+    quantized inputs are integers, every float64 product/sum stays
+    below 2^53 (exact), and the local top-k lexsorts on (d2, c_id),
+    so the same oracle hashes both."""
+    from ..functions import pq
+
+    emb = table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    cbs = pq.pq_head_codebooks(emb, "embedding", "vec_id", 64, m=8, k=16)
+    fbs = [[[float(x) for x in e] for e in b] for b in cbs]
+    qcorpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        similarity.quantize_vec(F.col("embedding")).cast("array<double>").alias("qv"),
+    )
+    codes = pq.pq_encode(qcorpus, "qv", fbs, 64, use_arrow=True).select("c_id", "codes")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        similarity.quantize_vec(F.col("embedding")).cast("array<double>").alias("q_vec"),
+    )
+    return pq.pq_adc_topk(queries, codes, fbs, 64, k=5, use_arrow=True).select(
+        "q_id", "c_id", F.col("d2").cast("long").alias("d2"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ------------------------------------------------- dedup groups (CC)
 @register(
     "dedup_groups_probe",
