@@ -841,3 +841,56 @@ def streaming_value_quantiles(spark, sf_dir):
         "q",
         ((F.col("qbin") + 1) * 100 / F.lit(100.0)).alias("est_upper"),
     )
+
+
+@register(
+    "streaming_heavy_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), nn AS (
+      SELECT token FROM toks WHERE token <> ''
+    ), t AS (SELECT count(*) AS n FROM nn)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+           round(CAST(count(*) AS DOUBLE) / any_value(t.n), 6) AS share
+    FROM nn, t
+    GROUP BY token
+    HAVING count(*) > 0.03 * any_value(t.n)
+    """,
+)
+def streaming_heavy_tokens(spark, sf_dir):
+    """STREAMING heavy hitters (streaming/heavy.py): Misra-Gries
+    counter sets maintained in the state store across 6 sequential
+    microbatches of the document stream (items shard by hash, each
+    shard owns its items' full counts, so the per-shard MG survival
+    guarantee covers the whole stream), then the drained candidate
+    superset is recounted EXACTLY against the stored corpus — output
+    identical to the batch `corpus_heavy_tokens` row, same plain
+    GROUP BY/HAVING oracle. Registered outside the 50-row gate
+    (full_registry tooling + pytest); the batch row carries the gate
+    slot."""
+    from ..streaming.heavy import (
+        final_candidates,
+        heavy_hitter_candidates_stream,
+        recount_exact,
+    )
+    from ..streaming.replay import replay_table_multibatch
+    from . import table
+
+    tok = F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    docs = replay_table_multibatch(
+        spark, sf_dir, "documents", n_files=6, order_col="doc_id"
+    ).where(F.col("text").isNotNull())
+    stream_toks = docs.select(tok).where(F.col("token") != "")
+    emitted = run_to_memory(
+        heavy_hitter_candidates_stream(stream_toks, "token", k=67),
+        output_mode="update",
+    )
+    static_toks = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(tok)
+        .where(F.col("token") != "")
+    )
+    return recount_exact(static_toks, "token", final_candidates(emitted), phi=0.03)
