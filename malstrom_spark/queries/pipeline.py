@@ -1659,3 +1659,108 @@ def doc_quality_classifier(spark, sf_dir):
         F.round("logit", 6).alias("logit"),
         "keep",
     )
+
+
+# ------------------------------------------------- URL analysis
+@register(
+    "doc_url_stats",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://',
+               CASE WHEN doc_id % 7 = 0 THEN 'crawler@' ELSE '' END,
+               source, CAST(doc_id % 5 AS VARCHAR), '.Example',
+               CASE WHEN doc_id % 4 = 0 THEN '.co.UK' ELSE '.COM' END,
+               CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+               CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '/a' ELSE '/a/b/' END,
+               CASE WHEN doc_id % 2 = 1 THEN '?b=2&a=1' ELSE '' END,
+               '#frag') AS url
+      FROM documents
+    ), x AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1) AS port_s,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS query
+      FROM u
+    ), y AS (
+      SELECT doc_id, url, scheme, host,
+             CASE WHEN port_s <> '' THEN CAST(port_s AS INTEGER) END AS port,
+             CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+             query,
+             string_split(host, '.') AS parts
+      FROM x
+    ), z AS (
+      SELECT doc_id, url, scheme, host, port, path, query,
+             CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
+                  AS INTEGER) AS path_depth,
+             concat(parts[-2], '.', parts[-1]) AS last2,
+             CASE
+               WHEN len(parts) <= 1 THEN host
+               WHEN concat(parts[-2], '.', parts[-1]) IN
+                    ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                     'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                     'com.mx','co.in','co.kr','co.za')
+                    AND len(parts) >= 3
+               THEN concat(parts[-3], '.', parts[-2], '.', parts[-1])
+               ELSE concat(parts[-2], '.', parts[-1])
+             END AS domain
+      FROM y
+    )
+    SELECT doc_id,
+           concat(scheme, '://', host,
+                  CASE WHEN port IS NOT NULL
+                            AND NOT (scheme = 'http' AND port = 80)
+                            AND NOT (scheme = 'https' AND port = 443)
+                       THEN concat(':', CAST(port AS VARCHAR)) ELSE '' END,
+                  path,
+                  CASE WHEN query <> '' THEN concat('?', query) ELSE '' END)
+             AS url_norm,
+           host, domain, path_depth
+    FROM z
+    """,
+)
+def doc_url_stats(spark, sf_dir):
+    """URL analysis kit (functions/url.py) over SEEDED per-doc URLs
+    (the corpus has no URL column; the synthesis covers every
+    normalization branch: mixed-case scheme/host, userinfo, default
+    vs non-default port against both schemes, empty/deep/trailing
+    paths, query, fragment, .co.uk two-level suffix). All pure
+    regex/string Columns chosen to evaluate identically under Java
+    regex and RE2, so normalization, host, registrable domain and
+    path depth are hash-exact against the oracle. These are the keys
+    for per-domain caps (cap_per_key) and URL-level dedup at crawl
+    scale — zero-shuffle projections."""
+    from ..functions import url as U
+
+    d = F.col("doc_id")
+    docs = table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+            F.lit("://"),
+            F.when(d % 7 == 0, F.lit("crawler@")).otherwise(F.lit("")),
+            F.col("source"), (d % 5).cast("string"), F.lit(".Example"),
+            F.when(d % 4 == 0, F.lit(".co.UK")).otherwise(F.lit(".COM")),
+            F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.when(d % 3 == 0, F.lit(""))
+            .when(d % 3 == 1, F.lit("/a"))
+            .otherwise(F.lit("/a/b/")),
+            F.when(d % 2 == 1, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    c = F.col("url")
+    return u.select(
+        "doc_id",
+        U.url_normalize(c).alias("url_norm"),
+        U.url_host(c).alias("host"),
+        U.registrable_domain(U.url_host(c)).alias("domain"),
+        U.url_path_depth(c).alias("path_depth"),
+    )

@@ -1,0 +1,65 @@
+"""URL function library: extraction, normalization, eTLD+1."""
+
+from pyspark.sql import functions as F
+
+from malstrom_spark.functions import url as U
+
+
+def _one(spark, s, col):
+    df = spark.createDataFrame([(s,)], "url string")
+    return df.select(col(F.col("url")).alias("v")).collect()[0].v
+
+
+def test_components(spark):
+    u = "HTTPS://User:pw@WWW.Example.CO.UK:8443/a/b/c?x=1&y=2#frag"
+    assert _one(spark, u, U.url_scheme) == "https"
+    assert _one(spark, u, U.url_host) == "www.example.co.uk"
+    assert _one(spark, u, U.url_port) == 8443
+    assert _one(spark, u, U.url_path) == "/a/b/c"
+    assert _one(spark, u, U.url_path_depth) == 3
+    assert (
+        _one(spark, u, U.url_normalize)
+        == "https://www.example.co.uk:8443/a/b/c?x=1&y=2"
+    )
+
+
+def test_normalize_default_ports_and_empty_path(spark):
+    assert _one(spark, "https://A.com:443#f", U.url_normalize) == "https://a.com/"
+    assert _one(spark, "http://a.com:80/x", U.url_normalize) == "http://a.com/x"
+    # 443 on http is NOT a default port -> kept
+    assert _one(spark, "http://a.com:443/", U.url_normalize) == "http://a.com:443/"
+    assert _one(spark, "not a url", U.url_normalize) is None
+    assert _one(spark, "https://b.org", U.url_path) == "/"
+    assert _one(spark, "https://b.org", U.url_path_depth) == 0
+
+
+def test_registrable_domain(spark):
+    cases = {
+        "www.example.co.uk": "example.co.uk",
+        "a.b.news.com.au": "news.com.au",
+        "deep.sub.example.com": "example.com",
+        "example.com": "example.com",
+        "co.uk": "co.uk",
+        "localhost": "localhost",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", U.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_projections_are_shuffle_free(spark):
+    df = spark.createDataFrame([("https://a.com/x",)] * 3, "url string")
+    plan = (
+        df.select(
+            U.url_normalize(F.col("url")),
+            U.registrable_domain(U.url_host(F.col("url"))),
+            U.url_path_depth(F.col("url")),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
