@@ -1,0 +1,107 @@
+"""Crawl-archive ingestion end to end: WARC/WET segments on disk ->
+record parse (corruption quarantined, never fatal) -> WET text
+extraction -> URL normalization + registrable-domain keys ->
+per-domain cap -> TRAINED quality classifier -> exact dedup by
+normalized URL. The front half of a web-scale training-data
+pipeline, on the formats crawls actually ship (Common Crawl
+.warc.gz / .wet): sources/warc.py + functions/url.py +
+functions/text.linear_classifier + one dropDuplicates.
+
+Every step is a zero-shuffle projection except the final URL dedup
+(one hash exchange) and the per-domain cap window; at 100 TB the cap
+keys are registrable domains (millions of keys, bounded rows each).
+No reference analog (LLM-pipeline layer)."""
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from malstrom_spark.functions import url as U
+from malstrom_spark.functions.text import linear_classifier
+from malstrom_spark.functions.corpus import cap_per_key
+from malstrom_spark.sources.warc import warc_source, wet_text
+
+
+def _record(rec_id, uri, payload: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+        f"WARC-Date: 2026-02-03T04:05:06Z\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def main(spark, tmp_dir="/tmp/malstrom_example_crawl"):
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    seg_dir = os.path.join(tmp_dir, "segments")
+    os.makedirs(seg_dir)
+
+    prose = b"the quick brown fox and the lazy dog keep the meadow busy all day"
+    spam = b"00 11 22 33 44 55 66 77 88 99 000 111 222 333 444 555"
+    # segment 0 (plain): two pages on one host, one URL-duplicate
+    # under normalization (default port + fragment), one digit-spam
+    seg0 = (
+        _record("a1", "https://News.example.COM/world/a", prose)
+        + _record("a2", "https://news.example.com:443/world/a#top", prose)
+        + _record("a3", "http://news.example.com/spam", spam)
+    )
+    with open(os.path.join(seg_dir, "seg0.warc"), "wb") as f:
+        f.write(seg0)
+    # segment 1 (member-gzip): a co.uk host with three deep pages (cap
+    # will keep 2) and a truncated tail record (quarantined)
+    seg1 = b"".join(
+        gzip.compress(
+            _record(f"b{i}", f"https://blog.paper.co.uk/p/{i}", prose + bytes([48 + i]))
+        )
+        for i in range(3)
+    ) + gzip.compress(b"WARC/1.0\r\nContent-Length: 999\r\n\r\nxx")
+    with open(os.path.join(seg_dir, "seg1.warc.gz"), "wb") as f:
+        f.write(seg1)
+
+    records = warc_source(spark, seg_dir)
+    n_err = records.where(F.col("warc_type") == "parse_error").count()
+    assert n_err == 1, n_err  # the truncated tail, quarantined not fatal
+
+    docs = wet_text(records).select(
+        "record_id",
+        "text",
+        U.url_normalize(F.col("target_uri")).alias("url"),
+    )
+    docs = docs.withColumn("domain", U.registrable_domain(U.url_host(F.col("url"))))
+
+    # URL-level exact dedup: a2 collapses into a1 (same normalized URL)
+    deduped = docs.dropDuplicates(["url"])
+    assert deduped.count() == 5  # 6 good records - 1 URL duplicate
+
+    # per-domain cap: keep 2 per registrable domain, deterministic order
+    capped = cap_per_key(deduped, ["domain"], 2, [F.col("url")])
+    by_domain = {
+        r.domain: r.n
+        for r in capped.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_domain == {"example.com": 2, "paper.co.uk": 2}
+
+    # trained quality gate: prose passes, digit-spam fails
+    scored = linear_classifier(
+        capped,
+        "url",
+        weights={"alpha_ratio": 2.0, "digit_ratio": -4.0, "stopword_ratio": 3.0},
+        bias=-1.0,
+    )
+    kept = {r.url for r in scored.where("keep").collect()}
+    assert "http://news.example.com/spam" not in kept
+    assert "https://news.example.com/world/a" in kept
+
+    return {
+        "records": 7,
+        "quarantined": n_err,
+        "after_url_dedup": 5,
+        "after_domain_cap": 4,
+        "kept_by_classifier": len(kept),
+    }

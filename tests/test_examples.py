@@ -24,6 +24,7 @@ EXAMPLES = [
     "out_of_order_streams",
     "ann_serving",
     "incremental_dedup",
+    "crawl_ingest",
 ]
 
 
