@@ -595,3 +595,64 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.col("_n"), 6).alias("share"),
         )
     )
+
+
+# ----------------------------------------- context-window chunking
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into overlapping context windows — the chunker
+    in front of embedding / retrieval-index builds and the long-doc
+    splitter for fixed-window training corpora. Whitespace tokens;
+    window w covers tokens [w*(max_tokens-overlap),
+    w*(max_tokens-overlap) + max_tokens); the last window may be
+    short; a document shorter than one window yields exactly one
+    chunk; empty/whitespace-only text yields one empty chunk (callers
+    filter on n_tokens if they want them gone — dropping silently
+    would hide corpus defects).
+
+    Pure Column pipeline: split -> sequence of window starts ->
+    posexplode -> slice/join — zero Python, zero shuffle, fuses into
+    the scan (the 100 TB contract for a per-row expansion; output
+    rows ~ tokens/(max_tokens-overlap) per doc).
+
+    Output: id_col, chunk_id (0-based), n_tokens, chunk (string).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # window starts: 0, step, 2*step, ... covering every token; the
+    # last start is the largest multiple of step < n (or 0)
+    last = F.greatest(
+        (n - 1 - F.lit(overlap)), F.lit(0)
+    ) - F.pmod(F.greatest((n - 1 - F.lit(overlap)), F.lit(0)), F.lit(step))
+    starts = F.sequence(F.lit(0), last, F.lit(step))
+    t = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_toks"), starts.alias("_starts")
+    )
+    win = F.slice(F.col("_toks"), F.col("_start") + 1, max_tokens)
+    return (
+        t.select(
+            id_col,
+            F.posexplode("_starts").alias("chunk_id", "_start"),
+            "_toks",
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(win).cast("long").alias("n_tokens"),
+            F.array_join(win, " ").alias("chunk"),
+        )
+    )

@@ -1764,3 +1764,37 @@ def doc_url_stats(spark, sf_dir):
         U.registrable_domain(U.url_host(c)).alias("domain"),
         U.url_path_depth(c).alias("path_depth"),
     )
+
+
+# ------------------------------------------------- context chunking
+@register(
+    "doc_text_chunks",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id, toks,
+             greatest(len(toks) - 1 - 8, 0)
+               - (greatest(len(toks) - 1 - 8, 0) % 24) AS last
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, unnest(range(0, last + 1, 24)) AS i FROM s
+    )
+    SELECT doc_id,
+           CAST(i // 24 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, i + 1, i + 32)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, i + 1, i + 32), ' ') AS chunk
+    FROM e
+    """,
+)
+def doc_text_chunks(spark, sf_dir):
+    """Context-window chunking (functions/corpus.py chunk_text):
+    32-token windows, 8-token overlap — the splitter in front of
+    embedding/retrieval-index builds and fixed-window training
+    corpora. Pure split -> sequence -> posexplode -> slice pipeline
+    (zero Python, zero shuffle, fuses into the scan); window starts,
+    short tails and the overlap algebra are reproduced exactly by the
+    oracle, so every chunk string hash-matches."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return corpus.chunk_text(docs, "doc_id", max_tokens=32, overlap=8)

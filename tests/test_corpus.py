@@ -325,3 +325,42 @@ def test_heavy_hitters_ignores_nulls(spark):
     # N counts non-null items only: N=3, phi=0.5 -> cnt > 1.5: a(2)
     got = {(r.token, r.cnt) for r in heavy_hitters(df, "token", 0.5).collect()}
     assert got == {("a", 2)}
+
+
+def test_chunk_text_windows_and_edges(spark):
+    from malstrom_spark.functions.corpus import chunk_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (2, "solo"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_text(df, "doc_id", max_tokens=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk) for r in out.collect()}
+    # step=3: starts 0,3,6 for doc 1 (last start: g=8 -> 6)
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert rows[(2, 0)] == (1, "solo")
+    assert {k[0] for k in rows} == {1, 2}  # null text dropped
+    # every token index is covered by some window
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, "doc_id", max_tokens=4, overlap=4)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_text(df, "doc_id", max_tokens=0)
+
+
+def test_chunk_text_is_shuffle_free(spark):
+    from malstrom_spark.functions.corpus import chunk_text
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_text(df, "doc_id", max_tokens=2, overlap=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
