@@ -11,6 +11,8 @@ n-gram/stopword language ID, md5 document fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -410,3 +412,39 @@ def linear_classifier(
         logit.alias("logit"),
         (logit >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+# ------------------------------------- unicode normalization
+
+# C0 controls (minus \t \n \r, which are legitimate whitespace) + DEL.
+# Explicit \xNN ranges: the same class compiles identically under
+# Java regex (Spark) and RE2 (DuckDB).
+CONTROL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def strip_control_chars(col: Column) -> Column:
+    """Remove C0 control characters and DEL (keep tab/newline/CR) —
+    the crawl-text hygiene pass before tokenization. Pure
+    regexp_replace, zero shuffle, oracle-portable."""
+    return F.regexp_replace(col, CONTROL_CHARS_RE, "")
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization — canonical composition so that
+    'e' + COMBINING ACUTE and the precomposed 'é' (etc.) are the SAME
+    string before hashing/dedup/tokenization; without it, exact and
+    MinHash dedup silently miss byte-different equal-text duplicates.
+    Spark has no native normalizer, so this is an Arrow-batched
+    pandas UDF over `unicodedata.normalize` — the one Python hop in
+    the text-hygiene path (NFC is a per-row pure function; at 100 TB
+    it's map-side, no shuffle). DuckDB's `nfc_normalize` implements
+    the same UCD algorithm, so results are oracle-exact."""
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(col)

@@ -1798,3 +1798,44 @@ def doc_text_chunks(spark, sf_dir):
     oracle, so every chunk string hash-matches."""
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return corpus.chunk_text(docs, "doc_id", max_tokens=32, overlap=8)
+
+
+# ------------------------------------------------- unicode hygiene
+@register(
+    "doc_unicode_normalize",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) || ' ' || chr(1) || 'x' || chr(127) || 'end' AS raw
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           nfc_normalize(regexp_replace(raw,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS cleaned,
+           CAST(length(nfc_normalize(regexp_replace(raw,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))) AS BIGINT)
+             AS n_chars,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw
+    FROM seeded
+    """,
+)
+def doc_unicode_normalize(spark, sf_dir):
+    """Unicode hygiene (functions/text.py strip_control_chars +
+    nfc_normalize): the corpus is SEEDED with a decomposed accent
+    (e + U+0301), a C0 control and DEL, so the row proves both the
+    control strip and canonical composition (NFC shortens e+combining
+    to the precomposed char) — Python unicodedata and DuckDB
+    nfc_normalize implement the same UCD algorithm, hash-exact.
+    Without this pass, byte-different equal-text duplicates slip
+    through every hash-based dedup."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # NB: DECOMPOSED accent (explicit escape so no editor can
+    # silently re-compose it) — must match the oracle's chr(769)
+    raw = F.concat(F.col("text"), F.lit(" cafe\u0301 \x01x\x7fend"))
+    cleaned = text.nfc_normalize(text.strip_control_chars(raw))
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length(cleaned).cast("long").alias("n_chars"),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+    )

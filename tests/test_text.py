@@ -143,3 +143,26 @@ def test_linear_classifier_feature_columns_and_validation(spark):
     assert abs(r.logit - (r.alpha_ratio + r.length_term)) < 1e-12
     with _pytest.raises(ValueError, match="unknown classifier features"):
         linear_classifier(df, "doc_id", {"nope": 1.0})
+
+
+def test_nfc_normalize_and_strip_controls(spark):
+    from malstrom_spark.functions.text import nfc_normalize, strip_control_chars
+
+    df = spark.createDataFrame(
+        [
+            (1, "cafe\u0301 ok"),  # decomposed: len 8 -> composed len 7
+            (2, "a\x01b\x7fc\td"),      # controls stripped, tab kept
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.v
+        for r in df.select(
+            "doc_id",
+            nfc_normalize(strip_control_chars(F.col("text"))).alias("v"),
+        ).collect()
+    }
+    assert out[1] == "caf\u00e9 ok" and len(out[1]) == 7
+    assert out[2] == "abc\td"
+    assert out[3] is None
