@@ -108,6 +108,12 @@ HEADLINE = [
     "doc_quality_classifier",
     "corpus_heavy_tokens",
     "similarity_ann_pq_arrow",
+    # round-7 batch 3: URL analysis kit, context-window chunking
+    # (both zero-shuffle projections) and unicode NFC hygiene (the
+    # one Python hop in the text path — Arrow-batched)
+    "doc_url_stats",
+    "doc_text_chunks",
+    "doc_unicode_normalize",
 ]
 
 
