@@ -392,9 +392,13 @@ def pq_adc_topk(
     spark = queries.sparkSession
     bc = _codebook_bc(spark, codebooks)
     qrows = queries.select(q_id, q_vec).collect()  # broadcast-small query set
+    # the query matrix rides the task closure, NOT sc.broadcast: a
+    # per-call broadcast would accumulate executor blocks for the
+    # session lifetime (the _centroid_bc leak class), and unlike the
+    # codebook the query set is different every call, so caching
+    # can't help — closure shipping is the right lifetime
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qids = [r[0] for r in qrows]
-    bc_q = spark.sparkContext.broadcast(Q)
 
     id_field = codes_df.schema[c_id].dataType.simpleString()
     qid_field = queries.schema[q_id].dataType.simpleString()
@@ -402,7 +406,7 @@ def pq_adc_topk(
 
     def score(batches):
         C, _ = bc.value  # (m, k, dsub)
-        Qm = bc_q.value.reshape(len(qids), m, dsub)  # (|Q|, m, dsub)
+        Qm = Q.reshape(len(qids), m, dsub)  # (|Q|, m, dsub)
         # LUT[q, s, j] = ||q_s - c_sj||^2 — once per task, not per row
         lut = ((Qm[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
         for pdf in batches:
