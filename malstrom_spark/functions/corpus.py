@@ -575,13 +575,18 @@ def heavy_hitters(
             )
 
     summaries = df.select(item_col).mapInPandas(mg, f"item {item_type}, w long")
-    cand = summaries.groupBy("item").agg(F.sum("w").alias("w")).select("item")
+    # reserved candidate column name: the semi-join below would be
+    # ambiguous if the caller's item_col were itself named "item"
+    cand = (
+        summaries.groupBy("item").agg(F.sum("w").alias("w"))
+        .select(F.col("item").alias("__hh_item"))
+    )
     total = df.where(F.col(item_col).isNotNull()).agg(
         F.count(item_col).alias("_n")
     )
     counted = (
         df.join(
-            F.broadcast(cand), F.col(item_col) == F.col("item"), "leftsemi"
+            F.broadcast(cand), F.col(item_col) == F.col("__hh_item"), "leftsemi"
         )
         .groupBy(item_col)
         .agg(F.count("*").alias("cnt"))

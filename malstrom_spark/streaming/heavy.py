@@ -115,10 +115,13 @@ def recount_exact(
     total = corpus.where(F.col(item_col).isNotNull()).agg(
         F.count(item_col).alias("_n")
     )
+    # reserved name: the semi-join would be ambiguous if the corpus
+    # item_col were itself named "item"
+    cand = candidates.select(F.col("item").alias("__hh_item"))
     counted = (
         corpus.join(
-            F.broadcast(candidates),
-            F.col(item_col) == F.col("item"),
+            F.broadcast(cand),
+            F.col(item_col) == F.col("__hh_item"),
             "leftsemi",
         )
         .groupBy(item_col)

@@ -364,3 +364,13 @@ def test_chunk_text_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_heavy_hitters_item_named_item(spark):
+    """The candidate semi-join must not be ambiguous when the input
+    column is itself named 'item'."""
+    from malstrom_spark.functions.corpus import heavy_hitters
+
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)], "item string")
+    got = {(r.item, r.cnt) for r in heavy_hitters(df, "item", 0.5).collect()}
+    assert got == {("a", 3)}
