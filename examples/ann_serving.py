@@ -84,10 +84,48 @@ def main(spark, sf_dir=None, tmp_dir=None):
     }
     assert got == want, "persisted serving diverged from in-memory IVF"
 
+    # ---- IVFADC tier: the same two-job pattern with PQ codes ----
+    # job 1b: fit per-subspace codebooks, persist (c_id, cell, codes)
+    # partitioned by cell — 8 one-byte codes per vector instead of 64
+    # floats; at 100 TB this is the index that stays hot
+    from malstrom_spark.functions import pq
+
+    books = pq.pq_fit_codebooks(corpus, "c_vec", 64, m=8, k=16, n_iters=2)
+    coded = pq.pq_encode(
+        similarity.with_nearest_list(corpus, "c_vec", cents, "cell"),
+        "c_vec", books, 64,
+    ).select("c_id", "cell", "codes")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/codes")
+    with open(f"{index_dir}/codebooks.json", "w") as f:
+        json.dump(books, f)
+
+    # job 2b: serve off the persisted codes + quantizers only
+    with open(f"{index_dir}/codebooks.json") as f:
+        books2 = json.load(f)
+    codes_idx = spark.read.parquet(f"{index_dir}/codes")
+    served_pq = pq.ivf_pq_topk_encoded(
+        queries, codes_idx, cents, books2, 64, k=3, n_probe=4,
+        refine=10, refine_corpus=corpus,
+    )
+    got_pq = {(r.q_id, r.rank): r.c_id for r in served_pq.collect()}
+    # the refined top-1 is the exact self-match (sim 1.0)
+    assert all(got_pq[(q, 1)] == q for q in range(4)), got_pq
+    # parity with the in-memory IVFADC on the same quantizers
+    want_pq = {
+        (r.q_id, r.rank): r.c_id
+        for r in pq.ivf_pq_topk(
+            queries, corpus, 64, k=3, n_probe=4, refine=10,
+            centroids=cents, codebooks=books2,
+        ).collect()
+    }
+    assert got_pq == want_pq, "persisted IVFADC diverged from in-memory"
+
     return {
         "n_lists": len(cents),
         "neighbors_served": len(got),
         "partition_pruned": True,
+        "pq_neighbors_served": len(got_pq),
+        "pq_self_hit_rank1": True,
     }
 
 

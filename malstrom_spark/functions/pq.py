@@ -493,9 +493,41 @@ def ivf_pq_topk(
 
     cb = with_nearest_list(corpus.select(c_id, c_vec), c_vec, centroids, "cell")
     cb = pq_encode(cb, c_vec, codebooks, dim).select(c_id, "cell", "codes")
-    qb = with_probe_lists(queries.select(q_id, q_vec), q_vec, centroids, n_probe, "cell")
+    return ivf_pq_topk_encoded(
+        queries, cb, centroids, codebooks, dim,
+        k=k, n_probe=n_probe, refine=refine,
+        refine_corpus=corpus if refine > 0 else None,
+        q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec,
+    )
 
-    cand = cb.join(F.broadcast(qb), "cell")
+
+def ivf_pq_topk_encoded(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    centroids,
+    codebooks,
+    dim: int,
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 0,
+    refine_corpus: DataFrame | None = None,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """The SERVING half of IVFADC against a pre-built index:
+    `corpus_codes` is the persisted (c_id, cell, codes) relation (job
+    1 writes it partitioned by cell so probing prunes partitions),
+    `centroids`/`codebooks` are the persisted quantizers. Queries
+    probe `n_probe` cells, ADC-score only those cells' codes, and
+    optionally refine against `refine_corpus` (the original vectors,
+    fetched by id for the top `refine` candidates only). The corpus
+    is never re-encoded or re-scanned beyond the probed cells."""
+    from .similarity import with_probe_lists
+
+    qb = with_probe_lists(queries.select(q_id, q_vec), q_vec, centroids, n_probe, "cell")
+    cand = corpus_codes.join(F.broadcast(qb), "cell")
     m_, kk, dsub = _check_geometry(dim, codebooks)
     import numpy as np
 
@@ -524,9 +556,12 @@ def ivf_pq_topk(
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if refine <= 0:
         return ranked.filter(F.col("rank") <= k)
+    if refine_corpus is None:
+        raise ValueError("refine > 0 requires refine_corpus (original vectors)")
 
     from .similarity import cosine
 
+    corpus = refine_corpus
     cand_ids = ranked.filter(F.col("rank") <= refine).select(q_id, c_id, "d2")
     rejoined = (
         cand_ids.join(corpus.select(c_id, c_vec), c_id)
