@@ -245,6 +245,13 @@ def pq_encode(
     vectors encode NULL on every path.
     """
     m, k, dsub = _check_geometry(dim, codebooks)
+    if integer and use_arrow:
+        # the arrow engine scores vec_col AS-IS; with integer=True the
+        # caller expects in-operator quantization, which it would
+        # silently skip — pre-quantize explicitly (the pq_arrow gate
+        # row's pattern) and pass integer=False instead
+        raise ValueError("integer=True requires the literal engine "
+                         "(pre-quantize the column for the arrow path)")
     if use_arrow is None:
         use_arrow = (not integer) and m * k * dsub > PQ_LITERAL_MAX_NODES
 
@@ -352,6 +359,9 @@ def pq_adc_topk(
     belong to the near-dup pipelines instead.
     """
     m, kk, dsub = _check_geometry(dim, codebooks)
+    if integer and use_arrow:
+        raise ValueError("integer=True requires the literal engine "
+                         "(pre-quantize the column for the arrow path)")
     if use_arrow is None:
         use_arrow = (not integer) and m * kk * dsub > PQ_LITERAL_MAX_NODES
     w = Window.partitionBy(q_id).orderBy(F.asc("d2"), F.asc(c_id))

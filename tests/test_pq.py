@@ -157,3 +157,19 @@ def test_geometry_validation(spark, emb):
     bad = [[[0.0] * 8] * 16] * 7  # m=7 does not tile 64... (7*8=56)
     with pytest.raises(ValueError, match="does not tile"):
         pq.pq_encode(emb, "embedding", bad, 64)
+
+
+def test_integer_arrow_combination_rejected(spark, emb):
+    """integer=True + use_arrow=True would silently skip quantization
+    in the arrow engine — must refuse, not mis-score."""
+    cbs = pq.pq_head_codebooks(emb, "embedding", "vec_id", 64, m=8, k=16)
+    with pytest.raises(ValueError, match="literal engine"):
+        pq.pq_encode(emb, "embedding", cbs, 64, integer=True, use_arrow=True)
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    codes = pq.pq_encode(emb, "embedding", cbs, 64, integer=True).select(
+        F.col("vec_id").alias("c_id"), "codes"
+    )
+    with pytest.raises(ValueError, match="literal engine"):
+        pq.pq_adc_topk(q, codes, cbs, 64, integer=True, use_arrow=True)
