@@ -575,12 +575,21 @@ def heavy_hitters(
             )
 
     summaries = df.select(item_col).mapInPandas(mg, f"item {item_type}, w long")
+    # merged weights are never output or thresholded — the recount
+    # decides — so candidates are just the distinct surviving items
+    return recount_heavy_hitters(df, item_col, summaries.select("item").distinct(), phi)
+
+
+def recount_heavy_hitters(
+    df: DataFrame, item_col: str, candidates: DataFrame, phi: float
+) -> DataFrame:
+    """Exact second pass shared by the batch and streaming heavy-
+    hitter operators: recount the candidate superset (a DataFrame
+    with column ``item``) against the full relation and keep items
+    with cnt > phi * N. Output: (item_col, cnt, share)."""
     # reserved candidate column name: the semi-join below would be
     # ambiguous if the caller's item_col were itself named "item"
-    cand = (
-        summaries.groupBy("item").agg(F.sum("w").alias("w"))
-        .select(F.col("item").alias("__hh_item"))
-    )
+    cand = candidates.select(F.col("item").alias("__hh_item"))
     total = df.where(F.col(item_col).isNotNull()).agg(
         F.count(item_col).alias("_n")
     )
@@ -618,9 +627,10 @@ def chunk_text(
     window w covers tokens [w*(max_tokens-overlap),
     w*(max_tokens-overlap) + max_tokens); the last window may be
     short; a document shorter than one window yields exactly one
-    chunk; empty/whitespace-only text yields one empty chunk (callers
-    filter on n_tokens if they want them gone — dropping silently
-    would hide corpus defects).
+    chunk; empty/whitespace-only text yields one chunk with
+    n_tokens = 0 and chunk = '' (filter n_tokens > 0 to drop them —
+    they stay visible rather than vanishing, so corpus defects
+    surface). NULL text has no tokens to window and is dropped.
 
     Pure Column pipeline: split -> sequence of window starts ->
     posexplode -> slice/join — zero Python, zero shuffle, fuses into
@@ -636,7 +646,11 @@ def chunk_text(
             f"overlap must be in [0, max_tokens), got {overlap}"
         )
     step = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # drop the '' artifact split() yields on empty input so an empty
+    # doc reports n_tokens = 0, distinguishable from a 1-token doc
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     n = F.size(toks)
     # window starts: 0, step, 2*step, ... covering every token; the
     # last start is the largest multiple of step < n (or 0)

@@ -43,30 +43,19 @@ from .similarity import quantize_vec
 # (m * k * dsub), dispatch to the Arrow engine.
 PQ_LITERAL_MAX_NODES = 64 * 1024
 
-# One broadcast per distinct codebook tensor per SparkContext (same
-# lifetime discipline as similarity._centroid_bc: content-keyed,
-# FIFO-bounded, stale-context-evicted, unpersist on eviction).
-_PQ_BC_MAX = 8
-_pq_bc_cache: dict = {}
-
-
 def _codebook_bc(spark, codebooks):
-    import hashlib
-
+    """One broadcast per distinct codebook tensor per SparkContext —
+    shares similarity.content_keyed_broadcast's lifetime discipline
+    (content-keyed, FIFO-bounded, unpersist on eviction). Value:
+    (tensor (m, k, dsub), ||c||^2 (m, k))."""
     import numpy as np
 
-    C = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
-    sc = spark.sparkContext
-    key = (sc.applicationId, C.shape, hashlib.sha1(C.tobytes()).hexdigest())
-    bc = _pq_bc_cache.get(key)
-    if bc is None:
-        bc = sc.broadcast((C, (C * C).sum(axis=2)))  # tensor + ||c||^2 (m, k)
-        for k_ in [k_ for k_ in _pq_bc_cache if k_[0] != sc.applicationId]:
-            del _pq_bc_cache[k_]
-        while len(_pq_bc_cache) >= _PQ_BC_MAX:
-            _pq_bc_cache.pop(next(iter(_pq_bc_cache))).unpersist()
-        _pq_bc_cache[key] = bc
-    return bc
+    from .similarity import content_keyed_broadcast
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    return content_keyed_broadcast(
+        spark, "pq-codebooks", C, lambda C: (C, (C * C).sum(axis=2))
+    )
 
 
 def _check_geometry(dim: int, codebooks) -> tuple[int, int, int]:
@@ -401,7 +390,17 @@ def pq_adc_topk(
 
     spark = queries.sparkSession
     bc = _codebook_bc(spark, codebooks)
-    qrows = queries.select(q_id, q_vec).collect()  # broadcast-small query set
+    # broadcast-small query set; NULL query vectors drop here, exactly
+    # as the literal engine's null d2 filter drops them (engine parity)
+    qrows = [
+        r for r in queries.select(q_id, q_vec).collect() if r[1] is not None
+    ]
+    id_field = codes_df.schema[c_id].dataType.simpleString()
+    qid_field = queries.schema[q_id].dataType.simpleString()
+    out_schema = f"{q_id} {qid_field}, {c_id} {id_field}, d2 double"
+    if not qrows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).where(F.lit(False))
     # the query matrix rides the task closure, NOT sc.broadcast: a
     # per-call broadcast would accumulate executor blocks for the
     # session lifetime (the _centroid_bc leak class), and unlike the
@@ -409,10 +408,6 @@ def pq_adc_topk(
     # can't help — closure shipping is the right lifetime
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qids = [r[0] for r in qrows]
-
-    id_field = codes_df.schema[c_id].dataType.simpleString()
-    qid_field = queries.schema[q_id].dataType.simpleString()
-    out_schema = f"{q_id} {qid_field}, {c_id} {id_field}, d2 double"
 
     def score(batches):
         C, _ = bc.value  # (m, k, dsub)
@@ -486,11 +481,7 @@ def ivf_pq_topk(
     small by construction. Pass precomputed `centroids`/`codebooks`
     for the two-job serving pattern (fit offline, serve repeatedly).
     """
-    from .similarity import (
-        ivf_build_centroids,
-        with_nearest_list,
-        with_probe_lists,
-    )
+    from .similarity import ivf_build_centroids, with_nearest_list
 
     if centroids is None:
         centroids = ivf_build_centroids(

@@ -766,17 +766,25 @@ _CENTROID_BC_MAX = 8
 _centroid_bc_cache: dict = {}
 
 
-def _centroid_bc(spark, centroids: list[list[float]]):
+def content_keyed_broadcast(spark, tag: str, arr, build):
+    """One broadcast per distinct (tag, array CONTENT) per
+    SparkContext — the shared lifetime discipline for quantizer-style
+    broadcast state (IVF centroids, PQ codebooks): repeated serving
+    calls with the same matrix reuse one broadcast instead of
+    accumulating executor blocks for the session lifetime. Keyed on a
+    content digest (id() recycles); evicted entries are unpersist()ed
+    (FIFO, bounded), which frees executor blocks while staying safe
+    for in-flight plans (Spark lazily re-broadcasts from the driver
+    copy on next use — only destroy() would invalidate them).
+    ``build(arr)`` produces the broadcast value."""
     import hashlib
 
-    import numpy as np
-
-    C = np.asarray(centroids, dtype=np.float64)
     sc = spark.sparkContext
-    key = (sc.applicationId, C.shape, hashlib.sha1(C.tobytes()).hexdigest())
+    key = (sc.applicationId, tag, arr.shape,
+           hashlib.sha1(arr.tobytes()).hexdigest())
     bc = _centroid_bc_cache.get(key)
     if bc is None:
-        bc = sc.broadcast((C, (C * C).sum(axis=1)))
+        bc = sc.broadcast(build(arr))
         # drop stale contexts' entries, then bound the live set (FIFO)
         for k in [k for k in _centroid_bc_cache if k[0] != sc.applicationId]:
             del _centroid_bc_cache[k]
@@ -784,6 +792,15 @@ def _centroid_bc(spark, centroids: list[list[float]]):
             _centroid_bc_cache.pop(next(iter(_centroid_bc_cache))).unpersist()
         _centroid_bc_cache[key] = bc
     return bc
+
+
+def _centroid_bc(spark, centroids: list[list[float]]):
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    return content_keyed_broadcast(
+        spark, "ivf-centroids", C, lambda C: (C, (C * C).sum(axis=1))
+    )
 
 
 def with_nearest_list(

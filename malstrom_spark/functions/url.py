@@ -28,7 +28,10 @@ _SCHEME = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 _PORT = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)"
 _PATH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY = r"\?([^#]*)"
+# anchored so a '?' INSIDE the fragment can't resurrect as a query
+# ('…/page#sec?x=1' has no query): the chars before the '?' must not
+# contain '#'
+_QUERY = r"^[^#?]*\?([^#]*)"
 
 # high-traffic two-level public suffixes (PSL subset; see module doc)
 TWO_LEVEL_SUFFIXES = [
@@ -113,6 +116,6 @@ def registrable_domain(host: Column) -> Column:
             is_two_level & (n >= 3),
             F.concat_ws(".", F.element_at(parts, -3), last2),
         )
-        .when(is_two_level, last2)  # the bare suffix itself
+        # a bare two-level suffix (n == 2) falls through to last2 too
         .otherwise(last2)
     )

@@ -1686,7 +1686,7 @@ def doc_quality_classifier(spark, sf_dir):
                '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1) AS port_s,
              regexp_extract(url,
                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-             regexp_extract(url, '\?([^#]*)', 1) AS query
+             regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
       FROM u
     ), y AS (
       SELECT doc_id, url, scheme, host,
@@ -1771,7 +1771,9 @@ def doc_url_stats(spark, sf_dir):
     "doc_text_chunks",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
       FROM documents WHERE text IS NOT NULL
     ), s AS (
       SELECT doc_id, toks,

@@ -35,18 +35,53 @@ WARC_SCHEMA = (
 _MAX_ERR_SNIPPET = 1024
 
 
+def _gunzip_members(blob: bytes) -> tuple[bytes, str | None]:
+    """Decompress a multi-member gzip blob MEMBER BY MEMBER (zlib
+    wbits=31 stops at each member boundary; unused_data carries the
+    rest). Returns (all bytes decompressed up to the first corrupt or
+    truncated member, error message or None) — so every record in the
+    well-formed prefix survives a damaged tail, the contract the
+    quarantine promises."""
+    import zlib
+
+    out = bytearray()
+    pos, n = 0, len(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            member = d.decompress(blob[pos:])
+        except zlib.error as e:
+            return bytes(out), f"gzip member at byte {pos}: {e}"
+        if not d.eof:
+            # partial member: do NOT commit its bytes — records must
+            # come only from complete members
+            return bytes(out), f"gzip member at byte {pos}: truncated"
+        out += member
+        pos = n - len(d.unused_data)
+        # tolerate (and stop at) trailing garbage that is not another
+        # gzip member
+        if pos < n and blob[pos : pos + 2] != b"\x1f\x8b":
+            return bytes(out), f"trailing non-gzip bytes at {pos}"
+    return bytes(out), None
+
+
 def _parse_warc_bytes(path: str, blob: bytes):
     """Yield record dicts from one (possibly multi-member gzip) WARC
-    blob; on malformed input, yield a terminal parse_error record."""
-    import gzip
-    import io
-
+    blob; on malformed input, yield every well-formed record BEFORE
+    the corruption point, then one terminal parse_error record."""
+    gz_err = None
+    tail = blob[-_MAX_ERR_SNIPPET:]
     if blob[:2] == b"\x1f\x8b":
-        try:
-            blob = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
-        except OSError as e:
-            yield _err(path, f"gzip: {e}", blob[:_MAX_ERR_SNIPPET])
-            return
+        blob, gz_err = _gunzip_members(blob)
+    emitted_err = False
+    for rec in _records(path, blob):
+        emitted_err = rec["warc_type"] == "parse_error"
+        yield rec
+    if gz_err is not None and not emitted_err:
+        yield _err(path, gz_err, tail)
+
+
+def _records(path: str, blob: bytes):
     pos, n = 0, len(blob)
     while pos < n:
         # skip inter-record CRLFs

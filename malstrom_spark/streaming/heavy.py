@@ -108,31 +108,10 @@ def final_candidates(emitted: DataFrame) -> DataFrame:
 def recount_exact(
     corpus: DataFrame, item_col: str, candidates: DataFrame, phi: float
 ) -> DataFrame:
-    """Exact recount of the candidate superset against the stored
-    corpus — identical second pass to the batch heavy_hitters, so the
-    streamed candidates produce the same exact (item, cnt, share)
-    output the batch operator does."""
-    total = corpus.where(F.col(item_col).isNotNull()).agg(
-        F.count(item_col).alias("_n")
-    )
-    # reserved name: the semi-join would be ambiguous if the corpus
-    # item_col were itself named "item"
-    cand = candidates.select(F.col("item").alias("__hh_item"))
-    counted = (
-        corpus.join(
-            F.broadcast(cand),
-            F.col(item_col) == F.col("__hh_item"),
-            "leftsemi",
-        )
-        .groupBy(item_col)
-        .agg(F.count("*").alias("cnt"))
-    )
-    return (
-        counted.crossJoin(F.broadcast(total))
-        .where(F.col("cnt") > F.lit(float(phi)) * F.col("_n"))
-        .select(
-            item_col,
-            "cnt",
-            F.round(F.col("cnt") / F.col("_n"), 6).alias("share"),
-        )
-    )
+    """Exact recount of the streamed candidate superset against the
+    stored corpus — delegates to the batch operator's second pass
+    (functions/corpus.py recount_heavy_hitters), so both operators
+    produce byte-identical output from the same candidates."""
+    from ..functions.corpus import recount_heavy_hitters
+
+    return recount_heavy_hitters(corpus, item_col, candidates, phi)

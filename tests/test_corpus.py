@@ -374,3 +374,18 @@ def test_heavy_hitters_item_named_item(spark):
     df = spark.createDataFrame([("a",)] * 3 + [("b",)], "item string")
     got = {(r.item, r.cnt) for r in heavy_hitters(df, "item", 0.5).collect()}
     assert got == {("a", 3)}
+
+
+def test_chunk_text_empty_doc_distinguishable(spark):
+    from malstrom_spark.functions.corpus import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, "one")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk)
+        for r in chunk_text(df, "doc_id", max_tokens=4).collect()
+    }
+    assert rows[(1, 0)] == (0, "")
+    assert rows[(2, 0)] == (0, "")
+    assert rows[(3, 0)] == (1, "one")

@@ -173,3 +173,24 @@ def test_integer_arrow_combination_rejected(spark, emb):
     )
     with pytest.raises(ValueError, match="literal engine"):
         pq.pq_adc_topk(q, codes, cbs, 64, integer=True, use_arrow=True)
+
+
+def test_adc_arrow_null_and_empty_queries(spark, emb, learned_books):
+    """Engine parity on degenerate query sets: NULL query vectors drop
+    (as the literal engine's null-d2 filter does) and an all-null /
+    empty query set returns an empty result, not a crash."""
+    enc = pq.pq_encode(emb, "embedding", learned_books, 64, use_arrow=False)
+    codes = enc.select(F.col("vec_id").alias("c_id"), "codes")
+    one_null = spark.createDataFrame(
+        [(0, None)], "q_id long, q_vec array<float>"
+    ).unionByName(
+        emb.where(F.col("vec_id") == 1).selectExpr(
+            "vec_id as q_id", "cast(embedding as array<float>) as q_vec"
+        )
+    )
+    for arrow in (False, True):
+        got = pq.pq_adc_topk(one_null, codes, learned_books, 64, k=3,
+                             use_arrow=arrow).collect()
+        assert {r.q_id for r in got} == {1}, (arrow, got)
+    all_null = spark.createDataFrame([(0, None)], "q_id long, q_vec array<float>")
+    assert pq.pq_adc_topk(all_null, codes, learned_books, 64, use_arrow=True).count() == 0

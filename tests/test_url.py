@@ -63,3 +63,17 @@ def test_projections_are_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_fragment_question_mark_is_not_a_query(spark):
+    """A '?' inside the fragment must not resurrect as a query —
+    otherwise two URLs equal up to fragment normalize to different
+    dedup keys."""
+    assert (
+        _one(spark, "https://ex.com/page#sec?x=1", U.url_normalize)
+        == "https://ex.com/page"
+    )
+    assert (
+        _one(spark, "https://ex.com/page?a=1#sec?x=2", U.url_normalize)
+        == "https://ex.com/page?a=1"
+    )

@@ -63,3 +63,29 @@ def test_warc_source_quarantines_corruption_keeps_prefix(spark, tmp_path):
     reasons = {r.target_uri for r in errs}
     assert "truncated payload" in reasons
     assert "expected WARC/ version line" in reasons
+
+
+def test_warc_gzip_truncated_member_preserves_prefix(spark, tmp_path):
+    """A .warc.gz cut off mid-member (the canonical crawl corruption)
+    must quarantine, not crash, and every record from the complete
+    members before it must survive."""
+    d = tmp_path / "gz"
+    d.mkdir()
+    m1 = gzip.compress(_record("g1", "conversion", "http://ok.example/1", b"one"))
+    m2 = gzip.compress(_record("g2", "conversion", "http://ok.example/2", b"two"))
+    (d / "trunc.warc.gz").write_bytes(m1 + m2[: len(m2) // 2])
+    # corrupt deflate bytes inside a member (zlib.error path)
+    (d / "garbage.warc.gz").write_bytes(
+        m1 + b"\x1f\x8b\x08\x00" + b"\xff" * 20
+    )
+    recs = warc_source(spark, str(d)).collect()
+    by_file = {}
+    for r in recs:
+        by_file.setdefault(r.warc_file.rsplit("/", 1)[-1], []).append(r)
+    for fname in ("trunc.warc.gz", "garbage.warc.gz"):
+        rows = by_file[fname]
+        ok = [r for r in rows if r.warc_type == "conversion"]
+        errs = [r for r in rows if r.warc_type == "parse_error"]
+        assert len(ok) == 1 and bytes(ok[0].payload) == b"one", fname
+        assert len(errs) == 1, (fname, errs)
+        assert "gzip" in errs[0].target_uri, (fname, errs[0].target_uri)
