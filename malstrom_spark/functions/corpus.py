@@ -675,3 +675,72 @@ def chunk_text(
             F.array_join(win, " ").alias("chunk"),
         )
     )
+
+
+def cap_per_key_skew_safe(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    order_col: str,
+    id_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 1024,
+    ascending: bool = True,
+) -> DataFrame:
+    """`cap_per_key` for ADVERSARIAL key skew: the plain form window-
+    sorts each key in one task, so one mega-key (a domain holding a
+    double-digit share of a 100 TB crawl) becomes a single-task sort.
+    This variant is the candidates-then-exact shape the dedup family
+    uses: (1) one histogram aggregation over (key, bin of order_col)
+    — map-side combinable, output bounded by keys x n_bins; (2) per
+    key, the first bin where the cumulative count reaches ``n`` (a
+    window over n_bins-sized partitions, never row-sized); (3) keep
+    only rows at-or-better than that threshold bin — at most
+    n + (rows in the threshold bin) per key survive; (4) the exact
+    window runs on the survivors. Output is EXACTLY the plain
+    operator's (pytest-pinned equal), deterministic via the
+    (order_col, id_col) total order.
+
+    ``order_col`` must be integer-valued in [lo, hi) (pre-scale
+    floats to cents etc. — same contract as operators/histogram).
+    ``ascending=True`` keeps the n smallest. A threshold bin stuffed
+    with duplicates of one value degrades toward the plain window for
+    THAT key only — raise n_bins to tighten."""
+    from ..operators.histogram import linear_bin
+
+    v = F.col(order_col).cast("long")
+    b = linear_bin(v, lo, hi, n_bins) if ascending else -linear_bin(v, lo, hi, n_bins)
+    binned = df.withColumn("__bin", b)
+    hist = binned.groupBy(*key_cols, "__bin").agg(F.count("*").alias("__c"))
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.asc("__bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # smallest bin whose cumulative count reaches n; keys with fewer
+    # than n rows keep everything (threshold = max bin)
+    thresholds = (
+        hist.withColumn("__cum", F.sum("__c").over(wb))
+        .groupBy(*key_cols)
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("__cum") >= n, F.col("__bin"))),
+                F.max("__bin"),
+            ).alias("__cut")
+        )
+    )
+    # plain equi-join, not a broadcast hint: the threshold table is
+    # keys-sized (millions of domains at crawl scale) — let AQE pick
+    # broadcast when it actually fits. The join itself streams; the
+    # mega-key's rows never BUFFER anywhere, which is the point
+    survivors = binned.join(thresholds, key_cols).where(
+        F.col("__bin") <= F.col("__cut")
+    )
+    order = [F.asc(order_col) if ascending else F.desc(order_col), F.asc(id_col)]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .select(*df.columns)
+    )

@@ -1841,3 +1841,32 @@ def doc_unicode_normalize(spark, sf_dir):
         F.length(cleaned).cast("long").alias("n_chars"),
         F.length(raw).cast("long").alias("n_chars_raw"),
     )
+
+
+# -------------------------------------- skew-safe per-source cap
+@register(
+    "doc_source_cap_skew_safe",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def doc_source_cap_skew_safe(spark, sf_dir):
+    """Skew-safe per-source cap (functions/corpus.py
+    cap_per_key_skew_safe): keep the 10 shortest docs per source via
+    histogram threshold + exact window on survivors — the plan that
+    survives a mega-domain at crawl scale (no single-task sort of the
+    big key; the per-key window only ever sees ~n + one bin of rows).
+    Output EXACTLY equals the plain windowed cap, so the oracle is
+    the plain SQL ROW_NUMBER form — the sketch is invisible in the
+    answer, like the heavy-hitter rows."""
+    docs = table(spark, sf_dir, "documents")
+    return corpus.cap_per_key_skew_safe(
+        docs.select("doc_id", "source", "n_chars"),
+        ["source"], 10, "n_chars", "doc_id", lo=0, hi=1024, n_bins=64,
+    )

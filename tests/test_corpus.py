@@ -389,3 +389,27 @@ def test_chunk_text_empty_doc_distinguishable(spark):
     assert rows[(1, 0)] == (0, "")
     assert rows[(2, 0)] == (0, "")
     assert rows[(3, 0)] == (1, "one")
+
+
+def test_cap_per_key_skew_safe_equals_plain(spark):
+    """Output must equal cap_per_key exactly: same rows kept for
+    skewed and tiny keys, ties broken by (order, id)."""
+    import random
+
+    from malstrom_spark.functions.corpus import cap_per_key, cap_per_key_skew_safe
+
+    rng = random.Random(7)
+    rows = [("mega", rng.randrange(0, 1000), i) for i in range(500)]
+    rows += [("tiny", rng.randrange(0, 1000), 10_000 + i) for i in range(2)]
+    rows += [("ties", 42, 20_000 + i) for i in range(6)]
+    df = spark.createDataFrame(rows, "domain string, score long, id long").repartition(8)
+
+    plain = cap_per_key(df, ["domain"], 5, [F.asc("score"), F.asc("id")])
+    safe = cap_per_key_skew_safe(
+        df, ["domain"], 5, "score", "id", lo=0, hi=1024, n_bins=64
+    )
+    p = {(r.domain, r.score, r.id) for r in plain.collect()}
+    s = {(r.domain, r.score, r.id) for r in safe.collect()}
+    assert p == s
+    assert len([x for x in s if x[0] == "tiny"]) == 2  # under-n key kept whole
+    assert len([x for x in s if x[0] == "ties"]) == 5  # id tie-break
