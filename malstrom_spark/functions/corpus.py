@@ -537,11 +537,22 @@ def heavy_hitters(
     Pass 1 keeps <= k weighted counters per partition (vectorized:
     value_counts per Arrow batch folded into the counter dict; when it
     overflows, subtract the (k+1)-th largest weight and keep
-    positives — the mergeable-summaries reduce). Per-partition
-    summaries merge by summed weight; total undercount is < N/(k+1),
-    so with the default k = ceil(2/phi) every true heavy hitter
-    survives into the candidate set (|candidates| <= k * partitions,
-    broadcast-small). Pass 2 broadcast-semi-joins the candidates and
+    positives — the mergeable-summaries reduce).
+
+    Candidate-superset guarantee (shared with streaming/heavy.py —
+    the SAME bound, stated once): each reduce step removes >= (k+1)*d
+    total weight, and total weight inserted is N_p, so a partition's
+    per-item undercount is <= N_p/(k+1); an item absent from a
+    partition's survivors therefore has c_p <= N_p/(k+1). If an item
+    is absent from EVERY partition's survivors, its total count is
+    <= sum_p N_p/(k+1) = N/(k+1). Hence whenever k + 1 >= 1/phi,
+    N/(k+1) <= phi*N and every phi-heavy item (count > phi*N)
+    survives in at least one partition — the candidate union is a
+    provable superset. We VALIDATE k >= ceil(1/phi) (raising when the
+    guarantee would be silently voided) and default to
+    k = ceil(2/phi), which halves the undercount bound
+    (|candidates| <= k * partitions, broadcast-small). Pass 2
+    broadcast-semi-joins the candidates and
     counts exactly, so the OUTPUT is exact and deterministic — sketch
     internals never leak into the answer, which keeps the row
     oracle-checkable against a plain GROUP BY/HAVING.
@@ -556,6 +567,16 @@ def heavy_hitters(
         raise ValueError(f"phi must be in (0, 1), got {phi}")
     if k is None:
         k = int(math.ceil(2.0 / phi))
+    elif k < math.ceil(1.0 / phi):
+        # below ceil(1/phi) the superset guarantee is void: a true
+        # phi-heavy item can miss the candidate set and the exact
+        # recount cannot restore it — refuse rather than silently
+        # return an incomplete "exact" result
+        raise ValueError(
+            f"k={k} voids the heavy-hitter guarantee for phi={phi}: "
+            f"need k >= ceil(1/phi) = {math.ceil(1.0 / phi)} "
+            f"(default is ceil(2/phi) = {math.ceil(2.0 / phi)})"
+        )
     item_type = df.schema[item_col].dataType.simpleString()
 
     def mg(batches):

@@ -9,7 +9,8 @@ regex (Spark) and RE2 (DuckDB), so every function here is
 oracle-checkable bit-for-bit. All are zero-shuffle projections.
 
 Scope, stated: absolute http(s)-style URLs. Userinfo (`user@host`)
-is stripped; IPv6 bracket hosts pass through un-normalized;
+is stripped; IPv6 bracket hosts and other malformed authorities
+normalize to NULL (their colons fail the full-authority check);
 `registrable_domain` uses an embedded subset of two-level public
 suffixes (the high-traffic ccTLD second-levels) rather than the full
 Mozilla PSL — at 100 TB ship the PSL as a broadcast table and map
@@ -26,7 +27,16 @@ _SCHEME = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 # after scheme: optional userinfo@, then host = everything before
 # : / ? #
 _HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
-_PORT = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)"
+# port digits must run to an authority terminator ([/?#] or end) —
+# otherwise 'http://h:80x/p' would partial-match port=80 and a junk
+# URL could collide with a valid one after normalization. RE2 has no
+# lookahead, so the terminator is a non-capturing alternation.
+_PORT = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)(?:[/?#]|$)"
+# full-authority validity: host chars + optional :digits must consume
+# the ENTIRE authority. Guards url_normalize against malformed
+# authorities (bad ports, multiple colons, IPv6 brackets) that the
+# per-component extracts would otherwise silently "clean up".
+_AUTH_OK = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+(?::[0-9]+)?(?:[/?#]|$)"
 _PATH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 # anchored so a '?' INSIDE the fragment can't resurrect as a query
 # ('…/page#sec?x=1' has no query): the chars before the '?' must not
@@ -75,8 +85,11 @@ def url_normalize(url: Column) -> Column:
     """Canonical form for URL-level dedup: lowercased scheme+host,
     userinfo dropped, default port dropped (80 for http, 443 for
     https; other ports kept), fragment dropped, query kept verbatim,
-    empty path -> '/'. Non-URL values normalize to NULL (filter or
-    quarantine them)."""
+    empty path -> '/'. Non-URL values AND malformed authorities
+    (':80x' ports, IPv6 bracket hosts, multiple colons) normalize to
+    NULL (filter or quarantine them) — a malformed input must never
+    emit a cleaned-looking URL that collides with a valid one during
+    URL-level dedup."""
     scheme = url_scheme(url)
     host = url_host(url)
     port = url_port(url)
@@ -85,8 +98,9 @@ def url_normalize(url: Column) -> Column:
         | ((scheme == "https") & (port == 443))
     )
     q = F.regexp_extract(url, _QUERY, 1)
+    auth_ok = F.regexp_extract(url, _AUTH_OK, 0) != ""
     return F.when(
-        (scheme != "") & (host != ""),
+        (scheme != "") & (host != "") & auth_ok,
         F.concat(
             scheme,
             F.lit("://"),

@@ -1683,7 +1683,7 @@ def doc_quality_classifier(spark, sf_dir):
              lower(regexp_extract(url,
                '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
              regexp_extract(url,
-               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1) AS port_s,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)(?:[/?#]|$)', 1) AS port_s,
              regexp_extract(url,
                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
              regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query

@@ -45,11 +45,15 @@ def _gunzip_members(blob: bytes) -> tuple[bytes, str | None]:
     import zlib
 
     out = bytearray()
+    # memoryview: slicing must not copy — a ~1 GB segment holds tens of
+    # thousands of one-record members, and a bytes-slice per member
+    # would make the loop quadratic in segment size.
+    view = memoryview(blob)
     pos, n = 0, len(blob)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
-            member = d.decompress(blob[pos:])
+            member = d.decompress(view[pos:])
         except zlib.error as e:
             return bytes(out), f"gzip member at byte {pos}: {e}"
         if not d.eof:
@@ -60,7 +64,7 @@ def _gunzip_members(blob: bytes) -> tuple[bytes, str | None]:
         pos = n - len(d.unused_data)
         # tolerate (and stop at) trailing garbage that is not another
         # gzip member
-        if pos < n and blob[pos : pos + 2] != b"\x1f\x8b":
+        if pos < n and view[pos : pos + 2] != b"\x1f\x8b":
             return bytes(out), f"trailing non-gzip bytes at {pos}"
     return bytes(out), None
 
@@ -170,11 +174,25 @@ def wet_text(records: DataFrame) -> DataFrame:
     decoded as UTF-8 (invalid bytes replaced, the crawl-standard
     lenient decode), keyed by target URI. Output: (warc_file,
     record_id, target_uri, warc_date, text) — feed straight into the
-    doc_* quality/dedup pipelines."""
+    doc_* quality/dedup pipelines.
+
+    The decode is Python-side (Arrow-batched pandas_udf with
+    errors='replace') deliberately: Spark's `F.decode(_, 'UTF-8')`
+    raises MALFORMED_CHARACTER_CODING on invalid bytes (Spark 3.5+),
+    and real crawl payloads routinely contain them — one bad record
+    must not fail the job."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _utf8_replace(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: None if b is None else bytes(b).decode("utf-8", errors="replace")
+        )
+
     return records.where(F.col("warc_type") == "conversion").select(
         "warc_file",
         "record_id",
         "target_uri",
         "warc_date",
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        _utf8_replace(F.col("payload")).alias("text"),
     )

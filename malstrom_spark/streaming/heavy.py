@@ -6,14 +6,18 @@ arbitrary logic per record, output as the stream flows).
 
 Sharding: each item hashes to one of `n_shards` state keys, and a
 shard owns EVERY occurrence of its items, so the per-shard MG bound
-applies to the item's full stream count: with k counters a shard
-undercounts by < N_shard/(k+1) <= N/(k+1), hence any item with total
-count > N/(k+1) is guaranteed alive in its shard's counter set at
-every prefix of the stream (Misra & Gries 1982; merge step per
-Agarwal et al., PODS 2012). Candidates are therefore a provable
-superset of the phi-heavy items whenever k >= 1/phi — same contract
-as the batch operator, maintained incrementally in the state store
-instead of per-partition.
+applies to the item's full stream count: each reduce step removes
+>= (k+1)*d total weight against <= N_shard inserted, so a shard
+undercounts any item by <= N_shard/(k+1) <= N/(k+1), hence any item
+with total count > N/(k+1) is guaranteed alive in its shard's
+counter set at every prefix of the stream (Misra & Gries 1982; merge
+step per Agarwal et al., PODS 2012). Candidates are therefore a
+provable superset of the phi-heavy items whenever k + 1 >= 1/phi —
+the SAME bound (and proof sketch) as the batch operator
+(functions/corpus.py heavy_hitters, which validates
+k >= ceil(1/phi) and defaults to k = ceil(2/phi); pass the same
+k here), maintained incrementally in the state store instead of
+per-partition.
 
 Read-off is two-step like the batch op: drain the stream, take each
 shard's LAST summary (monotone `seq`), then recount the candidates

@@ -287,9 +287,10 @@ def test_shuffle_shard_deterministic_permutation(spark):
 
 
 def test_heavy_hitters_exact_output(spark):
-    """Output must equal the exact groupBy/HAVING answer even with a
-    tiny k that forces constant Misra-Gries compression — the sketch
-    proposes, the recount decides."""
+    """Output must equal the exact groupBy/HAVING answer even with
+    the minimum guaranteed-safe k (= ceil(1/phi)), which forces
+    constant Misra-Gries compression on 75 distinct tokens — the
+    sketch proposes, the recount decides."""
     from malstrom_spark.functions.corpus import heavy_hitters
 
     rows = (
@@ -298,7 +299,7 @@ def test_heavy_hitters_exact_output(spark):
     )
     df = spark.createDataFrame(rows, "token string").repartition(8)
     got = {
-        (r.token, r.cnt) for r in heavy_hitters(df, "token", phi=0.2, k=3).collect()
+        (r.token, r.cnt) for r in heavy_hitters(df, "token", phi=0.2, k=5).collect()
     }
     # N=100, phi=0.2 -> cnt > 20: big (40) and mid (25) only
     assert got == {("big", 40), ("mid", 25)}
@@ -314,6 +315,52 @@ def test_heavy_hitters_share_and_validation(spark):
     assert out == {"a": (3, 0.75)}
     with _pytest.raises(ValueError, match="phi"):
         heavy_hitters(df, "token", 1.5)
+    # ADVICE r7: a caller-supplied k below ceil(1/phi) voids the
+    # candidate-superset guarantee — must refuse, not silently return
+    # an incomplete "exact" result
+    with _pytest.raises(ValueError, match="ceil"):
+        heavy_hitters(df, "token", phi=0.2, k=4)
+    # k == ceil(1/phi) is the documented minimum and must be accepted
+    assert heavy_hitters(df, "token", phi=0.2, k=5).count() >= 0
+
+
+def test_heavy_hitters_superset_guarantee_property():
+    """Pure-Python property pin of the documented MG bound (no Spark):
+    folding ANY partitioning of ANY multiset through the
+    mergeable-summaries reduce with k = ceil(1/phi) counters, the
+    union of per-partition survivors contains every phi-heavy item —
+    the proof-sketch contract both heavy-hitter docstrings state."""
+    import math as _math
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def mg_fold(items, k):
+        counters = {}
+        for it in items:
+            counters[it] = counters.get(it, 0) + 1
+            if len(counters) > k:
+                d = sorted(counters.values(), reverse=True)[k]
+                counters = {i: w - d for i, w in counters.items() if w > d}
+        return set(counters)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        data=st.lists(st.integers(0, 30), min_size=1, max_size=300),
+        n_parts=st.integers(1, 8),
+        phi=st.sampled_from([0.5, 0.34, 0.25, 0.2, 0.11]),
+    )
+    def prop(data, n_parts, phi):
+        k = _math.ceil(1.0 / phi)
+        candidates = set()
+        for p in range(n_parts):
+            candidates |= mg_fold(data[p::n_parts], k)
+        n = len(data)
+        heavy = {i for i, c in Counter(data).items() if c > phi * n}
+        assert heavy <= candidates, (heavy, candidates, phi, n_parts)
+
+    prop()
 
 
 def test_heavy_hitters_ignores_nulls(spark):

@@ -77,3 +77,22 @@ def test_fragment_question_mark_is_not_a_query(spark):
         _one(spark, "https://ex.com/page?a=1#sec?x=2", U.url_normalize)
         == "https://ex.com/page?a=1"
     )
+
+
+def test_malformed_authority_normalizes_to_null(spark):
+    """ADVICE r7: 'http://h:80x/p' used to partial-match port=80 and
+    normalize to a cleaned-looking URL, letting junk collide with
+    valid URLs during dedup. Malformed authorities must NULL."""
+    for bad in (
+        "http://h:80x/p",          # junk after port digits
+        "http://h:80:90/p",        # two colons
+        "http://[::1]:8080/x",     # IPv6 bracket host (out of scope)
+        "http://h:/p",             # colon with no digits
+    ):
+        assert _one(spark, bad, U.url_normalize) is None, bad
+    # and port extraction itself no longer partial-matches
+    assert _one(spark, "http://h:80x/p", U.url_port) is None
+    # well-formed ports at every terminator still work
+    assert _one(spark, "http://h:81", U.url_port) == 81
+    assert _one(spark, "http://h:81?q=1", U.url_port) == 81
+    assert _one(spark, "http://h:81#f", U.url_port) == 81

@@ -89,3 +89,25 @@ def test_warc_gzip_truncated_member_preserves_prefix(spark, tmp_path):
         assert len(ok) == 1 and bytes(ok[0].payload) == b"one", fname
         assert len(errs) == 1, (fname, errs)
         assert "gzip" in errs[0].target_uri, (fname, errs[0].target_uri)
+
+
+def test_wet_text_lenient_on_invalid_utf8(spark, tmp_path):
+    """ADVICE r7: F.decode(_, 'UTF-8') raises on malformed bytes in
+    Spark 3.5+; crawl payloads routinely contain them. wet_text must
+    replace, not fail."""
+    from malstrom_spark.sources.warc import warc_source, wet_text
+
+    body = b"good text \xff\xfe bad bytes"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Target-URI: http://ex.com/\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    p = tmp_path / "a.warc"
+    p.write_bytes(rec)
+    rows = wet_text(warc_source(spark, str(p))).collect()
+    assert len(rows) == 1
+    assert rows[0].text == "good text \ufffd\ufffd bad bytes"
