@@ -58,6 +58,9 @@ HEADLINE = [
     "doc_word_tokens",
     "doc_pii_scrub",
     "dedup_exact_docs",
+    # round-8: distributed BPE fit + Arrow encode of every document
+    # (oracle-backed: recursive-CTE replay in DuckDB)
+    "doc_bpe_tokens",
     # scale-path (xxhash64) twins of the gate's md5-portable pipelines:
     # identical dataflow, production hash (see queries/pipeline.py)
     "dedup_minhash_lsh_scale",

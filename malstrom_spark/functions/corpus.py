@@ -641,6 +641,7 @@ def chunk_text(
     text_col: str = "text",
     max_tokens: int = 128,
     overlap: int = 0,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Split documents into overlapping context windows — the chunker
     in front of embedding / retrieval-index builds and the long-doc
@@ -658,6 +659,12 @@ def chunk_text(
     the scan (the 100 TB contract for a per-row expansion; output
     rows ~ tokens/(max_tokens-overlap) per doc).
 
+    ``tokens_col`` switches the unit from whitespace words to a
+    precomputed array<string> token column (e.g. functions/bpe.py
+    `bpe_encode` output) — the subword-budgeted form production
+    chunkers use; ``text_col`` is ignored then except for the NULL
+    filter, and `chunk` joins the tokens with spaces.
+
     Output: id_col, chunk_id (0-based), n_tokens, chunk (string).
     """
     if max_tokens <= 0:
@@ -667,11 +674,17 @@ def chunk_text(
             f"overlap must be in [0, max_tokens), got {overlap}"
         )
     step = max_tokens - overlap
-    # drop the '' artifact split() yields on empty input so an empty
-    # doc reports n_tokens = 0, distinguishable from a 1-token doc
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    if tokens_col is not None:
+        toks = F.col(tokens_col)
+        df = df.where(toks.isNotNull())
+        text_col = tokens_col  # NULL filter below applies to tokens
+    else:
+        # drop the '' artifact split() yields on empty input so an
+        # empty doc reports n_tokens = 0, distinguishable from a
+        # 1-token doc
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
     n = F.size(toks)
     # window starts: 0, step, 2*step, ... covering every token; the
     # last start is the largest multiple of step < n (or 0)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions import bpe as _bpe
 from ..functions import corpus, dedup, multimodal, similarity, text
 from . import register, table
 from ._oracle_sql import (
@@ -1869,4 +1870,108 @@ def doc_source_cap_skew_safe(spark, sf_dir):
     return corpus.cap_per_key_skew_safe(
         docs.select("doc_id", "source", "n_chars"),
         ["source"], 10, "n_chars", "doc_id", lo=0, hi=1024, n_bins=64,
+    )
+
+
+# ------------------------------------------------- BPE tokenization
+
+# Fixed seeded training corpus for the BPE gate row: the synthetic
+# corpus vocabulary plus morphological variants, with LITERAL counts
+# (not data-derived, so the row never silently couples to a testdata
+# regeneration). The Spark side runs the DISTRIBUTED fit over a
+# DataFrame realizing these counts; the oracle embeds the merges the
+# pure-Python core derives from the same table at import time — if
+# the distributed fit ever diverged from the core, every encoded
+# token would hash-mismatch and the gate would catch it.
+_BPE_SEED_COUNTS: dict[str, int] = {
+    "join": 9, "hash": 9, "row": 9, "batch": 9, "scan": 8,
+    "customer": 8, "column": 8, "filter": 8, "small": 8, "slow": 7,
+    "merge": 7, "order": 7, "vector": 7, "line": 7, "data": 7,
+    "table": 7, "agg": 6, "value": 6, "key": 6, "stream": 6,
+    "window": 6, "spark": 6, "a": 6, "group": 6, "part": 6, "big": 6,
+    "sort": 5, "query": 5, "fast": 5, "the": 5, "dup": 2,
+    "joins": 3, "hashing": 3, "rows": 3, "batches": 3, "scanning": 2,
+    "filters": 2, "merges": 2, "ordering": 2, "tables": 2,
+    "streaming": 3, "windows": 2, "sorting": 2, "queries": 2,
+    "faster": 2, "grouping": 2, "parts": 2, "keys": 2, "values": 2,
+}
+_BPE_N_MERGES = 60
+_BPE_SEED_MERGES = _bpe.train_merges(_BPE_SEED_COUNTS, _BPE_N_MERGES)
+
+
+@register(
+    "doc_bpe_tokens",
+    oracle=rf"""
+    WITH RECURSIVE m(rank, pat, rep) AS (
+      VALUES {_bpe.merges_sql_values(_BPE_SEED_MERGES)}
+    ),
+    d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wpos AS (
+      SELECT doc_id, unnest(ws) AS word,
+             generate_subscripts(ws, 1) AS pos
+      FROM d
+    ),
+    words AS (SELECT DISTINCT word FROM wpos),
+    base AS (
+      SELECT word,
+             '  ' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> word[i]), '  ')
+             || '  </w>  ' AS s
+      FROM words
+    ),
+    enc AS (
+      SELECT word, s, 0 AS r FROM base
+      UNION ALL
+      SELECT e.word, replace(e.s, m.pat, m.rep), e.r + 1
+      FROM enc e JOIN m ON m.rank = e.r + 1
+    ),
+    tok AS (
+      SELECT word,
+             regexp_replace(trim(s), ' +', ' ', 'g') AS toks,
+             len(string_split(regexp_replace(trim(s), ' +', ' ', 'g'),
+                              ' ')) AS n_tok
+      FROM enc WHERE r = {len(_BPE_SEED_MERGES)}
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t.n_tok) AS BIGINT) AS n_bpe_tokens,
+           string_agg(t.toks, ' ' ORDER BY w.pos) AS tokens
+    FROM wpos w JOIN tok t ON w.word = t.word
+    GROUP BY w.doc_id
+    """,
+)
+def doc_bpe_tokens(spark, sf_dir):
+    """Subword (BPE) tokenization (functions/bpe.py) — train end to
+    end through the DISTRIBUTED fit (one word-count groupBy + bounded
+    top-M collect + the incremental merge loop), then encode every
+    document with the Arrow pandas_udf apply. The oracle re-derives
+    the SAME merges with the pure-Python core and replays the encode
+    as a recursive CTE of string `replace` steps — the double-space
+    boundary representation makes replace reproduce token-level
+    leftmost-nonoverlapping merging exactly (functions/bpe.py module
+    doc), so every token of every document is hash-exact, not just
+    counts. This is the tokenizer the token-budgeted operators
+    (pack_sequences, chunk_text) plug into for subword budgeting."""
+    seed = spark.createDataFrame(
+        [(" ".join([w] * c),) for w, c in sorted(_BPE_SEED_COUNTS.items())],
+        "text string",
+    )
+    merges = _bpe.bpe_fit(seed, "text", n_merges=_BPE_N_MERGES)
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    enc = _bpe.bpe_encode(docs, "text", merges)
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    return (
+        enc.select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_words"),
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.array_join("bpe_tokens", " ").alias("tokens"),
+        )
+        .where(F.col("n_words") > 0)
     )
