@@ -1386,3 +1386,68 @@ def substring_repetition_stats(
             / F.count(F.lit(1))
         ).alias("repeated_frac"),
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 16,
+    min_docs: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """The TRANSFORM `repeated_window_spans` implies: cut every
+    repeated ``window``-token span out of each document and re-emit
+    the cleaned text (Lee et al. 2022 — removing the repeated
+    substrings, not just flagging them, is what reduces memorization).
+    Overlapping/adjacent flagged windows merge into maximal spans; a
+    span covers tokens [pos, pos + window) for every flagged pos.
+
+    Window hashes are computed on the NORMALIZED token stream (the
+    dedup family's lower+\\s+ tokenizer, so two spans differing only
+    in case still match), but removal applies to the ORIGINAL-case
+    token stream — the two splits are position-aligned by
+    construction. Reconstruction joins surviving tokens with single
+    spaces: an unflagged document round-trips to exactly
+    ' '.join(text.split()) (whitespace-normalized, case preserved).
+
+    Shape: the two uniform-hash-key shuffles of
+    `repeated_window_spans` plus one groupBy(id) to gather each doc's
+    flagged positions; the cut itself is pure per-doc Column work
+    (index-aware filter + exists over the position list — no Python,
+    no extra shuffle). Flagged-position lists are bounded by doc
+    length, so per-doc cost is O(tokens x flagged) worst case and
+    ~O(tokens) on real corpora where flags are sparse.
+
+    Output: (id, n_tokens, n_removed, n_spans, cleaned)."""
+    w = F.lit(window)
+    flagged = repeated_window_spans(
+        df, id_col, text_col, window, min_docs, portable
+    ).select(id_col, "pos")
+    ps = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
+    )
+    orig = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), orig.alias("_ot"))
+    j = base.join(ps, id_col, "left").withColumn(
+        "_ps", F.coalesce(F.col("_ps"), F.array().cast("array<int>"))
+    )
+    pcol = F.col("_ps")
+
+    def _removed(i):
+        return F.exists(pcol, lambda p: (p <= i) & (i < p + w))
+
+    kept = F.filter(F.col("_ot"), lambda x, i: ~_removed(i))
+    # a flagged pos STARTS a maximal span iff no earlier flagged pos
+    # reaches it (q + window >= p would make the removed regions
+    # contiguous)
+    starts = F.filter(
+        pcol, lambda p: ~F.exists(pcol, lambda q: (q < p) & (q + w >= p))
+    )
+    return j.select(
+        id_col,
+        F.size("_ot").cast("long").alias("n_tokens"),
+        (F.size("_ot") - F.size(kept)).cast("long").alias("n_removed"),
+        F.size(starts).cast("long").alias("n_spans"),
+        F.array_join(kept, " ").alias("cleaned"),
+    )

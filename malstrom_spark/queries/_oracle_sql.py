@@ -563,3 +563,63 @@ def repeated_windows_oracle(window: int = 8, min_docs: int = 2) -> str:
     FROM wh w LEFT JOIN rep r ON w.whash = r.whash
     GROUP BY w.doc_id
     """
+
+
+def remove_repeated_spans_oracle(window: int = 8, min_docs: int = 2) -> str:
+    """Twin of `dedup.remove_repeated_spans`: flagged positional
+    window hashes -> per-doc interval union -> token cut over the
+    ORIGINAL-case split, single-space rejoin."""
+    cells = ", ".join(f"t[i+{j}]" for j in range(window))
+    wh = _h60(f"concat_ws(chr(31), {cells})")
+    return f"""
+    WITH toks AS MATERIALIZED ({_TOKS}),
+    wseq AS MATERIALIZED (
+      SELECT doc_id, list_transform(
+        range(1, greatest(len(t) - {window}, 0) + 2),
+        i -> {wh}) AS ws
+      FROM toks
+    ),
+    wh AS MATERIALIZED (
+      SELECT doc_id, unnest(ws) AS whash,
+             generate_subscripts(ws, 1) - 1 AS pos
+      FROM wseq
+    ),
+    rep AS MATERIALIZED (
+      SELECT whash FROM wh GROUP BY whash
+      HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ),
+    fl AS (
+      SELECT w.doc_id, list_sort(list(w.pos)) AS ps
+      FROM wh w JOIN rep r ON w.whash = r.whash
+      GROUP BY w.doc_id
+    ),
+    base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ot
+      FROM documents
+    ),
+    j AS (
+      SELECT b.doc_id, b.ot,
+             coalesce(f.ps, CAST([] AS BIGINT[])) AS ps
+      FROM base b LEFT JOIN fl f ON b.doc_id = f.doc_id
+    ),
+    cut AS (
+      SELECT doc_id, ot, ps,
+             list_filter(ot, (x, i) ->
+               len(list_filter(ps, p ->
+                 p <= i - 1 AND i - 1 < p + {window})) = 0) AS kept,
+             list_filter(ps, p ->
+               len(list_filter(ps, q ->
+                 q < p AND q + {window} >= p)) = 0) AS starts
+      FROM j
+    )
+    SELECT doc_id,
+           CAST(len(ot) AS BIGINT) AS n_tokens,
+           CAST(len(ot) - len(kept) AS BIGINT) AS n_removed,
+           CAST(len(starts) AS BIGINT) AS n_spans,
+           -- DuckDB array_to_string([]) is NULL; Spark array_join([])
+           -- is '' — align on '' for a fully-cut doc, NULL only for
+           -- NULL input text
+           CASE WHEN kept IS NOT NULL
+                THEN coalesce(array_to_string(kept, ' '), '') END AS cleaned
+    FROM cut
+    """

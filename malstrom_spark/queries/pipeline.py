@@ -27,6 +27,7 @@ from ._oracle_sql import (
     fingerprint_sketch_oracle,
     incremental_minhash_oracle,
     minhash_lsh_oracle,
+    remove_repeated_spans_oracle,
     repeated_windows_oracle,
     simhash_oracle,
     training_pipeline_oracle,
@@ -1974,4 +1975,21 @@ def doc_bpe_tokens(spark, sf_dir):
             F.array_join("bpe_tokens", " ").alias("tokens"),
         )
         .where(F.col("n_words") > 0)
+    )
+
+
+@register(
+    "doc_repeated_span_removal", oracle=remove_repeated_spans_oracle()
+)
+def doc_repeated_span_removal(spark, sf_dir):
+    """Repeated-span REMOVAL (functions/dedup.py remove_repeated_spans,
+    round 8): the transform `doc_repeated_windows` only flagged —
+    overlapping repeated 8-token windows merge into maximal spans and
+    are cut out of the original-case token stream, cleaned text
+    re-emitted. Portable md5 window hashes; the oracle replays the
+    interval union and the cut with index lambdas, so every surviving
+    token of every document is hash-exact."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.remove_repeated_spans(
+        docs, "doc_id", window=8, min_docs=2, portable=True
     )

@@ -506,3 +506,65 @@ def test_substring_repetition_stats_fractions(spark):
     assert got[1] == (3, 1, 0.3333)
     assert got[2] == (4, 1, 0.25)
     assert got[3] == (3, 0, 0.0)
+
+
+def test_remove_repeated_spans_cuts_boilerplate(spark):
+    """Docs sharing one boilerplate paragraph lose exactly that span
+    (overlapping flagged windows merged into one maximal span);
+    unflagged docs round-trip whitespace-normalized and
+    case-preserved."""
+    from malstrom_spark.functions.dedup import remove_repeated_spans
+
+    boiler = "Subscribe TO our newsletter for daily updates and offers today"
+    docs = [
+        (1, "alpha beta gamma " + boiler + " delta epsilon"),
+        (2, "one two three four " + boiler.lower() + " five six"),
+        (3, "totally unique  text\nwith No repeats at all whatsoever here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(df, "doc_id", window=5, min_docs=2).collect()
+    }
+    # the 10-token boilerplate (differing in CASE between docs — the
+    # hash tokenizer lowercases) is cut from both docs as ONE span
+    assert (out[1].n_removed, out[1].n_spans) == (10, 1)
+    assert out[1].cleaned == "alpha beta gamma delta epsilon"
+    assert (out[2].n_removed, out[2].n_spans) == (10, 1)
+    assert out[2].cleaned == "one two three four five six"
+    # unflagged doc: zero spans, original CASE kept, whitespace
+    # normalized to the single-space form
+    assert (out[3].n_removed, out[3].n_spans) == (0, 0)
+    assert out[3].cleaned == " ".join(docs[2][1].split())
+
+
+def test_remove_repeated_spans_merges_disjoint_and_overlapping(spark):
+    from malstrom_spark.functions.dedup import remove_repeated_spans
+
+    rep1 = "r1a r1b r1c r1d"
+    rep2 = "r2a r2b r2c r2d"
+    docs = [
+        (1, rep1 + " mid1 mid2 mid3 mid4 mid5 " + rep2),
+        (2, rep1 + " x1 x2 x3 x4 x5 " + rep2),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(df, "doc_id", window=4, min_docs=2).collect()
+    }
+    # two separated repeated regions -> two maximal spans each
+    assert out[1].n_spans == 2
+    assert out[1].cleaned == "mid1 mid2 mid3 mid4 mid5"
+    assert out[2].cleaned == "x1 x2 x3 x4 x5"
+
+
+def test_remove_repeated_spans_fully_duplicated_doc(spark):
+    from malstrom_spark.functions.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id int, text string"
+    )
+    out = remove_repeated_spans(df, "doc_id", window=4, min_docs=2).collect()
+    for r in out:
+        assert r.n_removed == r.n_tokens == 6
+        assert r.cleaned == ""
