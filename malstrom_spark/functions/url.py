@@ -10,12 +10,14 @@ oracle-checkable bit-for-bit. All are zero-shuffle projections.
 
 Scope, stated: absolute http(s)-style URLs. Userinfo (`user@host`)
 is stripped; IPv6 bracket hosts and other malformed authorities
-normalize to NULL (their colons fail the full-authority check);
-`registrable_domain` uses an embedded subset of two-level public
-suffixes (the high-traffic ccTLD second-levels) rather than the full
-Mozilla PSL — at 100 TB ship the PSL as a broadcast table and map
-through it instead; the column form here keeps the hot path
-list-free and is right for corpus telemetry and per-domain capping.
+normalize to NULL (their colons fail the full-authority check).
+Two eTLD+1 forms: `registrable_domain` (list-free column heuristic —
+two-level-suffix subset, fine for telemetry) and
+`registrable_domain_psl` (round 8: FULL Public Suffix List
+semantics — exact/wildcard/exception rules, longest match, implicit
+`*` default — as zero-shuffle literal-map lookups; `parse_psl` loads
+the real publicsuffix.org file, a curated real-entry slice ships as
+the default). Per-domain capping should key on the PSL form.
 """
 
 from __future__ import annotations
@@ -133,3 +135,177 @@ def registrable_domain(host: Column) -> Column:
         # a bare two-level suffix (n == 2) falls through to last2 too
         .otherwise(last2)
     )
+
+
+# ------------------------------------------------- full-PSL eTLD+1
+
+#: Curated slice of the Mozilla Public Suffix List (publicsuffix.org,
+#: MPL-2.0 data), in the list's own rule syntax: plain rules,
+#: wildcard rules (`*.`) and exception rules (`!`). This default
+#: keeps the module dependency-free; pass the real file's text to
+#: `parse_psl` to run with the complete list (~9k rules — still
+#: comfortably inside literal-plan limits, see registrable_domain_psl).
+DEFAULT_PSL_RULES = [
+    # generic second-levels
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
+    "sch.uk", "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "go.jp", "ac.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "gov.in",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "re.kr",
+    "co.za", "net.za", "org.za", "gov.za",
+    "com.tr", "net.tr", "org.tr", "gen.tr", "gov.tr", "edu.tr",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    "com.sg", "edu.sg", "gov.sg",
+    "com.hk", "edu.hk", "gov.hk", "org.hk",
+    "com.tw", "org.tw", "gov.tw",
+    "co.il", "org.il", "ac.il", "gov.il",
+    "com.ar", "com.co", "com.pe", "com.ve", "com.eg",
+    "co.th", "ac.th", "in.th", "go.th",
+    "com.my", "com.ph", "com.vn", "com.ng", "co.ke", "co.tz",
+    "co.id", "web.id", "ac.id",
+    # wildcard + exception rules (the PSL semantics the two-level
+    # subset could not express)
+    "*.ck", "!www.ck",
+    "*.kawasaki.jp", "!city.kawasaki.jp",
+    "*.kitakyushu.jp", "!city.kitakyushu.jp",
+    # private-section entries production cappers usually want
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+]
+
+
+def parse_psl(text: str) -> list[str]:
+    """Parse the Public Suffix List file format (one rule per line,
+    `//` comments, blank lines, optional leading/trailing space) into
+    the rule-string list `registrable_domain_psl` takes. Feed it the
+    verbatim https://publicsuffix.org/list/public_suffix_list.dat."""
+    rules = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rules.append(line.lower())
+    return rules
+
+
+def _compile_psl(rules: list[str]):
+    """rules -> (exact: {suffix: n_labels}, wild: {base: n_labels},
+    exc: {suffix: n_labels}) lookup dicts."""
+    exact: dict[str, int] = {}
+    wild: dict[str, int] = {}
+    exc: dict[str, int] = {}
+    for r in rules:
+        r = r.lower()
+        if r.startswith("!"):
+            s = r[1:]
+            exc[s] = s.count(".") + 1
+        elif r.startswith("*."):
+            s = r[2:]
+            if not s:
+                raise ValueError("bare '*' wildcard rule is the implicit default")
+            wild[s] = s.count(".") + 1
+        else:
+            exact[r] = r.count(".") + 1
+    return exact, wild, exc
+
+
+def _lit_map(d: dict[str, int]) -> Column | None:
+    if not d:
+        return None
+    args: list[Column] = []
+    for k in sorted(d):
+        args.append(F.lit(k))
+        args.append(F.lit(d[k]))
+    return F.create_map(*args)
+
+
+def public_suffix_len(host: Column, rules: list[str] | None = None) -> Column:
+    """Number of labels in the host's public suffix under the full
+    PSL algorithm (publicsuffix.org/list/): the prevailing rule is
+    the matching EXCEPTION rule if any (its suffix is the rule minus
+    its leading label), else the LONGEST matching rule, where a
+    wildcard `*.base` matches base plus exactly one more label; no
+    match -> the implicit `*` rule (last label). Lookups are literal
+    maps over the last-k-label candidate strings — zero shuffle, zero
+    Python, fuses into the scan; the complete PSL is ~9k rules ≈ 18k
+    literal nodes, well under the 64k literal-plan discipline
+    (functions/similarity.py IVF_LITERAL_MAX_NODES)."""
+    exact, wild, exc = _compile_psl(rules or DEFAULT_PSL_RULES)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    max_k = max(
+        [1]
+        + [v for v in exact.values()]
+        + [v for v in exc.values()]
+        + [v + 1 for v in wild.values()]
+    )
+    m_exact, m_wild, m_exc = _lit_map(exact), _lit_map(wild), _lit_map(exc)
+
+    def last_k(k: int) -> Column:
+        return F.array_join(F.slice(parts, -k, k), ".")
+
+    # F.slice with negative start needs n >= k; guard with n
+    ps = F.lit(1)
+    for k in range(1, max_k + 1):
+        cand = last_k(k)
+        ok = n >= k
+        if m_exact is not None:
+            ps = F.when(ok & m_exact[cand].isNotNull(), F.greatest(ps, F.lit(k))).otherwise(ps)
+        # wildcard base matched by the last k labels extends the
+        # suffix one label further (requires that label to exist)
+        if m_wild is not None:
+            ps = F.when(
+                (n >= k + 1) & m_wild[last_k(k)].isNotNull(),
+                F.greatest(ps, F.lit(k + 1)),
+            ).otherwise(ps)
+    if m_exc is not None:
+        # exception rules PREVAIL: public suffix = rule minus its
+        # leading label
+        for k in range(1, max_k + 1):
+            ps = F.when(
+                (n >= k) & m_exc[last_k(k)].isNotNull(), F.lit(k - 1)
+            ).otherwise(ps)
+    return ps
+
+
+def registrable_domain_psl(
+    host: Column, rules: list[str] | None = None
+) -> Column:
+    """eTLD+1 under full PSL semantics (wildcards, exceptions,
+    longest-match, implicit `*` default): the public suffix plus one
+    preceding label. NULL when the host IS a public suffix (nothing
+    is registrable there — per-domain caps must not group on it) or
+    empty. The column-only `registrable_domain` stays as the
+    list-free fallback for corpus telemetry; THIS is the form
+    per-domain capping should key on. Zero-shuffle projection."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    ps = public_suffix_len(host, rules)
+    k = ps + F.lit(1)
+    return F.when(
+        (host != "") & (n > ps),
+        F.array_join(F.slice(parts, -k, k), "."),
+    )
+
+
+def psl_rules_sql(rules: list[str] | None = None) -> str:
+    """Render the compiled rule table as DuckDB VALUES rows
+    `(kind, suffix, nl)` with kind e=exact, w=wildcard base,
+    x=exception — the oracle-side twin of the literal maps in
+    `public_suffix_len` (queries re-derive eTLD+1 in SQL from the
+    SAME rules)."""
+    exact, wild, exc = _compile_psl(rules or DEFAULT_PSL_RULES)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = (
+        [f"('e', {q(s)}, {n})" for s, n in sorted(exact.items())]
+        + [f"('w', {q(s)}, {n})" for s, n in sorted(wild.items())]
+        + [f"('x', {q(s)}, {n})" for s, n in sorted(exc.items())]
+    )
+    return ", ".join(rows)

@@ -1993,3 +1993,104 @@ def doc_repeated_span_removal(spark, sf_dir):
     return dedup.remove_repeated_spans(
         docs, "doc_id", window=8, min_docs=2, portable=True
     )
+
+
+# ------------------------------------------------- PSL eTLD+1
+from ..functions.url import psl_rules_sql as _psl_rules_sql  # noqa: E402
+
+
+@register(
+    "doc_url_psl",
+    oracle=rf"""
+    WITH rules(kind, suffix, nl) AS (VALUES {_psl_rules_sql()}),
+    u AS (
+      SELECT doc_id,
+             CASE doc_id % 10
+               WHEN 0 THEN concat('www.', source, '.co.uk')
+               WHEN 1 THEN concat(source, '.example.com.tr')
+               WHEN 2 THEN concat('deep.sub.', source, '.com')
+               WHEN 3 THEN 'foo.ck'
+               WHEN 4 THEN concat('bar.', source, '.ck')
+               WHEN 5 THEN 'www.ck'
+               WHEN 6 THEN 'a.city.kawasaki.jp'
+               WHEN 7 THEN 'x.y.kawasaki.jp'
+               WHEN 8 THEN concat(source, '.github.io')
+               ELSE 'localhost'
+             END AS host
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, host, string_split(host, '.') AS parts,
+             len(string_split(host, '.')) AS n
+      FROM u
+    ),
+    cand AS (
+      SELECT p.doc_id, p.n, t.k,
+             array_to_string(list_slice(parts, n - t.k + 1, n), '.') AS c
+      FROM p, range(1, 5) t(k) WHERE t.k <= p.n
+    ),
+    sel AS (
+      SELECT c.doc_id,
+             max(CASE WHEN r.kind = 'x' THEN r.nl - 1 END) AS exc_ps,
+             max(CASE WHEN r.kind = 'e' THEN r.nl END) AS ex_ps,
+             max(CASE WHEN r.kind = 'w' AND c.n >= r.nl + 1
+                      THEN r.nl + 1 END) AS w_ps
+      FROM cand c JOIN rules r ON c.c = r.suffix
+      GROUP BY c.doc_id
+    ),
+    fin AS (
+      SELECT p.doc_id, p.host, p.n, p.parts,
+             coalesce(s.exc_ps,
+                      greatest(coalesce(s.ex_ps, 1),
+                               coalesce(s.w_ps, 1), 1)) AS ps
+      FROM p LEFT JOIN sel s ON p.doc_id = s.doc_id
+    )
+    SELECT doc_id, host,
+           array_to_string(list_slice(parts, n - ps + 1, n), '.')
+             AS public_suffix,
+           CASE WHEN host <> '' AND n > ps
+                THEN array_to_string(list_slice(parts, n - ps, n), '.')
+           END AS domain
+    FROM fin
+    """,
+)
+def doc_url_psl(spark, sf_dir):
+    """Full Public-Suffix-List eTLD+1 (functions/url.py
+    registrable_domain_psl, round 8) over SEEDED hosts covering every
+    rule class: exact multi-level suffixes (co.uk, com.tr), the
+    implicit `*` default, wildcard rules (*.ck, *.kawasaki.jp),
+    exception rules (!www.ck, !city.kawasaki.jp), private-section
+    entries (github.io), and unregistrable hosts (a bare public
+    suffix / localhost -> NULL domain). Spark side = zero-shuffle
+    literal-map lookups; oracle re-derives the prevailing rule in SQL
+    (candidate last-k suffix join + exception-wins/longest-match)
+    from the SAME rendered rule table — hash-exact, including the
+    NULLs."""
+    from ..functions import url as U
+
+    d = F.col("doc_id")
+    docs = table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        (
+            F.when(d % 10 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".co.uk")))
+            .when(d % 10 == 1, F.concat(F.col("source"), F.lit(".example.com.tr")))
+            .when(d % 10 == 2, F.concat(F.lit("deep.sub."), F.col("source"), F.lit(".com")))
+            .when(d % 10 == 3, F.lit("foo.ck"))
+            .when(d % 10 == 4, F.concat(F.lit("bar."), F.col("source"), F.lit(".ck")))
+            .when(d % 10 == 5, F.lit("www.ck"))
+            .when(d % 10 == 6, F.lit("a.city.kawasaki.jp"))
+            .when(d % 10 == 7, F.lit("x.y.kawasaki.jp"))
+            .when(d % 10 == 8, F.concat(F.col("source"), F.lit(".github.io")))
+            .otherwise(F.lit("localhost"))
+        ).alias("host"),
+    )
+    h = F.col("host")
+    parts = F.split(h, r"\.")
+    ps = U.public_suffix_len(h)
+    return u.select(
+        "doc_id",
+        "host",
+        F.array_join(F.slice(parts, -ps, ps), ".").alias("public_suffix"),
+        U.registrable_domain_psl(h).alias("domain"),
+    )

@@ -96,3 +96,69 @@ def test_malformed_authority_normalizes_to_null(spark):
     assert _one(spark, "http://h:81", U.url_port) == 81
     assert _one(spark, "http://h:81?q=1", U.url_port) == 81
     assert _one(spark, "http://h:81#f", U.url_port) == 81
+
+
+def test_registrable_domain_psl_full_semantics(spark):
+    """Full PSL algorithm: exact multi-level rules, wildcard,
+    exception, private-section entries, implicit * default, and
+    NULL for unregistrable hosts."""
+    cases = {
+        "www.example.co.uk": "example.co.uk",
+        "a.b.news.com.tr": "news.com.tr",
+        "shop.example.co.nz": "example.co.nz",
+        "deep.sub.example.com": "example.com",
+        "example.com": "example.com",
+        "co.uk": None,          # a public suffix is not registrable
+        "com": None,
+        "localhost": None,      # implicit * rule
+        "foo.ck": None,         # *.ck makes foo.ck a public suffix
+        "bar.foo.ck": "bar.foo.ck",
+        "www.ck": "www.ck",     # !www.ck exception
+        "sub.www.ck": "www.ck",
+        "x.y.kawasaki.jp": "x.y.kawasaki.jp",   # 3-level wildcard
+        "city.kawasaki.jp": "city.kawasaki.jp",  # 3-level exception
+        "a.city.kawasaki.jp": "city.kawasaki.jp",
+        "user.github.io": "user.github.io",      # private section
+        "github.io": None,
+        "x.b.blogspot.com": "b.blogspot.com",
+        "": None,
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", U.registrable_domain_psl(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_parse_psl_file_format(spark):
+    text = """
+// ===BEGIN ICANN DOMAINS===
+com
+  co.uk
+*.ck
+!www.ck
+
+// comment
+"""
+    rules = U.parse_psl(text)
+    assert rules == ["com", "co.uk", "*.ck", "!www.ck"]
+    df = spark.createDataFrame([("a.b.co.uk",), ("x.ck",)], "host string")
+    got = [
+        r.d
+        for r in df.select(
+            U.registrable_domain_psl(F.col("host"), rules).alias("d")
+        ).collect()
+    ]
+    assert got == ["b.co.uk", None]
+
+
+def test_psl_lookup_is_shuffle_free(spark):
+    df = spark.createDataFrame([("a.co.uk",)] * 3, "host string")
+    plan = (
+        df.select(U.registrable_domain_psl(F.col("host")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
