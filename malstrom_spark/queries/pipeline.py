@@ -2094,3 +2094,144 @@ def doc_url_psl(spark, sf_dir):
         F.array_join(F.slice(parts, -ps, ps), ".").alias("public_suffix"),
         U.registrable_domain_psl(h).alias("domain"),
     )
+
+
+# ------------------------------------------------- trained language ID
+from ..functions import langid as _langid  # noqa: E402
+
+_LANGID_SENTENCES: dict[str, list[str]] = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog and runs to the river",
+        "data tables and queries make the engine fast and simple to use",
+        "this is a plain english sentence about streams windows and joins",
+        "we count tokens and words to measure the quality of each document",
+    ],
+    "es": [
+        "el rapido zorro marron salta sobre el perro perezoso y corre hacia el rio",
+        "las tablas de datos y las consultas hacen que el motor sea rapido y simple",
+        "esta es una frase sencilla en espanol sobre flujos ventanas y uniones",
+        "contamos palabras y simbolos para medir la calidad de cada documento",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt uber den faulen hund und lauft zum fluss",
+        "datentabellen und abfragen machen die engine schnell und einfach zu bedienen",
+        "dies ist ein einfacher deutscher satz uber strome fenster und verknupfungen",
+        "wir zahlen worter und zeichen um die qualitat jedes dokuments zu messen",
+    ],
+    "fr": [
+        "le rapide renard brun saute par dessus le chien paresseux et court vers la riviere",
+        "les tables de donnees et les requetes rendent le moteur rapide et simple",
+        "ceci est une phrase simple en francais sur les flux fenetres et jointures",
+        "nous comptons les mots et les signes pour mesurer la qualite de chaque document",
+    ],
+}
+_LANGID_TOP_GRAMS = 128
+_LANGID_MODEL = _langid.fit_ngram_lang_id_local(
+    _LANGID_SENTENCES, n=2, top_grams=_LANGID_TOP_GRAMS
+)
+# 16 deterministic (lang_true, text) test docs: two consecutive
+# sentences of one language, cycled by doc_id % 16 on BOTH engines
+_LANGID_CASES = [
+    (
+        lang,
+        _LANGID_SENTENCES[lang][i] + " " + _LANGID_SENTENCES[lang][(i + 1) % 4],
+    )
+    for i in range(4)
+    for lang in sorted(_LANGID_SENTENCES)
+]
+
+
+def _langid_case_sql(col_expr: str, which: int) -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    arms = "".join(
+        f" WHEN {k} THEN {q(c[which])}" for k, c in enumerate(_LANGID_CASES)
+    )
+    return f"CASE {col_expr} % 16{arms} END"
+
+
+@register(
+    "doc_lang_id_trained",
+    oracle=rf"""
+    WITH w(lang, gram, wt) AS (
+      VALUES {_langid.lang_id_sql_values(_LANGID_MODEL)}
+    ),
+    consts(lang, ord, oov, prior) AS (
+      VALUES {_langid.lang_id_sql_consts(_LANGID_MODEL)}
+    ),
+    u AS (
+      SELECT doc_id,
+             {_langid_case_sql("doc_id", 0)} AS lang_true,
+             {_langid_case_sql("doc_id", 1)} AS txt
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, lang_true,
+             trim(regexp_replace(lower(txt), '\s+', ' ', 'g')) AS s
+      FROM u
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(length(s) - 1, 0) + 1),
+               i -> substr(s, i, 2))) AS gram
+      FROM norm
+    ),
+    gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+    sc AS (
+      SELECT gc.doc_id, c.lang, c.ord,
+             c.prior + sum(gc.cnt * coalesce(w.wt, c.oov)) AS score
+      FROM gc CROSS JOIN consts c
+      LEFT JOIN w ON w.lang = c.lang AND w.gram = gc.gram
+      GROUP BY gc.doc_id, c.lang, c.ord, c.prior
+    ),
+    pick AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, ord ASC) AS rk
+      FROM sc
+    )
+    SELECT n.doc_id, n.lang_true,
+           CASE WHEN length(n.s) < 2 THEN 'und' ELSE p.lang END AS lang_pred,
+           (n.lang_true = CASE WHEN length(n.s) < 2 THEN 'und'
+                               ELSE p.lang END) AS correct
+    FROM norm n JOIN pick p ON n.doc_id = p.doc_id AND p.rk = 1
+    """,
+)
+def doc_lang_id_trained(spark, sf_dir):
+    """TRAINED char-bigram language identifier (functions/langid.py,
+    round 8) replacing guesswork with a model: naive-Bayes weights
+    quantized to integers at fit time, so scoring is pure int64
+    Column folds — bit-identical across engines. The query runs the
+    DISTRIBUTED fit (one (lang, gram) count shuffle + per-language
+    top-grams cap + bounded collect) over the seeded multilingual
+    corpus and classifies 16 deterministic two-sentence test docs
+    cycled over the documents table; the oracle re-derives the SAME
+    integer model via the pure-Python twin and replays the scoring as
+    a gram-count join + argmax — hash-exact. Agreement vs the
+    stopword heuristic is booked in BASELINE.md round-8."""
+    rows = [
+        (lang, s)
+        for lang, sents in sorted(_LANGID_SENTENCES.items())
+        for s in sents
+    ]
+    seed = spark.createDataFrame(rows, "lang string, text string")
+    model = _langid.fit_ngram_lang_id(
+        seed, "text", "lang", n=2, top_grams=_LANGID_TOP_GRAMS
+    )
+    d = F.col("doc_id")
+    lang_true = F.lit(None).cast("string")
+    txt = F.lit(None).cast("string")
+    for k, (lang, t) in enumerate(_LANGID_CASES):
+        lang_true = F.when(d % 16 == k, F.lit(lang)).otherwise(lang_true)
+        txt = F.when(d % 16 == k, F.lit(t)).otherwise(txt)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", lang_true.alias("lang_true"), txt.alias("txt")
+    )
+    pred = _langid.lang_id(F.col("txt"), model)
+    return docs.select(
+        "doc_id",
+        "lang_true",
+        pred.alias("lang_pred"),
+        (F.col("lang_true") == pred).alias("correct"),
+    )
