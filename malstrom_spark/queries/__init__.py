@@ -59,17 +59,29 @@ _PRIORITY = [
                                     # sliding_event_counts moved into the
                                     # omnibus rows, so they stay gate-visible)
     # --- LLM-data-pipeline operators (north-star, first-class) ---
-    "doc_text_stats",
-    "doc_lang_guess",
-    "doc_quality_classifier",  # r7: trained linear quality filter (the
-                               # heuristic doc_quality_scores folded
-                               # into pipeline_omnibus)
+    # (r8 rotation: doc_text_stats, doc_lang_guess, doc_pii_scrub,
+    # doc_fingerprint_sketch, corpus_top_trigrams, doc_repeated_windows,
+    # dedup_embedding_cosine + the relational customer_order_gaps and
+    # events_value_by_type_salted folded into the omnibus rows — still
+    # gate-hashed there and individually oracle-checked via
+    # full_registry)
+    "doc_quality_classifier",  # r7: trained linear quality filter
+    "doc_lang_id_trained",     # r8: trained char-bigram language ID
+                               # (integer-exact NB; supersedes the
+                               # doc_lang_guess heuristic in the gate)
+    "doc_bpe_tokens",          # r8: distributed BPE fit + Arrow encode,
+                               # recursive-CTE oracle, every token
+                               # hash-exact
     "corpus_heavy_tokens",     # r7: Misra-Gries + exact-recount heavy
-                               # hitters (doc_word_tokens folded into
-                               # pipeline_omnibus)
-    "doc_pii_scrub",
-    "doc_fingerprint_sketch",
-    "corpus_top_trigrams",
+                               # hitters
+    "doc_url_stats",           # r7 batch-3: URL kit (normalize, host,
+                               # eTLD+1 subset, path depth)
+    "doc_url_psl",             # r8: FULL Public-Suffix-List eTLD+1
+                               # (wildcards/exceptions, literal-map)
+    "doc_text_chunks",         # r7 batch-3: context-window chunking
+    "doc_unicode_normalize",   # r7 batch-3: NFC hygiene
+    "doc_source_cap_skew_safe",  # r7 batch-3: histogram-threshold cap
+    "streaming_heavy_tokens",  # r7 batch-3: state-store MG shards
     "training_data_pipeline",   # flagship composition (supersedes
                                 # clean_corpus_pipeline, which stays
                                 # oracle-checked via full_registry)
@@ -80,11 +92,12 @@ _PRIORITY = [
     "dedup_clusters",           # cluster-output near-dup (100 TB default;
                                 # dedup_groups_probe folded into
                                 # pipeline_omnibus — same CC capability)
-    "dedup_embedding_cosine",  # (r7 rotation: the brute-force kernel
-                               # embedding_near_dup_cosine folded into
-                               # pipeline_omnibus)
     "dedup_incremental",       # r7: daily batch vs persisted history store
-    "doc_repeated_windows",    # r7: exact-substring (token-window) stats
+    "doc_repeated_span_removal",  # r8: the Lee et al. TRANSFORM —
+                                  # repeated spans cut, cleaned text
+                                  # re-emitted (subsumes the
+                                  # doc_repeated_windows stats row,
+                                  # now omnibus-folded)
     "similarity_topk_cosine",
     "similarity_ann_lsh",
     "similarity_ann_pq",       # r7: product-quantization ADC (IVF
@@ -96,11 +109,11 @@ _PRIORITY = [
                                 # relational_omnibus_b)
     "event_sessions",
     "events_asof_latest_order",
-    "events_value_by_type_salted",
     "events_running_totals",   # (r7 rotation: user_event_type_matrix
                                # folded into relational_omnibus_b; pivot
                                # + its inverse unpivot both gate-hashed
-                               # there)
+                               # there; r8: the salted-agg row folded
+                               # there too)
     "pipeline_omnibus",         # doc-pipeline tail, hash-verified in one
                                 # row (inspect passthrough folded into
                                 # omnibus_b to free this slot)
@@ -111,8 +124,9 @@ _PRIORITY = [
     "q4_order_priority",        # EXISTS subquery
     "customers_without_orders", # anti join
     "high_value_active_custkeys",  # semi join
-    "top3_orders_per_customer", # rank() window
-    "customer_order_gaps",      # lag() window
+    "top3_orders_per_customer", # rank() window (lag(): the
+                                # customer_order_gaps row is
+                                # omnibus-folded since r8)
     "rollup_order_counts",      # ROLLUP
     "cube_status_priority",     # CUBE
     "customer_cohort_set_ops",  # INTERSECT/EXCEPT

@@ -108,6 +108,14 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     # slot for the incremental-dedup row
     ("user_event_type_matrix",
      ["user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error"], []),
+    # round-8 gate rotation: salted skew agg folded (skew-safety stays
+    # priority-visible through doc_source_cap_skew_safe rotating in)
+    # and the lag-window gaps row folded (window functions stay
+    # priority-visible through top3_orders_per_customer's rank())
+    ("events_value_by_type_salted", ["event_type", "n"], ["total_value", "mx"]),
+    ("customer_order_gaps",
+     ["o_custkey", "o_orderkey", "days_since_prev", "days_until_next",
+      "date_rank"], []),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that
@@ -157,6 +165,29 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
     # priority-visible through similarity_ann_lsh + similarity_ann_pq,
     # and IVF remains individually oracle-checked via full_registry
     ("similarity_ann_ivf", ["q_id", "c_id", "rank"], ["sim"]),
+    # round-8 gate rotation: seven long-stable rows folded so the r7
+    # batch-3 operators (URL kit, chunking, unicode, streaming heavy
+    # hitters, skew-safe cap) and the four new r8 operators (BPE,
+    # span removal, PSL eTLD+1, trained lang-ID) get priority slots.
+    # Capability stays gate-visible: lang ID through the TRAINED
+    # doc_lang_id_trained row (doc_lang_guess is its heuristic
+    # predecessor), fingerprinting through the dedup family, n-gram
+    # stats through corpus_heavy_tokens, text stats through the
+    # quality classifier + doc_quality_scores (already here), PII and
+    # sketch rows through this omnibus hash, vector near-dup through
+    # embedding_dedup_clusters (already here) + similarity_* rows,
+    # repeated-window stats through doc_repeated_span_removal (the
+    # transform subsumes the stats).
+    ("doc_lang_guess", ["doc_id", "lang", "lang_guess"], []),
+    ("doc_fingerprint_sketch", ["doc_id", "sketch_value", "sketch_size"], []),
+    ("corpus_top_trigrams", ["gram", "doc_freq"], []),
+    ("doc_text_stats",
+     ["doc_id", "token_count", "char_count", "digit_count", "fingerprint"],
+     ["alpha_ratio"]),
+    ("doc_pii_scrub", ["doc_id", "n_emails", "n_phones", "scrubbed"], []),
+    ("dedup_embedding_cosine", ["id_a", "id_b"], ["sim"]),
+    ("doc_repeated_windows",
+     ["doc_id", "n_windows", "n_repeated_windows"], ["repeated_frac"]),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]
