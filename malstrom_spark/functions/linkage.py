@@ -1,0 +1,143 @@
+"""Fuzzy record linkage — find all pairs of records whose key strings
+are within a bounded edit distance, without ever forming the
+quadratic cross product. The blocker is the symmetric-delete
+(SymSpell / FastSS) neighborhood: two strings s, t with
+levenshtein(s, t) <= d ALWAYS share at least one member of their
+<=d-character-deletion neighborhoods, so an equi-join on deletion
+variants is a COMPLETE candidate generator — the final
+`levenshtein() <= d` verify makes the output exactly the set a naive
+cross join would produce, which is why the registry oracle IS the
+naive cross join (the blocker is invisible in the answer, like the
+histogram in cap_per_key_skew_safe and the sketch in heavy_hitters).
+
+The reference engine has no linkage operator; this fills the entity-
+resolution step of a training-data pipeline (merging near-identical
+author/source/site records before per-entity caps and dedup) with
+the same bucketed-candidates-then-verify architecture as the MinHash
+family (functions/dedup.py).
+
+Physical shape (100 TB):
+- variant generation is pure Column work (nested `transform` +
+  `flatten` over substrings — zero Python, fuses into the scan);
+  a string of length L yields 1 + L + L(L-1)/2 variants at d=2,
+  so the exploded relation is ~L²/2 rows per record — linear in
+  the corpus, never quadratic;
+- candidates come from ONE equi-join shuffle keyed on the variant;
+  bucket sizes are bounded by how many records share a deletion
+  variant (AQE skew-join splits oversized buckets);
+- verify runs once per DISTINCT candidate pair, after a distinct
+  that collapses the (common) multi-variant duplicates.
+
+`prefix_len` truncates strings before variant generation (the
+SymSpell prefix optimization): variant counts stop growing with
+string length, at the cost of completeness beyond the prefix — only
+pairs that already agree on everything after the prefix are then
+guaranteed. Leave it None (default) for the exact contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _one_deletion(v: Column) -> Column:
+    """Array of every string formed by deleting exactly one character
+    of v (empty array for the empty string)."""
+    n = F.length(v)
+    gen = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.substring(v, F.lit(1), i - 1),
+            F.substring(v, i + 1, F.length(v)),
+        ),
+    )
+    return F.when(n >= 1, gen).otherwise(F.array().cast("array<string>"))
+
+
+def deletion_neighborhood(col: Column, max_distance: int = 2) -> Column:
+    """All distinct strings reachable from `col` by deleting at most
+    `max_distance` characters (including col itself). Pure Column
+    expression — no UDF, no shuffle."""
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    level = F.array(col)
+    out = level
+    for _ in range(max_distance):
+        level = F.array_distinct(F.flatten(F.transform(level, _one_deletion)))
+        out = F.array_union(out, level)
+    return out
+
+
+def _variants(df: DataFrame, id_col: str, s_col: str, d: int,
+              prefix_len: int | None, lowercase: bool) -> DataFrame:
+    s = F.col(s_col)
+    if lowercase:
+        s = F.lower(s)
+    key_src = F.substring(s, 1, prefix_len) if prefix_len else s
+    return df.where(F.col(s_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        s.alias("__s"),
+        F.explode(deletion_neighborhood(key_src, d)).alias("__v"),
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_distance: int = 2,
+    prefix_len: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """All unordered pairs (id_l < id_r) of rows whose `s_col` values
+    are within `max_distance` edits. Output: id_l, id_r, s_l, s_r,
+    dist (BIGINT). Exact (equals the cross-join answer) when
+    prefix_len is None."""
+    v = _variants(df, id_col, s_col, max_distance, prefix_len, lowercase)
+    left = v.select(F.col("__id").alias("id_l"), F.col("__s").alias("s_l"),
+                    F.col("__v").alias("__v"))
+    right = v.select(F.col("__id").alias("id_r"), F.col("__s").alias("s_r"),
+                     F.col("__v").alias("__v2"))
+    cand = (
+        left.join(right, (F.col("__v") == F.col("__v2"))
+                  & (F.col("id_l") < F.col("id_r")))
+        .select("id_l", "id_r", "s_l", "s_r")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("s_l"), F.col("s_r"))
+    return cand.where(dist <= max_distance).withColumn(
+        "dist", dist.cast("long")
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    prefix_len: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Two-table linkage: every (left, right) pair within
+    `max_distance` edits. Output: <left_id>, <right_id>, s_l, s_r,
+    dist. Same completeness contract as fuzzy_self_pairs."""
+    lv = _variants(left, left_id, left_col, max_distance, prefix_len, lowercase)
+    rv = _variants(right, right_id, right_col, max_distance, prefix_len, lowercase)
+    cand = (
+        lv.select(F.col("__id").alias(left_id), F.col("__s").alias("s_l"),
+                  "__v")
+        .join(rv.select(F.col("__id").alias(right_id),
+                        F.col("__s").alias("s_r"),
+                        F.col("__v").alias("__v2")),
+              F.col("__v") == F.col("__v2"))
+        .select(left_id, right_id, "s_l", "s_r")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("s_l"), F.col("s_r"))
+    return cand.where(dist <= max_distance).withColumn(
+        "dist", dist.cast("long")
+    )

@@ -1062,3 +1062,115 @@ def q11_important_stock(spark, sf_dir):
         .filter(F.col("val").cast("double") > F.col("total").cast("double") * 0.001)
         .select("partkey", F.col("val").cast("double").alias("value"))
     )
+
+
+# ------------------------------------------------ CDC compaction
+@register(
+    "orders_cdc_snapshot",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, 'I' AS op, o_orderdate AS ts, 1 AS seq,
+             o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'U', o_orderdate, 2,
+             o_custkey, o_orderstatus, o_totalprice + 100.0
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', o_orderdate, 3,
+             CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             CAST(NULL AS DOUBLE)
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'I', o_orderdate, 4,
+             o_custkey, 'R', 0.0
+      FROM orders WHERE o_orderkey % 21 = 0
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY ts DESC, seq DESC) AS rn
+      FROM log
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def orders_cdc_snapshot(spark, sf_dir):
+    """CDC changelog compaction (operators/cdc.py cdc_compact): a
+    seeded change log over orders — every order inserted, every 3rd
+    updated (+100.0), every 7th deleted, every 21st re-inserted after
+    its delete — collapsed to the current snapshot. Exercises upsert
+    latest-wins, delete suppression, delete-then-reinsert revival,
+    and the (ts, seq) tiebreak (all four versions share the order's
+    ts). The Spark side is a single max_by hash aggregate (one
+    shuffle, map-side partial combine, NO per-key sort); the oracle
+    re-derives the snapshot with the classic ROW_NUMBER window
+    formulation — two different algorithms, identical rows."""
+    from ..operators import cdc
+
+    o = table(spark, sf_dir, "orders")
+
+    def ver(pred, op_lit, seq, custkey, status, price):
+        src = o.where(pred) if pred is not None else o
+        return src.select(
+            "o_orderkey",
+            F.lit(op_lit).alias("op"),
+            F.col("o_orderdate").alias("ts"),
+            F.lit(seq).cast("int").alias("seq"),
+            custkey.alias("o_custkey"),
+            status.alias("o_orderstatus"),
+            price.alias("o_totalprice"),
+        )
+
+    k = F.col("o_orderkey")
+    log = (
+        ver(None, "I", 1, F.col("o_custkey"), F.col("o_orderstatus"),
+            F.col("o_totalprice"))
+        .unionByName(ver(k % 3 == 0, "U", 2, F.col("o_custkey"),
+                         F.col("o_orderstatus"),
+                         F.col("o_totalprice") + F.lit(100.0)))
+        .unionByName(ver(k % 7 == 0, "D", 3,
+                         F.lit(None).cast("long"),
+                         F.lit(None).cast("string"),
+                         F.lit(None).cast("double")))
+        .unionByName(ver(k % 21 == 0, "I", 4, F.col("o_custkey"),
+                         F.lit("R"), F.lit(0.0)))
+    )
+    return cdc.cdc_compact(log, "o_orderkey", "ts", tiebreak="seq")
+
+
+# -------------------------------------------- fuzzy record linkage
+@register(
+    "customer_fuzzy_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS id, lower(c_name) AS nm
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT l.id AS id_l, r.id AS id_r,
+           l.nm AS s_l, r.nm AS s_r,
+           CAST(levenshtein(l.nm, r.nm) AS BIGINT) AS dist
+    FROM c l JOIN c r ON l.id < r.id
+    WHERE levenshtein(l.nm, r.nm) <= 2
+    """,
+)
+def customer_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy record linkage (functions/linkage.py fuzzy_self_pairs):
+    every pair of customer names within levenshtein distance 2 —
+    entity resolution ahead of per-entity caps/dedup. The Spark side
+    blocks with the symmetric-delete neighborhood (complete for
+    d<=2: any two strings within 2 edits share a <=2-deletion
+    variant — FastSS/SymSpell) and verifies candidates, so its output
+    EXACTLY equals the quadratic cross join the oracle runs; the
+    blocker never touches the answer. TPC-H names are adversarially
+    dense (all share 'customer#'; only digits differ), making this a
+    worst-case bucket-skew probe too — candidates come from one
+    variant equi-join, never an all-pairs product."""
+    from ..functions import linkage
+
+    cust = table(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    return linkage.fuzzy_self_pairs(
+        cust.select(F.col("c_custkey").alias("id"), "c_name"),
+        "id", "c_name", max_distance=2, lowercase=True,
+    ).select(
+        F.col("id_l"), F.col("id_r"), "s_l", "s_r", "dist"
+    )

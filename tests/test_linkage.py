@@ -1,0 +1,95 @@
+"""Fuzzy record linkage (functions/linkage.py): the symmetric-delete
+blocker must be COMPLETE for levenshtein <= d — output identical to
+the brute-force cross join."""
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from malstrom_spark.functions.linkage import (
+    deletion_neighborhood,
+    fuzzy_join,
+    fuzzy_self_pairs,
+)
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_neighborhood_includes_self_and_empty(spark):
+    df = spark.createDataFrame([("abc",), ("",)], "s string")
+    got = df.select(
+        deletion_neighborhood(F.col("s"), 2).alias("v")).collect()
+    assert set(got[0]["v"]) == {"abc", "ab", "ac", "bc", "a", "b", "c"}
+    assert got[1]["v"] == [""]  # self at 0 deletions, nothing else
+
+
+def test_self_pairs_equal_brute_force(spark):
+    rng = random.Random(8)
+    alphabet = "abcde"
+    strings = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 7)))
+               for _ in range(60)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id long, s string")
+    got = {(r["id_l"], r["id_r"], r["dist"])
+           for r in fuzzy_self_pairs(df, "id", "s", 2).collect()}
+    want = {(i, j, _lev(strings[i], strings[j]))
+            for i in range(len(strings)) for j in range(i + 1, len(strings))
+            if _lev(strings[i], strings[j]) <= 2}
+    assert got == want
+    assert len(want) > 0  # the test actually exercised matches
+
+
+def test_two_table_join_equal_brute_force(spark):
+    left = [(1, "spark"), (2, "flink"), (3, "duck")]
+    right = [(10, "sparc"), (11, "blink"), (12, "goose"), (13, "ducks")]
+    ldf = spark.createDataFrame(left, "lid long, name string")
+    rdf = spark.createDataFrame(right, "rid long, name string")
+    got = {(r["lid"], r["rid"]) for r in fuzzy_join(
+        ldf, rdf, "lid", "rid", "name", "name", max_distance=2).collect()}
+    want = {(li, ri) for li, ls in left for ri, rs in right
+            if _lev(ls, rs) <= 2}
+    assert got == want == {(1, 10), (2, 11), (3, 13)}
+
+
+def test_lowercase_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "ABC"), (2, "abc"), (3, None)], "id long, s string")
+    got = fuzzy_self_pairs(df, "id", "s", 1).collect()
+    assert [(r["id_l"], r["id_r"], r["dist"]) for r in got] == [(1, 2, 0)]
+    exact = fuzzy_self_pairs(df, "id", "s", 1, lowercase=False).collect()
+    assert len(exact) == 0  # ABC vs abc is distance 3 raw
+
+
+def test_prefix_len_blocks_on_truncated_key(spark):
+    # same 4-char prefix, huge differing tails: prefix blocking still
+    # pairs them for the verify, which then rejects (dist > 2)
+    df = spark.createDataFrame(
+        [(1, "abcdzzzz"), (2, "abcdzzzy")], "id long, s string")
+    got = fuzzy_self_pairs(df, "id", "s", 2, prefix_len=4).collect()
+    assert [(r["id_l"], r["id_r"], r["dist"]) for r in got] == [(1, 2, 1)]
+
+
+def test_negative_distance_raises(spark):
+    with pytest.raises(ValueError, match=">= 0"):
+        deletion_neighborhood(F.lit("x"), -1)
+
+
+def test_plan_has_no_cartesian_product(spark):
+    """Scale shape: candidates must come from the variant equi-join —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    df = spark.createDataFrame([(1, "abc"), (2, "abd")], "id long, s string")
+    plan = fuzzy_self_pairs(df, "id", "s", 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
