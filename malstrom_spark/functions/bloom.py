@@ -1,0 +1,188 @@
+"""Distributed Bloom filter — a DataFrame-native, mergeable
+approximate-membership structure, and the bloom-prefiltered
+decontamination pass built on it.
+
+Why this exists at 100 TB: `contaminated_ids` (dedup.py) broadcasts
+the benchmark's DISTINCT gram-hash set. That is right while eval
+suites are MBs, but a multi-benchmark blocklist (every eval suite +
+held-out shards + customer opt-outs) reaches billions of grams —
+too big to broadcast as an exact set. A Bloom filter compresses the
+set to n_bits total (1% FP at ~10 bits/element), broadcasts in KBs-
+MBs, and prunes the corpus map-side; the few candidate hits are then
+verified against the exact set, so FALSE POSITIVES NEVER REACH THE
+OUTPUT — the filter is invisible in the answer (same architecture as
+the histogram in cap_per_key_skew_safe and the MG sketch in
+heavy_hitters), which is why the registry row reuses the exact
+decontamination oracle verbatim.
+
+Representation: the filter is a plain DataFrame of (word_idx INT,
+word BIGINT) — the non-zero 64-bit words of the bit array. That
+makes it mergeable (union + bit_or re-group = the OR of the filters,
+exactly how per-shard filters combine on a cluster), persistable as
+parquet, and buildable with ONE aggregation whose partial combine
+ORs map-side (at most n_bits/64 rows per task cross the shuffle,
+regardless of input size). Probing densifies the words into a single
+array literal (one plan node, built from a construction-time collect
+of <= n_bits/64 longs — 128 KiB at 2^20 bits) and evaluates k
+`element_at` + bitwiseAND probes per row, pure codegen Column work.
+
+Bit layout: position_i(x) = pmod(xxhash64(x, seed, i), n_bits),
+word_idx = pos div 64, mask = 1 << (pos mod 64). xxhash64 keeps
+build and probe JVM-side; the filter never needs an engine-portable
+hash because it never touches an oracle-visible value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _check(n_bits: int, n_hashes: int) -> None:
+    if n_bits < 64 or n_bits % 64 != 0:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    if not 1 <= n_hashes <= 32:
+        raise ValueError("n_hashes must be in [1, 32]")
+
+
+def _pos(col: Column, i: Column | int, n_bits: int, seed: int) -> Column:
+    return F.pmod(F.xxhash64(col, F.lit(seed), i), F.lit(n_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str | Column,
+    n_bits: int,
+    n_hashes: int = 7,
+    seed: int = 0,
+) -> DataFrame:
+    """Build the filter over every (non-null) value of `col`: returns
+    the sparse (word_idx, word) DataFrame. One aggregation; the
+    partial bit_or combines map-side, so shuffle volume is capped at
+    n_bits/64 rows per task however large the input."""
+    _check(n_bits, n_hashes)
+    c = F.col(col) if isinstance(col, str) else col
+    pos = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: _pos(c, i, n_bits, seed),
+        )
+    ).alias("__pos")
+    return (
+        df.where(c.isNotNull())
+        .select(pos)
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("word_idx"),
+            F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")).alias("__m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """OR together filters built with the SAME (n_bits, n_hashes,
+    seed) — e.g. per-day or per-shard filters combined into the
+    global blocklist without touching the original data."""
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    u = filters[0]
+    for f in filters[1:]:
+        u = u.unionByName(f)
+    return u.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_words_literal(bloom: DataFrame, n_bits: int) -> Column:
+    """Densify the sparse filter into ONE array<long> literal for
+    probing. Construction-time collect of <= n_bits/64 rows (the
+    filter, not the data) — the same small-collect class as the
+    IVF/PQ codebooks."""
+    n_words = n_bits // 64
+    dense = [0] * n_words
+    for r in bloom.select("word_idx", "word").collect():
+        dense[r["word_idx"]] = r["word"]
+    return F.lit(dense).cast("array<long>")
+
+
+def bloom_might_contain(
+    col: Column,
+    words: Column,
+    n_bits: int,
+    n_hashes: int = 7,
+    seed: int = 0,
+) -> Column:
+    """Pure-Column membership probe against a densified filter
+    (`bloom_words_literal`). True = maybe present (FP rate set by
+    sizing); False = definitely absent. NULL input probes false."""
+    _check(n_bits, n_hashes)
+
+    def hit(i: Column) -> Column:
+        pos = _pos(col, i, n_bits, seed)
+        word = F.element_at(words, (pos / 64).cast("int") + 1)
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
+        return word.bitwiseAND(mask) == mask
+
+    probes = F.forall(F.sequence(F.lit(0), F.lit(n_hashes - 1)), hit)
+    return F.when(col.isNotNull(), probes).otherwise(F.lit(False))
+
+
+def bloom_contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    ngram_n: int = 13,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 7,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Exactly `dedup.contaminated_ids`, with a Bloom prefilter in
+    front of the exact verify: benchmark gram hashes build the filter
+    (one bit_or aggregation), the corpus's exploded grams are pruned
+    map-side by the broadcast-free literal probe, and only surviving
+    candidates reach the exact broadcast semi join. Output is
+    IDENTICAL to the exact pass (FPs die in the verify; the filter
+    has no false negatives), so the registry oracle is the exact
+    decontamination SQL unchanged."""
+    from .dedup import ensure_parallelism, shingle_hash_sets
+
+    docs = ensure_parallelism(docs, id_col)
+    doc_grams = shingle_hash_sets(
+        docs, id_col, text_col, shingle_n=ngram_n, portable=portable
+    )
+    bench = benchmark.select(
+        F.lit(0).alias("__bid"), F.col(bench_text_col).alias("__btext")
+    )
+    bench_grams = (
+        shingle_hash_sets(bench, "__bid", "__btext", shingle_n=ngram_n,
+                          portable=portable)
+        .select(F.explode_outer("sh").alias("g"))
+        .distinct()
+    )
+    filt = bloom_build(bench_grams, "g", n_bits, n_hashes, seed)
+    words = bloom_words_literal(filt, n_bits)
+
+    exploded = doc_grams.select(
+        F.col(id_col), F.explode_outer("sh").alias("g")
+    )
+    candidates = exploded.where(
+        bloom_might_contain(F.col("g"), words, n_bits, n_hashes, seed)
+    )
+    return (
+        candidates.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    **kwargs,
+) -> DataFrame:
+    """The corpus minus every contaminated doc, bloom-prefiltered."""
+    bad = bloom_contaminated_ids(docs, benchmark, id_col, **kwargs)
+    return docs.join(bad, id_col, "left_anti")

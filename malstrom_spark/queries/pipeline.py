@@ -2235,3 +2235,28 @@ def doc_lang_id_trained(spark, sf_dir):
         pred.alias("lang_pred"),
         (F.col("lang_true") == pred).alias("correct"),
     )
+
+
+# ---------------------------------------- bloom decontamination
+@register("doc_decontaminate_bloom", oracle=decontaminate_oracle())
+def doc_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination (functions/bloom.py): the
+    SAME answer as doc_decontaminate — survivors after dropping docs
+    sharing any 13-gram with the benchmark slice — but the benchmark
+    gram set rides as a Bloom filter (one bit_or aggregation whose
+    partial combine caps shuffle volume at n_bits/64 rows per task;
+    probing is k element_at+AND codegen probes against ONE array
+    literal). Only bloom-candidate grams reach the exact verify semi
+    join, so false positives never surface and the oracle is the
+    exact decontamination SQL verbatim. This is the shape that keeps
+    decontamination broadcast-able when the blocklist outgrows an
+    exact broadcast set (multi-benchmark + opt-out lists)."""
+    from ..functions import bloom
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = bloom.bloom_decontaminate(
+        docs, bench, "doc_id", ngram_n=13, portable=True,
+        n_bits=1 << 16, n_hashes=7,
+    )
+    return out.select("doc_id")

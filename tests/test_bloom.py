@@ -1,0 +1,91 @@
+"""Distributed Bloom filter (functions/bloom.py): no false
+negatives, bounded false positives, mergeability, and the
+bloom-prefiltered decontamination's exact-output contract."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from malstrom_spark.functions import bloom
+from malstrom_spark.functions.dedup import contaminated_ids
+
+
+N_BITS = 1 << 13
+
+
+def _build(spark, values, **kw):
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    return bloom.bloom_build(df, "v", n_bits=N_BITS, **kw)
+
+
+def test_no_false_negatives(spark):
+    filt = _build(spark, range(2000), n_hashes=5)
+    words = bloom.bloom_words_literal(filt, N_BITS)
+    probe = spark.createDataFrame([(i,) for i in range(2000)], "v long")
+    n = probe.where(
+        bloom.bloom_might_contain(F.col("v"), words, N_BITS, 5)).count()
+    assert n == 2000  # every inserted member MUST probe true
+
+
+def test_false_positive_rate_bounded(spark):
+    filt = _build(spark, range(500), n_hashes=7)
+    words = bloom.bloom_words_literal(filt, N_BITS)
+    probe = spark.createDataFrame(
+        [(i,) for i in range(10_000, 20_000)], "v long")
+    fp = probe.where(
+        bloom.bloom_might_contain(F.col("v"), words, N_BITS, 7)).count()
+    # 500 keys in 8192 bits with 7 hashes -> theoretical FP ~0.7%;
+    # allow generous slack, but far below "everything matches"
+    assert fp < 300
+
+
+def test_merge_equals_union_build(spark):
+    a = _build(spark, range(0, 300), n_hashes=5)
+    b = _build(spark, range(300, 600), n_hashes=5)
+    merged = bloom.bloom_merge(a, b)
+    direct = _build(spark, range(0, 600), n_hashes=5)
+    got = {(r["word_idx"], r["word"]) for r in merged.collect()}
+    want = {(r["word_idx"], r["word"]) for r in direct.collect()}
+    assert got == want
+
+
+def test_null_probes_false_and_nulls_skipped_in_build(spark):
+    df = spark.createDataFrame([(1,), (None,)], "v long")
+    filt = bloom.bloom_build(df, "v", n_bits=N_BITS, n_hashes=3)
+    words = bloom.bloom_words_literal(filt, N_BITS)
+    got = df.select(
+        bloom.bloom_might_contain(F.col("v"), words, N_BITS, 3).alias("m")
+    ).collect()
+    assert [r["m"] for r in got] == [True, False]
+
+
+def test_sizing_validation(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom.bloom_build(df, "v", n_bits=100)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom.bloom_build(df, "v", n_bits=128, n_hashes=0)
+    with pytest.raises(ValueError, match="at least one"):
+        bloom.bloom_merge()
+
+
+def test_build_plan_single_exchange_partial_combine(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    plan = bloom.bloom_build(df, "v", n_bits=N_BITS)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_bit_or" in plan.split("Exchange")[-1]
+
+
+def test_bloom_decontaminate_matches_exact(spark, sf_dir):
+    """The whole point: bloom output == exact contaminated_ids, with
+    a deliberately tiny (collision-heavy) filter so the exact verify
+    is actually exercised on false positives."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    exact = {r["doc_id"] for r in
+             contaminated_ids(docs, bench, "doc_id").collect()}
+    got = {r["doc_id"] for r in bloom.bloom_contaminated_ids(
+        docs, bench, "doc_id", n_bits=256, n_hashes=2).collect()}
+    assert got == exact
+    assert len(exact) > 0
