@@ -778,3 +778,77 @@ def cap_per_key_skew_safe(
         .where(F.col("__rn") <= n)
         .select(*df.columns)
     )
+
+
+# ---------------------------------- temperature-balanced resampling
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    boost: float = 1.0,
+    max_copies: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """Temperature-based stratum rebalancing — the multilingual data-
+    mixing rule (sampling probability ∝ p_lang^alpha, the published
+    choice in XLM-R/mT5-style pipelines) generalized to any stratum
+    column (language, source domain, quality tier). Unlike
+    `sample_stratified`, the per-stratum weights are DERIVED FROM THE
+    DATA: a stratum seen with probability p gets expected copies
+    w = boost * (p_min / p)^(1 - alpha), so the rarest stratum gets
+    `boost` copies and larger strata progressively fewer — alpha=1
+    reproduces the corpus, alpha=0 makes every stratum equally
+    represented in expectation. w > 1 UPSAMPLES (docs are emitted
+    floor(w) times plus one Bernoulli extra), w < 1 downsamples —
+    one mechanism for both, deterministic per key: the Bernoulli is
+    `hash(key) % 1e6 < frac(w) * 1e6` (same resumability convention
+    as sample_stratified; rand() would unglue reruns).
+
+    Output = input columns + copy_idx (1..n for that row's copies).
+
+    Engine portability: alpha=0.5 computes w via sqrt (IEEE
+    correctly-rounded in every engine, hence oracle-exact);
+    other alphas go through pow(), whose last-ulp behavior is
+    libm-specific — fine for production, not for a hash-exact oracle.
+    ``portable=True`` swaps xxhash64 for the md5-prefix hash.
+
+    100 TB shape: the stratum weight table is one tiny groupBy
+    crossJoined with its one-row min (both broadcast, ReuseExchange
+    pattern as q11); the corpus side is a broadcast join + explode —
+    the fact table never shuffles and never sorts. max_copies bounds
+    the explode against degenerate p_min/p ratios."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    if boost <= 0:
+        raise ValueError("boost must be > 0")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__cnt"))
+    cmin = counts.agg(F.min("__cnt").alias("__cmin"))
+    ratio = F.col("__cmin").cast("double") / F.col("__cnt").cast("double")
+    if abs(alpha - 0.5) < 1e-12:
+        w = F.sqrt(ratio)
+    else:
+        w = F.pow(ratio, F.lit(1.0 - alpha))
+    w = F.least(w * F.lit(float(boost)), F.lit(float(max_copies)))
+    weights = counts.crossJoin(F.broadcast(cmin)).select(
+        strata_col, w.alias("__w")
+    )
+
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
+    u = F.pmod(hash_fn(F.col(key_col).cast("string")), F.lit(1_000_000))
+    frac = F.col("__w") - F.floor(F.col("__w"))
+    n = (F.floor("__w").cast("long")
+         + F.when(u < frac * 1_000_000, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    return (
+        df.join(F.broadcast(weights), strata_col)
+        .withColumn("__n", n)
+        .where(F.col("__n") >= 1)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("__n"))
+            ).alias("copy_idx"),
+        )
+    )

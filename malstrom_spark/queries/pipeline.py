@@ -2260,3 +2260,52 @@ def doc_decontaminate_bloom(spark, sf_dir):
         n_bits=1 << 16, n_hashes=7,
     )
     return out.select("doc_id")
+
+
+# ----------------------------------- temperature-balanced sampling
+@register(
+    "corpus_lang_temperature_sample",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+    ),
+    cm AS (SELECT MIN(c) AS cmin FROM cnt),
+    w AS (
+      SELECT lang,
+             LEAST(sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) * 2.5,
+                   64.0) AS w
+      FROM cnt, cm
+    ),
+    d AS (
+      SELECT doc_id, d.lang, w.w,
+             {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 1000000 AS u
+      FROM documents d JOIN w USING (lang)
+    ),
+    n AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(w) AS BIGINT)
+               + CASE WHEN u < (w - FLOOR(w)) * 1000000 THEN 1 ELSE 0 END
+               AS n
+      FROM d
+    )
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy_idx
+    FROM n WHERE n >= 1
+    """,
+)
+def corpus_lang_temperature_sample(spark, sf_dir):
+    """Temperature-based language rebalancing (functions/corpus.py
+    temperature_sample, alpha=0.5, boost=2.5): expected copies per
+    doc = 2.5 * sqrt(p_min / p_lang) — the rarest language (fr) gets
+    2.5x upsampled, the head (en, 3.4x larger) ~1.35x, exercising
+    BOTH the floor(w) guaranteed copies and the hash-Bernoulli
+    fractional copy in one row. alpha=0.5 keeps the weight math on
+    sqrt (IEEE-exact both engines); the per-doc Bernoulli is the
+    md5-prefix hash modulo 1e6, so every emitted (doc_id, copy_idx)
+    row is hash-exact. Plan: weight table = tiny groupBy x one-row
+    min (both broadcast); documents never shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    out = corpus.temperature_sample(
+        docs.select("doc_id", "lang"), "lang", "doc_id",
+        alpha=0.5, boost=2.5, portable=True,
+    )
+    return out.select("doc_id", "lang", "copy_idx")

@@ -460,3 +460,86 @@ def test_cap_per_key_skew_safe_equals_plain(spark):
     assert p == s
     assert len([x for x in s if x[0] == "tiny"]) == 2  # under-n key kept whole
     assert len([x for x in s if x[0] == "ties"]) == 5  # id tie-break
+
+
+def test_temperature_sample_alpha1_is_identity(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 80 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = corpus.temperature_sample(df, "lang", "doc_id", alpha=1.0).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(100))
+    assert all(r["copy_idx"] == 1 for r in out)
+
+
+def test_temperature_sample_matches_python_reference(spark):
+    """alpha=0.5, boost=2.5 over a skewed corpus: every emitted
+    (doc_id, copy_idx) must equal the hand-computed rule
+    n = floor(w) + [md5_60(doc_id) % 1e6 < frac(w) * 1e6]."""
+    import hashlib
+    import math
+
+    rows = [(i, "en") for i in range(300)] + [(i, "fr") for i in range(300, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus.temperature_sample(
+        df, "lang", "doc_id", alpha=0.5, boost=2.5, portable=True
+    ).collect()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    w = {"en": min(math.sqrt(100 / 300) * 2.5, 64.0),
+         "fr": min(math.sqrt(100 / 100) * 2.5, 64.0)}
+    want = set()
+    for i, lang in rows:
+        wv = w[lang]
+        n = int(math.floor(wv))
+        if h60(str(i)) % 1_000_000 < (wv - math.floor(wv)) * 1_000_000:
+            n += 1
+        for c in range(1, n + 1):
+            want.add((i, c))
+    got = {(r["doc_id"], r["copy_idx"]) for r in out}
+    assert got == want
+    # fr (rarest) upsampled 2.5x in expectation, en ~1.44x
+    n_fr = sum(1 for i, c in got if i >= 300)
+    assert 2.0 * 100 <= n_fr <= 3.0 * 100
+
+
+def test_temperature_sample_alpha0_equalizes_expectation(spark):
+    rows = [(i, "big") for i in range(1000)] + \
+           [(i, "small") for i in range(1000, 1100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus.temperature_sample(df, "lang", "doc_id", alpha=0.0).collect()
+    by = {}
+    for r in out:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    # expected 100 rows from each stratum; allow sampling slack
+    assert abs(by["big"] - 100) < 40
+    assert by["small"] == 100  # rarest stratum: w == 1 exactly
+
+
+def test_temperature_sample_validation_and_determinism(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="alpha"):
+        corpus.temperature_sample(df, "lang", "doc_id", alpha=1.5)
+    with pytest.raises(ValueError, match="boost"):
+        corpus.temperature_sample(df, "lang", "doc_id", boost=0)
+    big = spark.createDataFrame(
+        [(i, "x" if i % 3 else "y") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    a = sorted((r["doc_id"], r["copy_idx"]) for r in
+               corpus.temperature_sample(big, "lang", "doc_id").collect())
+    b = sorted((r["doc_id"], r["copy_idx"]) for r in
+               corpus.temperature_sample(big, "lang", "doc_id").collect())
+    assert a == b
+
+
+def test_temperature_sample_plan_no_fact_shuffle(spark):
+    """The documents side must reach the weight join without its own
+    Exchange: weights broadcast, fact stays in place."""
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    plan = corpus.temperature_sample(df, "lang", "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
