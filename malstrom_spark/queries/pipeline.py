@@ -2309,3 +2309,39 @@ def corpus_lang_temperature_sample(spark, sf_dir):
         alpha=0.5, boost=2.5, portable=True,
     )
     return out.select("doc_id", "lang", "copy_idx")
+
+
+# ------------------------------------------------ z-order layout
+from ..functions import layout as _layout  # noqa: E402
+
+_ZSPECS_SQL = _layout.zorder_sql(
+    [("user_id", 0, 2047), ("CAST(FLOOR(value * 100) AS BIGINT)", 0, 65535)],
+    bits=16,
+)
+
+
+@register(
+    "events_zorder_key",
+    oracle=f"""
+    SELECT event_id, {_ZSPECS_SQL} AS zkey
+    FROM events
+    """,
+)
+def events_zorder_key(spark, sf_dir):
+    """Z-order clustering key (functions/layout.py zorder_key): the
+    Morton interleave of (user_id, value-cents), 16 bits each — the
+    write-time layout key that gives parquet min/max pruning on BOTH
+    dimensions at read time (repartition_by_zorder range-partitions
+    on it; this row checks the key itself). Pure integer Column
+    arithmetic (quantize = clamped integer scale, interleave =
+    shifts+masks), whole-stage codegen, zero shuffle — the oracle
+    renders the IDENTICAL expression via zorder_sql, so every key is
+    bit-exact."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        _layout.zorder_key(
+            [(F.col("user_id"), 0, 2047), (cents, 0, 65535)], bits=16
+        ).alias("zkey"),
+    )
