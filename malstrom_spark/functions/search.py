@@ -1,0 +1,179 @@
+"""Full-text retrieval primitives: inverted-index build and BM25
+top-k scoring — the retrieval side of a training-data platform
+(dedup-aware corpus search, eval-set leakage triage, "find every doc
+mentioning X" audits). The reference engine has no search operator;
+the algorithms are the public textbook forms (Robertson/Spärck Jones
+BM25 with the standard k1/b parameterization).
+
+Engine-portability design (what makes the registry row hash-exact):
+BM25 is a sum of per-term floating contributions, and floating SUMS
+are order-sensitive — a naive double aggregation cannot match any
+oracle. Here every (query-term, doc) contribution is computed from
+bit-identical doubles (only correctly-rounded IEEE ops: the one
+`ln` is quantized to 1e-4 immediately, so a last-ulp libm
+disagreement would need to land within 1e-12 of a quantization
+boundary to surface), floored to an integer micro-score, and SUMMED
+AS BIGINT — exact and order-free. avgdl is likewise derived as
+exact-BIGINT sum / exact count (one correctly-rounded division), not
+a double AVG.
+
+100 TB shape:
+- `inverted_index` is one explode + one (term, doc) count whose
+  partial combine runs map-side; doc length rides along from
+  `size(tokens)` (no second pass over text).
+- `bm25_topk` never materializes the corpus-wide df table: the query
+  relation (a handful of rows) CROSS-broadcasts onto the corpus, tf
+  comes from a pure Column filter over the token array (zero
+  shuffle), df is counted only for query terms, and corpus stats are
+  a one-row broadcast. The only data-sized shuffle is the candidate
+  top-k reduction, which `topk_per_key` does skew-safely: a first
+  row_number window keyed by (query, input-partition) bounds any
+  single task at partition size, a second window sees <= k rows per
+  (query, partition) — no mega-query single-task sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _tokens_cheap
+
+
+def inverted_index(
+    docs: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Postings: one row per (term, doc) with the term frequency and
+    the document length. ONE shuffle (the (term, doc) count; partial
+    combine map-side); dl is computed before the explode so no second
+    text pass is needed."""
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _tokens_cheap(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") > 0)
+    return (
+        toks.select(
+            id_col,
+            F.size("__t").cast("long").alias("dl"),
+            F.explode("__t").alias("term"),
+        )
+        .groupBy("term", id_col)
+        .agg(F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl"))
+        .select("term", id_col, "tf", "dl")
+    )
+
+
+def term_doc_frequency(postings: DataFrame) -> DataFrame:
+    """(term, df) from a postings relation — one count aggregation."""
+    return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+def topk_per_key(
+    df: DataFrame, key_cols: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Exact top-k per key without a mega-key single-task sort:
+    stage 1 ranks within (key, spark_partition_id) — every task sees
+    at most one input partition; stage 2 ranks the <= k-per-partition
+    survivors. order_by must be a TOTAL order (add a unique tiebreak)
+    or ranks are nondeterministic."""
+    w1 = Window.partitionBy(*key_cols, "__pid").orderBy(*order_by)
+    local = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__pid", "__rn")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k docs per query by BM25. Output: query_id, rank, doc_id
+    (named `id_col`), score (DOUBLE, exact micro-integer sum / 1e6).
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)), quantized to
+    floor(idf * 1e4); per-term contribution floored to micro units
+    and summed as BIGINT (see module doc for why).
+
+    The corpus is scanned three times (matches, df-count, stats) —
+    Catalyst does not dedupe common DataFrame subtrees — but each
+    scan is column-pruned to the text column and fully codegen; the
+    token arrays themselves never cross an Exchange, which is what
+    matters at 100 TB (scans parallelize for free, shuffles don't)."""
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _tokens_cheap(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") > 0)
+    d = toks.select(id_col, "__t", F.size("__t").cast("long").alias("__dl"))
+
+    stats = d.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(_tokens_cheap(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+
+    # tf for query terms only: broadcast cross join + array filter —
+    # the corpus is scanned once and never shuffled here
+    matches = (
+        d.crossJoin(F.broadcast(qterms))
+        .select(
+            query_id_col,
+            "term",
+            id_col,
+            "__dl",
+            F.size(
+                F.filter("__t", lambda x: x == F.col("term"))
+            ).cast("long").alias("tf"),
+        )
+        .where(F.col("tf") > 0)
+    )
+
+    dft = matches.groupBy(query_id_col, "term").agg(
+        F.count("*").cast("long").alias("__df")
+    )
+
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    idf_q = F.floor(
+        F.log((n - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+              + F.lit(1.0)) * F.lit(10000.0)
+    ).cast("long")
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl") / avgdl))
+    )
+    contrib = F.floor(idf_q.cast("double") * tf_part * F.lit(100.0)).cast("long")
+
+    scored = (
+        matches.join(F.broadcast(dft), [query_id_col, "term"])
+        .crossJoin(F.broadcast(stats))
+        .select(query_id_col, id_col, contrib.alias("__c"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__c").alias("__s"))
+    )
+    top = topk_per_key(
+        scored, [query_id_col], [F.desc("__s"), F.asc(id_col)], k
+    )
+    return top.select(
+        query_id_col,
+        F.col("rank").cast("long").alias("rank"),
+        id_col,
+        (F.col("__s").cast("double") / F.lit(1_000_000.0)).alias("score"),
+    )

@@ -2345,3 +2345,115 @@ def events_zorder_key(spark, sf_dir):
             [(F.col("user_id"), 0, 2047), (cents, 0, 65535)], bits=16
         ).alias("zkey"),
     )
+
+
+# ------------------------------------------------ search / BM25
+from ..functions import search as _search  # noqa: E402
+
+_BM25_QUERIES = [
+    (1, "vector stream"),
+    (2, "customer query"),
+    (3, "merge sort window"),
+    (4, "slow scan"),
+]
+_BM25_Q_SQL = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+
+
+@register(
+    "doc_inverted_postings",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), d AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, dl
+    FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+    GROUP BY term, doc_id, dl
+    """,
+)
+def doc_inverted_postings(spark, sf_dir):
+    """Inverted-index build (functions/search.py inverted_index):
+    one row per (term, doc) with term frequency and doc length — the
+    retrieval index every corpus-audit query probes. ONE shuffle (the
+    (term, doc) count, partial combine map-side); dl rides along from
+    size(tokens), so the text is tokenized exactly once. Fully
+    integer output, hash-exact."""
+    docs = table(spark, sf_dir, "documents")
+    return _search.inverted_index(docs, "doc_id")
+
+
+@register(
+    "doc_bm25_search",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), d AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+      FROM toks WHERE len(t) > 0
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dl) AS sumdl FROM d
+    ),
+    q0(query_id, qtext) AS (VALUES {_BM25_Q_SQL}),
+    q AS (
+      SELECT DISTINCT query_id,
+             unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS term
+      FROM q0
+    ),
+    m AS (
+      SELECT q.query_id, q.term, d.doc_id, d.dl,
+             CAST(len(list_filter(d.t, x -> x = q.term)) AS BIGINT) AS tf
+      FROM d CROSS JOIN q
+    ),
+    mm AS (SELECT * FROM m WHERE tf > 0),
+    dft AS (
+      SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS dfreq
+      FROM mm GROUP BY query_id, term
+    ),
+    sc AS (
+      SELECT mm.query_id, mm.doc_id,
+             SUM(CAST(FLOOR(
+               CAST(CAST(FLOOR(ln(
+                 (CAST(n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5) + 1.0
+               ) * 10000.0) AS BIGINT) AS DOUBLE)
+               * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+               * 100.0
+             ) AS BIGINT)) AS s
+      FROM mm
+      JOIN dft USING (query_id, term)
+      CROSS JOIN stats
+      GROUP BY mm.query_id, mm.doc_id
+    ),
+    r AS (
+      SELECT query_id, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id) AS rank
+      FROM sc
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rank AS BIGINT) AS rank,
+           doc_id,
+           CAST(s AS DOUBLE) / 1000000.0 AS score
+    FROM r WHERE rank <= 10
+    """,
+)
+def doc_bm25_search(spark, sf_dir):
+    """BM25 top-10 retrieval (functions/search.py bm25_topk) for four
+    fixed queries over the documents table. Scoring is the textbook
+    Robertson formula with the per-term contribution integer-
+    quantized BEFORE the per-doc sum (BIGINT addition is order-free,
+    double addition is not — the same exactness discipline as the
+    decimal money sums and the quantized NB language ID). Plan: query
+    terms broadcast onto the corpus (tf = array filter, zero shuffle),
+    df counted for query terms only, one-row stats broadcast, and the
+    top-k reduction two-stage skew-safe (no mega-query single-task
+    sort)."""
+    docs = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return _search.bm25_topk(docs, queries, "doc_id", k=10)

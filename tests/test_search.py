@@ -1,0 +1,106 @@
+"""Inverted index + BM25 (functions/search.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from malstrom_spark.functions import search
+
+
+DOCS = [
+    (1, "spark joins data fast"),
+    (2, "spark spark spark streaming"),
+    (3, "duck db runs sql"),
+    (4, "data data joins"),
+    (5, "  Mixed   CASE   spark  "),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_inverted_index_counts(spark):
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["dl"])
+           for r in search.inverted_index(_docs(spark), "doc_id").collect()}
+    assert got[("spark", 2)] == (3, 4)
+    assert got[("spark", 5)] == (1, 3)  # lowercased, whitespace collapsed
+    assert got[("data", 4)] == (2, 3)
+    assert ("db", 3) in got and got[("db", 3)] == (1, 4)
+    # df via the helper
+    df = {r["term"]: r["df"] for r in search.term_doc_frequency(
+        search.inverted_index(_docs(spark), "doc_id")).collect()}
+    assert df["spark"] == 3 and df["joins"] == 2
+
+
+def _bm25_python(docs, queries, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in docs}
+    toks = {i: t for i, t in toks.items() if t}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for qid, q in queries:
+        scores = {}
+        for term in sorted(set(q.lower().split())):
+            hits = {i: t.count(term) for i, t in toks.items() if term in t}
+            if not hits:
+                continue
+            dfreq = len(hits)
+            idf_q = math.floor(
+                math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * 10000.0)
+            for i, tf in hits.items():
+                dl = len(toks[i])
+                part = (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * (dl / avgdl)))
+                scores[i] = scores.get(i, 0) + math.floor(idf_q * part * 100.0)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[qid] = [(rank + 1, i, s / 1e6)
+                    for rank, (i, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    queries = [(1, "spark data"), (2, "sql"), (3, "nothing matches this")]
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    got = {}
+    for r in search.bm25_topk(_docs(spark), qdf, "doc_id", k=10).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid in got:
+        got[qid].sort()
+    want = _bm25_python(DOCS, queries)
+    assert got[1] == want[1]
+    assert got[2] == want[2]
+    assert 3 not in got  # no term matches -> no rows
+
+
+def test_bm25_tf_and_rarity_ordering(spark):
+    queries = [(1, "spark")]
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    rows = search.bm25_topk(_docs(spark), qdf, "doc_id", k=3).collect()
+    ranked = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ranked[0] == 2  # tf=3 beats tf=1
+
+
+def test_topk_per_key_exact_and_ties(spark):
+    df = spark.createDataFrame(
+        [(k, v) for k in ("a", "b") for v in range(100)],
+        "k string, v long").repartition(8)
+    top = search.topk_per_key(df, ["k"], [F.desc("v")], 5).collect()
+    got = {}
+    for r in top:
+        got.setdefault(r["k"], []).append((r["rank"], r["v"]))
+    for k in got:
+        assert sorted(got[k]) == [(i + 1, 99 - i) for i in range(5)]
+
+
+def test_bm25_corpus_not_shuffled_before_scoring(spark):
+    """The corpus reaches the query broadcast join without its own
+    Exchange: tf is an array filter on the scan side."""
+    qdf = spark.createDataFrame([(1, "spark")], "query_id long, query string")
+    plan = search.bm25_topk(_docs(spark), qdf, "doc_id")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # the tiny-side cross join
+    # the real scale claim: token arrays (__t) never cross an Exchange
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "__t" not in line
