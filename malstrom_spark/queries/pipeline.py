@@ -2457,3 +2457,34 @@ def doc_bm25_search(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
     return _search.bm25_topk(docs, queries, "doc_id", k=10)
+
+
+# ------------------------------------------------ PageRank
+from ..functions import graph as _graph  # noqa: E402
+
+
+@register(
+    "customer_pagerank",
+    oracle=_graph.pagerank_sql(
+        "SELECT o_custkey AS src, o_orderkey % 1024 AS dst FROM orders",
+        n_iter=5,
+    ),
+)
+def customer_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (functions/graph.py pagerank), 5 rounds
+    over a seeded order graph (edge o_custkey -> o_orderkey % 1024 —
+    the seeding is arbitrary by design; the row exercises the
+    ITERATIVE operator). The whole fixed-point runs in BIGINT
+    micro-units ((x * 17) div (20 * out) damping, SCALE // N
+    teleport), so integer sums are order-free and the oracle replays
+    the identical five iterations as chained CTEs — every rank
+    bit-exact, the usually-unverifiable 'iterative algorithm on
+    Spark' made gate-checkable. Per round: one rank-onto-edges join +
+    one groupBy(dst) sum with map-side combine; no collect, no
+    driver loop over data."""
+    o = table(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 1024).alias("dst"),
+    )
+    return _graph.pagerank(edges, n_iter=5)
