@@ -1065,9 +1065,10 @@ def q11_important_stock(spark, sf_dir):
 
 
 # ------------------------------------------------ CDC compaction
-@register(
-    "orders_cdc_snapshot",
-    oracle="""
+# shared by orders_cdc_snapshot and the streaming twin
+# (queries/streaming.py streaming_cdc_snapshot): same seeded
+# changelog, same snapshot semantics, two execution engines
+CDC_ORACLE = """
     WITH log AS (
       SELECT o_orderkey, 'I' AS op, o_orderdate AS ts, 1 AS seq,
              o_custkey, o_orderstatus, o_totalprice
@@ -1092,8 +1093,10 @@ def q11_important_stock(spark, sf_dir):
     )
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM latest WHERE rn = 1 AND op <> 'D'
-    """,
-)
+    """
+
+
+@register("orders_cdc_snapshot", oracle=CDC_ORACLE)
 def orders_cdc_snapshot(spark, sf_dir):
     """CDC changelog compaction (operators/cdc.py cdc_compact): a
     seeded change log over orders — every order inserted, every 3rd

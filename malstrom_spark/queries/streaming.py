@@ -894,3 +894,63 @@ def streaming_heavy_tokens(spark, sf_dir):
         .where(F.col("token") != "")
     )
     return recount_exact(static_toks, "token", final_candidates(emitted), phi=0.03)
+
+
+# ------------------------------------------------ streaming CDC
+from .relational2 import CDC_ORACLE as _CDC_ORACLE  # noqa: E402
+
+
+def _orders_changelog_stream(spark, sf_dir):
+    """The orders_cdc_snapshot seeding as a STREAM: replay orders and
+    expand each order into its 1-4 change events with a stateless
+    struct-array explode (same versions, same (ts, seq) tiebreaks)."""
+    from ..streaming.replay import replay_table
+
+    o = replay_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def ver(keep, op, seq, cust, status, price):
+        return F.struct(
+            keep.alias("keep"), F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"), cust.alias("o_custkey"),
+            status.alias("o_orderstatus"), price.alias("o_totalprice"),
+        )
+
+    versions = F.array(
+        ver(F.lit(True), "I", 1, F.col("o_custkey"),
+            F.col("o_orderstatus"), F.col("o_totalprice")),
+        ver(k % 3 == 0, "U", 2, F.col("o_custkey"),
+            F.col("o_orderstatus"), F.col("o_totalprice") + F.lit(100.0)),
+        ver(k % 7 == 0, "D", 3, F.lit(None).cast("long"),
+            F.lit(None).cast("string"), F.lit(None).cast("double")),
+        ver(k % 21 == 0, "I", 4, F.col("o_custkey"),
+            F.lit("R"), F.lit(0.0)),
+    )
+    v = F.explode(F.filter(versions, lambda s: s.keep)).alias("v")
+    return o.select(
+        "o_orderkey", F.unix_micros(F.col("o_orderdate")).alias("ts"), v
+    ).select(
+        "o_orderkey", "v.op", "ts", "v.seq",
+        "v.o_custkey", "v.o_orderstatus", "v.o_totalprice",
+    )
+
+
+@register("streaming_cdc_snapshot", oracle=_CDC_ORACLE)
+def streaming_cdc_snapshot(spark, sf_dir):
+    """Streaming CDC apply (streaming/cdc.py cdc_snapshot_stream):
+    the orders changelog as a stream, folded per key into state-store
+    latest images (applyInPandasWithState — one image per key, never
+    history), then the emission log compacted by the BATCH
+    cdc_compact — output identical to orders_cdc_snapshot however
+    the stream was batched (same CDC_ORACLE as the batch row)."""
+    from ..operators.cdc import cdc_compact
+    from ..streaming.cdc import cdc_snapshot_stream
+    from ..streaming.replay import run_to_memory
+
+    log = _orders_changelog_stream(spark, sf_dir)
+    emitted = run_to_memory(
+        cdc_snapshot_stream(log, "o_orderkey", ts_col="ts", seq_col="seq"),
+        output_mode="append",
+    )
+    return cdc_compact(emitted, "o_orderkey", "ts", tiebreak="seq")
+
