@@ -58,6 +58,9 @@ _PRIORITY = [
                                     # dedup_groups_probe and
                                     # sliding_event_counts moved into the
                                     # omnibus rows, so they stay gate-visible)
+    "streaming_cdc_snapshot",  # r8: CDC apply via state-store latest
+                               # images; batching-invariant snapshot
+                               # (shares the batch row's oracle)
     # --- LLM-data-pipeline operators (north-star, first-class) ---
     # (r8 rotation: doc_text_stats, doc_lang_guess, doc_pii_scrub,
     # doc_fingerprint_sketch, corpus_top_trigrams, doc_repeated_windows,
@@ -74,19 +77,34 @@ _PRIORITY = [
                                # hash-exact
     "corpus_heavy_tokens",     # r7: Misra-Gries + exact-recount heavy
                                # hitters
-    "doc_url_stats",           # r7 batch-3: URL kit (normalize, host,
-                               # eTLD+1 subset, path depth)
+    # (r8 rotation batch 2: doc_url_stats folded into pipeline_omnibus
+    # — the URL kit stays visible via doc_url_psl, which exercises the
+    # full PSL path on top of the same normalizer; doc_text_chunks and
+    # doc_unicode_normalize folded there too, both single-expression
+    # zero-shuffle projections long stable)
     "doc_url_psl",             # r8: FULL Public-Suffix-List eTLD+1
                                # (wildcards/exceptions, literal-map)
-    "doc_text_chunks",         # r7 batch-3: context-window chunking
-    "doc_unicode_normalize",   # r7 batch-3: NFC hygiene
     "doc_source_cap_skew_safe",  # r7 batch-3: histogram-threshold cap
     "streaming_heavy_tokens",  # r7 batch-3: state-store MG shards
     "training_data_pipeline",   # flagship composition (supersedes
                                 # clean_corpus_pipeline, which stays
                                 # oracle-checked via full_registry)
-    "dedup_exact_docs",
-    "doc_decontaminate",        # benchmark decontamination (13-gram)
+    # (r8 rotation batch 2: dedup_exact_docs + doc_decontaminate
+    # folded into pipeline_omnibus — exact dedup stays visible via
+    # dedup_incremental + the flagship's keeper stage; plain
+    # decontamination is subsumed by the bloom row below, which runs
+    # the SAME oracle through a strictly larger plan)
+    "doc_decontaminate_bloom",  # r8: distributed Bloom prefilter +
+                                # exact verify (exact-output contract)
+    "corpus_lang_temperature_sample",  # r8: p^alpha multilingual mixing
+    "doc_bm25_search",          # r8: BM25 top-k retrieval (integer-
+                                # quantized order-free scoring)
+    "doc_inverted_postings",    # r8: inverted-index build
+    "customer_fuzzy_pairs",     # r8: symmetric-delete fuzzy linkage
+                                # (complete blocker, cross-join oracle)
+    "customer_pagerank",        # r8: integer-exact iterative PageRank
+    "events_zorder_key",        # r8: Morton layout key (bit-exact twin)
+    "orders_cdc_snapshot",      # r8: CDC changelog compaction (batch)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",           # cluster-output near-dup (100 TB default;
@@ -98,15 +116,18 @@ _PRIORITY = [
                                   # re-emitted (subsumes the
                                   # doc_repeated_windows stats row,
                                   # now omnibus-folded)
-    "similarity_topk_cosine",
+    # (r8 rotation batch 2: similarity_topk_cosine folded into
+    # pipeline_omnibus — it is the brute-force baseline the ANN rows
+    # are verified against, so the capability stays doubly covered)
     "similarity_ann_lsh",
     "similarity_ann_pq",       # r7: product-quantization ADC (IVF
                                # folded into pipeline_omnibus; LSH+PQ
                                # keep the ANN family priority-visible)
     "multimodal_pipeline",
     # --- event-time / keyed operators over the events table ---
-    "hourly_event_rollup",      # (sliding_event_counts folded into
-                                # relational_omnibus_b)
+    # (r8 rotation batch 2: hourly_event_rollup folded into
+    # relational_omnibus_b — tumbling windows stay visible via
+    # streaming_hourly_counts + event_hypertable_rollup's hash)
     "event_sessions",
     "events_asof_latest_order",
     "events_running_totals",   # (r7 rotation: user_event_type_matrix
@@ -129,8 +150,8 @@ _PRIORITY = [
                                 # omnibus-folded since r8)
     "rollup_order_counts",      # ROLLUP
     "cube_status_priority",     # CUBE
-    "customer_cohort_set_ops",  # INTERSECT/EXCEPT
-    "order_price_percentiles",  # percentile aggregates
+    # (r8 rotation batch 2: customer_cohort_set_ops and
+    # order_price_percentiles folded into relational_omnibus_b)
     "part_scalar_functions",    # scalar function library
     # --- omnibus: the relational tail, hash-verified in two rows ---
     "relational_omnibus_a",     # q6-q19 join/agg variants

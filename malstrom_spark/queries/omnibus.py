@@ -116,6 +116,14 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     ("customer_order_gaps",
      ["o_custkey", "o_orderkey", "days_since_prev", "days_until_next",
       "date_rank"], []),
+    # round-8 gate rotation (batch 2): three long-stable relational/
+    # event rows folded so the CDC pair, linkage, PageRank, BM25 and
+    # layout rows get priority slots. Windows stay priority-visible
+    # through event_sessions + the streaming window rows; set ops and
+    # percentiles through this omnibus hash.
+    ("hourly_event_rollup", ["window_start", "event_type", "n"], ["total"]),
+    ("customer_cohort_set_ops", ["cohort", "o_custkey"], []),
+    ("order_price_percentiles", ["o_orderstatus", "n"], ["p25", "p50", "p90"]),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that
@@ -188,6 +196,23 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
     ("dedup_embedding_cosine", ["id_a", "id_b"], ["sim"]),
     ("doc_repeated_windows",
      ["doc_id", "n_windows", "n_repeated_windows"], ["repeated_frac"]),
+    # round-8 gate rotation (batch 2): six long-stable pipeline rows
+    # folded to free slots for the new operator families. Capability
+    # stays gate-visible: decontamination through the STRICTLY-
+    # stronger doc_decontaminate_bloom row (same oracle, bloom
+    # prefilter + exact verify on top), the URL kit through
+    # doc_url_psl, exact dedup through dedup_incremental +
+    # training_data_pipeline's keeper stage, exact cosine top-k
+    # through the ANN rows it baselines (similarity_ann_lsh/_pq),
+    # chunking and unicode hygiene through this omnibus hash.
+    ("doc_decontaminate", ["doc_id"], []),
+    ("doc_url_stats",
+     ["doc_id", "url_norm", "host", "domain", "path_depth"], []),
+    ("doc_unicode_normalize",
+     ["doc_id", "cleaned", "n_chars", "n_chars_raw"], []),
+    ("doc_text_chunks", ["doc_id", "chunk_id", "n_tokens", "chunk"], []),
+    ("dedup_exact_docs", ["fp", "keeper_id", "n_copies"], []),
+    ("similarity_topk_cosine", ["q_id", "c_id", "rank"], ["sim"]),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]
