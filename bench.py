@@ -117,6 +117,24 @@ HEADLINE = [
     "doc_url_stats",
     "doc_text_chunks",
     "doc_unicode_normalize",
+    # round-8 batch 1: repeated-span removal transform, full-PSL
+    # eTLD+1 and the trained char-bigram language ID (all gate rows)
+    "doc_repeated_span_removal",
+    "doc_url_psl",
+    "doc_lang_id_trained",
+    # round-8 batch 2: CDC compaction (max_by single-shuffle), fuzzy
+    # linkage (symmetric-delete blocker; DuckDB side runs the true
+    # cross join — the honest cost of the exact semantics), bloom-
+    # prefiltered decontamination, temperature resampling, z-order
+    # keys, inverted index, BM25 and integer-exact PageRank
+    "orders_cdc_snapshot",
+    "customer_fuzzy_pairs",
+    "doc_decontaminate_bloom",
+    "corpus_lang_temperature_sample",
+    "events_zorder_key",
+    "doc_inverted_postings",
+    "doc_bm25_search",
+    "customer_pagerank",
 ]
 
 

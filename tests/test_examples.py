@@ -25,6 +25,7 @@ EXAMPLES = [
     "ann_serving",
     "incremental_dedup",
     "crawl_ingest",
+    "cdc_apply",
 ]
 
 
