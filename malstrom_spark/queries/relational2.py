@@ -1177,3 +1177,72 @@ def customer_fuzzy_pairs(spark, sf_dir):
     ).select(
         F.col("id_l"), F.col("id_r"), "s_l", "s_r", "dist"
     )
+
+
+# -------------------------------------------- data-quality expectations
+@register(
+    "orders_quality_report",
+    oracle="""
+    SELECT 'price_positive' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+           SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) = 0 AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'price_under_400k', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN COALESCE(o_totalprice < 400000, FALSE)
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           SUM(CASE WHEN COALESCE(o_totalprice < 400000, FALSE) THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'status_known', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'pre_2000', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN COALESCE(o_orderdate < TIMESTAMP '2000-01-01', FALSE)
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           SUM(CASE WHEN COALESCE(o_orderdate < TIMESTAMP '2000-01-01', FALSE) THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+                          AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_custkey IS NOT NULL
+                     AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    """,
+)
+def orders_quality_report(spark, sf_dir):
+    """Data-quality expectations (functions/expect.py): four row
+    rules compiled into ONE aggregation pass (price bounds seeded so
+    one rule actually fails — 'price_under_400k' has real
+    violations), a key-uniqueness check (rows beyond the first per
+    key, counted in one map-side-combinable aggregate) and a
+    referential check (LEFT ANTI against the broadcast dimension) —
+    the validate-before-compute stage of every pipeline. All-integer
+    report, hash-exact."""
+    from ..functions import expect
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rows = expect.check_rows(o, {
+        "price_positive": F.col("o_totalprice") > 0,
+        "price_under_400k": F.col("o_totalprice") < 400000,
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "pre_2000": F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"),
+    })
+    uniq = expect.check_unique(o, ["o_orderkey"])
+    fk = expect.check_foreign_key(o, "o_custkey", c, "c_custkey",
+                                  rule="fk:o_custkey->c_custkey")
+    return rows.unionByName(uniq).unionByName(fk)
