@@ -186,3 +186,44 @@ def bloom_decontaminate(
     """The corpus minus every contaminated doc, bloom-prefiltered."""
     bad = bloom_contaminated_ids(docs, benchmark, id_col, **kwargs)
     return docs.join(bad, id_col, "left_anti")
+
+
+def bloom_filtered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    how: str = "inner",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+    seed: int = 0,
+) -> DataFrame:
+    """The classic distributed bloom join (runtime-filter pushdown):
+    build a Bloom filter over the dimension's join keys, prune fact
+    rows MAP-SIDE before they reach the join's shuffle, then run the
+    real join — output is identical to the plain join (the join
+    itself eliminates bloom false positives; the filter has no false
+    negatives), so the registry oracle is the plain join SQL.
+
+    Why it matters at 100 TB: when a selective dimension (after its
+    own filters) joins a huge fact, the plain plan shuffles EVERY
+    fact row; here the fact side drops non-matching rows at the scan,
+    shrinking the shuffle by the dimension's selectivity — the same
+    idea as Spark's own runtime-filter feature, but available to any
+    build side and persistable/mergeable like every filter in this
+    module. Only inner/left_semi joins are eligible (outer joins need
+    the non-matching rows)."""
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_filtered_join: '{how}' would drop required rows — "
+            "only inner/left_semi joins can prefilter the fact side"
+        )
+    dk = dim_key or fact_key
+    filt = bloom_build(dim.select(F.col(dk)), dk, n_bits, n_hashes, seed)
+    words = bloom_words_literal(filt, n_bits)
+    pruned = fact.where(
+        bloom_might_contain(F.col(fact_key), words, n_bits, n_hashes, seed)
+    )
+    if dim_key and dim_key != fact_key:
+        return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
+    return pruned.join(dim, fact_key, how)

@@ -1246,3 +1246,42 @@ def orders_quality_report(spark, sf_dir):
     fk = expect.check_foreign_key(o, "o_custkey", c, "c_custkey",
                                   rule="fk:o_custkey->c_custkey")
     return rows.unionByName(uniq).unionByName(fk)
+
+
+# ---------------------------------------------- bloom-filtered join
+@register(
+    "lineitem_bloom_join",
+    oracle="""
+    SELECT s.s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey < 3
+    GROUP BY s.s_suppkey
+    """,
+)
+def lineitem_bloom_join(spark, sf_dir):
+    """Bloom-filtered join (functions/bloom.py bloom_filtered_join):
+    lineitem joined to a selective supplier slice (3 of 25 nations)
+    with the dimension's keys riding ahead as a Bloom filter, so
+    ~7/8 of the fact rows die AT THE SCAN instead of crossing the
+    join — the runtime-filter shape that keeps selective dim joins
+    from shuffling the whole fact at 100 TB. Output is EXACTLY the
+    plain join (the join kills bloom false positives), so the oracle
+    is the plain SQL."""
+    from ..functions import bloom
+
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 3)
+    joined = bloom.bloom_filtered_join(
+        li.select("l_suppkey", "l_extendedprice"),
+        supp.select("s_suppkey"),
+        "l_suppkey", "s_suppkey", n_bits=1 << 14,
+    )
+    return joined.groupBy("s_suppkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+        .cast("double").alias("revenue"),
+    )

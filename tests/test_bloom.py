@@ -89,3 +89,39 @@ def test_bloom_decontaminate_matches_exact(spark, sf_dir):
         docs, bench, "doc_id", n_bits=256, n_hashes=2).collect()}
     assert got == exact
     assert len(exact) > 0
+
+
+def test_bloom_filtered_join_equals_plain_join(spark, sf_dir):
+    import pyspark.sql.functions as SF
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_suppkey", "l_orderkey")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .where(SF.col("s_suppkey") % 4 == 0).select("s_suppkey")
+    # tiny collision-heavy filter: the join must still be exact
+    got = bloom.bloom_filtered_join(
+        li, supp, "l_suppkey", "s_suppkey", n_bits=128, n_hashes=2)
+    want = li.join(supp, li.l_suppkey == supp.s_suppkey, "inner")
+    assert got.count() == want.count()
+    g = {(r["l_orderkey"], r["l_suppkey"]) for r in got.collect()}
+    w = {(r["l_orderkey"], r["l_suppkey"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_bloom_filtered_join_rejects_outer(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="drop required rows"):
+        bloom.bloom_filtered_join(df, df, "k", how="left")
+
+
+def test_bloom_filtered_join_prunes_at_scan(spark):
+    """The filter must appear BELOW the join in the fact branch."""
+    fact = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    dim = spark.createDataFrame([(1,), (2,)], "d long")
+    plan = bloom.bloom_filtered_join(fact, dim, "k", "d") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the probe expression (xxhash64-based forall) sits in a Filter
+    # on the fact side, not post-join
+    join_pos = plan.find("Join")
+    filt_pos = plan.find("xxhash64")
+    assert join_pos != -1 and filt_pos != -1 and filt_pos > join_pos
