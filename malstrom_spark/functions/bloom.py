@@ -73,6 +73,8 @@ def bloom_build(
         .select(pos)
         .select(
             (F.col("__pos") / 64).cast("int").alias("word_idx"),
+            # call_function, not F.shiftleft: the builtin only takes a
+            # Python-int shift, and the shift here is a Column
             F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")).alias("__m"),
         )
         .groupBy("word_idx")
@@ -219,10 +221,29 @@ def bloom_filtered_join(
             "only inner/left_semi joins can prefilter the fact side"
         )
     dk = dim_key or fact_key
-    filt = bloom_build(dim.select(F.col(dk)), dk, n_bits, n_hashes, seed)
+    # xxhash64 is TYPE-sensitive: hashing an int dim key but probing a
+    # bigint fact key yields disjoint bit positions — silent false
+    # negatives that drop matching rows. Integral keys are therefore
+    # hashed through a common long cast on BOTH sides; other type
+    # mismatches are rejected rather than silently mis-probed.
+    ft = dict(fact.dtypes)[fact_key]
+    dt = dict(dim.dtypes)[dk]
+    ints = {"tinyint", "smallint", "int", "bigint"}
+    if ft in ints and dt in ints:
+        build_col = F.col(dk).cast("long")
+        probe_col = F.col(fact_key).cast("long")
+    elif ft == dt:
+        build_col = F.col(dk)
+        probe_col = F.col(fact_key)
+    else:
+        raise ValueError(
+            f"bloom_filtered_join: key types differ ({fact_key}:{ft} vs "
+            f"{dk}:{dt}) — xxhash64 is type-sensitive; cast them equal first"
+        )
+    filt = bloom_build(dim.select(build_col.alias(dk)), dk, n_bits, n_hashes, seed)
     words = bloom_words_literal(filt, n_bits)
     pruned = fact.where(
-        bloom_might_contain(F.col(fact_key), words, n_bits, n_hashes, seed)
+        bloom_might_contain(probe_col, words, n_bits, n_hashes, seed)
     )
     if dim_key and dim_key != fact_key:
         return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

@@ -48,16 +48,23 @@ def check_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         for i, (_, pred) in enumerate(rules.items())
     ]
     wide = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{name}', `__v_{i}`" for i, name in enumerate(rules)
+    # explode an array of structs, NOT a selectExpr stack(): rule
+    # names are caller data and must never be spliced into SQL text
+    # (a quote in a name would break — or reshape — the parse)
+    pairs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{i}").alias("n_violations"),
+            )
+            for i, name in enumerate(rules)
+        ])
     )
-    return wide.selectExpr(
-        f"stack({len(rules)}, {stack}) AS (rule, n_violations)", "__n"
-    ).select(
-        "rule",
+    return wide.select(F.col("__n"), pairs.alias("__p")).select(
+        F.col("__p.rule").alias("rule"),
         F.col("__n").alias("n_rows"),
-        "n_violations",
-        (F.col("n_violations") == 0).alias("ok"),
+        F.col("__p.n_violations").alias("n_violations"),
+        (F.col("__p.n_violations") == 0).alias("ok"),
     )
 
 

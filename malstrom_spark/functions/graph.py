@@ -77,7 +77,11 @@ def pagerank(
     for _ in range(n_iter):
         send = (
             e.join(ranks, e.src == ranks.node)
-            .join(F.broadcast(outdeg), "src")
+            # outdeg is NODES-sized: no broadcast hint (a hint forces a
+            # driver collect that dies at hundreds of millions of
+            # nodes) — the join shares the src key with the rank join
+            # and AQE broadcasts it only when it actually fits
+            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(rank * 17) div (20 * out)").alias("__c"),

@@ -33,18 +33,34 @@ def _check(specs: Sequence[tuple], bits: int) -> None:
         raise ValueError(
             f"bits * n_cols must fit a signed BIGINT: got {bits} * {len(specs)}"
         )
+    top = (1 << bits) - 1
     for _, lo, hi in specs:
         if not hi > lo:
             raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+        if (hi - lo) > (1 << 62) // top:
+            raise ValueError(
+                f"(hi - lo) * (2^bits - 1) overflows BIGINT for "
+                f"[{lo}, {hi}] at {bits} bits — pre-bucket the column "
+                "(e.g. epoch-micros -> minutes) or lower bits"
+            )
 
 
 def quantize(col: Column, lo: int, hi: int, bits: int) -> Column:
     """Map an integer column into [0, 2^bits): linear scale over
-    [lo, hi], clamped outside. Integer-exact (floored division of
-    exact integer products — no float rounding anywhere)."""
+    [lo, hi], clamped outside. EXACT integer floor division — not
+    floor(double-division), whose correctly-rounded quotient can land
+    ON an integer the true quotient sits just below, flipping a
+    bucket (and a Morton key) vs the oracle's `//`. Spark has no
+    Column-level `div` operator, so the floor is taken with the mod
+    identity: (p - p % d) is exactly divisible by d, and the division
+    runs in DECIMAL (exact for integer-valued operands) before the
+    long cast. _check guards the p = (v - lo) * top product range."""
     top = (1 << bits) - 1
+    d = hi - lo
     v = F.greatest(F.least(col.cast("long"), F.lit(hi)), F.lit(lo))
-    return F.floor((v - F.lit(lo)) * F.lit(top) / F.lit(hi - lo)).cast("long")
+    p = (v - F.lit(lo)) * F.lit(top)
+    exact = (p - F.pmod(p, F.lit(d))).cast("decimal(38,0)")
+    return (exact / F.lit(d).cast("decimal(19,0)")).cast("long")
 
 
 def zorder_key(specs: Sequence[tuple[Column, int, int]], bits: int = 16) -> Column:

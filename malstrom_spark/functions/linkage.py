@@ -69,16 +69,39 @@ def deletion_neighborhood(col: Column, max_distance: int = 2) -> Column:
     return out
 
 
-def _variants(df: DataFrame, id_col: str, s_col: str, d: int,
-              prefix_len: int | None, lowercase: bool) -> DataFrame:
+def _norm(df: DataFrame, id_col: str, s_col: str, lowercase: bool) -> DataFrame:
     s = F.col(s_col)
     if lowercase:
         s = F.lower(s)
-    key_src = F.substring(s, 1, prefix_len) if prefix_len else s
     return df.where(F.col(s_col).isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        s.alias("__s"),
+        F.col(id_col).alias("__id"), s.alias("__s")
+    )
+
+
+def _variant_hashes(norm: DataFrame, d: int, prefix_len: int | None) -> DataFrame:
+    """(id, 64-bit variant hash). Hashing the variants (xxhash64)
+    cuts the candidate shuffle to fixed-width longs — a hash
+    collision can only ADD a candidate pair, and the levenshtein
+    verify kills it, so exactness is unaffected."""
+    key_src = F.substring(F.col("__s"), 1, prefix_len) if prefix_len else F.col("__s")
+    return norm.select(
+        "__id",
         F.explode(deletion_neighborhood(key_src, d)).alias("__v"),
+    ).select("__id", F.xxhash64("__v").alias("__h"))
+
+
+def _verified(cand: DataFrame, names_l: DataFrame, names_r: DataFrame,
+              l_id: str, r_id: str, d: int) -> DataFrame:
+    """Join the (small-per-pair) distinct id pairs back to their
+    strings and verify. Strings never ride through the candidate
+    shuffle — only (id, id) pairs do."""
+    out = (
+        cand.join(names_l, l_id)
+        .join(names_r, r_id)
+    )
+    dist = F.levenshtein(F.col("s_l"), F.col("s_r"))
+    return out.where(dist <= d).select(
+        l_id, r_id, "s_l", "s_r", dist.cast("long").alias("dist")
     )
 
 
@@ -93,22 +116,28 @@ def fuzzy_self_pairs(
     """All unordered pairs (id_l < id_r) of rows whose `s_col` values
     are within `max_distance` edits. Output: id_l, id_r, s_l, s_r,
     dist (BIGINT). Exact (equals the cross-join answer) when
-    prefix_len is None."""
-    v = _variants(df, id_col, s_col, max_distance, prefix_len, lowercase)
-    left = v.select(F.col("__id").alias("id_l"), F.col("__s").alias("s_l"),
-                    F.col("__v").alias("__v"))
-    right = v.select(F.col("__id").alias("id_r"), F.col("__s").alias("s_r"),
-                     F.col("__v").alias("__v2"))
+    prefix_len is None.
+
+    Shuffle diet: candidates are generated as (id, id) pairs joined
+    on 8-byte variant HASHES (strings stay out of the equi-join and
+    the distinct entirely — near-identical strings share ~L²/2
+    variants, so every byte carried per candidate row is multiplied
+    by that duplication factor); the two name lookups and the
+    levenshtein verify run once per DISTINCT pair."""
+    norm = _norm(df, id_col, s_col, lowercase)
+    v = _variant_hashes(norm, max_distance, prefix_len)
     cand = (
-        left.join(right, (F.col("__v") == F.col("__v2"))
-                  & (F.col("id_l") < F.col("id_r")))
-        .select("id_l", "id_r", "s_l", "s_r")
+        v.select(F.col("__id").alias("id_l"), "__h")
+        .join(v.select(F.col("__id").alias("id_r"),
+                       F.col("__h").alias("__h2")),
+              (F.col("__h") == F.col("__h2"))
+              & (F.col("id_l") < F.col("id_r")))
+        .select("id_l", "id_r")
         .distinct()
     )
-    dist = F.levenshtein(F.col("s_l"), F.col("s_r"))
-    return cand.where(dist <= max_distance).withColumn(
-        "dist", dist.cast("long")
-    )
+    names_l = norm.select(F.col("__id").alias("id_l"), F.col("__s").alias("s_l"))
+    names_r = norm.select(F.col("__id").alias("id_r"), F.col("__s").alias("s_r"))
+    return _verified(cand, names_l, names_r, "id_l", "id_r", max_distance)
 
 
 def fuzzy_join(
@@ -124,20 +153,20 @@ def fuzzy_join(
 ) -> DataFrame:
     """Two-table linkage: every (left, right) pair within
     `max_distance` edits. Output: <left_id>, <right_id>, s_l, s_r,
-    dist. Same completeness contract as fuzzy_self_pairs."""
-    lv = _variants(left, left_id, left_col, max_distance, prefix_len, lowercase)
-    rv = _variants(right, right_id, right_col, max_distance, prefix_len, lowercase)
+    dist. Same completeness contract (and shuffle diet) as
+    fuzzy_self_pairs."""
+    ln = _norm(left, left_id, left_col, lowercase)
+    rn = _norm(right, right_id, right_col, lowercase)
+    lv = _variant_hashes(ln, max_distance, prefix_len)
+    rv = _variant_hashes(rn, max_distance, prefix_len)
     cand = (
-        lv.select(F.col("__id").alias(left_id), F.col("__s").alias("s_l"),
-                  "__v")
+        lv.select(F.col("__id").alias(left_id), "__h")
         .join(rv.select(F.col("__id").alias(right_id),
-                        F.col("__s").alias("s_r"),
-                        F.col("__v").alias("__v2")),
-              F.col("__v") == F.col("__v2"))
-        .select(left_id, right_id, "s_l", "s_r")
+                        F.col("__h").alias("__h2")),
+              F.col("__h") == F.col("__h2"))
+        .select(left_id, right_id)
         .distinct()
     )
-    dist = F.levenshtein(F.col("s_l"), F.col("s_r"))
-    return cand.where(dist <= max_distance).withColumn(
-        "dist", dist.cast("long")
-    )
+    names_l = ln.select(F.col("__id").alias(left_id), F.col("__s").alias("s_l"))
+    names_r = rn.select(F.col("__id").alias(right_id), F.col("__s").alias("s_r"))
+    return _verified(cand, names_l, names_r, left_id, right_id, max_distance)

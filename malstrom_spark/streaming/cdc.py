@@ -35,6 +35,7 @@ def cdc_snapshot_stream(
     payload (op included — delete filtering happens downstream so a
     late revival can still win). Output schema == input schema, one
     row per key per microbatch that touched it."""
+    import numpy as np
     import pandas as pd
 
     cols = sdf.columns
@@ -55,16 +56,13 @@ def cdc_snapshot_stream(
             n = len(pdf)
             if n == 0:
                 continue
-            # per-key groups are tiny (a handful of change events);
-            # a raw argmax over two numpy columns beats pandas
-            # sort_values by ~5x at this size — and this fn runs once
-            # PER KEY, so its constant factor is the operator's floor
+            # vectorized lexicographic argmax on (ts, seq): this fn
+            # runs once PER KEY, so its constant factor is the
+            # operator's floor, and np.lexsort stays O(n log n) C-side
+            # even for a hot key that takes 100k events in one batch
             tsv = pdf[ts_col].to_numpy()
             sqv = pdf[seq_col].to_numpy()
-            bi = 0
-            for i in range(1, n):
-                if (tsv[i], sqv[i]) > (tsv[bi], sqv[bi]):
-                    bi = i
+            bi = int(np.lexsort((sqv, tsv))[-1])
             top = pdf.iloc[bi]
             cand = tuple(
                 None if pd.isna(top[c]) else top[c] for c in rest

@@ -62,7 +62,7 @@ PROBES = {
     "streaming_cdc_snapshot": registry_probe("streaming_cdc_snapshot"),
     "corpus_lang_temperature_sample": registry_probe("corpus_lang_temperature_sample"),
     "events_zorder_key": registry_probe("events_zorder_key"),
-]
+}
 
 
 def main():
