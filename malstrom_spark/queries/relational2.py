@@ -1285,3 +1285,86 @@ def lineitem_bloom_join(spark, sf_dir):
         F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
         .cast("double").alias("revenue"),
     )
+
+
+# ------------------------------------- incremental view maintenance
+@register(
+    "orders_incremental_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS price_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             AS price_sum,
+           MIN(o_totalprice) AS price_min,
+           MAX(o_totalprice) AS price_max,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                 / COUNT(o_totalprice), 6) AS price_avg
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def orders_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/incremental.py):
+    orders split into 'history' (before 2000) and 'delta' (2000+),
+    aggregated SEPARATELY, merged by merge_states, finalized — and
+    the oracle is the plain full-scan GROUP BY, so the row proves the
+    merge is lossless (counts/sums add, min/max combine, avg derived
+    LAST because averages don't merge). At scale only the delta is
+    ever re-aggregated; history contributes its keys-sized state
+    table. Same design point as dedup_incremental (r7)."""
+    from ..operators import incremental as inc
+
+    keys = ["o_orderstatus", "o_orderpriority"]
+    o = table(spark, sf_dir, "orders").select(
+        *keys,
+        F.col("o_totalprice").cast("decimal(28,2)").alias("price"),
+        "o_orderdate",
+    )
+    split = F.lit("2000-01-01").cast("timestamp")
+    hist_state = inc.aggregate_state(
+        o.where(F.col("o_orderdate") < split), keys, ["price"])
+    delta_state = inc.aggregate_state(
+        o.where(F.col("o_orderdate") >= split), keys, ["price"])
+    merged = inc.merge_states(keys, ["price"], hist_state, delta_state)
+    final = inc.finalize_state(merged, ["price"])
+    return final.select(
+        *keys, "n_rows", "price_n",
+        F.col("price_sum").cast("double").alias("price_sum"),
+        F.col("price_min").cast("double").alias("price_min"),
+        F.col("price_max").cast("double").alias("price_max"),
+        "price_avg",
+    )
+
+
+# ------------------------------------------------ per-key OLS trend
+from ..functions.stats import grouped_ols, grouped_ols_sql  # noqa: E402
+
+
+@register(
+    "customer_spend_trend",
+    oracle=grouped_ols_sql(
+        keys_sql="o_custkey",
+        x_sql="date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))",
+        y_sql="FLOOR(o_totalprice * 100)",
+        from_sql="orders",
+    ),
+)
+def customer_spend_trend(spark, sf_dir):
+    """Per-customer OLS spend trend (functions/stats.py grouped_ols):
+    slope/intercept of order value (cents) over order date (epoch
+    days), fitted closed-form from five EXACT BIGINT moments in one
+    combinable groupBy — no window, no second pass. FLOOR before the
+    cents cast (Spark's double->long cast truncates, DuckDB's
+    rounds — floor is the engine-portable quantizer). The oracle
+    (grouped_ols_sql) renders the identical arithmetic; slope and
+    intercept are each one correctly-rounded division on exact
+    operands, round(6)."""
+    o = table(spark, sf_dir, "orders")
+    return grouped_ols(
+        o.select(F.col("o_custkey").alias("k"), "o_orderdate", "o_totalprice"),
+        ["k"],
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1995-01-01").cast("date")),
+        F.floor(F.col("o_totalprice") * 100),
+    )
