@@ -852,3 +852,86 @@ def temperature_sample(
             ).alias("copy_idx"),
         )
     )
+
+
+# ------------------------------------------- PMI collocation mining
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    quant: int = 10_000,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    association-mining pass that surfaces multiword expressions
+    ("machine learning") and tokenizer-merge candidates from a
+    corpus. PMI(a, b) = ln(c(ab) * T / (c(a) * c(b))) over adjacent
+    token pairs, where T is the total number of bigram positions.
+
+    Engine-portability: c(ab) * T and c(a) * c(b) are exact BIGINTs;
+    their double quotient is one correctly-rounded op; the single ln
+    is immediately quantized (floor(ln * quant) -> pmi_q BIGINT), the
+    same discipline as BM25's idf — so ranking and output are
+    hash-exact. Ties break on (pmi_q desc, gram asc).
+
+    Shape: one bigram-count shuffle + one unigram-count shuffle (both
+    map-side combinable), two token-keyed joins of the bigram
+    relation onto the (vocab-sized) unigram counts, a one-row total
+    broadcast, and a two-stage skew-safe top-k. min_count prunes the
+    long tail BEFORE the joins, which is what keeps the joined
+    relation collocation-sized rather than corpus-sized."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        _tokens_cheap(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - 2),
+                lambda i: F.struct(
+                    F.element_at("__t", i + 1).alias("a"),
+                    F.element_at("__t", i + 2).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    big = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        toks.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_tok"))
+    )
+    total = pairs.agg(F.count(F.lit(1)).cast("long").alias("T"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c_tok").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c_tok").alias("c_b"))
+    scored = (
+        big.join(ua, "a").join(ub, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a", "b", "c_ab",
+            F.floor(
+                F.log(
+                    (F.col("c_ab") * F.col("T")).cast("double")
+                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                ) * F.lit(float(quant))
+            ).cast("long").alias("pmi_q"),
+        )
+    )
+    from .search import topk_per_key
+
+    top = topk_per_key(
+        scored.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.desc("pmi_q"), F.asc("a"), F.asc("b")],
+        top_k,
+    )
+    return top.select(
+        "a", "b", "c_ab", "pmi_q", F.col("rank").cast("long").alias("rank")
+    )

@@ -2488,3 +2488,56 @@ def customer_pagerank(spark, sf_dir):
         (F.col("o_orderkey") % 1024).alias("dst"),
     )
     return _graph.pagerank(edges, n_iter=5)
+
+
+# ---------------------------------------------- PMI collocations
+@register(
+    "corpus_pmi_bigrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), tt AS (SELECT t FROM toks WHERE len(t) >= 2),
+    pairs AS (
+      SELECT t[i] AS a, t[i + 1] AS b
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tt)
+    ),
+    big AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM pairs GROUP BY a, b HAVING COUNT(*) >= 5
+    ),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_tok
+      FROM (SELECT unnest(t) AS tok FROM tt) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS T FROM pairs),
+    scored AS (
+      SELECT a, b, c_ab,
+             CAST(FLOOR(ln(CAST(c_ab * T AS DOUBLE)
+                           / CAST(ua.c_tok * ub.c_tok AS DOUBLE))
+                        * 10000.0) AS BIGINT) AS pmi_q
+      FROM big
+      JOIN uni ua ON ua.tok = big.a
+      JOIN uni ub ON ub.tok = big.b
+      CROSS JOIN tot
+    ),
+    r AS (
+      SELECT a, b, c_ab, pmi_q,
+             ROW_NUMBER() OVER (ORDER BY pmi_q DESC, a, b) AS rank
+      FROM scored
+    )
+    SELECT a, b, c_ab, pmi_q, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 50
+    """,
+)
+def corpus_pmi_bigrams(spark, sf_dir):
+    """PMI collocation mining (functions/corpus.py pmi_bigrams):
+    top-50 adjacent-token pairs by pointwise mutual information
+    (min count 5) — multiword-expression discovery / tokenizer-merge
+    candidates. Counts are exact BIGINTs; the one ln is quantized at
+    1e-4 immediately (the BM25 idf discipline), so ranking and output
+    hash-match the oracle. min_count prunes before the two
+    token-keyed joins onto the unigram counts; top-k reduction is the
+    two-stage skew-safe form."""
+    docs = table(spark, sf_dir, "documents")
+    return corpus.pmi_bigrams(docs, min_count=5, top_k=50)

@@ -543,3 +543,49 @@ def test_temperature_sample_plan_no_fact_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pmi_bigrams_hand_checked(spark):
+    """Corpus where 'machine learning' is a strong collocation and
+    'the the' is anti-correlated filler."""
+    import math
+
+    docs = spark.createDataFrame(
+        [("machine learning " * 6).strip(),
+         ("machine learning " * 4).strip(),
+         "the cat the dog the bird machine",
+         "learning the ropes the hard way"],
+        "string",
+    ).toDF("text")
+    out = corpus.pmi_bigrams(docs, min_count=2, top_k=5).collect()
+    top = [(r["a"], r["b"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert top[0] == ("machine", "learning")
+    # verify the quantized score against a hand count
+    rows = {(r["a"], r["b"]): (r["c_ab"], r["pmi_q"]) for r in out}
+    c_ab, pmi_q = rows[("machine", "learning")]
+    # hand counts: docs 1-2 contribute 10 'machine learning' pairs...
+    # derive from python reference instead of hand arithmetic
+    texts = [("machine learning " * 6).strip(),
+             ("machine learning " * 4).strip(),
+             "the cat the dog the bird machine",
+             "learning the ropes the hard way"]
+    toks = [t.lower().split() for t in texts if len(t.split()) >= 2]
+    pairs = [(w[i], w[i + 1]) for w in toks for i in range(len(w) - 1)]
+    unis = [tok for w in toks for tok in w]
+    T = len(pairs)
+    ca = sum(1 for p in pairs if p == ("machine", "learning"))
+    cm = unis.count("machine")
+    cl = unis.count("learning")
+    assert c_ab == ca
+    assert pmi_q == math.floor(math.log(ca * T / (cm * cl)) * 10000)
+
+
+def test_pmi_bigrams_min_count_prunes(spark):
+    docs = spark.createDataFrame(
+        [("rare pair",), ("common word common word common word",)],
+        "text string")
+    out = corpus.pmi_bigrams(docs, min_count=2, top_k=10).collect()
+    assert ("rare", "pair") not in {(r["a"], r["b"]) for r in out}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.pmi_bigrams(docs, min_count=0)
