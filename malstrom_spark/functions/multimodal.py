@@ -424,3 +424,185 @@ def audio_features_wav(df: DataFrame, payload_col: str = "payload") -> DataFrame
             yield out
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (REAL pixel path — stdlib BMP decode + numpy DCT)
+# ---------------------------------------------------------------------------
+
+def decode_bmp_pixels(payload: bytes):
+    """Full pixel decode for uncompressed 24-bit BI_RGB BMPs (the one
+    raster format decodable with nothing but struct math): returns an
+    (H, W, 3) uint8 RGB array. Handles bottom-up row order and 4-byte
+    row padding. Raises ValueError on anything else — callers route
+    non-BMP payloads around the pixel path."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP core header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    # BMP stores BGR
+    return rows[:, :, ::-1].copy()
+
+
+def make_bmp(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP — the seeding/test counterpart of decode_bmp_pixels."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    body = bytearray()
+    for row in px[::-1]:          # bottom-up
+        body += row[:, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    size = 54 + len(body)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return bytes(hdr + dib + body)
+
+
+def _dct_matrix(n: int):
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    return np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+
+
+def phash64(payload: bytes, grid: int = 32, keep: int = 8) -> int:
+    """Classic 64-bit perceptual hash: grayscale -> block-mean resize
+    to grid x grid -> 2D DCT-II -> top-left keep x keep coefficients
+    (DC excluded) -> bits = coefficient > median. Deterministic pure
+    function of the pixels; near-identical images differ in a few
+    bits, unrelated images in ~32."""
+    import numpy as np
+
+    px = decode_bmp_pixels(payload).astype(np.float64)
+    gray = px.mean(axis=2)
+    h, w = gray.shape
+    # block-mean resize (integer-safe for any size via bincount-style
+    # index pooling)
+    yi = (np.arange(h) * grid // h)
+    xi = (np.arange(w) * grid // w)
+    small = np.zeros((grid, grid))
+    cnt = np.zeros((grid, grid))
+    np.add.at(small, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), gray)
+    np.add.at(cnt, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
+    small /= np.maximum(cnt, 1.0)
+    c = _dct_matrix(grid)
+    coef = c @ small @ c.T
+    block = coef[:keep, :keep].flatten()[1:]  # drop DC
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out - (1 << 63) if out >= (1 << 63) else out  # signed 64
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload",
+                out_col: str = "phash") -> DataFrame:
+    """Arrow-batched pHash over a binary column: adds `out_col`
+    (BIGINT, NULL for undecodable payloads). mapInPandas — pixels
+    never leave the task."""
+    import pandas as pd
+
+    fields = df.schema.fields + [StructField(out_col, LongType(), True)]
+    schema = StructType(fields)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            vals = []
+            for payload in pdf[payload_col]:
+                try:
+                    vals.append(phash64(bytes(payload)))
+                except (ValueError, TypeError):
+                    vals.append(None)
+            pdf[out_col] = pd.array(vals, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(batches, schema)
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str = "phash",
+    max_hamming: int = 10,
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate image pairs by pHash hamming distance, banded
+    exactly like SimHash text dedup (functions/dedup.py): the 64-bit
+    hash splits into 64/chunk_bits chunks; pairs within max_hamming
+    of each other share at least one identical chunk when
+    max_hamming < 64/chunk_bits... (pigeonhole guarantees
+    completeness only for max_hamming < n_chunks; larger thresholds
+    trade recall, same contract as SimHash). Candidates come from a
+    chunk equi-join — never an all-pairs product."""
+    n_chunks = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    h = df.where(F.col(phash_col).isNotNull()).select(
+        F.col(id_col), F.col(phash_col).alias("__ph")
+    )
+    chunks = h.select(
+        id_col,
+        "__ph",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    F.coalesce(
+                        F.shiftright("__ph", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask)),
+                        F.lit(-1),
+                    ).alias("chunk"),
+                )
+                for i in range(n_chunks)
+            ])
+        ).alias("c"),
+    ).select(id_col, "__ph", "c.chunk_id", "c.chunk")
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("__ph").alias("ph_a"),
+        "chunk_id", "chunk")
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("__ph").alias("ph_b"),
+        F.col("chunk_id").alias("cid2"), F.col("chunk").alias("ch2"))
+    cand = (
+        left.join(right,
+                  (F.col("chunk_id") == F.col("cid2"))
+                  & (F.col("chunk") == F.col("ch2"))
+                  & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

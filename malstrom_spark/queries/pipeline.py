@@ -2541,3 +2541,55 @@ def corpus_pmi_bigrams(spark, sf_dir):
     two-stage skew-safe form."""
     docs = table(spark, sf_dir, "documents")
     return corpus.pmi_bigrams(docs, min_count=5, top_k=50)
+
+
+# ------------------------------------------- image pHash near-dup
+def _seeded_bmp_batches(it):
+    """Deterministic REAL 24-bit BMPs: base pattern = doc_id % 40
+    (sinusoid frequency/phase), plus a tiny per-doc brightness offset
+    — docs sharing a base are near-duplicate images, different bases
+    are unrelated. Pure function of doc_id (no RNG)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import multimodal as mm
+
+    y, x = np.mgrid[0:48, 0:48]
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            base = did % 40
+            wave = (
+                np.sin(x * (1 + base % 7) / 6.0 + base)
+                + np.cos(y * (1 + base % 5) / 5.0)
+            )
+            lum = ((wave + 2.0) / 4.0 * 235.0 + (did % 5)).astype(np.uint8)
+            payloads.append(mm.make_bmp(np.stack([lum] * 3, axis=2)))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@register("image_phash_near_dup", oracle=None)
+def image_phash_near_dup(spark, sf_dir):
+    """REAL pixel-path image dedup (functions/multimodal.py): decode
+    24-bit BMPs (struct + numpy, stdlib-only), 64-bit perceptual hash
+    (block-mean resize -> 2D DCT -> median bits), near-dup pairs via
+    the SimHash chunk-banding join (candidates from a chunk equi-join,
+    never all-pairs). Rows-only by necessity — a DCT has no SQL
+    re-derivation — but the pytest suite pins banding output equal to
+    the brute-force numpy reference on the same seeded images. This
+    is the image twin of dedup_simhash: same banding, pixels instead
+    of tokens."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from ..functions import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("payload", BinaryType()),
+    ])
+    imgs = docs.mapInPandas(_seeded_bmp_batches, schema)
+    hashed = mm.image_phash(imgs, "payload").drop("payload")
+    return mm.phash_near_dup_pairs(hashed, "doc_id", max_hamming=3)

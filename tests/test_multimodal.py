@@ -284,3 +284,75 @@ def test_frame_sample_ffmpeg_refuses_without_ffmpeg(spark):
     df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
     with pytest.raises(RuntimeError, match="ffmpeg"):
         multimodal.frame_sample_ffmpeg(df)
+
+
+# ------------------------------------------------ perceptual hashing
+
+def _pattern(base, offset, size=48):
+    import numpy as np
+
+    y, x = np.mgrid[0:size, 0:size]
+    wave = (np.sin(x * (1 + base % 7) / 6.0 + base)
+            + np.cos(y * (1 + base % 5) / 5.0))
+    lum = ((wave + 2.0) / 4.0 * 235.0 + offset).astype(np.uint8)
+    return np.stack([lum] * 3, axis=2)
+
+
+def test_bmp_pixel_roundtrip_and_padding():
+    import numpy as np
+
+    from malstrom_spark.functions import multimodal as mm
+
+    # width 47 forces a non-zero row pad (47*3 = 141 -> stride 144)
+    px = (np.arange(33 * 47 * 3).reshape(33, 47, 3) % 250).astype(np.uint8)
+    assert (mm.decode_bmp_pixels(mm.make_bmp(px)) == px).all()
+    import pytest as _p
+    with _p.raises(ValueError):
+        mm.decode_bmp_pixels(b"nonsense")
+
+
+def test_phash_properties():
+    from malstrom_spark.functions import multimodal as mm
+
+    a = mm.phash64(mm.make_bmp(_pattern(3, 0)))
+    near = mm.phash64(mm.make_bmp(_pattern(3, 4)))   # brightness shift
+    far = mm.phash64(mm.make_bmp(_pattern(17, 0)))   # different pattern
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(a, near) <= 3
+    assert ham(a, far) > 10
+
+
+def test_phash_near_dup_matches_brute_force(spark):
+    """Banding output == numpy brute force at max_hamming <
+    n_chunks (pigeonhole completeness regime)."""
+    from malstrom_spark.functions import multimodal as mm
+
+    imgs = [(i, bytearray(mm.make_bmp(_pattern(i % 6, (i // 6) % 4))))
+            for i in range(36)]
+    df = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    hashed = mm.image_phash(df, "payload").drop("payload")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in mm.phash_near_dup_pairs(
+               hashed, "doc_id", max_hamming=3).collect()}
+
+    hs = {i: mm.phash64(bytes(p)) for i, p in imgs}
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    want = {(i, j): ham(hs[i], hs[j])
+            for i in hs for j in hs if i < j and ham(hs[i], hs[j]) <= 3}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_image_phash_null_for_undecodable(spark):
+    from malstrom_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a bmp"))], "doc_id long, payload binary")
+    row = mm.image_phash(df, "payload").collect()[0]
+    assert row["phash"] is None
