@@ -1368,3 +1368,77 @@ def customer_spend_trend(spark, sf_dir):
                    F.lit("1995-01-01").cast("date")),
         F.floor(F.col("o_totalprice") * 100),
     )
+
+
+# --------------------------------------------------- table diff
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', 1.0
+      FROM orders WHERE o_orderkey % 21 = 0
+    ),
+    j AS (
+      SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+             old.o_orderkey IS NULL AS is_added,
+             new.o_orderkey IS NULL AS is_removed,
+             list_sort(list_filter([
+               CASE WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                    THEN 'o_orderstatus' END,
+               CASE WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                    THEN 'o_totalprice' END
+             ], x -> x IS NOT NULL)) AS ch
+      FROM old FULL OUTER JOIN new USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+           CASE WHEN is_added THEN 'added'
+                WHEN is_removed THEN 'removed'
+                WHEN len(ch) > 0 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN NOT is_added AND NOT is_removed AND len(ch) > 0
+                THEN ch ELSE [] END AS changed_cols
+    FROM j
+    WHERE NOT (NOT is_added AND NOT is_removed AND len(ch) = 0)
+    """,
+)
+def orders_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/diff.py table_diff): orders vs a
+    seeded next-day snapshot (every 3rd price bumped, every 11th
+    status rewritten, every 7th deleted, new keys appended) —
+    added/removed/changed classification with the exact changed-
+    column sets, from ONE full-outer join. Null-safe per-column
+    compare; changed_cols sorted for determinism. The reconciliation
+    pass a 100 TB migration signs off with."""
+    from ..operators.diff import table_diff
+
+    o = table(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    new = (
+        old.where(k % 7 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 11 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.when(k % 3 == 0, F.col("o_totalprice") + F.lit(100.0))
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            old.where(k % 21 == 0).select(
+                (k + 100000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    return table_diff(old, new, "o_orderkey")
