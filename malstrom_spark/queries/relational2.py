@@ -1442,3 +1442,57 @@ def orders_snapshot_diff(spark, sf_dir):
         )
     )
     return table_diff(old, new, "o_orderkey")
+
+
+# ---------------------------------------------- entity resolution
+@register(
+    "customer_entity_groups",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey AS id, lower(c_name) AS nm
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    pairs AS MATERIALIZED (
+      SELECT l.id AS id_a, r.id AS id_b
+      FROM c l JOIN c r ON l.id < r.id
+      WHERE levenshtein(l.nm, r.nm) <= 1
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT id, id FROM c
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS id, MIN(lbl) AS entity_id,
+           (node = MIN(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def customer_entity_groups(spark, sf_dir):
+    """End-to-end entity resolution: symmetric-delete fuzzy pairs
+    (functions/linkage.py, levenshtein <= 1) contracted by the
+    large-star/small-star CC (functions/dedup.py dedup_groups) into
+    one (id, entity_id, is_canonical) row per record — the 'merge
+    near-identical author/source records before per-entity caps'
+    pass, composed entirely from operators already proven alone.
+    Oracle = recursive-CTE reachability over the brute-force pair
+    set (the same first-principles transitive-closure pin as
+    dedup_clusters). Both stages stay bucketed: variant-hash
+    candidates, O(log n) CC rounds."""
+    from ..functions import dedup, linkage
+
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 5 == 0
+    ).select(F.col("c_custkey").alias("id"), "c_name")
+    pairs = linkage.fuzzy_self_pairs(
+        cust, "id", "c_name", max_distance=1
+    ).select(F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b"))
+    groups = dedup.dedup_groups(pairs, cust.select("id"), "id")
+    return groups.select(
+        "id",
+        F.col("group_id").alias("entity_id"),
+        (F.col("id") == F.col("group_id")).alias("is_canonical"),
+    )

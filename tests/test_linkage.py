@@ -93,3 +93,22 @@ def test_plan_has_no_cartesian_product(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_resolution_composition(spark):
+    """fuzzy pairs -> CC: transitive chains collapse to one entity
+    with the min id canonical."""
+    from malstrom_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "helloo"), (3, "hellooo"),  # chain 1-2-3
+         (4, "world"), (5, "warld"),                   # pair 4-5
+         (6, "unique-string")],
+        "id long, s string",
+    )
+    pairs = fuzzy_self_pairs(df, "id", "s", max_distance=1).select(
+        F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b"))
+    groups = {r["id"]: r["group_id"] for r in dedup.dedup_groups(
+        pairs, df.select("id"), "id").collect()}
+    # 1-2 dist 1, 2-3 dist 1, 1-3 dist 2: transitivity via CC
+    assert groups == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
