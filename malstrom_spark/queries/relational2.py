@@ -1496,3 +1496,60 @@ def customer_entity_groups(spark, sf_dir):
         F.col("group_id").alias("entity_id"),
         (F.col("id") == F.col("group_id")).alias("is_canonical"),
     )
+
+
+# ------------------------------------------- time-series gap fill
+@register(
+    "user_value_resampled",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             MAX(value) AS v
+      FROM events GROUP BY user_id, bucket
+    ),
+    s AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM b GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM s
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, b.v
+      FROM grid g LEFT JOIN b ON b.user_id = g.user_id
+                              AND b.bucket = g.bucket
+    )
+    SELECT user_id,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING) AS value,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+)
+def user_value_resampled(spark, sf_dir):
+    """Time-series gap filling (operators/resample.py resample_locf):
+    per-user event values densified onto an hourly grid spanning each
+    user's own [first, last] bucket, gaps carried forward (locf) with
+    an is_gap flag — TimescaleDB's time_bucket_gapfill + locf shape.
+    Per-bucket reduce = MAX (deterministic on ties); the grid is
+    GENERATED per key (sequence + explode), never joined against a
+    calendar table; one window does the fill. The max_buckets guard
+    rides inside the sequence bound so an epoch-outlier row fails
+    loudly instead of exploding the grid."""
+    from ..operators.resample import resample_locf
+
+    ev = table(spark, sf_dir, "events")
+    out = resample_locf(
+        ev, "user_id", "ts", "value", step="1 hour", agg=F.max("value")
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "value",
+        "is_gap",
+    )
