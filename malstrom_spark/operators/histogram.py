@@ -159,3 +159,68 @@ def quantile_bins(
     return wide.select(*keys, F.explode(pairs).alias("__p")).select(
         *keys, F.col("__p.q").alias("q"), F.col("__p.qbin").alias("qbin")
     )
+
+
+def flag_outliers_iqr(
+    df: DataFrame,
+    keys: Sequence[str],
+    bin_expr: Column,
+    k_num: int = 3,
+    k_den: int = 2,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Robust per-group outlier flagging — the Tukey-fence rule
+    (outside [q25 - k*IQR, q75 + k*IQR], default k = 3/2) computed
+    entirely in BIN space from the mergeable histogram: quantile bins
+    come from `quantile_bins` (rank targets in integer arithmetic),
+    the fence is integer arithmetic on bin indices (k as the rational
+    k_num/k_den, floored — so the fence itself is engine-exact), and
+    rows are flagged by comparing their own bin against the fence.
+    The one approximation is bin granularity, the same one-bin bound
+    the quantile rollup documents — median/MAD-style robustness
+    without a per-group sort of the raw data.
+
+    Output: input columns + bin + is_outlier. 100 TB shape: one
+    histogram aggregation (map-side combined), a window over the tiny
+    per-group partials, and ONE broadcast-eligible join of the
+    per-group fence back onto the rows — the raw data shuffles zero
+    times beyond the histogram's key partitioning (and even that is
+    combinable)."""
+    keys = list(keys)
+    binned = df.withColumn(bin_col, bin_expr).where(F.col(bin_col).isNotNull())
+    hist = binned.groupBy(*keys, bin_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    qb = quantile_bins(hist, keys, [0.25, 0.75], bin_col=bin_col)
+    fences = (
+        qb.groupBy(*keys)
+        .pivot("q", [0.25, 0.75])
+        .agg(F.first("qbin"))
+        .select(
+            *keys,
+            F.col("`0.25`").alias("__q25"),
+            F.col("`0.75`").alias("__q75"),
+        )
+        .withColumn("__iqr", F.col("__q75") - F.col("__q25"))
+        # exact integer floor division via the mod identity (floor of
+        # a double quotient can disagree with // at the boundary —
+        # the layout.quantize lesson); (p - p % d) is exactly
+        # divisible, so the double division is exact
+        .withColumn("__p", F.col("__iqr").cast("long") * k_num)
+        .withColumn(
+            "__k",
+            ((F.col("__p") - F.pmod("__p", F.lit(k_den))) / F.lit(k_den))
+            .cast("int"),
+        )
+        .select(
+            *keys,
+            (F.col("__q25") - F.col("__k")).alias("__lo"),
+            (F.col("__q75") + F.col("__k")).alias("__hi"),
+        )
+    )
+    return binned.join(fences, keys).select(
+        *df.columns,
+        F.col(bin_col),
+        ((F.col(bin_col) < F.col("__lo"))
+         | (F.col(bin_col) > F.col("__hi"))).alias("is_outlier"),
+    )

@@ -1553,3 +1553,61 @@ def user_value_resampled(spark, sf_dir):
         "value",
         "is_gap",
     )
+
+
+# ------------------------------------------ robust outlier flagging
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), b AS (
+      SELECT event_id, event_type,
+             CASE WHEN c < 0 THEN -1
+                  WHEN c >= 60000 THEN 600
+                  ELSE c // 100 END AS bin
+      FROM s
+    ), h AS (
+      SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin,
+             SUM(n) OVER (PARTITION BY event_type) AS total,
+             SUM(n) OVER (PARTITION BY event_type
+                          ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cm
+      FROM h
+    ), qb AS (
+      SELECT event_type,
+             MIN(CASE WHEN cm >= (1 * total + 3) // 4 THEN bin END) AS q25,
+             MIN(CASE WHEN cm >= (3 * total + 3) // 4 THEN bin END) AS q75
+      FROM cum GROUP BY event_type
+    ), fence AS (
+      SELECT event_type,
+             q25 - (3 * (q75 - q25)) // 2 AS lo,
+             q75 + (3 * (q75 - q25)) // 2 AS hi
+      FROM qb
+    )
+    SELECT b.event_id, b.event_type, CAST(b.bin AS INT) AS bin
+    FROM b JOIN fence USING (event_type)
+    WHERE b.bin < fence.lo OR b.bin > fence.hi
+    """,
+)
+def events_value_outliers(spark, sf_dir):
+    """Robust outlier detection (operators/histogram.py
+    flag_outliers_iqr): per-event-type Tukey fences (q25/q75 +- 1.5
+    IQR) computed in BIN space from the mergeable integer-cent
+    histogram — rank targets and the fence are pure integer
+    arithmetic, so the flagged set is hash-exact against the oracle's
+    re-derivation. No per-group sort of raw events ever happens; the
+    fence table is group-sized and broadcasts back onto the rows."""
+    from ..operators.histogram import flag_outliers_iqr, linear_bin
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = flag_outliers_iqr(
+        ev, ["event_type"], linear_bin(cents, 0, 60_000, 600)
+    )
+    return out.where("is_outlier").select(
+        "event_id", "event_type", F.col("bin").cast("int").alias("bin")
+    )

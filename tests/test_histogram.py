@@ -181,3 +181,33 @@ def test_linear_bin_exact_beyond_double_precision(spark):
     for i, v in enumerate(vals):
         want = -1 if v < lo else nb if v >= hi else (v - lo) // width
         assert got[i] == want, (v, got[i], want)
+
+
+def test_flag_outliers_iqr_hand_checked(spark):
+    from malstrom_spark.operators.histogram import flag_outliers_iqr, linear_bin
+
+    # key 'a': bins 10..19 uniform (q25=12, q75=17, iqr=5, k=3/2 -> 7)
+    # fences [5, 24]; value in bin 30 and bin 1 are outliers
+    rows = [("a", b * 10) for b in range(10, 20) for _ in range(4)]
+    rows += [("a", 300), ("a", 10)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = flag_outliers_iqr(df, ["k"], linear_bin(F.col("v"), 0, 1000, 100))
+    flagged = sorted(r["bin"] for r in out.collect() if r["is_outlier"])
+    assert flagged == [1, 30]
+    n_ok = sum(1 for r in out.collect() if not r["is_outlier"])
+    assert n_ok == 40
+
+
+def test_flag_outliers_iqr_integer_fence(spark):
+    """k = 1/3 with iqr not divisible by 3: the fence floor must be
+    the exact integer floor (iqr=5 -> k-shift = floor(5/3) = 1)."""
+    from malstrom_spark.operators.histogram import flag_outliers_iqr, linear_bin
+
+    rows = [("a", b * 10) for b in (10, 12, 14, 15, 17)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = flag_outliers_iqr(
+        df, ["k"], linear_bin(F.col("v"), 0, 1000, 100), k_num=1, k_den=3)
+    got = {r["bin"]: r["is_outlier"] for r in out.collect()}
+    # q25 bin = 12, q75 bin = 15 (ceil ranks over 5 rows), iqr 3,
+    # shift floor(3/3) = 1 -> fences [11, 16]
+    assert got == {10: True, 12: False, 14: False, 15: False, 17: True}
