@@ -555,18 +555,33 @@ def phash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     phash_col: str = "phash",
-    max_hamming: int = 10,
+    max_hamming: int | None = None,
     chunk_bits: int = 16,
+    allow_lossy: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs by pHash hamming distance, banded
     exactly like SimHash text dedup (functions/dedup.py): the 64-bit
-    hash splits into 64/chunk_bits chunks; pairs within max_hamming
-    of each other share at least one identical chunk when
-    max_hamming < 64/chunk_bits... (pigeonhole guarantees
-    completeness only for max_hamming < n_chunks; larger thresholds
-    trade recall, same contract as SimHash). Candidates come from a
-    chunk equi-join — never an all-pairs product."""
+    hash splits into 64/chunk_bits chunks; by pigeonhole, pairs within
+    max_hamming of each other share at least one identical chunk only
+    when max_hamming < n_chunks — so the default max_hamming is
+    n_chunks - 1 (3 at chunk_bits=16), the largest COMPLETE threshold,
+    matching the SimHash convention. A larger max_hamming voids the
+    completeness guarantee (pairs differing in every chunk are
+    silently missed) and therefore raises unless allow_lossy=True —
+    the same parameter-voids-guarantee validation heavy_hitters
+    applies to k < ceil(1/phi). Candidates come from a chunk
+    equi-join — never an all-pairs product."""
     n_chunks = 64 // chunk_bits
+    if max_hamming is None:
+        max_hamming = n_chunks - 1
+    elif max_hamming >= n_chunks and not allow_lossy:
+        raise ValueError(
+            f"phash_near_dup_pairs: max_hamming={max_hamming} >= "
+            f"n_chunks={n_chunks} voids the pigeonhole completeness "
+            "guarantee (pairs differing in every chunk are missed); "
+            "lower max_hamming, shrink chunk_bits, or pass "
+            "allow_lossy=True to accept recall loss"
+        )
     mask = (1 << chunk_bits) - 1
     h = df.where(F.col(phash_col).isNotNull()).select(
         F.col(id_col), F.col(phash_col).alias("__ph")

@@ -67,7 +67,12 @@ def cdc_compact(
     image = F.max_by(F.struct(*[F.col(c) for c in carried]), order)
 
     latest = changelog.groupBy(*keys).agg(image.alias("__img"))
-    alive = latest.where(~F.col(f"__img.{op}").isin(list(delete_ops)))
+    # NULL op must not silently delete the key: isin() is NULL for a
+    # NULL operand and where() drops NULL — treat a malformed
+    # (op-less) latest image as an upsert, never a delete.
+    alive = latest.where(
+        F.coalesce(~F.col(f"__img.{op}").isin(list(delete_ops)), F.lit(True))
+    )
     out_cols = carried if keep_meta else payload
     return alive.select(*keys, *[F.col(f"__img.{c}").alias(c) for c in out_cols])
 
@@ -96,7 +101,9 @@ def cdc_deduplicate_log(
         if c not in keys and c != ts and c != tiebreak
     ]
     is_first = F.lag(F.lit(1)).over(w).isNull()
-    differs = None
+    # Empty attrs (changelog of bare keys+ts) gets defined keep-first
+    # semantics instead of `is_first | None` leaking through py4j.
+    differs = F.lit(False)
     for a in attrs:
         d = ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
         differs = d if differs is None else (differs | d)

@@ -87,16 +87,20 @@ def merge_states(
 def finalize_state(
     state: DataFrame, values: Sequence[str], round_avg: int = 6
 ) -> DataFrame:
-    """Presentation view: adds `<v>_avg` (sum/n, rounded — division
-    is the one non-mergeable step, so it happens LAST, never in the
-    stored state). Null-safe: avg is NULL where n == 0."""
+    """Presentation view: adds `<v>_avg` (sum/n, floor-quantized —
+    division is the one non-mergeable step, so it happens LAST, never
+    in the stored state). Null-safe: avg is NULL where n == 0.
+
+    Quantization is FLOOR(x*10^n)/10^n, NOT round(): ROUND-on-double
+    is not engine-portable once the value's ulp nears the rounding
+    grid (Spark HALF_UP vs DuckDB float rounding flipped last digits
+    at ~1.7e7 in stats.grouped_ols — same discipline here)."""
+    q = float(10**round_avg)
     out = state
     for v in values:
         avg = F.when(
             F.col(f"{v}_n") > 0,
-            F.round(
-                F.col(f"{v}_sum").cast("double") / F.col(f"{v}_n"), round_avg
-            ),
+            F.floor(F.col(f"{v}_sum").cast("double") / F.col(f"{v}_n") * q) / q,
         )
         out = out.withColumn(f"{v}_avg", avg)
     return out

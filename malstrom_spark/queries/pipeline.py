@@ -2192,10 +2192,11 @@ def _langid_case_sql(col_expr: str, which: int) -> str:
       FROM sc
     )
     SELECT n.doc_id, n.lang_true,
-           CASE WHEN length(n.s) < 2 THEN 'und' ELSE p.lang END AS lang_pred,
+           CASE WHEN length(n.s) < 2 THEN 'und'
+                ELSE coalesce(p.lang, 'und') END AS lang_pred,
            (n.lang_true = CASE WHEN length(n.s) < 2 THEN 'und'
-                               ELSE p.lang END) AS correct
-    FROM norm n JOIN pick p ON n.doc_id = p.doc_id AND p.rk = 1
+                               ELSE coalesce(p.lang, 'und') END) AS correct
+    FROM norm n LEFT JOIN pick p ON n.doc_id = p.doc_id AND p.rk = 1
     """,
 )
 def doc_lang_id_trained(spark, sf_dir):

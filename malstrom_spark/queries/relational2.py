@@ -1298,8 +1298,8 @@ def lineitem_bloom_join(spark, sf_dir):
              AS price_sum,
            MIN(o_totalprice) AS price_min,
            MAX(o_totalprice) AS price_max,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
-                 / COUNT(o_totalprice), 6) AS price_avg
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                 / COUNT(o_totalprice) * 1e6) / 1e6 AS price_avg
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
     """,

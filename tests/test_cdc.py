@@ -102,3 +102,25 @@ def test_compact_plan_shape(spark):
     assert plan.count("Exchange") == 1
     map_side = plan.split("Exchange")[1]  # text below the Exchange line
     assert "partial_max_by" in map_side
+
+
+def test_null_op_is_upsert_not_delete(spark):
+    """A malformed changelog row with NULL op must not silently delete
+    the key (isin() is NULL for NULL, and where() drops NULL): the
+    latest NULL-op image is treated as an upsert."""
+    df = spark.createDataFrame(
+        [("a", "I", 1, "x"), ("a", None, 2, "y"), ("b", "D", 1, "z")],
+        "k string, op string, ts long, val string",
+    )
+    got = {r["k"]: r["val"] for r in cdc_compact(df, "k", "ts").collect()}
+    assert got == {"a": "y"}  # NULL-op latest image survives; b deleted
+
+
+def test_dedup_log_empty_attrs_keeps_first(spark):
+    """A changelog of bare keys+ts (no tracked attrs) gets defined
+    keep-first semantics instead of a py4j NPE from `is_first | None`."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "k string, ts long")
+    out = cdc_deduplicate_log(df, "k", "ts", attrs=[])
+    assert sorted((r["k"], r["ts"]) for r in out.collect()) == \
+        [("a", 1), ("b", 5)]

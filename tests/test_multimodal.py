@@ -356,3 +356,24 @@ def test_image_phash_null_for_undecodable(spark):
         [(1, bytearray(b"not a bmp"))], "doc_id long, payload binary")
     row = mm.image_phash(df, "payload").collect()[0]
     assert row["phash"] is None
+
+
+def test_phash_near_dup_default_is_complete_and_lossy_raises(spark):
+    """Defaults must honor the pigeonhole guarantee: max_hamming
+    defaults to n_chunks-1 (3 at chunk_bits=16), and an explicit
+    max_hamming >= n_chunks raises unless allow_lossy=True — the same
+    parameter-voids-guarantee validation as heavy_hitters."""
+    import pytest as _pytest
+    from malstrom_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, (1 << 5) | 1)], "doc_id long, phash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in mm.phash_near_dup_pairs(df, "doc_id").collect()}
+    assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 2}
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        mm.phash_near_dup_pairs(df, "doc_id", max_hamming=10)
+    # allow_lossy opts back into the recall trade explicitly
+    lossy = mm.phash_near_dup_pairs(
+        df, "doc_id", max_hamming=10, allow_lossy=True)
+    assert lossy.count() >= 3
