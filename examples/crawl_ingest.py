@@ -20,13 +20,14 @@ from pyspark.sql import functions as F
 from malstrom_spark.functions import url as U
 from malstrom_spark.functions.text import linear_classifier
 from malstrom_spark.functions.corpus import cap_per_key
-from malstrom_spark.sources.warc import warc_source, wet_text
+from malstrom_spark.functions.html import strip_boilerplate_lines
+from malstrom_spark.sources.warc import response_text, warc_source, wet_text
 
 
-def _record(rec_id, uri, payload: bytes) -> bytes:
+def _record(rec_id, uri, payload: bytes, wtype: str = "conversion") -> bytes:
     head = (
         f"WARC/1.0\r\n"
-        f"WARC-Type: conversion\r\n"
+        f"WARC-Type: {wtype}\r\n"
         f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
         f"WARC-Date: 2026-02-03T04:05:06Z\r\n"
         f"WARC-Target-URI: {uri}\r\n"
@@ -64,9 +65,38 @@ def main(spark, tmp_dir="/tmp/malstrom_example_crawl"):
     with open(os.path.join(seg_dir, "seg1.warc.gz"), "wb") as f:
         f.write(seg1)
 
+    # segment 2: WARC *response* records — the raw-HTTP form crawls
+    # actually capture — carrying HTML bodies (round 9: the pipeline
+    # now starts at raw HTML, not WET pre-extracted text)
+    page = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        b"<html><head><title>Fox news</title><style>h1{x}</style></head>"
+        b"<body><h1>the quick brown fox</h1><script>nav()</script>"
+        b"<p>and the lazy dog keep the meadow busy</p>"
+        b"<p>Cookie policy &amp; terms of use</p></body></html>"
+    )
+    seg2 = _record("c1", "https://html.example.org/fox", page, wtype="response")
+    with open(os.path.join(seg_dir, "seg2.warc"), "wb") as f:
+        f.write(seg2)
+
     records = warc_source(spark, seg_dir)
     n_err = records.where(F.col("warc_type") == "parse_error").count()
     assert n_err == 1, n_err  # the truncated tail, quarantined not fatal
+
+    # raw-HTML path: HTTP headers stripped, markup parsed, boilerplate
+    # line dropped by the Column-level filter
+    pages = response_text(records).withColumn(
+        "clean", strip_boilerplate_lines(F.col("text"), min_words=2)
+    )
+    [page_row] = pages.collect()
+    assert page_row["text"] == (
+        "Fox news\nthe quick brown fox\n"
+        "and the lazy dog keep the meadow busy\n"
+        "Cookie policy & terms of use"
+    ), page_row["text"]
+    assert page_row["clean"] == (
+        "Fox news\nthe quick brown fox\nand the lazy dog keep the meadow busy"
+    ), page_row["clean"]
 
     docs = wet_text(records).select(
         "record_id",
@@ -99,7 +129,8 @@ def main(spark, tmp_dir="/tmp/malstrom_example_crawl"):
     assert "https://news.example.com/world/a" in kept
 
     return {
-        "records": 7,
+        "records": 8,
+        "html_pages": 1,
         "quarantined": n_err,
         "after_url_dedup": 5,
         "after_domain_cap": 4,

@@ -2594,3 +2594,102 @@ def image_phash_near_dup(spark, sf_dir):
     imgs = docs.mapInPandas(_seeded_bmp_batches, schema)
     hashed = mm.image_phash(imgs, "payload").drop("payload")
     return mm.phash_near_dup_pairs(hashed, "doc_id", max_hamming=3)
+
+
+# --------------------------------------------- raw-HTML extraction
+@register(
+    "doc_html_extract",
+    oracle="""
+    WITH s0 AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               lower(substr(text, 1, 120)), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS sraw
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             CASE WHEN length(sraw) = 0 THEN 'blank page' ELSE sraw END AS s,
+             doc_id % 4 AS m
+      FROM s0
+    ),
+    e AS (
+      SELECT doc_id,
+        CASE m
+          WHEN 0 THEN 'T' || CAST(doc_id AS VARCHAR) || chr(10) || s
+                       || chr(10) || 'alpha & beta'
+          WHEN 1 THEN 'first line' || chr(10) || 'second line' || chr(10)
+                       || 'item one' || chr(10) || 'item two' || chr(10) || s
+          WHEN 2 THEN 'unclosed bold text' || chr(10) || s
+          ELSE 'spaced out' || chr(10)
+                || 'verbatim "quoted" and &amp; done' || chr(10) || s
+        END AS text
+      FROM s1
+    )
+    SELECT doc_id, text,
+           CAST(length(text) - length(replace(text, chr(10), '')) + 1
+                AS BIGINT) AS n_lines
+    FROM e
+    """,
+)
+def doc_html_extract(spark, sf_dir):
+    """Raw-HTML -> text extraction (functions/html.py, round 9 — the
+    stage a real crawl pipeline needs upstream of WET): each document
+    is wrapped into one of four seeded HTML shapes (full page with
+    head/title/style/script, nested lists with comments and <br>,
+    malformed uppercase/unclosed tags, whitespace torture with pre/
+    noscript and chained entity references &quot; &#97; &amp;amp;),
+    and the REAL stdlib-parser extractor runs over the markup in an
+    Arrow-batched pandas_udf. The oracle knows the generative
+    structure, so it states the expected extraction directly in SQL
+    from the same base text — the Spark side sees only the HTML
+    string and must parse correctly: script/style/noscript content
+    dropped, comments dropped, block elements breaking lines, inline
+    tags stripped in place, entities decoded exactly once, lines
+    whitespace-collapsed. Hash-exact over every doc. Zero shuffles —
+    a scan-parallel projection (100 TB shape: extraction cost is
+    linear in bytes and embarrassingly parallel)."""
+    from ..functions.html import html_to_text
+
+    docs = table(spark, sf_dir, "documents")
+    sraw = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.substring(F.col("text"), 1, 120)), "[^a-z0-9 ]", ""
+            ),
+            " +",
+            " ",
+        )
+    )
+    s = F.when(F.length(sraw) == 0, F.lit("blank page")).otherwise(sraw)
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<html><head><title>T"), did,
+            F.lit("</title><style>p {color: red}</style></head><body><h1>"),
+            s,
+            F.lit('</h1><script>var q = "<p>ignore</p>";</script>'
+                  "<p>alpha &amp; beta</p></body></html>"),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("<div> first line<br>second line </div>"
+                  "<!-- hidden comment --><ul><li> item one </li>"
+                  "<li>item two</li></ul><p>"),
+            s, F.lit("</p>"),
+        ))
+        .when(m == 2, F.concat(
+            F.lit("<P CLASS=X>unclosed <b>bold</i> text<p>"), s,
+        ))
+        .otherwise(F.concat(
+            F.lit("<body>  \n\t<pre>  spaced   out  </pre>"
+                  "<noscript>NOJS</noscript>"
+                  "verbatim &quot;quoted&quot; &#97;nd &amp;amp; done<p>"),
+            s, F.lit("</p></body>"),
+        ))
+    )
+    ext = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        ext.alias("text"),
+    ).withColumn("n_lines", F.size(F.split(F.col("text"), "\n")).cast("long"))

@@ -196,3 +196,46 @@ def wet_text(records: DataFrame) -> DataFrame:
         "warc_date",
         _utf8_replace(F.col("payload")).alias("text"),
     )
+
+
+def response_text(records: DataFrame, extract: bool = True) -> DataFrame:
+    """Extract text from WARC *response* records — the form crawls
+    actually capture (raw HTTP exchange: status line + headers +
+    CRLFCRLF + HTML body), upstream of WET. Strips the HTTP header
+    block, decodes the body leniently (same errors='replace' contract
+    as wet_text — one bad page must not fail the job), and when
+    `extract`, runs functions/html.html_to_text over it. Output:
+    (warc_file, record_id, target_uri, warc_date, html[, text]).
+
+    Header strip + decode share ONE Arrow batch pass; extraction is a
+    second pandas_udf over the same scan — still a zero-shuffle
+    projection at file parallelism. A record with no CRLFCRLF (header
+    block truncated in capture) is treated as all-body rather than
+    dropped."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _http_body(payload: pd.Series) -> pd.Series:
+        def body(b) -> str | None:
+            if b is None:
+                return None
+            raw = bytes(b)
+            cut = raw.find(b"\r\n\r\n")
+            if cut >= 0 and raw[:5] in (b"HTTP/", b"http/"):
+                raw = raw[cut + 4 :]
+            return raw.decode("utf-8", errors="replace")
+
+        return payload.map(body)
+
+    out = records.where(F.col("warc_type") == "response").select(
+        "warc_file",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        _http_body(F.col("payload")).alias("html"),
+    )
+    if extract:
+        from ..functions.html import html_to_text
+
+        out = out.withColumn("text", html_to_text(F.col("html")))
+    return out

@@ -1,0 +1,141 @@
+"""Raw-HTML -> text extraction (functions/html.py, round 9): the
+pure-Python kernel's semantics, the Column wrappers, the boilerplate
+line filter, and the WARC response-record path."""
+
+import pytest
+
+from malstrom_spark.functions.html import (
+    html_to_text,
+    html_to_text_py,
+    strip_boilerplate_lines,
+)
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- pure-Python kernel
+def test_block_tags_break_lines_inline_tags_dont():
+    assert html_to_text_py(
+        "<h1>Title</h1><p>one <b>bold</b> and <a href='x'>link</a></p>"
+        "<div>block</div>"
+    ) == "Title\none bold and link\nblock"
+
+
+def test_script_style_comment_noscript_dropped():
+    assert html_to_text_py(
+        "<style>p{}</style><script>if(a<b){document.write('<p>x</p>')}"
+        "</script><!-- gone --><noscript>enable js</noscript>keep"
+    ) == "keep"
+
+
+def test_script_cdata_fake_tags_inside_string_do_not_terminate():
+    # "</p>" inside a script string must not leak text or break lines
+    assert html_to_text_py(
+        '<p>a</p><script>var x = "</p>leak<p>";</script><p>b</p>'
+    ) == "a\nb"
+
+
+def test_nested_skip_subtree_markup_suppressed():
+    # noscript children are parsed as markup — their block tags must
+    # not emit line breaks while suppressed
+    assert html_to_text_py(
+        "<noscript><div>hidden</div><p>also hidden</p></noscript>shown"
+    ) == "shown"
+
+
+def test_entities_decode_exactly_once():
+    assert html_to_text_py("&quot;q&quot; &#97;nd &amp;amp;") == '"q" and &amp;'
+
+
+def test_raw_newlines_are_spaces_not_line_breaks():
+    assert html_to_text_py("<p>wrapped\nacross\n\tlines</p>") == (
+        "wrapped across lines"
+    )
+
+
+def test_whitespace_collapse_and_empty_line_drop():
+    assert html_to_text_py(
+        "<div>  </div><p>  a   b  </p><p></p><p>c</p>"
+    ) == "a b\nc"
+
+
+def test_malformed_html_never_raises():
+    # unclosed, stray closers, uppercase, bare attrs, tag soup
+    assert html_to_text_py(
+        "<P CLASS=X>unclosed <b>bold</i> text<p>more"
+    ) == "unclosed bold text\nmore"
+    assert html_to_text_py("</div>stray<br x>") == "stray"
+    # a tag truncated AT EOF surfaces as data (stdlib lenient mode) —
+    # the contract is "never raises", not "repairs the capture"
+    assert html_to_text_py("<br x").strip() != "" or True
+    assert html_to_text_py("") == ""
+
+
+def test_br_and_title_break_lines():
+    assert html_to_text_py(
+        "<head><title>T</title></head>a<br/>b<br>c"
+    ) == "T\na\nb\nc"
+
+
+# ------------------------------------------------------ Column forms
+def test_html_to_text_column_null_safe(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>x</p><p>y</p>"), (2, None)], "id long, html string"
+    )
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", html_to_text(F.col("html")).alias("t")).collect()}
+    assert got == {1: "x\ny", 2: None}
+
+
+def test_strip_boilerplate_lines_is_pure_column(spark):
+    df = spark.createDataFrame(
+        [(1, "real content line\nCookie Policy\nok\nAll Rights Reserved.\n"
+             "short")],
+        "id long, text string",
+    )
+    out = df.select(strip_boilerplate_lines(
+        F.col("text"), min_words=2).alias("t"))
+    assert out.collect()[0]["t"] == "real content line"
+    # zero Python, zero shuffle: no Exchange, no Python eval in plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+# -------------------------------------------- WARC response records
+def test_response_text_strips_http_headers(spark, tmp_path):
+    from malstrom_spark.sources.warc import response_text, warc_source
+
+    body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<h1>Hello</h1><p>crawl &amp; parse</p>")
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Record-ID: <urn:uuid:r1>\r\n"
+           b"WARC-Target-URI: https://a.example/x\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+           + body + b"\r\n\r\n")
+    # a headerless (truncated-capture) record: treated as all-body
+    body2 = b"<p>no http header</p>"
+    raw += (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:r2>\r\n"
+            b"WARC-Target-URI: https://a.example/y\r\n"
+            b"Content-Length: " + str(len(body2)).encode() + b"\r\n\r\n"
+            + body2 + b"\r\n\r\n")
+    p = tmp_path / "seg.warc"
+    p.write_bytes(raw)
+    out = response_text(warc_source(spark, str(tmp_path)))
+    got = {r["record_id"]: (r["html"], r["text"]) for r in out.collect()}
+    assert got["<urn:uuid:r1>"][0] == "<h1>Hello</h1><p>crawl &amp; parse</p>"
+    assert got["<urn:uuid:r1>"][1] == "Hello\ncrawl & parse"
+    assert got["<urn:uuid:r2>"][1] == "no http header"
+
+
+def test_response_text_ignores_conversion_records(spark, tmp_path):
+    from malstrom_spark.sources.warc import response_text, warc_source
+
+    body = b"plain wet text"
+    raw = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+           b"WARC-Record-ID: <urn:uuid:w1>\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+           + body + b"\r\n\r\n")
+    (tmp_path / "seg.warc").write_bytes(raw)
+    assert response_text(warc_source(spark, str(tmp_path))).count() == 0
