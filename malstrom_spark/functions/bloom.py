@@ -34,6 +34,7 @@ hash because it never touches an oracle-visible value.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -94,16 +95,105 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     return u.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
 
 
+# Above this many bits the densified filter stops being a sane plan
+# literal (2^24 bits = 256k longs = a 2 MiB plan node shipped with
+# every task) and probing dispatches to a broadcast-variable numpy
+# array + Arrow-batched pandas_udf instead — the same size-thresholded
+# escape hatch as IVF_LITERAL_MAX_NODES (similarity.py). The module's
+# own motivation (billions of grams => ~10^10 bits) lives entirely on
+# the broadcast side of this line.
+BLOOM_LITERAL_MAX_BITS = 1 << 24
+
+
 def bloom_words_literal(bloom: DataFrame, n_bits: int) -> Column:
     """Densify the sparse filter into ONE array<long> literal for
     probing. Construction-time collect of <= n_bits/64 rows (the
     filter, not the data) — the same small-collect class as the
-    IVF/PQ codebooks."""
+    IVF/PQ codebooks. Right for n_bits <= BLOOM_LITERAL_MAX_BITS;
+    `bloom_probe` dispatches away from it above that."""
     n_words = n_bits // 64
     dense = [0] * n_words
     for r in bloom.select("word_idx", "word").collect():
         dense[r["word_idx"]] = r["word"]
     return F.lit(dense).cast("array<long>")
+
+
+def _bloom_dense_numpy(bloom: DataFrame, n_bits: int):
+    """Dense int64 word array of the filter (driver-side, bounded by
+    n_bits/64 — the filter, never the data)."""
+    import numpy as np
+
+    dense = np.zeros(n_bits // 64, dtype=np.int64)
+    for r in bloom.select("word_idx", "word").collect():
+        dense[r["word_idx"]] = r["word"]
+    return dense
+
+
+def bloom_might_contain_broadcast(
+    col: Column,
+    bloom: DataFrame,
+    n_bits: int,
+    n_hashes: int = 7,
+    seed: int = 0,
+) -> Column:
+    """Membership probe for filters too big to be a plan literal: the
+    dense word array ships ONCE per executor as a Spark broadcast
+    (torrent blocks, not a per-task plan node), bit positions are
+    still computed JVM-side (xxhash64 — Python has no twin of Spark's
+    hash), and an Arrow-batched pandas_udf checks the k bits against
+    the broadcast numpy array. Output-identical to
+    `bloom_might_contain` (pytest-pinned); NULL input probes False."""
+    import numpy as np
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    _check(n_bits, n_hashes)
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(_bloom_dense_numpy(bloom, n_bits))
+
+    @pandas_udf("boolean")
+    def _probe(positions: pd.Series) -> pd.Series:
+        words = bc.value
+
+        def check(ps) -> bool:
+            if ps is None:
+                return False
+            p = np.asarray(ps, dtype=np.int64)
+            # arithmetic >> keeps low bits identical to logical, so
+            # bit `off` of a signed word is ((w >> off) & 1) verbatim
+            return bool(np.all((words[p // 64] >> (p % 64)) & 1))
+
+        return positions.map(check)
+
+    # positions JVM-side; NULL value -> NULL array (Spark's xxhash64
+    # SKIPS null inputs rather than returning null, which would
+    # otherwise probe junk positions)
+    pos_arr = F.when(
+        col.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: _pos(col, i, n_bits, seed),
+        ),
+    )
+    return _probe(pos_arr)
+
+
+def bloom_probe(
+    col: Column,
+    bloom: DataFrame,
+    n_bits: int,
+    n_hashes: int = 7,
+    seed: int = 0,
+    literal_max_bits: int = BLOOM_LITERAL_MAX_BITS,
+) -> Column:
+    """Size-dispatched membership probe: plan-literal codegen probe up
+    to `literal_max_bits`, broadcast-variable pandas_udf probe above
+    it. Both are output-identical; callers never pick a mechanism."""
+    if n_bits <= literal_max_bits:
+        return bloom_might_contain(
+            col, bloom_words_literal(bloom, n_bits), n_bits, n_hashes, seed
+        )
+    return bloom_might_contain_broadcast(col, bloom, n_bits, n_hashes, seed)
 
 
 def bloom_might_contain(
@@ -164,13 +254,12 @@ def bloom_contaminated_ids(
         .distinct()
     )
     filt = bloom_build(bench_grams, "g", n_bits, n_hashes, seed)
-    words = bloom_words_literal(filt, n_bits)
 
     exploded = doc_grams.select(
         F.col(id_col), F.explode_outer("sh").alias("g")
     )
     candidates = exploded.where(
-        bloom_might_contain(F.col("g"), words, n_bits, n_hashes, seed)
+        bloom_probe(F.col("g"), filt, n_bits, n_hashes, seed)
     )
     return (
         candidates.join(F.broadcast(bench_grams), "g", "left_semi")
@@ -241,9 +330,8 @@ def bloom_filtered_join(
             f"{dk}:{dt}) — xxhash64 is type-sensitive; cast them equal first"
         )
     filt = bloom_build(dim.select(build_col.alias(dk)), dk, n_bits, n_hashes, seed)
-    words = bloom_words_literal(filt, n_bits)
     pruned = fact.where(
-        bloom_might_contain(probe_col, words, n_bits, n_hashes, seed)
+        bloom_probe(probe_col, filt, n_bits, n_hashes, seed)
     )
     if dim_key and dim_key != fact_key:
         return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

@@ -488,6 +488,168 @@ def make_bmp(pixels) -> bytes:
     return bytes(hdr + dib + body)
 
 
+def decode_png_pixels(payload: bytes):
+    """Full pixel decode for non-interlaced 8-bit PNGs (round 9 —
+    extends the real-pixel family beyond BMP with nothing but stdlib
+    zlib + numpy): grayscale / gray+alpha / RGB / RGBA color types,
+    all five scanline filters (None/Sub/Up/Average/Paeth) unfiltered
+    per the PNG spec (RFC 2083 §6). Returns an (H, W, 3) uint8 RGB
+    array (gray replicated, alpha dropped). Raises ValueError on
+    anything else (16-bit, palette, interlaced) — callers route
+    undecodable payloads around the pixel path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(payload) < 8 + 25 or payload[:8] != sig:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or comp != 0 or filt != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, comp={comp})")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(raw, np.uint8, stride, row_off + 1)
+        if ftype == 0:  # None
+            rec = line.copy()
+        elif ftype == 1:  # Sub — cumsum mod 256 per channel offset
+            rec = line.copy()
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(line[c::bpp], dtype=np.uint32) % 256
+        elif ftype == 2:  # Up
+            rec = (line.astype(np.uint16) + prev) % 256
+            rec = rec.astype(np.uint8)
+        elif ftype == 3:  # Average — sequential in x
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + (left + int(prev[x])) // 2) % 256
+        elif ftype == 4:  # Paeth — sequential in x
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(height, width, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray+alpha: replicate gray, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGB / RGBA (alpha dropped)
+
+
+def make_png(pixels, row_filters=None) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG —
+    the seeding/test counterpart of decode_png_pixels. `row_filters`
+    (int or per-row list, 0-4) selects the scanline filter(s), so
+    tests can exercise every unfilter path; default cycles through all
+    five."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    bpp = 3
+    if row_filters is None:
+        row_filters = [y % 5 for y in range(h)]
+    elif isinstance(row_filters, int):
+        row_filters = [row_filters] * h
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int16)
+        f = row_filters[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = line - pred
+        raw.append(f)
+        raw += (enc % 256).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image_pixels(payload: bytes):
+    """Container dispatch for the real-pixel path: BMP or PNG by magic
+    bytes -> (H, W, 3) uint8 RGB. The pHash downstream is a pure
+    function of the PIXELS, so the same image hashes identically
+    whichever container carried it."""
+    if payload[:2] == b"BM":
+        return decode_bmp_pixels(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(payload)
+    raise ValueError("unsupported image container (BMP and PNG supported)")
+
+
 def _dct_matrix(n: int):
     import numpy as np
 
@@ -504,7 +666,7 @@ def phash64(payload: bytes, grid: int = 32, keep: int = 8) -> int:
     bits, unrelated images in ~32."""
     import numpy as np
 
-    px = decode_bmp_pixels(payload).astype(np.float64)
+    px = decode_image_pixels(payload).astype(np.float64)
     gray = px.mean(axis=2)
     h, w = gray.shape
     # block-mean resize (integer-safe for any size via bincount-style

@@ -124,17 +124,27 @@ _PRIORITY = [
                                # folded into pipeline_omnibus; LSH+PQ
                                # keep the ANN family priority-visible)
     "multimodal_pipeline",
-    # --- event-time / keyed operators over the events table ---
-    # (r8 rotation batch 2: hourly_event_rollup folded into
-    # relational_omnibus_b — tumbling windows stay visible via
-    # streaming_hourly_counts + event_hypertable_rollup's hash)
-    "event_sessions",
-    "events_asof_latest_order",
-    "events_running_totals",   # (r7 rotation: user_event_type_matrix
-                               # folded into relational_omnibus_b; pivot
-                               # + its inverse unpivot both gate-hashed
-                               # there; r8: the salted-agg row folded
-                               # there too)
+    "doc_html_extract",        # r9: raw-HTML -> text extraction (the
+                               # WARC response-record stage; real
+                               # stdlib parser vs generative oracle)
+    # --- r9 rotation: the r8 batch-2 operator families get gate rows
+    # (they were full-registry-only in r8). Nine veterans folded into
+    # relational_omnibus_b: q4_order_priority, customers_without_orders,
+    # high_value_active_custkeys, rollup_order_counts,
+    # cube_status_priority, top3_orders_per_customer, event_sessions,
+    # events_asof_latest_order, events_running_totals — all still
+    # gate-hashed inside the omnibus row and individually checked via
+    # full_registry. EXISTS/anti/semi/rank/ROLLUP/CUBE/session/as-of/
+    # stateful-totals capabilities stay priority-visible through q3/q5,
+    # the streaming rows, and error_next_purchase_asof in omnibus_b.
+    "lineitem_bloom_join",      # r8: runtime bloom filter ahead of join
+    "orders_quality_report",    # r8: data-quality expectations
+    "orders_incremental_rollup",  # r8: incremental aggregate maintenance
+    "customer_spend_trend",     # r8: per-key OLS from BIGINT moments
+    "orders_snapshot_diff",     # r8: full-outer snapshot table diff
+    "customer_entity_groups",   # r8: entity resolution (linkage + CC)
+    "user_value_resampled",     # r8: time-series gap fill / locf
+    "events_value_outliers",    # r8: Tukey fences from mergeable hists
     "pipeline_omnibus",         # doc-pipeline tail, hash-verified in one
                                 # row (inspect passthrough folded into
                                 # omnibus_b to free this slot)
@@ -142,16 +152,6 @@ _PRIORITY = [
     "q1_pricing_summary",       # aggregation library (flagship/entry)
     "q3_top_revenue_orders",    # join + top-k
     "q5_region_nation_revenue", # multi-way join
-    "q4_order_priority",        # EXISTS subquery
-    "customers_without_orders", # anti join
-    "high_value_active_custkeys",  # semi join
-    "top3_orders_per_customer", # rank() window (lag(): the
-                                # customer_order_gaps row is
-                                # omnibus-folded since r8)
-    "rollup_order_counts",      # ROLLUP
-    "cube_status_priority",     # CUBE
-    # (r8 rotation batch 2: customer_cohort_set_ops and
-    # order_price_percentiles folded into relational_omnibus_b)
     "part_scalar_functions",    # scalar function library
     # --- omnibus: the relational tail, hash-verified in two rows ---
     "relational_omnibus_a",     # q6-q19 join/agg variants

@@ -124,6 +124,27 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     ("hourly_event_rollup", ["window_start", "event_type", "n"], ["total"]),
     ("customer_cohort_set_ops", ["cohort", "o_custkey"], []),
     ("order_price_percentiles", ["o_orderstatus", "n"], ["p25", "p50", "p90"]),
+    # round-9 gate rotation: nine long-stable veterans folded so the
+    # r8 batch-2 operator families (bloom join, expectations,
+    # incremental rollup, OLS trend, snapshot diff, entity groups,
+    # gap-fill, outliers) and the new raw-HTML extraction get priority
+    # slots. Capability stays gate-visible: EXISTS/anti/semi joins
+    # through these omnibus hashes + q3/q5 staying priority; ROLLUP/
+    # CUBE through their hashes here; rank() windows through this fold
+    # + SCD2/top-k rows; sessions and as-of through the streaming
+    # session row and error_next_purchase_asof (already here);
+    # stateful running totals through streaming_user_totals (priority).
+    ("q4_order_priority", ["o_orderpriority", "order_count"], []),
+    ("customers_without_orders", ["c_custkey", "c_name"], []),
+    ("high_value_active_custkeys", ["custkey"], []),
+    ("rollup_order_counts", ["o_orderstatus", "o_orderpriority", "n"], ["total"]),
+    ("cube_status_priority", ["status", "priority", "n_orders"], ["total_price"]),
+    ("top3_orders_per_customer", ["o_custkey", "o_orderkey", "rk"], ["o_totalprice"]),
+    ("event_sessions", ["user_id", "sess_id", "n_events", "session_start"],
+     ["sess_value"]),
+    ("events_asof_latest_order",
+     ["event_id", "user_id", "asof_orderkey", "asof_orderdate"], []),
+    ("events_running_totals", ["event_id", "user_id", "run_n"], ["run_sum"]),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that

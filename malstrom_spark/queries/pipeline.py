@@ -2546,10 +2546,14 @@ def corpus_pmi_bigrams(spark, sf_dir):
 
 # ------------------------------------------- image pHash near-dup
 def _seeded_bmp_batches(it):
-    """Deterministic REAL 24-bit BMPs: base pattern = doc_id % 40
-    (sinusoid frequency/phase), plus a tiny per-doc brightness offset
-    — docs sharing a base are near-duplicate images, different bases
-    are unrelated. Pure function of doc_id (no RNG)."""
+    """Deterministic REAL images: base pattern = doc_id % 40 (sinusoid
+    frequency/phase), plus a tiny per-doc brightness offset — docs
+    sharing a base are near-duplicate images, different bases are
+    unrelated. Pure function of doc_id (no RNG). Round 9: odd doc_ids
+    ship as PNG (cycling all five scanline filters), even as BMP —
+    pHash is a pure function of the PIXELS, so the pair output is
+    container-invariant and this row now exercises BOTH real decode
+    paths."""
     import numpy as np
     import pandas as pd
 
@@ -2566,7 +2570,8 @@ def _seeded_bmp_batches(it):
                 + np.cos(y * (1 + base % 5) / 5.0)
             )
             lum = ((wave + 2.0) / 4.0 * 235.0 + (did % 5)).astype(np.uint8)
-            payloads.append(mm.make_bmp(np.stack([lum] * 3, axis=2)))
+            px = np.stack([lum] * 3, axis=2)
+            payloads.append(mm.make_png(px) if did % 2 else mm.make_bmp(px))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 

@@ -125,3 +125,54 @@ def test_bloom_filtered_join_prunes_at_scan(spark):
     join_pos = plan.find("Join")
     filt_pos = plan.find("xxhash64")
     assert join_pos != -1 and filt_pos != -1 and filt_pos > join_pos
+
+
+def test_broadcast_probe_identical_to_literal_probe(spark):
+    """The size-dispatched probe must be output-identical on both
+    sides of the threshold (round 9: the broadcast path closes the
+    'literal probe vs billions-of-grams motivation' gap)."""
+    vals = spark.range(2000).select((F.col("id") * 37 % 1500).alias("v"))
+    members = spark.range(400).select((F.col("id") * 3).alias("v"))
+    n_bits, k = 1 << 12, 5
+    filt = bloom.bloom_build(members, "v", n_bits, k)
+
+    lit_hits = vals.where(bloom.bloom_might_contain(
+        F.col("v"), bloom.bloom_words_literal(filt, n_bits), n_bits, k))
+    bc_hits = vals.where(bloom.bloom_might_contain_broadcast(
+        F.col("v"), filt, n_bits, k))
+    assert sorted(r["v"] for r in lit_hits.collect()) == \
+        sorted(r["v"] for r in bc_hits.collect())
+
+    # dispatcher picks each side by threshold and stays identical
+    low = vals.where(bloom.bloom_probe(F.col("v"), filt, n_bits, k,
+                                       literal_max_bits=n_bits))
+    high = vals.where(bloom.bloom_probe(F.col("v"), filt, n_bits, k,
+                                        literal_max_bits=n_bits - 64))
+    assert sorted(r["v"] for r in low.collect()) == \
+        sorted(r["v"] for r in high.collect()) == \
+        sorted(r["v"] for r in lit_hits.collect())
+
+
+def test_broadcast_probe_null_input_probes_false(spark):
+    df = spark.createDataFrame([(1, 7), (2, None)], "id long, v long")
+    members = spark.range(10).select(F.col("id").alias("v"))
+    filt = bloom.bloom_build(members, "v", 1 << 10, 5)
+    got = df.where(bloom.bloom_might_contain_broadcast(
+        F.col("v"), filt, 1 << 10, 5))
+    assert [r["id"] for r in got.collect()] == [1]
+
+
+def test_broadcast_probe_plan_has_no_giant_literal(spark):
+    """Above the threshold the plan must carry NO densified array
+    literal — the words ride as a broadcast variable, the plan stays
+    O(1) regardless of n_bits."""
+    vals = spark.range(100).select(F.col("id").alias("v"))
+    members = spark.range(10).select(F.col("id").alias("v"))
+    n_bits = 1 << 12  # 64 words — tiny, but forced over the threshold
+    filt = bloom.bloom_build(members, "v", n_bits, 5)
+    probed = vals.where(bloom.bloom_probe(
+        F.col("v"), filt, n_bits, 5, literal_max_bits=64))
+    plan = probed._jdf.queryExecution().analyzed().toString()
+    assert plan.count(",") < 64, "densified literal leaked into the plan"
+    assert "ArrowEvalPython" in probed._jdf.queryExecution() \
+        .executedPlan().toString()

@@ -377,3 +377,84 @@ def test_phash_near_dup_default_is_complete_and_lossy_raises(spark):
     lossy = mm.phash_near_dup_pairs(
         df, "doc_id", max_hamming=10, allow_lossy=True)
     assert lossy.count() >= 3
+
+
+# --------------------------------------------------- PNG pixel path
+def test_png_roundtrip_every_filter_type():
+    """decode_png_pixels must invert make_png exactly for all five
+    scanline filter types (None/Sub/Up/Average/Paeth) and the cycling
+    default."""
+    import numpy as np
+    from malstrom_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (23, 31, 3), dtype=np.uint8)
+    for f in range(5):
+        got = mm.decode_png_pixels(mm.make_png(px, row_filters=f))
+        assert (got == px).all(), f"filter {f} roundtrip mismatch"
+    assert (mm.decode_png_pixels(mm.make_png(px)) == px).all()
+
+
+def test_png_gray_and_alpha_color_types():
+    """Grayscale and RGBA color types decode to (H, W, 3) RGB — gray
+    replicated, alpha dropped. Hand-built minimal PNGs (the encoder
+    only writes truecolor)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from malstrom_spark.functions import multimodal as mm
+
+    def png(w, h, color, raw):
+        def chunk(t, d):
+            crc = zlib.crc32(t + d) & 0xFFFFFFFF
+            return struct.pack(">I", len(d)) + t + d + struct.pack(">I", crc)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # 2x2 grayscale, filter 0 rows
+    g = png(2, 2, 0, bytes([0, 10, 20, 0, 30, 40]))
+    assert mm.decode_png_pixels(g).tolist() == [
+        [[10, 10, 10], [20, 20, 20]], [[30, 30, 30], [40, 40, 40]]]
+    # 1x2 RGBA: alpha dropped
+    ra = png(1, 2, 6, bytes([0, 1, 2, 3, 255, 0, 4, 5, 6, 0]))
+    assert mm.decode_png_pixels(ra).tolist() == [[[1, 2, 3]], [[4, 5, 6]]]
+
+
+def test_png_error_paths():
+    import pytest as _pytest
+    from malstrom_spark.functions import multimodal as mm
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png_pixels(b"nonsense")
+    with _pytest.raises(ValueError, match="unsupported image container"):
+        mm.decode_image_pixels(b"GIF89a...")
+
+
+def test_phash_is_container_invariant():
+    """The same pixels must hash identically through BMP and PNG — the
+    pHash is a pure function of pixels, not of the container."""
+    import numpy as np
+    from malstrom_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (48, 48, 3), dtype=np.uint8)
+    assert mm.phash64(mm.make_bmp(px)) == mm.phash64(mm.make_png(px))
+
+
+def test_image_phash_over_mixed_containers(spark):
+    """image_phash on a column mixing BMP and PNG payloads (plus one
+    undecodable) — PNGs decode for real, junk comes back NULL."""
+    import numpy as np
+    from malstrom_spark.functions import multimodal as mm
+
+    px = np.full((16, 16, 3), 128, dtype=np.uint8)
+    rows = [(1, bytearray(mm.make_bmp(px))),
+            (2, bytearray(mm.make_png(px))),
+            (3, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["phash"]
+           for r in mm.image_phash(df, "payload").collect()}
+    assert got[1] == got[2] and got[1] is not None
+    assert got[3] is None
