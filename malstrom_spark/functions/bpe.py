@@ -301,6 +301,59 @@ def bpe_token_ids(
     )
 
 
+# ------------------------------------------------------ persistence
+
+#: bump when the (rank, left, right) layout changes; bpe_load refuses
+#: tables written by a newer layout instead of mis-reading them
+BPE_FORMAT_VERSION = 1
+
+
+def bpe_save(spark, merges: list[tuple[str, str]], table_name: str) -> None:
+    """Persist the ordered merge list as a versioned stage table
+    (rank, left, right, format_version) — the persist_stage discipline
+    every other incremental operator follows (dedup history, IVF
+    serving): the FIT is one job, every later encode job loads the
+    table instead of refitting or hand-carrying a Python list. The
+    table is tiny (merges are hundreds-thousands of rows), so it is a
+    plain managed parquet table, not bucketed."""
+    if not merges:
+        raise ValueError("refusing to persist an empty merge list")
+    rows = [
+        (i + 1, a, b, BPE_FORMAT_VERSION) for i, (a, b) in enumerate(merges)
+    ]
+    df = spark.createDataFrame(
+        rows, "rank int, left string, right string, format_version int"
+    )
+    # a previous incarnation of the table (possibly from a catalog
+    # that has since been recreated) must not block the write
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    df.write.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
+def bpe_load(spark, table_name: str) -> list[tuple[str, str]]:
+    """Load a merge list persisted by `bpe_save`, validated: known
+    format version, non-null pair strings, contiguous ranks 1..n (a
+    partial/corrupt write must fail loudly, not silently tokenize
+    differently). The collect is bounded by the merge count."""
+    rows = spark.table(table_name).select(
+        "rank", "left", "right", "format_version"
+    ).collect()
+    if not rows:
+        raise ValueError(f"{table_name}: empty merge table")
+    vers = {r["format_version"] for r in rows}
+    if vers != {BPE_FORMAT_VERSION}:
+        raise ValueError(
+            f"{table_name}: format_version {sorted(vers)} != "
+            f"{BPE_FORMAT_VERSION} — refusing to mis-read"
+        )
+    rows.sort(key=lambda r: r["rank"])
+    if [r["rank"] for r in rows] != list(range(1, len(rows) + 1)):
+        raise ValueError(f"{table_name}: ranks not contiguous 1..n")
+    if any(r["left"] is None or r["right"] is None for r in rows):
+        raise ValueError(f"{table_name}: NULL merge pair")
+    return [(r["left"], r["right"]) for r in rows]
+
+
 # -------------------------------------------------- oracle plumbing
 
 

@@ -49,11 +49,33 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 5,
+    checkpoint_every: int | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over the nodes appearing in `edges`.
-    Returns (node BIGINT, rank BIGINT in SCALE micro-units)."""
+    Returns (node BIGINT, rank BIGINT in SCALE micro-units).
+
+    `checkpoint_every=k` (round 9 — the lineage cut the r8 docstring
+    promised, now a flag): every k rounds the rank vector is
+    localCheckpoint'ed (eager) and the PREVIOUS checkpoint's storage
+    blocks are released deterministically (the dedup-CC discipline —
+    executor storage stays O(1) in rounds, not O(rounds)). Without it
+    the loop builds a linearly growing plan: fine to ~10 rounds, a
+    planner wall beyond. Ranks are identical with or without
+    (pytest-pinned) — a checkpoint is a materialization boundary, not
+    a semantic change.
+
+    `redistribute_dangling=True` (round 9): dangling nodes' damped
+    mass is redistributed uniformly each round — one broadcast scalar
+    (the q11 pattern), still all-integer:
+        r'(v) += (17 * sum_dangling r(u)) div (20 * N)
+    making total mass conserve to SCALE up to floor dust, i.e. the
+    standard probability-distribution PageRank. Default stays the
+    simplified drop-mass variant (the r8 gate row's fixed contract)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -74,7 +96,8 @@ def pagerank(
     )
     teleport = F.expr(f"{3 * SCALE} div (20 * n)")
 
-    for _ in range(n_iter):
+    prev_ckpt = None
+    for i in range(n_iter):
         send = (
             e.join(ranks, e.src == ranks.node)
             # outdeg is NODES-sized: no broadcast hint (a hint forces a
@@ -88,25 +111,49 @@ def pagerank(
             )
         )
         incoming = send.groupBy("node").agg(F.sum("__c").alias("__in"))
-        ranks = (
-            nodes.join(incoming, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                "node",
-                (teleport + F.coalesce(F.col("__in"), F.lit(0)))
-                .cast("long").alias("rank"),
-            )
+        new_rank = teleport + F.coalesce(F.col("__in"), F.lit(0))
+        base = nodes.join(incoming, "node", "left").crossJoin(
+            F.broadcast(n_nodes)
         )
+        if redistribute_dangling:
+            # damped mass parked on dangling nodes (no out-edges),
+            # spread uniformly — ONE one-row broadcast per round
+            dang = (
+                ranks.join(
+                    outdeg, ranks.node == outdeg.src, "left_anti"
+                ).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0)).alias("dmass")
+                )
+            )
+            base = base.crossJoin(F.broadcast(dang))
+            new_rank = new_rank + F.expr("(dmass * 17) div (20 * n)")
+        ranks = base.select("node", new_rank.cast("long").alias("rank"))
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < n_iter
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                from .dedup import _free_local_checkpoint
+
+                _free_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
     return ranks
 
 
 def pagerank_sql(
-    edges_cte: str, n_iter: int = 5, src: str = "src", dst: str = "dst"
+    edges_cte: str,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    redistribute_dangling: bool = False,
 ) -> str:
     """DuckDB rendering of the IDENTICAL fixed-point for oracles:
     pass a CTE body producing (src, dst); returns chained-CTE SQL
     ending in SELECT node, rank. Integer ops mirror pagerank() term
-    for term ((x * 17) // (20 * out), (3 * SCALE) // (20 * n))."""
+    for term ((x * 17) // (20 * out), (3 * SCALE) // (20 * n), and —
+    with redistribute_dangling — (dmass * 17) // (20 * n))."""
     pre = f"""
     WITH e AS ({edges_cte}),
     nodes AS (
@@ -117,6 +164,18 @@ def pagerank_sql(
     r0 AS (SELECT node, {SCALE} // n AS rank FROM nodes, nn)"""
     steps = []
     for i in range(1, n_iter + 1):
+        dang_cte = f"""
+    dang{i} AS (
+      SELECT COALESCE(CAST(SUM(r.rank) AS BIGINT), 0) AS dmass
+      FROM r{i - 1} r LEFT JOIN outdeg o ON o.src = r.node
+      WHERE o.src IS NULL
+    ),""" if redistribute_dangling else ""
+        dang_join = f" CROSS JOIN dang{i}" if redistribute_dangling else ""
+        dang_term = (
+            f" + (dang{i}.dmass * 17) // (20 * nn.n)"
+            if redistribute_dangling
+            else ""
+        )
         steps.append(f"""
     s{i} AS (
       SELECT e.{dst} AS node, (r.rank * 17) // (20 * o.out) AS c
@@ -125,11 +184,12 @@ def pagerank_sql(
     ),
     inc{i} AS (
       SELECT node, CAST(SUM(c) AS BIGINT) AS s FROM s{i} GROUP BY node
-    ),
+    ),{dang_cte}
     r{i} AS (
       SELECT nodes.node,
-             (3 * {SCALE}) // (20 * nn.n) + COALESCE(inc.s, 0) AS rank
-      FROM nodes CROSS JOIN nn
+             (3 * {SCALE}) // (20 * nn.n){dang_term}
+             + COALESCE(inc.s, 0) AS rank
+      FROM nodes CROSS JOIN nn{dang_join}
       LEFT JOIN inc{i} inc ON inc.node = nodes.node
     )""")
     return (

@@ -2491,6 +2491,33 @@ def customer_pagerank(spark, sf_dir):
     return _graph.pagerank(edges, n_iter=5)
 
 
+@register(
+    "customer_pagerank_dangling",
+    oracle=_graph.pagerank_sql(
+        "SELECT o_custkey AS src, o_orderkey % 1024 AS dst FROM orders",
+        n_iter=5,
+        redistribute_dangling=True,
+    ),
+)
+def customer_pagerank_dangling(spark, sf_dir):
+    """PageRank with EXACT dangling-mass redistribution (round 9):
+    same integer fixed-point as customer_pagerank plus one broadcast
+    scalar per round ((dmass * 17) div (20 * N), the q11 one-row
+    pattern), so ranks form the standard probability distribution —
+    total mass conserves to SCALE up to floor dust (property-pinned
+    in tests/test_graph.py). Checkpointed every 3 rounds, proving the
+    lineage-cut flag inside an oracle-exact row (a checkpoint is a
+    materialization boundary, not a semantic change)."""
+    o = table(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 1024).alias("dst"),
+    )
+    return _graph.pagerank(
+        edges, n_iter=5, checkpoint_every=3, redistribute_dangling=True
+    )
+
+
 # ---------------------------------------------- PMI collocations
 @register(
     "corpus_pmi_bigrams",

@@ -184,3 +184,41 @@ def test_bpe_feeds_token_budgeted_operators(spark):
     assert one[0].chunk == " ".join(toks[:5])
     assert one[1].chunk == " ".join(toks[4:9])
     assert sum(r.n_tokens for r in one) >= len(toks)
+
+
+def test_bpe_save_load_roundtrip_and_validation(spark):
+    import pytest
+
+    """Persistence (round 9): the merge table round-trips exactly,
+    loaded merges encode identically to in-memory ones, and corrupt
+    tables (bad version, gapped ranks, empty) fail loudly instead of
+    silently tokenizing differently."""
+    from malstrom_spark.functions import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest new newest low low")],
+        "id long, text string")
+    merges = bpe.bpe_fit(df, "text", n_merges=20)
+    try:
+        bpe.bpe_save(spark, merges, "bpe_merges_test_rt")
+        loaded = bpe.bpe_load(spark, "bpe_merges_test_rt")
+        assert loaded == merges
+
+        a = bpe.bpe_encode(df, "text", merges).collect()[0]["bpe_tokens"]
+        b = bpe.bpe_encode(df, "text", loaded).collect()[0]["bpe_tokens"]
+        assert a == b
+
+        with pytest.raises(ValueError, match="empty merge list"):
+            bpe.bpe_save(spark, [], "bpe_merges_test_empty")
+
+        spark.sql("DROP TABLE IF EXISTS bpe_merges_test_gap")
+        spark.createDataFrame(
+            [(1, "a", "b", 1), (3, "c", "d", 1)],
+            "rank int, left string, right string, format_version int",
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            "bpe_merges_test_gap")
+        with pytest.raises(ValueError, match="contiguous"):
+            bpe.bpe_load(spark, "bpe_merges_test_gap")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bpe_merges_test_rt")
+        spark.sql("DROP TABLE IF EXISTS bpe_merges_test_gap")

@@ -26,6 +26,7 @@ EXAMPLES = [
     "incremental_dedup",
     "crawl_ingest",
     "cdc_apply",
+    "bpe_tokenizer",
 ]
 
 

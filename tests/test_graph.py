@@ -68,3 +68,63 @@ def test_pagerank_validation(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="n_iter"):
         graph.pagerank(e, n_iter=0)
+
+
+def test_pagerank_checkpoint_every_identical_and_bounded_storage(spark):
+    """checkpoint_every is a materialization boundary, not a semantic
+    change: n_iter=15 ranks identical with and without; and the
+    previous checkpoint's blocks are freed each time, so at most one
+    extra checkpointed RDD holds storage after the run (the dedup-CC
+    discipline)."""
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+
+    def n_stored():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    plain = {r["node"]: r["rank"]
+             for r in graph.pagerank(e, n_iter=15).collect()}
+    before = n_stored()
+    ck = {r["node"]: r["rank"]
+          for r in graph.pagerank(e, n_iter=15, checkpoint_every=3).collect()}
+    assert ck == plain
+    leaked = n_stored() - before
+    assert leaked <= 1, f"{leaked} checkpoint RDDs leaked across rounds"
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """With redistribute_dangling=True total rank mass conserves to
+    SCALE up to floor dust (integer division loses < 1 micro-unit per
+    term); without it the dangling node's mass drains. Node 6 below is
+    dangling (sink only)."""
+    edges = EDGES + [(3, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n, n_edges = 6, len(edges)
+
+    tot = sum(r["rank"] for r in
+              graph.pagerank(e, n_iter=8, redistribute_dangling=True).collect())
+    # floor losses: per round < (teleport + dangling + per-edge) terms
+    bound = 8 * (2 * n + n_edges + 2)
+    assert graph.SCALE - bound <= tot <= graph.SCALE
+
+    tot_drop = sum(r["rank"] for r in graph.pagerank(e, n_iter=8).collect())
+    assert tot_drop < graph.SCALE - graph.SCALE // 100  # mass visibly drained
+
+
+def test_pagerank_dangling_matches_duckdb_twin(spark):
+    """The dangling-redistribution variant stays integer-exact vs the
+    extended SQL twin."""
+    edges = EDGES + [(3, 6), (2, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(
+               e, n_iter=4, redistribute_dangling=True).collect()}
+    duck = dict(duckdb.sql(
+        graph.pagerank_sql(_values_cte(edges), n_iter=4,
+                           redistribute_dangling=True)).fetchall())
+    assert got == duck
+
+
+def test_pagerank_checkpoint_validation(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        graph.pagerank(e, checkpoint_every=0)
