@@ -135,6 +135,20 @@ HEADLINE = [
     "doc_inverted_postings",
     "doc_bm25_search",
     "customer_pagerank",
+    # round-9: raw-HTML extraction (the one Python-parser hop in the
+    # crawl path — Arrow-batched, zero-shuffle) and the r8 batch-2
+    # families rotated into the gate this round; dangling-mass
+    # PageRank is NOT here (same dataflow as customer_pagerank plus a
+    # one-row broadcast — timing it separately only adds noise)
+    "doc_html_extract",
+    "lineitem_bloom_join",
+    "orders_quality_report",
+    "orders_incremental_rollup",
+    "customer_spend_trend",
+    "orders_snapshot_diff",
+    "customer_entity_groups",
+    "user_value_resampled",
+    "events_value_outliers",
 ]
 
 

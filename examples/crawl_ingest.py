@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from malstrom_spark.functions import url as U
 from malstrom_spark.functions.text import linear_classifier
 from malstrom_spark.functions.corpus import cap_per_key
-from malstrom_spark.functions.html import strip_boilerplate_lines
+from malstrom_spark.functions.html import extract_links, strip_boilerplate_lines
 from malstrom_spark.sources.warc import response_text, warc_source, wet_text
 
 
@@ -73,6 +73,9 @@ def main(spark, tmp_dir="/tmp/malstrom_example_crawl"):
         b"<html><head><title>Fox news</title><style>h1{x}</style></head>"
         b"<body><h1>the quick brown fox</h1><script>nav()</script>"
         b"<p>and the lazy dog keep the meadow busy</p>"
+        b'<p><a href="/about">About us</a> and '
+        b'<a href="https://blog.paper.co.uk/p/0">a friend</a> but not '
+        b'<a href="javascript:x()">this</a></p>'
         b"<p>Cookie policy &amp; terms of use</p></body></html>"
     )
     seg2 = _record("c1", "https://html.example.org/fox", page, wtype="response")
@@ -92,11 +95,25 @@ def main(spark, tmp_dir="/tmp/malstrom_example_crawl"):
     assert page_row["text"] == (
         "Fox news\nthe quick brown fox\n"
         "and the lazy dog keep the meadow busy\n"
+        "About us and a friend but not this\n"
         "Cookie policy & terms of use"
     ), page_row["text"]
     assert page_row["clean"] == (
-        "Fox news\nthe quick brown fox\nand the lazy dog keep the meadow busy"
+        "Fox news\nthe quick brown fox\nand the lazy dog keep the meadow busy\n"
+        "About us and a friend but not this"
     ), page_row["clean"]
+
+    # link graph: anchors -> RFC-3986-resolved edges keyed by host —
+    # the crawl-frontier / PageRank feed (javascript: href dropped)
+    links = pages.select(
+        U.url_host(F.col("target_uri")).alias("src_host"),
+        F.explode(extract_links(F.col("html"), F.col("target_uri"))).alias("l"),
+    ).select("src_host", U.url_host(F.col("l.href")).alias("dst_host"))
+    edge_set = {(r["src_host"], r["dst_host"]) for r in links.collect()}
+    assert edge_set == {
+        ("html.example.org", "html.example.org"),   # /about resolved on-host
+        ("html.example.org", "blog.paper.co.uk"),
+    }, edge_set
 
     docs = wet_text(records).select(
         "record_id",

@@ -141,6 +141,164 @@ _BOILERPLATE_PATTERN = (
 )
 
 
+class _LinkExtractor(HTMLParser):
+    """Collects (href, anchor_text) pairs: anchor text is the
+    whitespace-collapsed visible text between <a href=...> and </a>
+    (inline markup stripped in place, non-content subtrees dropped —
+    same rules as _TextExtractor). A nested/unclosed <a> finalizes the
+    previous one (crawl-reality leniency); an <a> open at EOF is
+    finalized by close()."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._text: list[str] = []
+        self._skip = 0
+
+    def _finish(self) -> None:
+        if self._href is not None:
+            self.links.append((self._href, " ".join("".join(self._text).split())))
+        self._href, self._text = None, []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag == "a":
+            self._finish()
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href is not None:
+                self._href = href.strip()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag == "a":
+            self._finish()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip == 0 and self._href is not None and data:
+            self._text.append(data)
+
+    def close(self) -> None:  # finalize an <a> left open at EOF
+        super().close()
+        self._finish()
+
+
+#: href schemes that are not crawlable links
+_NON_HTTP = ("javascript:", "mailto:", "tel:", "data:", "ftp:", "file:",
+             "about:", "blob:")
+
+
+def extract_links_py(
+    html: str, base_url: str | None = None
+) -> list[tuple[str, str]]:
+    """(resolved_url, anchor_text) pairs from raw HTML. Relative hrefs
+    resolve against `base_url` per RFC 3986 (stdlib urljoin —
+    protocol-relative, rooted, and dotted paths all standard);
+    non-http(s) schemes, empty hrefs and fragment-only hrefs are
+    dropped; fragments are stripped from kept links (the URL-dedup
+    convention url_normalize also applies). Without a base_url only
+    absolute links survive. Never raises on malformed markup."""
+    from urllib.parse import urljoin
+
+    p = _LinkExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # pragma: no cover
+        pass
+    out: list[tuple[str, str]] = []
+    for href, text in p.links:
+        if not href or href.startswith("#"):
+            continue
+        low = href.lower()
+        if low.startswith(_NON_HTTP):
+            continue
+        url = urljoin(base_url, href) if base_url else href
+        if not url.lower().startswith(("http://", "https://")):
+            continue
+        url = url.split("#", 1)[0]
+        out.append((url, text))
+    return out
+
+
+def extract_links(html_col: Column, base_url_col: Column) -> Column:
+    """Column form: array<struct<href, anchor>> of the page's resolved
+    crawlable links — the edge-list feed for the link graph
+    (functions/graph.pagerank over url_host keys). Arrow-batched
+    pandas_udf; NULL html -> NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<href: string, anchor: string>>")
+    def _links(html: pd.Series, base: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if h is None else extract_links_py(h, b)
+            for h, b in zip(html, base)
+        ])
+
+    return _links(html_col, base_url_col)
+
+
+def html_meta_py(html: str) -> tuple[str | None, str | None, str | None]:
+    """(title, meta_description, lang) from raw HTML: first <title>
+    text (whitespace-collapsed), first <meta name="description">
+    content, and the <html lang=...> attribute. Missing -> None."""
+
+    class _Meta(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.title: str | None = None
+            self.desc: str | None = None
+            self.lang: str | None = None
+            self._in_title = False
+            self._title_parts: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag == "html" and self.lang is None and a.get("lang"):
+                self.lang = a["lang"].strip()
+            elif tag == "meta" and self.desc is None:
+                if (a.get("name") or "").lower() == "description":
+                    self.desc = (a.get("content") or "").strip() or None
+            elif tag == "title" and self.title is None:
+                self._in_title = True
+
+        def handle_endtag(self, tag):
+            if tag == "title" and self._in_title:
+                self._in_title = False
+                t = " ".join("".join(self._title_parts).split())
+                self.title = t or None
+
+        def handle_data(self, data):
+            if self._in_title:
+                self._title_parts.append(data)
+
+    p = _Meta()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # pragma: no cover
+        pass
+    return (p.title, p.desc, p.lang)
+
+
+def html_meta(html_col: Column) -> Column:
+    """Column form: struct<title, description, lang>. Arrow-batched;
+    NULL html -> NULL struct."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<title: string, description: string, lang: string>")
+    def _meta(html: pd.Series) -> pd.DataFrame:
+        rows = [
+            (None, None, None) if h is None else html_meta_py(h)
+            for h in html
+        ]
+        return pd.DataFrame(rows, columns=["title", "description", "lang"])
+
+    return _meta(html_col)
+
+
 def strip_boilerplate_lines(
     col: Column, min_words: int = 1, pattern: str = _BOILERPLATE_PATTERN
 ) -> Column:

@@ -2725,3 +2725,108 @@ def doc_html_extract(spark, sf_dir):
         "doc_id",
         ext.alias("text"),
     ).withColumn("n_lines", F.size(F.split(F.col("text"), "\n")).cast("long"))
+
+
+# ------------------------------------------ HTML link extraction
+@register(
+    "doc_html_links",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS s FROM documents
+    )
+    SELECT doc_id, 1 AS link_rank,
+           'https://site' || s || '.example.com/root.html' AS href,
+           'Root link' AS anchor FROM b
+    UNION ALL SELECT doc_id, 2,
+           'https://site' || s || '.example.com/a/b/rel/child.html',
+           'child page' FROM b
+    UNION ALL SELECT doc_id, 3, 'https://other.org/x?q=1', 'absolute' FROM b
+    UNION ALL SELECT doc_id, 4, 'https://cdn.example.net/lib.js',
+           'proto relative' FROM b
+    UNION ALL SELECT doc_id, 5,
+           'https://site' || s || '.example.com/a/b/page2.html',
+           'frag stripped' FROM b
+    """,
+)
+def doc_html_links(spark, sf_dir):
+    """Link extraction from raw HTML (functions/html.py extract_links,
+    round 9) — the crawl-frontier / link-graph feed: anchors parsed by
+    the real stdlib parser, hrefs resolved per RFC 3986 (stdlib
+    urljoin) against a per-doc base URL, non-http schemes and
+    fragment-only hrefs dropped, fragments stripped. The seeded page
+    exercises rooted, relative-path, absolute, protocol-relative,
+    javascript: and #fragment hrefs plus inline markup inside the
+    anchor; the oracle states each resolution generatively — the
+    Spark side sees only markup and must parse AND resolve correctly.
+    Zero shuffles (scan-parallel projection + posexplode)."""
+    from ..functions.html import extract_links
+
+    docs = table(spark, sf_dir, "documents")
+    s = (F.col("doc_id") % 3).cast("string")
+    base = F.concat(F.lit("https://site"), s,
+                    F.lit(".example.com/a/b/page.html"))
+    page = F.lit(
+        '<p>No link here</p>'
+        '<a href="/root.html">Root <b>link</b></a>'
+        '<a href="rel/child.html">child page</a>'
+        '<a href="https://other.org/x?q=1">absolute</a>'
+        '<a href="//cdn.example.net/lib.js">proto relative</a>'
+        '<a href="javascript:void(0)">dropped</a>'
+        '<a href="#frag">dropped too</a>'
+        '<a href="page2.html#sec">frag stripped</a>'
+    )
+    links = docs.select(
+        "doc_id", F.posexplode(extract_links(page, base)).alias("pos", "l")
+    )
+    return links.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("link_rank"),
+        F.col("l.href").alias("href"),
+        F.col("l.anchor").alias("anchor"),
+    )
+
+
+# ------------------------------------------ HTML metadata
+@register(
+    "doc_html_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'T' || CAST(doc_id AS VARCHAR) || ' page'
+                ELSE 'A & B' END AS title,
+           CASE WHEN doc_id % 2 = 0 THEN 'Desc & more'
+                ELSE NULL END AS description,
+           CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE NULL END AS lang
+    FROM documents
+    """,
+)
+def doc_html_meta(spark, sf_dir):
+    """Page-metadata extraction (functions/html.py html_meta, round
+    9): first <title> (whitespace-collapsed, entities decoded), first
+    <meta name=description> content, <html lang> attribute — the
+    fields crawl pipelines key language routing and snippeting on.
+    Even docs carry a full head; odd docs a titled-but-bare head
+    (entity in the title, no description, no lang) so the NULL paths
+    are oracle-checked too. Zero shuffles."""
+    from ..functions.html import html_meta
+
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<html lang="en"><head><title> T'), did,
+            F.lit('  page </title>'
+                  '<meta name="description" content=" Desc &amp; more ">'
+                  "</head><body>x</body></html>"),
+        ),
+    ).otherwise(
+        F.lit("<html><head><title>A &amp; B</title></head><body>y</body></html>")
+    )
+    m = html_meta(html)
+    return docs.select(
+        "doc_id",
+        m["title"].alias("title"),
+        m["description"].alias("description"),
+        m["lang"].alias("lang"),
+    )

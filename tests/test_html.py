@@ -139,3 +139,72 @@ def test_response_text_ignores_conversion_records(spark, tmp_path):
            + body + b"\r\n\r\n")
     (tmp_path / "seg.warc").write_bytes(raw)
     assert response_text(warc_source(spark, str(tmp_path))).count() == 0
+
+
+# ------------------------------------------------- link extraction
+def test_extract_links_resolution_and_filtering():
+    from malstrom_spark.functions.html import extract_links_py
+
+    html = (
+        '<a href="/root.html">Root <b>link</b></a>'
+        '<a href="rel/child.html">child</a>'
+        '<a href="https://other.org/x?q=1">abs</a>'
+        '<a href="//cdn.net/l.js">pr</a>'
+        '<a href="javascript:void(0)">no</a>'
+        '<a href="mailto:a@b.c">no</a>'
+        '<a href="#frag">no</a>'
+        '<a href="p2.html#sec">fs</a>'
+    )
+    base = "https://s.example.com/a/b/page.html"
+    assert extract_links_py(html, base) == [
+        ("https://s.example.com/root.html", "Root link"),
+        ("https://s.example.com/a/b/rel/child.html", "child"),
+        ("https://other.org/x?q=1", "abs"),
+        ("https://cdn.net/l.js", "pr"),
+        ("https://s.example.com/a/b/p2.html", "fs"),
+    ]
+    # no base: only absolute links survive
+    assert extract_links_py(html) == [("https://other.org/x?q=1", "abs")]
+
+
+def test_extract_links_lenient_nesting_and_eof():
+    from malstrom_spark.functions.html import extract_links_py
+
+    # nested <a> finalizes the previous; open <a> at EOF finalized
+    html = '<a href="https://a.example/1">one <a href="https://a.example/2">two'
+    assert extract_links_py(html) == [
+        ("https://a.example/1", "one"),
+        ("https://a.example/2", "two"),
+    ]
+    # href-less anchor contributes nothing
+    assert extract_links_py("<a>plain</a>") == []
+
+
+def test_extract_links_column_null_safe(spark):
+    from malstrom_spark.functions.html import extract_links
+
+    df = spark.createDataFrame(
+        [(1, '<a href="/x">t</a>', "https://h.example/b/"), (2, None, None)],
+        "id long, html string, base string",
+    )
+    out = df.select(
+        "id", extract_links(F.col("html"), F.col("base")).alias("l")
+    ).collect()
+    got = {r["id"]: r["l"] for r in out}
+    assert [tuple(x) for x in got[1]] == [("https://h.example/x", "t")]
+    assert got[2] is None
+
+
+def test_html_meta_fields_and_nulls(spark):
+    from malstrom_spark.functions.html import html_meta, html_meta_py
+
+    assert html_meta_py(
+        '<html lang="fr"><head><title> A  &amp; B </title>'
+        '<meta name="Description" content=" d "></head></html>'
+    ) == ("A & B", "d", "fr")
+    assert html_meta_py("<p>no head</p>") == (None, None, None)
+
+    df = spark.createDataFrame(
+        [(1, "<title>t</title>")], "id long, html string")
+    row = df.select(html_meta(F.col("html")).alias("m")).collect()[0]["m"]
+    assert (row["title"], row["description"], row["lang"]) == ("t", None, None)
