@@ -185,6 +185,104 @@ class _LinkExtractor(HTMLParser):
         self._finish()
 
 
+class _BlockExtractor(HTMLParser):
+    """Splits the page into text blocks at block-element boundaries
+    and counts, per block, total words and words inside <a> anchors —
+    the two signals the classic content/boilerplate classifiers
+    (Kohlschütter et al. 2010 boilerpipe; jusText) key on: navigation,
+    footers and link farms have high link density and short blocks,
+    article text has low link density and long blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int, int]] = []
+        self._parts: list[str] = []
+        self._anchor_words = 0
+        self._a_depth = 0
+        self._skip = 0
+
+    def _finish_block(self) -> None:
+        text = " ".join("".join(self._parts).split())
+        if text:
+            n = len(text.split())
+            self.blocks.append((text, n, min(self._anchor_words, n)))
+        self._parts, self._anchor_words = [], 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag == "a":
+            self._a_depth += 1
+        elif self._skip == 0 and tag in _BLOCK_TAGS:
+            self._finish_block()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+        elif self._skip == 0 and tag in _BLOCK_TAGS:
+            self._finish_block()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip == 0 and data:
+            self._parts.append(_NL.sub(" ", data))
+            if self._a_depth > 0:
+                self._anchor_words += len(data.split())
+
+    def close(self) -> None:
+        super().close()
+        self._finish_block()
+
+
+def html_blocks_py(html: str) -> list[tuple[str, int, int]]:
+    """(text, n_words, link_words) per block. Never raises."""
+    p = _BlockExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # pragma: no cover
+        pass
+    return p.blocks
+
+
+def html_blocks(col: Column) -> Column:
+    """Column form: array<struct<text, n_words, link_words>> — the
+    feature table main-content extraction filters on. Arrow-batched;
+    NULL in -> NULL out."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<text: string, n_words: int, link_words: int>>")
+    def _blocks(s: pd.Series) -> pd.Series:
+        return s.map(lambda h: None if h is None else html_blocks_py(h))
+
+    return _blocks(col)
+
+
+def main_content_text(
+    col: Column,
+    max_link_density_pct: int = 50,
+    min_words: int = 3,
+) -> Column:
+    """Main-content extraction: keep blocks with at least `min_words`
+    words and link density below `max_link_density_pct` percent
+    (integer arithmetic — `link_words * 100 < pct * n_words` — so the
+    threshold is engine-exact), drop the rest (nav bars, footers,
+    related-links boxes), join survivors with newlines. The block
+    split is the one Python hop (html_blocks); the classification and
+    join are pure Column HOFs — codegen, zero shuffle. This is the
+    density heuristic of boilerpipe/jusText without their trained
+    models: high-precision on the structural boilerplate that
+    dominates crawl noise."""
+    blocks = html_blocks(col)
+    kept = F.filter(
+        blocks,
+        lambda b: (b["n_words"] >= F.lit(min_words))
+        & (b["link_words"] * 100 < F.lit(max_link_density_pct) * b["n_words"]),
+    )
+    return F.array_join(F.transform(kept, lambda b: b["text"]), "\n")
+
+
 #: href schemes that are not crawlable links
 _NON_HTTP = ("javascript:", "mailto:", "tel:", "data:", "ftp:", "file:",
              "about:", "blob:")

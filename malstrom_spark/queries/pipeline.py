@@ -2830,3 +2830,66 @@ def doc_html_meta(spark, sf_dir):
         m["description"].alias("description"),
         m["lang"].alias("lang"),
     )
+
+
+# ------------------------------------- main-content extraction
+@register(
+    "doc_html_main_text",
+    oracle="""
+    WITH s0 AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               lower(substr(text, 1, 120)), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS sraw
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             CASE WHEN length(sraw) = 0 THEN 'blank page' ELSE sraw END AS s
+      FROM s0
+    )
+    SELECT doc_id,
+           'Article title T' || CAST(doc_id AS VARCHAR) || chr(10)
+             || s || ' plain words' AS text
+    FROM s1
+    """,
+)
+def doc_html_main_text(spark, sf_dir):
+    """Main-content extraction (functions/html.py main_content_text,
+    round 9 — the boilerpipe/jusText link-density heuristic): the
+    seeded page wraps each document's text in an article body
+    surrounded by a nav bar (link density 100%), a Prev|Next pager
+    (67%) and a related-links box (80%); the extractor must keep
+    exactly the title and article blocks and drop all three
+    boilerplate blocks. Block split + word/link-word counts are the
+    one Python hop; the classification (integer link-density
+    threshold) and the join are pure Column HOFs. The oracle states
+    the surviving text generatively. Zero shuffles."""
+    from ..functions.html import main_content_text
+
+    docs = table(spark, sf_dir, "documents")
+    sraw = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.substring(F.col("text"), 1, 120)), "[^a-z0-9 ]", ""
+            ),
+            " +",
+            " ",
+        )
+    )
+    s = F.when(F.length(sraw) == 0, F.lit("blank page")).otherwise(sraw)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<div><a href="/h">Home</a> <a href="/n">News</a> '
+              '<a href="/s">Sports</a></div><h1>Article title T'),
+        did,
+        F.lit("</h1><p>"),
+        s,
+        F.lit(' plain words</p><div><a href="/p">Prev</a> | '
+              '<a href="/n2">Next</a></div>'
+              '<p>Related: <a href="/r1">one</a> <a href="/r2">two</a> '
+              '<a href="/r3">three</a> <a href="/r4">four</a></p>'),
+    )
+    return docs.select(
+        "doc_id", main_content_text(html).alias("text")
+    )

@@ -208,3 +208,45 @@ def test_html_meta_fields_and_nulls(spark):
         [(1, "<title>t</title>")], "id long, html string")
     row = df.select(html_meta(F.col("html")).alias("m")).collect()[0]["m"]
     assert (row["title"], row["description"], row["lang"]) == ("t", None, None)
+
+
+# ------------------------------------------ main-content extraction
+def test_html_blocks_features():
+    from malstrom_spark.functions.html import html_blocks_py
+
+    html = ('<div><a href="/a">Home</a> <a href="/b">News</a></div>'
+            "<p>plain prose block here</p>"
+            '<p>with <a href="/x">one link</a> inside prose</p>')
+    assert html_blocks_py(html) == [
+        ("Home News", 2, 2),
+        ("plain prose block here", 4, 0),
+        ("with one link inside prose", 5, 2),
+    ]
+
+
+def test_main_content_drops_high_link_density_blocks(spark):
+    from malstrom_spark.functions.html import main_content_text
+
+    html = ('<div><a href="/h">Home</a> <a href="/n">News</a> '
+            '<a href="/s">Sports</a></div>'
+            "<h1>Article title here</h1>"
+            "<p>the real body of the article with plain words</p>"
+            '<div><a href="/p">Prev</a> | <a href="/n2">Next</a></div>'
+            "<p>ok</p>")  # 1 word: dropped by min_words
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    got = df.select(main_content_text(F.col("html")).alias("t")) \
+        .collect()[0]["t"]
+    assert got == ("Article title here\n"
+                   "the real body of the article with plain words")
+
+
+def test_main_content_thresholds_are_exact(spark):
+    from malstrom_spark.functions.html import main_content_text
+
+    # exactly AT the density threshold is dropped (strict <)
+    html = '<p>one <a href="/x">two</a></p>'  # 2 words, 1 link word = 50%
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    got = df.select(main_content_text(
+        F.col("html"), max_link_density_pct=50, min_words=1
+    ).alias("t")).collect()[0]["t"]
+    assert got == ""
