@@ -21,6 +21,8 @@ incremental ingestion is "new files in the prefix" — point
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -198,20 +200,56 @@ def wet_text(records: DataFrame) -> DataFrame:
     )
 
 
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+_HEADER_CHARSET = re.compile(
+    rb"content-type:[^\r\n]*charset\s*=\s*\"?([A-Za-z0-9_\-]+)", re.IGNORECASE
+)
+
+
+def sniff_charset(headers: bytes, body: bytes) -> str:
+    """Charset detection for captured HTTP bodies, WHATWG priority
+    order: byte-order mark, then the Content-Type header's charset
+    parameter, then a <meta charset> / http-equiv declaration in the
+    first 1024 body bytes, else UTF-8. Unknown/garbage labels fall
+    back to UTF-8 (decode is errors='replace' anyway — wrong guesses
+    degrade, never fail)."""
+    import codecs
+
+    if body.startswith(codecs.BOM_UTF8):
+        return "utf-8-sig"
+    if body.startswith(codecs.BOM_UTF16_LE) or body.startswith(
+        codecs.BOM_UTF16_BE
+    ):
+        return "utf-16"  # stdlib consumes the BOM itself
+    m = _HEADER_CHARSET.search(headers) or _META_CHARSET.search(body[:1024])
+    if m:
+        label = m.group(1).decode("ascii", "replace").strip().lower()
+        try:
+            codecs.lookup(label)
+            return label
+        except LookupError:
+            pass
+    return "utf-8"
+
+
 def response_text(records: DataFrame, extract: bool = True) -> DataFrame:
     """Extract text from WARC *response* records — the form crawls
     actually capture (raw HTTP exchange: status line + headers +
     CRLFCRLF + HTML body), upstream of WET. Strips the HTTP header
-    block, decodes the body leniently (same errors='replace' contract
-    as wet_text — one bad page must not fail the job), and when
-    `extract`, runs functions/html.html_to_text over it. Output:
-    (warc_file, record_id, target_uri, warc_date, html[, text]).
+    block, decodes the body in its DECLARED charset (BOM > header
+    charset > meta charset > UTF-8, `sniff_charset`) with
+    errors='replace' (same leniency contract as wet_text — one bad
+    page must not fail the job), and when `extract`, runs
+    functions/html.html_to_text over it. Output: (warc_file,
+    record_id, target_uri, warc_date, html[, text]).
 
-    Header strip + decode share ONE Arrow batch pass; extraction is a
-    second pandas_udf over the same scan — still a zero-shuffle
-    projection at file parallelism. A record with no CRLFCRLF (header
-    block truncated in capture) is treated as all-body rather than
-    dropped."""
+    Header strip + sniff + decode share ONE Arrow batch pass;
+    extraction is a second pandas_udf over the same scan — still a
+    zero-shuffle projection at file parallelism. A record with no
+    CRLFCRLF (header block truncated in capture) is treated as
+    all-body rather than dropped."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -220,10 +258,11 @@ def response_text(records: DataFrame, extract: bool = True) -> DataFrame:
             if b is None:
                 return None
             raw = bytes(b)
+            hdrs = b""
             cut = raw.find(b"\r\n\r\n")
             if cut >= 0 and raw[:5] in (b"HTTP/", b"http/"):
-                raw = raw[cut + 4 :]
-            return raw.decode("utf-8", errors="replace")
+                hdrs, raw = raw[:cut], raw[cut + 4 :]
+            return raw.decode(sniff_charset(hdrs, raw), errors="replace")
 
         return payload.map(body)
 

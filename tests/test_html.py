@@ -250,3 +250,44 @@ def test_main_content_thresholds_are_exact(spark):
         F.col("html"), max_link_density_pct=50, min_words=1
     ).alias("t")).collect()[0]["t"]
     assert got == ""
+
+
+def test_sniff_charset_priority_and_fallback():
+    from malstrom_spark.sources.warc import sniff_charset
+
+    # BOM wins over everything
+    assert sniff_charset(
+        b"Content-Type: text/html; charset=latin-1",
+        b"\xef\xbb\xbfhi") == "utf-8-sig"
+    # header charset beats meta
+    assert sniff_charset(
+        b"Content-Type: text/html; charset=ISO-8859-1",
+        b'<meta charset="utf-8">') == "iso-8859-1"
+    # meta charset when header silent
+    assert sniff_charset(b"", b'<html><meta charset="windows-1252">') == \
+        "windows-1252"
+    # http-equiv form
+    assert sniff_charset(
+        b"", b'<meta http-equiv="Content-Type" '
+             b'content="text/html; charset=latin-1">') == "latin-1"
+    # unknown label and no declaration both fall back to utf-8
+    assert sniff_charset(b"Content-Type: x; charset=bogus-enc", b"") == "utf-8"
+    assert sniff_charset(b"", b"<p>plain</p>") == "utf-8"
+
+
+def test_response_text_decodes_declared_charset(spark, tmp_path):
+    from malstrom_spark.sources.warc import response_text, warc_source
+
+    # latin-1 body: 0xe9 = e-acute, invalid as UTF-8 — the charset
+    # declaration must be honored, not replaced to U+FFFD
+    body = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+            b"<p>caf\xe9</p>")
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Record-ID: <urn:uuid:c1>\r\n"
+           b"WARC-Target-URI: https://a.example/l1\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+           + body + b"\r\n\r\n")
+    (tmp_path / "seg.warc").write_bytes(raw)
+    [row] = response_text(warc_source(spark, str(tmp_path))).collect()
+    assert row["text"] == "café"
