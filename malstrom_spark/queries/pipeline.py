@@ -2893,3 +2893,61 @@ def doc_html_main_text(spark, sf_dir):
     return docs.select(
         "doc_id", main_content_text(html).alias("text")
     )
+
+
+# ------------------------------------------ robots.txt politeness
+_ROBOTS_SEED = """
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+Disallow: /*.pdf$
+"""
+
+
+@register(
+    "doc_robots_filter",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://a.example/private/doc'
+                           || CAST(doc_id AS VARCHAR) || '.html'
+               WHEN 1 THEN 'https://a.example/private/ok.html'
+               WHEN 2 THEN 'https://a.example/papers/file'
+                           || CAST(doc_id AS VARCHAR) || '.pdf'
+               ELSE 'https://open.example/page/'
+                           || CAST(doc_id AS VARCHAR)
+             END AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           CASE doc_id % 4 WHEN 0 THEN FALSE WHEN 2 THEN FALSE
+                ELSE TRUE END AS allowed
+    FROM u
+    """,
+)
+def doc_robots_filter(spark, sf_dir):
+    """robots.txt politeness evaluation (functions/robots.py, round
+    9): per-doc frontier URLs checked against a seeded RFC 9309 rule
+    set — Disallow prefix, longer-Allow override, wildcard+$ anchor,
+    and a host with no robots entry — via the broadcast-dict Arrow
+    probe (zero shuffle, zero join). The oracle states each verdict
+    generatively; the Spark side must parse the rules and run the
+    longest-match evaluation correctly."""
+    from ..functions.robots import robots_allowed
+
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://a.example/private/doc"), did, F.lit(".html")))
+        .when(m == 1, F.lit("https://a.example/private/ok.html"))
+        .when(m == 2, F.concat(
+            F.lit("https://a.example/papers/file"), did, F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("https://open.example/page/"), did))
+    )
+    return docs.select(
+        "doc_id", url.alias("url"),
+        robots_allowed(url, {"a.example": _ROBOTS_SEED}).alias("allowed"),
+    )

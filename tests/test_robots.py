@@ -1,0 +1,92 @@
+"""robots.txt politeness filtering (functions/robots.py, round 9):
+RFC 9309 group selection, longest-match rule evaluation, and the
+broadcast Column form."""
+
+from pyspark.sql import functions as F
+
+from malstrom_spark.functions.robots import (
+    parse_robots,
+    robots_allowed,
+    robots_allowed_py,
+)
+
+ROBOTS = """
+# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+Disallow: /*.pdf$
+
+User-agent: SpecialBot
+User-agent: OtherBot
+Disallow: /
+
+User-agent: trainingcrawler
+Allow: /data/
+Disallow: /
+"""
+
+
+def test_group_selection_specific_beats_wildcard():
+    assert parse_robots(ROBOTS, "TrainingCrawler/1.0") == [
+        ("/data/", True), ("/", False)]
+    assert parse_robots(ROBOTS, "SpecialBot") == [("/", False)]
+    # unknown agent falls back to the * group
+    assert parse_robots(ROBOTS, "SomeOther") == [
+        ("/private/", False), ("/private/ok.html", True), ("/*.pdf$", False)]
+
+
+def test_longest_match_and_allow_tiebreak():
+    rules = parse_robots(ROBOTS, "nobody")
+    assert robots_allowed_py("/public/x.html", rules) is True  # no match
+    assert robots_allowed_py("/private/secret.html", rules) is False
+    # the longer Allow pattern overrides the /private/ Disallow
+    assert robots_allowed_py("/private/ok.html", rules) is True
+    # wildcard + $ anchor
+    assert robots_allowed_py("/docs/file.pdf", rules) is False
+    assert robots_allowed_py("/docs/file.pdfx", rules) is True
+
+
+def test_empty_disallow_is_allow_all():
+    rules = parse_robots("User-agent: *\nDisallow:", "x")
+    assert rules == []
+    assert robots_allowed_py("/anything", rules) is True
+
+
+def test_rfc_tie_breaks_to_allow():
+    rules = parse_robots(
+        "User-agent: *\nAllow: /page\nDisallow: /page", "x")
+    assert robots_allowed_py("/page", rules) is True
+
+
+def test_robots_allowed_column(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.example/private/secret.html"),
+            (2, "https://a.example/private/ok.html"),
+            (3, "https://a.example/open/x"),
+            (4, "https://unlisted.example/anything"),  # no robots: allowed
+            (5, None),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["ok"]
+        for r in df.select(
+            "id",
+            robots_allowed(
+                F.col("url"), {"a.example": ROBOTS}, "anybot"
+            ).alias("ok"),
+        ).collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: True, 5: None}
+
+
+def test_robots_allowed_plan_is_single_python_stage(spark):
+    """One ArrowEvalPython, zero Exchange — the broadcast-dict shape."""
+    df = spark.createDataFrame([(1, "https://a.example/x")],
+                               "id long, url string")
+    out = df.select(robots_allowed(F.col("url"), {"a.example": ROBOTS}))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
