@@ -21,6 +21,7 @@ from malstrom_spark.functions import url as U
 from malstrom_spark.functions.text import linear_classifier
 from malstrom_spark.functions.corpus import cap_per_key
 from malstrom_spark.functions.html import extract_links, strip_boilerplate_lines
+from malstrom_spark.functions.robots import robots_allowed
 from malstrom_spark.sources.warc import response_text, warc_source, wet_text
 
 
@@ -108,12 +109,29 @@ def main(spark, tmp_dir="/tmp/malstrom_example_crawl"):
     links = pages.select(
         U.url_host(F.col("target_uri")).alias("src_host"),
         F.explode(extract_links(F.col("html"), F.col("target_uri"))).alias("l"),
-    ).select("src_host", U.url_host(F.col("l.href")).alias("dst_host"))
+    ).select(
+        "src_host",
+        U.url_host(F.col("l.href")).alias("dst_host"),
+        F.col("l.href").alias("href"),
+    )
     edge_set = {(r["src_host"], r["dst_host"]) for r in links.collect()}
     assert edge_set == {
         ("html.example.org", "html.example.org"),   # /about resolved on-host
         ("html.example.org", "blog.paper.co.uk"),
     }, edge_set
+
+    # crawl frontier politeness: the friend's robots.txt disallows /p/
+    # for everyone — its deep link drops out of the fetchable frontier
+    frontier = links.withColumn(
+        "fetchable",
+        robots_allowed(
+            F.col("href"),
+            {"blog.paper.co.uk": "User-agent: *\nDisallow: /p/"},
+            "trainingcrawler",
+        ),
+    )
+    fetchable = {r["href"] for r in frontier.where("fetchable").collect()}
+    assert fetchable == {"https://html.example.org/about"}, fetchable
 
     docs = wet_text(records).select(
         "record_id",
