@@ -313,7 +313,10 @@ def extract_links_py(
         low = href.lower()
         if low.startswith(_NON_HTTP):
             continue
-        url = urljoin(base_url, href) if base_url else href
+        try:
+            url = urljoin(base_url, href) if base_url else href
+        except ValueError:  # e.g. malformed port in the href authority
+            continue
         if not url.lower().startswith(("http://", "https://")):
             continue
         url = url.split("#", 1)[0]

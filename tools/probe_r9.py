@@ -43,12 +43,15 @@ def main():
         line = [name]
         for sf_dir in (SF01, SF10):
             times = []
-            n = None
             for _ in range(2):
                 t0 = time.time()
-                n = fr[name].fn(spark, sf_dir).count()
+                # noop write, NOT count(): the HTML rows are pure
+                # projections and count() would prune the pandas_udf
+                # columns away — the write materializes every cell
+                fr[name].fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
                 times.append(time.time() - t0)
-            line.append(f"{sf_dir.split('/')[-1]}: {min(times):.2f}s n={n}")
+            line.append(f"{sf_dir.split('/')[-1]}: {min(times):.2f}s")
         print(" | ".join(line), flush=True)
 
 
