@@ -76,6 +76,13 @@ def pagerank(
         raise ValueError("n_iter must be >= 1")
     if checkpoint_every is not None and checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
+    # The dangling variant references the rank vector TWICE per round
+    # (contribution join + dangling anti-join), so an uncheckpointed
+    # plan grows 2^rounds, not linearly — force a per-round cut unless
+    # the caller chose a cadence (2^k subtree copies between cuts is
+    # then the caller's bounded trade).
+    if redistribute_dangling and checkpoint_every is None:
+        checkpoint_every = 1
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -134,10 +134,12 @@ def html_to_text(col: Column) -> Column:
 # content — the high-precision subset every public extractor agrees
 # on (trafilatura/jusText/C4 badwords all carry supersets).
 _BOILERPLATE_PATTERN = (
-    "(?i)(cookie|copyright|all rights reserved|privacy policy"
-    "|terms of (use|service)|enable javascript|javascript is (required"
-    "|disabled)|subscribe to our newsletter|skip to (main )?content"
-    "|log ?in|sign ?(in|up)|©)"
+    r"(?i)(\bcookie policy\b|\bwe use cookies\b|\baccept (all )?cookies\b"
+    r"|\bcopyright (©|\d{4})|© ?\d{4}|\ball rights reserved\b"
+    r"|\bprivacy policy\b|\bterms of (use|service)\b"
+    r"|\benable javascript\b|\bjavascript is (required|disabled)\b"
+    r"|\bsubscribe to our newsletter\b|\bskip to (main )?content\b"
+    r"|\blog ?in\b|\bsign ?(in|up)\b)"
 )
 
 
@@ -164,7 +166,7 @@ class _LinkExtractor(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             self._skip += 1
-        elif tag == "a":
+        elif tag == "a" and self._skip == 0:
             self._finish()
             href = next((v for k, v in attrs if k == "href"), None)
             if href is not None:
@@ -173,7 +175,7 @@ class _LinkExtractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
-        elif tag == "a":
+        elif tag == "a" and self._skip == 0:
             self._finish()
 
     def handle_data(self, data: str) -> None:
@@ -211,7 +213,10 @@ class _BlockExtractor(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             self._skip += 1
-        elif tag == "a":
+        elif tag == "a" and self._skip == 0:
+            # anchors inside skipped subtrees must not leak depth: an
+            # unclosed <a> in <noscript> would otherwise mark every
+            # later word as link text and empty the whole page
             self._a_depth += 1
         elif self._skip == 0 and tag in _BLOCK_TAGS:
             self._finish_block()
@@ -219,7 +224,7 @@ class _BlockExtractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
-        elif tag == "a":
+        elif tag == "a" and self._skip == 0:
             self._a_depth = max(0, self._a_depth - 1)
         elif self._skip == 0 and tag in _BLOCK_TAGS:
             self._finish_block()

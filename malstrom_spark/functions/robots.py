@@ -70,6 +70,8 @@ def parse_robots(
             in_agents = True
         elif key in ("allow", "disallow"):
             in_agents = False
+            if not cur_agents:
+                continue  # rules before any user-agent line: ignored (RFC)
             if key == "disallow" and not val:
                 continue  # empty Disallow = allow-all (no rule)
             if val:
@@ -79,16 +81,29 @@ def parse_robots(
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 
-    best_len, best_rules = -1, []
-    for agents, rules in groups:
-        for a in agents:
-            if a == "*":
-                if best_len < 0:
-                    best_rules = rules
-            elif a in ua or ua in a:
-                if len(a) > best_len:
-                    best_len, best_rules = len(a), rules
-    return best_rules
+    # An agent token matches when it is a (case-insensitive) substring
+    # of OUR product token — never the reverse: 'googlebot-images'
+    # must not govern 'googlebot' (its rules are someone else's).
+    # Most-specific (longest) token wins; ALL groups at the winning
+    # specificity merge (concatenated robots files repeat groups —
+    # RFC 9309 says groups governing the same agent combine), and the
+    # '*' fallback likewise merges every '*' group.
+    def match_len(a: str) -> int:
+        return len(a) if a != "*" and a in ua else -1
+
+    best_len = max(
+        (match_len(a) for agents, _ in groups for a in agents), default=-1
+    )
+    merged: list[tuple[str, bool]] = []
+    if best_len >= 0:
+        for agents, rules in groups:
+            if any(match_len(a) == best_len for a in agents):
+                merged.extend(rules)
+    else:
+        for agents, rules in groups:
+            if "*" in agents:
+                merged.extend(rules)
+    return merged
 
 
 def robots_allowed_py(path: str, rules: list[tuple[str, bool]]) -> bool:

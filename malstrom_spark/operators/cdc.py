@@ -105,8 +105,7 @@ def cdc_deduplicate_log(
     # semantics instead of `is_first | None` leaking through py4j.
     differs = F.lit(False)
     for a in attrs:
-        d = ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
-        differs = d if differs is None else (differs | d)
+        differs = differs | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
     return (
         changelog.withColumn("__keep", is_first | differs)
         .filter("__keep")

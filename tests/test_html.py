@@ -291,3 +291,43 @@ def test_response_text_decodes_declared_charset(spark, tmp_path):
     (tmp_path / "seg.warc").write_bytes(raw)
     [row] = response_text(warc_source(spark, str(tmp_path))).collect()
     assert row["text"] == "café"
+
+
+# --------------------------- round-9 self-review regression pins
+def test_unclosed_anchor_in_skipped_subtree_does_not_poison_blocks():
+    """An unclosed <a> inside <noscript> must not mark the rest of the
+    page as link text (would empty main_content_text for the doc)."""
+    from malstrom_spark.functions.html import html_blocks_py
+
+    html = ('<noscript><a href="/x">nav</noscript>'
+            "<p>ten real words of genuine article body content here</p>")
+    assert html_blocks_py(html) == [
+        ("ten real words of genuine article body content here", 9, 0)]
+
+
+def test_links_inside_skipped_subtrees_are_dropped():
+    from malstrom_spark.functions.html import extract_links_py
+
+    html = ('<noscript><a href="https://t.example/px">x</a></noscript>'
+            '<template><a href="https://t.example/tpl">y</a></template>'
+            '<a href="https://ok.example/real">real</a>')
+    assert extract_links_py(html) == [("https://ok.example/real", "real")]
+
+
+def test_boilerplate_pattern_respects_word_boundaries():
+    from malstrom_spark.functions.html import (
+        _BOILERPLATE_PATTERN, strip_boilerplate_lines)
+    import re
+
+    rx = re.compile(_BOILERPLATE_PATTERN)
+    kept = ["the design industry grew fast last year",
+            "the catalog includes fine woodwork",
+            "dialog in the second act is sharp",
+            "the recipe for chocolate cookies is simple"]
+    dropped = ["Cookie Policy", "We use cookies to improve the site",
+               "Copyright 2024 Example Corp", "All Rights Reserved.",
+               "Sign in to continue", "Log in", "© 2020 Site"]
+    for line in kept:
+        assert not rx.search(line), f"false positive: {line!r}"
+    for line in dropped:
+        assert rx.search(line), f"missed boilerplate: {line!r}"

@@ -90,3 +90,31 @@ def test_robots_allowed_plan_is_single_python_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+# --------------------------- round-9 self-review regression pins
+def test_other_crawlers_specific_group_cannot_hijack():
+    """'googlebot-images' rules must not govern 'googlebot': agent
+    tokens match OUR product token, never the reverse (RFC 9309)."""
+    content = ("User-agent: googlebot-images\nDisallow: /images/\n\n"
+               "User-agent: googlebot\nDisallow: /private/\n")
+    assert parse_robots(content, "googlebot") == [("/private/", False)]
+    assert parse_robots(content, "googlebot-images") == [("/images/", False)]
+
+
+def test_rules_before_any_user_agent_are_ignored():
+    content = "Disallow: /private/\nUser-agent: goodbot\nAllow: /data/"
+    assert parse_robots(content, "goodbot") == [("/data/", True)]
+
+
+def test_duplicate_groups_for_same_agent_merge():
+    """Concatenated robots files repeat groups; RFC 9309 merges groups
+    governing the same agent instead of last-one-wins."""
+    content = ("User-agent: *\nDisallow: /a/\n\n"
+               "User-agent: *\nDisallow: /b/\n")
+    rules = parse_robots(content, "anybot")
+    assert sorted(rules) == [("/a/", False), ("/b/", False)]
+    content2 = ("User-agent: mybot\nDisallow: /a/\n\n"
+                "User-agent: mybot\nDisallow: /b/\n")
+    assert sorted(parse_robots(content2, "mybot")) == \
+        [("/a/", False), ("/b/", False)]
