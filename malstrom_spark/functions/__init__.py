@@ -1,3 +1,5 @@
-from . import corpus, dedup, multimodal, similarity, text
+from . import corpus, dedup, html, multimodal, robots, similarity, text
 
-__all__ = ["corpus", "dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "corpus", "dedup", "html", "multimodal", "robots", "similarity", "text",
+]
