@@ -331,3 +331,43 @@ def test_boilerplate_pattern_respects_word_boundaries():
         assert not rx.search(line), f"false positive: {line!r}"
     for line in dropped:
         assert rx.search(line), f"missed boilerplate: {line!r}"
+
+
+def test_html_to_text_fuzz_never_raises_and_output_invariants():
+    """Crawl HTML is adversarial by default: random tag soup, stray
+    brackets, half-entities, nulls. The extractor must never raise,
+    and its output postconditions (lines stripped, single-spaced,
+    non-empty) must hold for ANY input — downstream Column filters
+    (strip_boilerplate_lines word counts) rely on them."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    soup = st.lists(
+        st.sampled_from(
+            list("<>/&;#abcz \t\n\r\"'=!-") + ["<p", "</p>", "<script",
+                 "</script>", "&amp", "<a href=", "<!--", "-->", "<br"]
+        ),
+        max_size=60,
+    ).map("".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(soup)
+    def check(h):
+        out = html_to_text_py(h)
+        for ln in out.split("\n") if out else []:
+            assert ln == " ".join(ln.split()) and ln != ""
+
+    check()
+
+
+def test_html_family_plans_are_shuffle_free(spark, sf_dir):
+    """The whole HTML family is scan-parallel: zero Exchange in every
+    registry row's plan (the 100 TB shape claim, pinned)."""
+    from malstrom_spark.queries import full_registry
+
+    fr = full_registry()
+    for name in ("doc_html_extract", "doc_html_links", "doc_html_meta",
+                 "doc_html_main_text", "doc_robots_filter"):
+        plan = fr[name].fn(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} plan shuffles"
