@@ -96,13 +96,16 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
 
 
 # Above this many bits the densified filter stops being a sane plan
-# literal (2^24 bits = 256k longs = a 2 MiB plan node shipped with
-# every task) and probing dispatches to a broadcast-variable numpy
-# array + Arrow-batched pandas_udf instead — the same size-thresholded
-# escape hatch as IVF_LITERAL_MAX_NODES (similarity.py). The module's
-# own motivation (billions of grams => ~10^10 bits) lives entirely on
-# the broadcast side of this line.
-BLOOM_LITERAL_MAX_BITS = 1 << 24
+# literal and probing dispatches to a broadcast-variable numpy array +
+# Arrow-batched pandas_udf instead — the same size-thresholded escape
+# hatch as IVF_LITERAL_MAX_NODES (similarity.py). The threshold is
+# MEASURED, not guessed (BASELINE.md round-9): on a 6M-row prune the
+# literal probe costs 1.7-1.9 s at 2^14-2^16 bits but 3.3 s at 2^18
+# and 9.5 s at 2^20 (a large array literal is a heavy per-row plan
+# node), while the broadcast path is flat ~5 s at any size — the
+# crossover sits at ~2^18, and the module's own motivation (billions
+# of grams => ~10^10 bits) lives far on the broadcast side.
+BLOOM_LITERAL_MAX_BITS = 1 << 18
 
 
 def bloom_words_literal(bloom: DataFrame, n_bits: int) -> Column:
