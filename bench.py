@@ -141,6 +141,11 @@ HEADLINE = [
     # PageRank is NOT here (same dataflow as customer_pagerank plus a
     # one-row broadcast — timing it separately only adds noise)
     "doc_html_extract",
+    "doc_html_links",
+    "doc_html_meta",
+    "doc_html_main_text",
+    "doc_robots_filter",
+    "customer_pagerank_dangling",
     "lineitem_bloom_join",
     "orders_quality_report",
     "orders_incremental_rollup",
