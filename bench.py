@@ -146,6 +146,7 @@ HEADLINE = [
     "doc_html_main_text",
     "doc_robots_filter",
     "customer_pagerank_dangling",
+    "doc_bm25_incremental",
     "lineitem_bloom_join",
     "orders_quality_report",
     "orders_incremental_rollup",

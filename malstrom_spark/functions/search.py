@@ -67,6 +67,113 @@ def term_doc_frequency(postings: DataFrame) -> DataFrame:
     return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
 
+def doc_stats(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, dl) for every indexable doc (non-null text, >= 1 token) —
+    the doc-level half of the index state: N and avgdl derive from it
+    by one tiny aggregation at serving time. Same tokenizer and same
+    emptiness rule as `inverted_index`, so the pair is consistent."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), _tokens_cheap(F.col(text_col)).alias("__t"))
+        .where(F.size("__t") > 0)
+        .select(id_col, F.size("__t").cast("long").alias("dl"))
+    )
+
+
+def merge_index(
+    postings_parts: list[DataFrame], doc_stats_parts: list[DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """Combine per-batch index states into one: postings and doc-stats
+    union by name — NO aggregation needed, because (term, doc) rows
+    from disjoint doc batches cannot collide. Contract: batch doc sets
+    are disjoint (re-crawled/updated docs must be cdc-compacted to
+    latest images BEFORE indexing, exactly like dedup_against_history
+    expects a deduped batch). This is what makes the search index an
+    incrementally-maintainable view: a daily batch contributes its own
+    postings; history is never re-tokenized — the incremental.py
+    merge discipline applied to retrieval. Persist both parts via
+    persist_stage (postings bucketed on term) so serving joins prune."""
+    if not postings_parts or not doc_stats_parts:
+        raise ValueError("merge_index needs at least one part on each side")
+    p = postings_parts[0]
+    for x in postings_parts[1:]:
+        p = p.unionByName(x)
+    s = doc_stats_parts[0]
+    for x in doc_stats_parts[1:]:
+        s = s.unionByName(x)
+    return p, s
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    doc_stats_df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served FROM THE INDEX instead of the raw corpus —
+    the production serving path once `inverted_index`/`doc_stats`
+    states are persisted: tf comes straight off the postings rows
+    (query terms broadcast-joined onto them — with term-bucketed
+    postings the scan prunes to the query's terms), df is one count
+    over those matches, corpus stats are one tiny aggregate of the
+    doc-stats table. The scoring arithmetic is BIT-IDENTICAL to
+    `bm25_topk` (same quantized-idf micro-integer contributions, same
+    skew-safe top-k), so serving from a merged incremental index
+    returns EXACTLY the full-corpus answer — proven by the
+    doc_bm25_incremental registry row reusing doc_bm25_search's
+    oracle verbatim."""
+    stats = doc_stats_df.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("dl").alias("__sumdl"),
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(_tokens_cheap(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    matches = postings.join(F.broadcast(qterms), "term").select(
+        query_id_col, "term", id_col,
+        F.col("dl").alias("__dl"), F.col("tf"),
+    )
+    dft = matches.groupBy(query_id_col, "term").agg(
+        F.count("*").cast("long").alias("__df")
+    )
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    idf_q = F.floor(
+        F.log((n - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+              + F.lit(1.0)) * F.lit(10000.0)
+    ).cast("long")
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl") / avgdl))
+    )
+    contrib = F.floor(idf_q.cast("double") * tf_part * F.lit(100.0)).cast("long")
+
+    scored = (
+        matches.join(F.broadcast(dft), [query_id_col, "term"])
+        .crossJoin(F.broadcast(stats))
+        .select(query_id_col, id_col, contrib.alias("__c"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__c").alias("__s"))
+    )
+    top = topk_per_key(
+        scored, [query_id_col], [F.desc("__s"), F.asc(id_col)], k
+    )
+    return top.select(
+        query_id_col,
+        F.col("rank").cast("long").alias("rank"),
+        id_col,
+        (F.col("__s").cast("double") / F.lit(1_000_000.0)).alias("score"),
+    )
+
+
 def topk_per_key(
     df: DataFrame, key_cols: list[str], order_by: list[Column], k: int
 ) -> DataFrame:

@@ -2951,3 +2951,39 @@ def doc_robots_filter(spark, sf_dir):
         "doc_id", url.alias("url"),
         robots_allowed(url, {"a.example": _ROBOTS_SEED}).alias("allowed"),
     )
+
+
+# --------------------------------- incremental search-index serving
+from . import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "doc_bm25_incremental",
+    oracle=None,  # replaced below: shares doc_bm25_search's oracle
+)
+def doc_bm25_incremental(spark, sf_dir):
+    """Incrementally-maintained search index (functions/search.py
+    merge_index + bm25_topk_from_index, round 9): documents split into
+    'history' (doc_id % 5 != 0) and 'delta' (doc_id % 5 == 0) batches,
+    each indexed SEPARATELY (postings + doc stats), merged by plain
+    union (disjoint doc sets — the incremental.py discipline applied
+    to retrieval: history is never re-tokenized), then BM25 top-10 is
+    served OFF THE MERGED INDEX. The oracle is doc_bm25_search's
+    full-corpus SQL verbatim, so a hash match proves both the serving
+    path's arithmetic and the merge's losslessness at once."""
+    from ..functions import search as s
+
+    docs = table(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    postings, dstats = s.merge_index(
+        [s.inverted_index(hist, "doc_id"), s.inverted_index(delta, "doc_id")],
+        [s.doc_stats(hist, "doc_id"), s.doc_stats(delta, "doc_id")],
+    )
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return s.bm25_topk_from_index(postings, dstats, queries, "doc_id", k=10)
+
+
+# the serving row must agree with the scan row BYTE-FOR-BYTE — one
+# oracle, two independent dataflows
+_REGISTRY["doc_bm25_incremental"].oracle = _REGISTRY["doc_bm25_search"].oracle

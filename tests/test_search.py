@@ -104,3 +104,55 @@ def test_bm25_corpus_not_shuffled_before_scoring(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "__t" not in line
+
+
+# ---------------------- incremental index maintenance (round 9)
+def test_index_serving_equals_scan_path(spark):
+    """bm25_topk_from_index over a merged two-batch index must equal
+    bm25_topk over the full corpus byte-for-byte — the lossless-merge
+    + serving-arithmetic proof."""
+    from malstrom_spark.functions import search as s
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 7} common filler word{i % 3} "
+             f"{'vector stream ' * (i % 4)}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "vector stream"), (2, "term3 word1")],
+        "query_id long, query string",
+    )
+    scan = s.bm25_topk(docs, queries, "doc_id", k=5).collect()
+
+    hist = docs.where("doc_id % 3 != 0")
+    delta = docs.where("doc_id % 3 = 0")
+    postings, ds = s.merge_index(
+        [s.inverted_index(hist, "doc_id"), s.inverted_index(delta, "doc_id")],
+        [s.doc_stats(hist, "doc_id"), s.doc_stats(delta, "doc_id")],
+    )
+    served = s.bm25_topk_from_index(postings, ds, queries, "doc_id", k=5) \
+        .collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, served), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, scan), key=lambda t: (t[0], t[1]))
+
+
+def test_doc_stats_matches_postings_dl(spark):
+    from malstrom_spark.functions import search as s
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "   "), (4, "x")],
+        "doc_id long, text string",
+    )
+    ds = {r["doc_id"]: r["dl"] for r in s.doc_stats(docs, "doc_id").collect()}
+    # null text excluded; whitespace-only tokenizes to [''] (dl=1) —
+    # the established _tokens_cheap semantics inverted_index/bm25 share
+    assert ds == {1: 3, 3: 1, 4: 1}
+
+
+def test_merge_index_validation(spark):
+    import pytest
+    from malstrom_spark.functions import search as s
+
+    with pytest.raises(ValueError, match="at least one part"):
+        s.merge_index([], [])

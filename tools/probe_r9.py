@@ -30,6 +30,7 @@ NAMES = [
     "doc_html_meta",
     "doc_html_main_text",
     "customer_pagerank_dangling",
+    "doc_bm25_incremental",
 ]
 
 
