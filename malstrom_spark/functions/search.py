@@ -138,9 +138,23 @@ def bm25_topk_from_index(
         )
         .distinct()
     )
-    matches = postings.join(F.broadcast(qterms), "term").select(
-        query_id_col, "term", id_col,
-        F.col("dl").alias("__dl"), F.col("tf"),
+    # Push the query's terms INTO the postings scan: queries are a
+    # handful of rows by contract (bm25_topk already broadcasts them),
+    # so this collect is construction-time-bounded, and the isin
+    # filter reaches the parquet reader as a PushedFilter — a
+    # persisted postings table is then read only where the query's
+    # terms live, instead of scanning the whole index to feed the
+    # broadcast join (plan-pinned in tests/test_search.py).
+    terms_local = sorted(
+        {r["term"] for r in qterms.select("term").distinct().collect()}
+    )
+    matches = (
+        postings.where(F.col("term").isin(terms_local))
+        .join(F.broadcast(qterms), "term")
+        .select(
+            query_id_col, "term", id_col,
+            F.col("dl").alias("__dl"), F.col("tf"),
+        )
     )
     dft = matches.groupBy(query_id_col, "term").agg(
         F.count("*").cast("long").alias("__df")

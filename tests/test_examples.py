@@ -27,6 +27,7 @@ EXAMPLES = [
     "crawl_ingest",
     "cdc_apply",
     "bpe_tokenizer",
+    "search_serving",
 ]
 
 

@@ -156,3 +156,25 @@ def test_merge_index_validation(spark):
 
     with pytest.raises(ValueError, match="at least one part"):
         s.merge_index([], [])
+
+
+def test_index_serving_pushes_terms_to_scan(spark, tmp_path):
+    """The serving path must read a persisted postings table only
+    where the query's terms live: the isin filter reaches the parquet
+    reader as a PushedFilter (not just the broadcast join)."""
+    from malstrom_spark.functions import search as s
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 5}") for i in range(40)],
+        "doc_id long, text string")
+    path = str(tmp_path / "postings")
+    s.inverted_index(docs, "doc_id").write.parquet(path)
+    postings = spark.read.parquet(path)
+    ds = s.doc_stats(docs, "doc_id")
+    queries = spark.createDataFrame([(1, "alpha gamma2")],
+                                    "query_id long, query string")
+    out = s.bm25_topk_from_index(postings, ds, queries, "doc_id", k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan.replace(", ", ",").replace(
+        "In(term,", "In(term"), plan[:2000]
+    assert out.count() > 0
