@@ -51,9 +51,21 @@ def pagerank(
     n_iter: int = 5,
     checkpoint_every: int | None = None,
     redistribute_dangling: bool = False,
+    weight: str | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank over the nodes appearing in `edges`.
     Returns (node BIGINT, rank BIGINT in SCALE micro-units).
+
+    `weight=<col>` (round 9): weighted PageRank — contributions split
+    proportionally to INTEGER edge weights (link counts, click
+    counts):
+        r'(v) += (r(u) * 17 * w(u,v)) div (20 * W(u)),
+    W(u) = sum of u's out-edge weights. Weights must be positive
+    BIGINTs; keep max weight <= ~5e5 so rank*17*w stays inside int64
+    even if one node held ALL the mass (documented bound, same
+    integer-headroom reasoning as the micro-unit SCALE). weight=None
+    is exactly weight 1 everywhere (parallel edges still count
+    double).
 
     `checkpoint_every=k` (round 9 — the lineage cut the r8 docstring
     promised, now a flag): every k rounds the rank vector is
@@ -83,13 +95,17 @@ def pagerank(
     # then the caller's bounded trade).
     if redistribute_dangling and checkpoint_every is None:
         checkpoint_every = 1
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("out"))
+    # out-strength: with weight=None this is exactly the edge count
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("out"))
     n_nodes = nodes.agg(F.count("*").alias("n"))
 
     # r0 = SCALE // N for every node; teleport term is constant too —
@@ -114,7 +130,7 @@ def pagerank(
             .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.expr("(rank * 17) div (20 * out)").alias("__c"),
+                F.expr("(rank * 17 * w) div (20 * out)").alias("__c"),
             )
         )
         incoming = send.groupBy("node").agg(F.sum("__c").alias("__in"))
@@ -155,18 +171,22 @@ def pagerank_sql(
     src: str = "src",
     dst: str = "dst",
     redistribute_dangling: bool = False,
+    weighted: bool = False,
 ) -> str:
     """DuckDB rendering of the IDENTICAL fixed-point for oracles:
-    pass a CTE body producing (src, dst); returns chained-CTE SQL
-    ending in SELECT node, rank. Integer ops mirror pagerank() term
-    for term ((x * 17) // (20 * out), (3 * SCALE) // (20 * n), and —
-    with redistribute_dangling — (dmass * 17) // (20 * n))."""
+    pass a CTE body producing (src, dst) — or (src, dst, w) with
+    `weighted` — returns chained-CTE SQL ending in SELECT node, rank.
+    Integer ops mirror pagerank() term for term ((x * 17 [* w]) //
+    (20 * out), (3 * SCALE) // (20 * n), and — with
+    redistribute_dangling — (dmass * 17) // (20 * n))."""
+    out_expr = "SUM(w)" if weighted else "COUNT(*)"
+    w_mul = " * e.w" if weighted else ""
     pre = f"""
     WITH e AS ({edges_cte}),
     nodes AS (
       SELECT {src} AS node FROM e UNION SELECT {dst} AS node FROM e
     ),
-    outdeg AS (SELECT {src} AS src, COUNT(*) AS out FROM e GROUP BY 1),
+    outdeg AS (SELECT {src} AS src, {out_expr} AS out FROM e GROUP BY 1),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     r0 AS (SELECT node, {SCALE} // n AS rank FROM nodes, nn)"""
     steps = []
@@ -185,7 +205,7 @@ def pagerank_sql(
         )
         steps.append(f"""
     s{i} AS (
-      SELECT e.{dst} AS node, (r.rank * 17) // (20 * o.out) AS c
+      SELECT e.{dst} AS node, (r.rank * 17{w_mul}) // (20 * o.out) AS c
       FROM e JOIN r{i - 1} r ON r.node = e.{src}
       JOIN outdeg o ON o.src = e.{src}
     ),

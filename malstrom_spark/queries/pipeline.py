@@ -2987,3 +2987,27 @@ def doc_bm25_incremental(spark, sf_dir):
 # the serving row must agree with the scan row BYTE-FOR-BYTE — one
 # oracle, two independent dataflows
 _REGISTRY["doc_bm25_incremental"].oracle = _REGISTRY["doc_bm25_search"].oracle
+
+
+@register(
+    "customer_pagerank_weighted",
+    oracle=_graph.pagerank_sql(
+        "SELECT o_custkey AS src, o_orderkey % 1024 AS dst, "
+        "o_orderkey % 7 + 1 AS w FROM orders",
+        n_iter=5,
+        weighted=True,
+    ),
+)
+def customer_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank (round 9): contributions split by integer
+    edge weight ((rank * 17 * w) div (20 * out-strength)) — the form
+    link graphs actually need (multi-link hosts, click counts). Same
+    all-BIGINT fixed-point, same chained-CTE oracle, every rank
+    hash-exact; weight seeded deterministically from the order key."""
+    o = table(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 1024).alias("dst"),
+        (F.col("o_orderkey") % 7 + 1).alias("w"),
+    )
+    return _graph.pagerank(edges, n_iter=5, weight="w")

@@ -128,3 +128,32 @@ def test_pagerank_checkpoint_validation(spark):
     e = spark.createDataFrame(EDGES, "src long, dst long")
     with pytest.raises(ValueError, match="checkpoint_every"):
         graph.pagerank(e, checkpoint_every=0)
+
+
+def test_weighted_pagerank_matches_duckdb_twin(spark):
+    """Weighted contributions split by integer edge weight; SQL twin
+    identical; weight=1 everywhere equals the unweighted run."""
+    edges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5), (4, 1, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(e, n_iter=4, weight="w").collect()}
+    vals = ",".join(f"({a},{b},{w})" for a, b, w in edges)
+    duck = dict(duckdb.sql(graph.pagerank_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst, w)",
+        n_iter=4, weighted=True)).fetchall())
+    assert got == duck
+    # the heavier edge (1->2 w=3) pulls more mass than (1->3 w=1)
+    # would under equal split: node 2 outranks its unweighted self
+    unw = {r["node"]: r["rank"]
+           for r in graph.pagerank(
+               e.select("src", "dst"), n_iter=4).collect()}
+    assert got[2] > unw[2]
+
+
+def test_weight_one_equals_unweighted(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    ones = e.withColumn("w", __import__("pyspark").sql.functions.lit(1))
+    a = {r["node"]: r["rank"] for r in graph.pagerank(e, n_iter=5).collect()}
+    b = {r["node"]: r["rank"]
+         for r in graph.pagerank(ones, n_iter=5, weight="w").collect()}
+    assert a == b
