@@ -147,6 +147,8 @@ HEADLINE = [
     "doc_robots_filter",
     "customer_pagerank_dangling",
     "doc_bm25_incremental",
+    "customer_pagerank_weighted",
+    "customer_triangles",
     "lineitem_bloom_join",
     "orders_quality_report",
     "orders_incremental_rollup",

@@ -223,3 +223,119 @@ def pagerank_sql(
         pre + "," + ",".join(steps)
         + f"\n    SELECT node, CAST(rank AS BIGINT) AS rank FROM r{n_iter}"
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph of
+    `edges` (direction, parallel edges and self-loops are normalized
+    away). Returns (node BIGINT, triangles BIGINT) for every node of
+    the graph, zeros included.
+
+    Algorithm is the degree-oriented wedge join (Suri &
+    Vassilvitskii, WWW 2011 "Counting triangles and the curse of the
+    last reducer"): orient every edge from the (degree, id)-smaller
+    endpoint to the larger, build wedges only at each triangle's
+    minimum vertex, and close them with one more join — each triangle
+    found EXACTLY once. Why this is the 100 TB shape: orientation
+    bounds every out-neighborhood by O(sqrt(E)) regardless of skew, so
+    a celebrity hub with 10^8 followers contributes wedges only
+    through its few higher-degree peers instead of C(10^8, 2) pairs —
+    the naive all-wedges join dies exactly there. Cost: three hash
+    joins + one count; everything integer, so the DuckDB oracle
+    replays it exactly (customer_triangles row)."""
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        e0.join(du, "u").join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    )
+    w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    closer = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closer, ["x", "y"]).select(
+        F.col("a"), F.col("x"), F.col("y")
+    )
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return nodes.join(corners, "node", "left").select(
+        "node", F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+        .alias("triangles")
+    )
+
+
+def triangle_count_sql(
+    edges_cte: str, src: str = "src", dst: str = "dst"
+) -> str:
+    """DuckDB rendering of the IDENTICAL degree-oriented count."""
+    return f"""
+    WITH e_raw AS ({edges_cte}),
+    e0 AS (
+      SELECT DISTINCT LEAST({src}, {dst}) AS u, GREATEST({src}, {dst}) AS v
+      FROM e_raw WHERE {src} <> {dst}
+    ),
+    nodes AS (SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+      GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
+                  THEN e0.u ELSE e0.v END AS a,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
+                  THEN e0.v ELSE e0.u END AS b
+      FROM e0
+      JOIN deg du ON du.node = e0.u
+      JOIN deg dv ON dv.node = e0.v
+    ),
+    tri AS (
+      SELECT w1.a, w1.b AS x, w2.b AS y
+      FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.b < w2.b
+      JOIN o c ON c.a = w1.b AND c.b = w2.b
+    ),
+    corners AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT x FROM tri
+            UNION ALL SELECT y FROM tri)
+      GROUP BY node
+    )
+    SELECT nodes.node, CAST(COALESCE(corners.triangles, 0) AS BIGINT)
+             AS triangles
+    FROM nodes LEFT JOIN corners ON corners.node = nodes.node
+    """

@@ -3011,3 +3011,27 @@ def customer_pagerank_weighted(spark, sf_dir):
         (F.col("o_orderkey") % 7 + 1).alias("w"),
     )
     return _graph.pagerank(edges, n_iter=5, weight="w")
+
+
+@register(
+    "customer_triangles",
+    oracle=_graph.triangle_count_sql(
+        "SELECT o_custkey AS src, o_orderkey % 256 AS dst FROM orders"
+    ),
+)
+def customer_triangles(spark, sf_dir):
+    """Per-node triangle counts (functions/graph.py triangle_count,
+    round 9) over the seeded order graph — the degree-oriented wedge
+    join (Suri & Vassilvitskii 2011): edges oriented from the
+    (degree, id)-smaller endpoint, wedges built only at each
+    triangle's minimum vertex, closed by one more join. Orientation
+    bounds every out-neighborhood at O(sqrt(E)) REGARDLESS of skew —
+    the shape that survives celebrity hubs where naive wedge
+    enumeration goes quadratic. All-integer, so the oracle replays it
+    exactly."""
+    o = table(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 256).alias("dst"),
+    )
+    return _graph.triangle_count(edges)

@@ -157,3 +157,34 @@ def test_weight_one_equals_unweighted(spark):
     b = {r["node"]: r["rank"]
          for r in graph.pagerank(ones, n_iter=5, weight="w").collect()}
     assert a == b
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 (every node in 3 triangles) + pendant node (0); direction
+    duplicates and self-loops normalized away; a path has none."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+          (2, 1), (3, 3)]
+    e = spark.createDataFrame(k4, "src long, dst long")
+    got = {r["node"]: r["triangles"]
+           for r in graph.triangle_count(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                 "src long, dst long")
+    assert all(r["triangles"] == 0
+               for r in graph.triangle_count(path).collect())
+
+
+def test_triangle_count_matches_duckdb_twin(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(12), rng.randrange(12))
+                    for _ in range(40)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"]
+           for r in graph.triangle_count(e).collect()}
+    vals = ",".join(f"({a},{b})" for a, b in edges)
+    duck = dict(duckdb.sql(graph.triangle_count_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)")).fetchall())
+    assert got == duck

@@ -31,6 +31,7 @@ NAMES = [
     "doc_html_main_text",
     "customer_pagerank_dangling",
     "doc_bm25_incremental",
+    "customer_triangles",
 ]
 
 
