@@ -56,8 +56,7 @@ def main(spark):
 
     # the query's terms reach the postings scan as pushed filters
     plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "In(term" in plan.replace(", [", " [").replace(", ", ","), \
-        "term pushdown missing from the serving plan"
+    assert "In(term" in plan, "term pushdown missing from the serving plan"
 
     got = sorted(
         (r["query_id"], r["rank"], r["doc_id"]) for r in served.collect()

@@ -21,10 +21,14 @@ makes it mergeable (union + bit_or re-group = the OR of the filters,
 exactly how per-shard filters combine on a cluster), persistable as
 parquet, and buildable with ONE aggregation whose partial combine
 ORs map-side (at most n_bits/64 rows per task cross the shuffle,
-regardless of input size). Probing densifies the words into a single
-array literal (one plan node, built from a construction-time collect
-of <= n_bits/64 longs — 128 KiB at 2^20 bits) and evaluates k
-`element_at` + bitwiseAND probes per row, pure codegen Column work.
+regardless of input size). Probing is size-dispatched (`bloom_probe`):
+up to BLOOM_LITERAL_MAX_BITS (2^18 — the MEASURED crossover, see the
+constant) the words densify into one array literal evaluated as k
+`element_at` + bitwiseAND codegen probes per row; above it, the words
+ship once per executor as a broadcast numpy array probed in a single
+Arrow-batched pandas_udf stage — big array literals are heavy per-row
+plan nodes, so the broadcast path is FASTER beyond the crossover, not
+just feasible.
 
 Bit layout: position_i(x) = pmod(xxhash64(x, seed, i), n_bits),
 word_idx = pos div 64, mask = 1 << (pos mod 64). xxhash64 keeps
@@ -288,7 +292,7 @@ def bloom_filtered_join(
     fact_key: str,
     dim_key: str | None = None,
     how: str = "inner",
-    n_bits: int = 1 << 20,
+    n_bits: int = 1 << 18,
     n_hashes: int = 7,
     seed: int = 0,
 ) -> DataFrame:
@@ -306,7 +310,14 @@ def bloom_filtered_join(
     idea as Spark's own runtime-filter feature, but available to any
     build side and persistable/mergeable like every filter in this
     module. Only inner/left_semi joins are eligible (outer joins need
-    the non-matching rows)."""
+    the non-matching rows).
+
+    The default n_bits (2^18, ~26k dim keys at 10 bits/key) sits AT
+    the literal/broadcast crossover deliberately: default callers keep
+    the pure-JVM codegen probe (no pandas/pyarrow executor dependency
+    in the default path); size n_bits up consciously for bigger dims
+    and the probe dispatches to the broadcast path (faster there, but
+    an Arrow stage)."""
     if how not in ("inner", "left_semi", "semi", "leftsemi"):
         raise ValueError(
             f"bloom_filtered_join: '{how}' would drop required rows — "

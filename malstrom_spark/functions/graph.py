@@ -281,7 +281,14 @@ def triangle_count(
     )
     w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
     w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
-    wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    # x != y, NOT x < y: the closing edge is stored in exactly ONE
+    # orientation — the (degree, id) one — which need not agree with
+    # raw id order (deg(2)>deg(3) stores {2,3} as (3,2)); an id-order
+    # wedge filter silently misses those triangles (caught by the
+    # round-9 review with a 5-edge repro). Keeping both (x, y) and
+    # (y, x) wedges and joining against the single stored orientation
+    # still counts each triangle exactly once.
+    wedges = w1.join(w2, "a").where(F.col("x") != F.col("y"))
     closer = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     tris = wedges.join(closer, ["x", "y"]).select(
         F.col("a"), F.col("x"), F.col("y")
@@ -326,7 +333,7 @@ def triangle_count_sql(
     ),
     tri AS (
       SELECT w1.a, w1.b AS x, w2.b AS y
-      FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.b < w2.b
+      FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.b <> w2.b
       JOIN o c ON c.a = w1.b AND c.b = w2.b
     ),
     corners AS (

@@ -71,13 +71,24 @@ def doc_stats(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     """(id, dl) for every indexable doc (non-null text, >= 1 token) —
     the doc-level half of the index state: N and avgdl derive from it
     by one tiny aggregation at serving time. Same tokenizer and same
-    emptiness rule as `inverted_index`, so the pair is consistent."""
+    emptiness rule as `inverted_index`, so the pair is consistent.
+    When the postings already exist, use `doc_stats_from_postings`
+    instead — it derives the same relation WITHOUT a second tokenize
+    pass over the text."""
     return (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), _tokens_cheap(F.col(text_col)).alias("__t"))
         .where(F.size("__t") > 0)
         .select(id_col, F.size("__t").cast("long").alias("dl"))
     )
+
+
+def doc_stats_from_postings(postings: DataFrame, id_col: str) -> DataFrame:
+    """(id, dl) derived from a postings relation — every indexable doc
+    has >= 1 posting row carrying its dl, so this is one distinct over
+    two small columns instead of re-tokenizing the corpus (the second
+    text pass the index build otherwise pays twice)."""
+    return postings.select(id_col, "dl").distinct()
 
 
 def merge_index(
@@ -114,6 +125,7 @@ def bm25_topk_from_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    pushdown_terms: bool = True,
 ) -> DataFrame:
     """BM25 top-k served FROM THE INDEX instead of the raw corpus —
     the production serving path once `inverted_index`/`doc_stats`
@@ -144,13 +156,19 @@ def bm25_topk_from_index(
     # filter reaches the parquet reader as a PushedFilter — a
     # persisted postings table is then read only where the query's
     # terms live, instead of scanning the whole index to feed the
-    # broadcast join (plan-pinned in tests/test_search.py).
-    terms_local = sorted(
-        {r["term"] for r in qterms.select("term").distinct().collect()}
-    )
+    # broadcast join (plan-pinned in tests/test_search.py). The
+    # collect snapshots `queries` at construction time and launches a
+    # job — the queries relation must therefore be DETERMINISTIC
+    # (re-evaluation contract); pass pushdown_terms=False for
+    # non-deterministic query sources or plan-only inspection.
+    pruned = postings
+    if pushdown_terms:
+        terms_local = sorted(
+            {r["term"] for r in qterms.select("term").distinct().collect()}
+        )
+        pruned = postings.where(F.col("term").isin(terms_local))
     matches = (
-        postings.where(F.col("term").isin(terms_local))
-        .join(F.broadcast(qterms), "term")
+        pruned.join(F.broadcast(qterms), "term")
         .select(
             query_id_col, "term", id_col,
             F.col("dl").alias("__dl"), F.col("tf"),

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bpe as _bpe
 from ..functions import corpus, dedup, multimodal, similarity, text
-from . import register, table
+from . import REGISTRY, register, table
 from ._oracle_sql import (
     H60 as _H60,
 )
@@ -2954,9 +2954,6 @@ def doc_robots_filter(spark, sf_dir):
 
 
 # --------------------------------- incremental search-index serving
-from . import REGISTRY as _REGISTRY  # noqa: E402
-
-
 @register(
     "doc_bm25_incremental",
     oracle=None,  # replaced below: shares doc_bm25_search's oracle
@@ -2976,9 +2973,14 @@ def doc_bm25_incremental(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     hist = docs.where(F.col("doc_id") % 5 != 0)
     delta = docs.where(F.col("doc_id") % 5 == 0)
+    p_hist = s.inverted_index(hist, "doc_id")
+    p_delta = s.inverted_index(delta, "doc_id")
     postings, dstats = s.merge_index(
-        [s.inverted_index(hist, "doc_id"), s.inverted_index(delta, "doc_id")],
-        [s.doc_stats(hist, "doc_id"), s.doc_stats(delta, "doc_id")],
+        [p_hist, p_delta],
+        # dl already rides on every posting row — deriving doc stats
+        # from postings avoids a second tokenize pass over the text
+        [s.doc_stats_from_postings(p_hist, "doc_id"),
+         s.doc_stats_from_postings(p_delta, "doc_id")],
     )
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
     return s.bm25_topk_from_index(postings, dstats, queries, "doc_id", k=10)
@@ -2986,7 +2988,7 @@ def doc_bm25_incremental(spark, sf_dir):
 
 # the serving row must agree with the scan row BYTE-FOR-BYTE — one
 # oracle, two independent dataflows
-_REGISTRY["doc_bm25_incremental"].oracle = _REGISTRY["doc_bm25_search"].oracle
+REGISTRY["doc_bm25_incremental"].oracle = REGISTRY["doc_bm25_search"].oracle
 
 
 @register(

@@ -188,3 +188,40 @@ def test_triangle_count_matches_duckdb_twin(spark):
     duck = dict(duckdb.sql(graph.triangle_count_sql(
         f"SELECT * FROM (VALUES {vals}) t(src, dst)")).fetchall())
     assert got == duck
+
+
+def test_triangle_degree_order_disagrees_with_id_order(spark):
+    """Round-9 review repro: deg(2) > deg(3) stores {2,3} as (3,2);
+    an id-ordered wedge filter missed triangle {1,2,3} entirely —
+    and the DuckDB twin shared the bug, so the oracle hash-matched on
+    wrong answers. Pinned against the hand truth, not the twin."""
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (2, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"]
+           for r in graph.triangle_count(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Independent reference (itertools over the adjacency set) — a
+    shared-bug twin comparison cannot stand in for ground truth."""
+    import itertools
+    import random
+
+    rng = random.Random(23)
+    edges = sorted({(rng.randrange(14), rng.randrange(14))
+                    for _ in range(50)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"]
+           for r in graph.triangle_count(e).collect()}
+
+    und = {frozenset((a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for ab in und for n in ab})
+    truth = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {frozenset((x, y)), frozenset((y, z)),
+                frozenset((x, z))} <= und:
+            truth[x] += 1
+            truth[y] += 1
+            truth[z] += 1
+    assert got == truth
