@@ -17,6 +17,10 @@ from malstrom_spark.functions import bpe
 
 
 def main(spark):
+    import os
+
+    sfx = f"_{os.getpid()}"  # run-unique: concurrent sessions share
+    # the warehouse, fixed table names would collide
     corpus = spark.createDataFrame(
         [(i, "the lower the newest lowest wider new news "
              "low lower lowest " * (1 + i % 3))
@@ -26,10 +30,10 @@ def main(spark):
 
     # ---- job 1: fit + persist --------------------------------------
     merges = bpe.bpe_fit(corpus, "text", n_merges=60)
-    bpe.bpe_save(spark, merges, "bpe_merges_example")
+    bpe.bpe_save(spark, merges, "bpe_merges_example" + sfx)
 
     # ---- job 2: load + encode (no refit, no hand-carried list) -----
-    loaded = bpe.bpe_load(spark, "bpe_merges_example")
+    loaded = bpe.bpe_load(spark, "bpe_merges_example" + sfx)
     assert loaded == merges, "persisted merge list must round-trip exactly"
 
     enc = bpe.bpe_encode(corpus, "text", loaded)
@@ -44,20 +48,20 @@ def main(spark):
         F.sum(F.size("bpe_tokens")).alias("n")).collect()[0]["n"]
 
     # corrupted table fails loudly instead of tokenizing differently
-    spark.sql("DROP TABLE IF EXISTS bpe_merges_bad_version")
+    spark.sql(f"DROP TABLE IF EXISTS bpe_merges_bad_version{sfx}")
     spark.createDataFrame(
         [(1, "a", "b", 999)],
         "rank int, left string, right string, format_version int",
     ).write.mode("overwrite").format("parquet").saveAsTable(
-        "bpe_merges_bad_version")
+        "bpe_merges_bad_version" + sfx)
     try:
-        bpe.bpe_load(spark, "bpe_merges_bad_version")
+        bpe.bpe_load(spark, "bpe_merges_bad_version" + sfx)
         raise AssertionError("version check did not fire")
     except ValueError:
         pass
 
-    spark.sql("DROP TABLE IF EXISTS bpe_merges_example")
-    spark.sql("DROP TABLE IF EXISTS bpe_merges_bad_version")
+    spark.sql(f"DROP TABLE IF EXISTS bpe_merges_example{sfx}")
+    spark.sql(f"DROP TABLE IF EXISTS bpe_merges_bad_version{sfx}")
     return {
         "n_merges": len(merges),
         "roundtrip_exact": True,

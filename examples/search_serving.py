@@ -20,6 +20,10 @@ from malstrom_spark.operators.bucketing import persist_stage
 
 
 def main(spark):
+    import os
+
+    sfx = f"_{os.getpid()}"  # unique per run: concurrent sessions share
+    # the warehouse, and fixed stage-table names would collide
     corpus = spark.createDataFrame(
         [(i, f"topic{i % 11} shared vocabulary plus "
              f"{'vector stream ' * (i % 3)}signal{i % 5}")
@@ -30,23 +34,23 @@ def main(spark):
     delta = corpus.where("doc_id % 10 = 0")  # today's batch
 
     # ---- job 1: index + persist (history once, delta daily) --------
-    for name, part in (("search_postings_hist", history),
-                       ("search_postings_delta", delta)):
+    for name, part in (("search_postings_hist" + sfx, history),
+                       ("search_postings_delta" + sfx, delta)):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         persist_stage(S.inverted_index(part, "doc_id"), name,
                       bucket_cols=["term"], n_buckets=8)
-    for name, part in (("search_docstats_hist", history),
-                       ("search_docstats_delta", delta)):
+    for name, part in (("search_docstats_hist" + sfx, history),
+                       ("search_docstats_delta" + sfx, delta)):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         persist_stage(S.doc_stats(part, "doc_id"), name,
                       bucket_cols=["doc_id"], n_buckets=8)
 
     # ---- job 2: load, merge, serve ---------------------------------
     postings, dstats = S.merge_index(
-        [spark.table("search_postings_hist"),
-         spark.table("search_postings_delta")],
-        [spark.table("search_docstats_hist"),
-         spark.table("search_docstats_delta")],
+        [spark.table("search_postings_hist" + sfx),
+         spark.table("search_postings_delta" + sfx)],
+        [spark.table("search_docstats_hist" + sfx),
+         spark.table("search_docstats_delta" + sfx)],
     )
     queries = spark.createDataFrame(
         [(1, "vector stream"), (2, "signal3 topic7")],
@@ -67,8 +71,8 @@ def main(spark):
     )
     assert got == want, "served index answer != full-corpus scan answer"
 
-    for t in ("search_postings_hist", "search_postings_delta",
-              "search_docstats_hist", "search_docstats_delta"):
+    for t in ("search_postings_hist" + sfx, "search_postings_delta" + sfx,
+              "search_docstats_hist" + sfx, "search_docstats_delta" + sfx):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return {
         "indexed_docs": 300,
