@@ -95,7 +95,27 @@ def pagerank(
     # then the caller's bounded trade).
     if redistribute_dangling and checkpoint_every is None:
         checkpoint_every = 1
-    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    if weight:
+        # Weights must be positive: a NULL/zero out-strength makes
+        # Spark's integer `div` yield NULL (contribution silently
+        # dropped) while DuckDB's `//` raises — silent cross-engine
+        # divergence. Guard INSIDE the weight expression (a free-
+        # standing guard column gets pruned by Catalyst — see
+        # resample.py) so a bad weight fails the job loudly on the
+        # first batch that touches it, no extra validation job.
+        wc = F.col(weight).cast("long")
+        w = F.when(
+            wc.isNull() | (wc <= 0),
+            F.raise_error(
+                F.concat(
+                    F.lit("pagerank: weight column must be a positive "
+                          "BIGINT, got "),
+                    F.coalesce(wc.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(wc)
+    else:
+        w = F.lit(1).cast("long")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )

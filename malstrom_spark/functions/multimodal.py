@@ -550,7 +550,10 @@ def decode_png_pixels(payload: bytes):
         elif ftype == 1:  # Sub — cumsum mod 256 per channel offset
             rec = line.copy()
             for c in range(bpp):
-                rec[c::bpp] = np.cumsum(line[c::bpp], dtype=np.uint32) % 256
+                # uint64: a uint32 running sum wraps past ~2^32/255
+                # (~16.8M bytes/row) and would silently corrupt very
+                # wide scanlines; uint64 is the same speed, no wrap
+                rec[c::bpp] = np.cumsum(line[c::bpp], dtype=np.uint64) % 256
         elif ftype == 2:  # Up
             rec = (line.astype(np.uint16) + prev) % 256
             rec = rec.astype(np.uint8)

@@ -76,8 +76,12 @@ def parse_robots(
                 continue  # empty Disallow = allow-all (no rule)
             if val:
                 cur_rules.append((val, key == "allow"))
-        else:
-            in_agents = False  # crawl-delay/sitemap/etc.: ignored
+        # crawl-delay/sitemap/other directives: ignored WITHOUT
+        # terminating a start-of-group user-agent run (RFC 9309 §2.2.2:
+        # unrecognized lines are skipped; only real group-member rules
+        # end the run). 'User-agent: a / Sitemap: x / User-agent: b /
+        # Disallow: /' is ONE group governing both a and b — splitting
+        # it would leave agent a allow-all against the site's intent.
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 

@@ -97,16 +97,22 @@ _PRIORITY = [
     "doc_decontaminate_bloom",  # r8: distributed Bloom prefilter +
                                 # exact verify (exact-output contract)
     "corpus_lang_temperature_sample",  # r8: p^alpha multilingual mixing
-    "doc_bm25_search",          # r8: BM25 top-k retrieval (integer-
-                                # quantized order-free scoring)
-    "doc_inverted_postings",    # r8: inverted-index build
-    "customer_fuzzy_pairs",     # r8: symmetric-delete fuzzy linkage
-                                # (complete blocker, cross-join oracle)
-    "customer_pagerank",        # r8: integer-exact iterative PageRank
-    "events_zorder_key",        # r8: Morton layout key (bit-exact twin)
-    "orders_cdc_snapshot",      # r8: CDC changelog compaction (batch)
+    # (r10 rotation: doc_bm25_search + doc_inverted_postings folded
+    # into pipeline_omnibus — retrieval stays priority-visible through
+    # doc_bm25_incremental below, which rebuilds the index, merges
+    # parts, and reuses the SAME oracle; customer_fuzzy_pairs,
+    # customer_pagerank, events_zorder_key, orders_cdc_snapshot folded
+    # into relational_omnibus_b — linkage stays visible via
+    # customer_entity_groups, PageRank via the dangling/weighted rows,
+    # CDC via streaming_cdc_snapshot; dedup_simhash folded into
+    # pipeline_omnibus — near-dup stays visible via minhash/clusters.)
+    "doc_bm25_incremental",     # r9: incremental index merge + serve
+                                # (reuses doc_bm25_search's oracle)
+    "customer_pagerank_dangling",  # r9: exact dangling-mass PageRank
+    "customer_pagerank_weighted",  # r9: weighted out-edge PageRank
+    "customer_triangles",       # r9: degree-oriented triangle counts
+    "corpus_pmi_bigrams",       # r9: integer-quantized PMI collocations
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",           # cluster-output near-dup (100 TB default;
                                 # dedup_groups_probe folded into
                                 # pipeline_omnibus — same CC capability)
@@ -127,6 +133,11 @@ _PRIORITY = [
     "doc_html_extract",        # r9: raw-HTML -> text extraction (the
                                # WARC response-record stage; real
                                # stdlib parser vs generative oracle)
+    "doc_html_links",          # r10 rotation in: RFC 3986-resolved
+                               # link extraction (crawl front-end)
+    "doc_html_meta",           # r10: title/description/lang metadata
+    "doc_html_main_text",      # r10: link-density main-content extract
+    "doc_robots_filter",       # r10: RFC 9309 robots.txt politeness
     # --- r9 rotation: the r8 batch-2 operator families get gate rows
     # (they were full-registry-only in r8). Nine veterans folded into
     # relational_omnibus_b: q4_order_priority, customers_without_orders,
@@ -140,10 +151,13 @@ _PRIORITY = [
     "lineitem_bloom_join",      # r8: runtime bloom filter ahead of join
     "orders_quality_report",    # r8: data-quality expectations
     "orders_incremental_rollup",  # r8: incremental aggregate maintenance
-    "customer_spend_trend",     # r8: per-key OLS from BIGINT moments
+    # (r10 rotation: customer_spend_trend + user_value_resampled folded
+    # into relational_omnibus_b — still gate-hashed there and
+    # individually oracle-checked via full_registry.)
     "orders_snapshot_diff",     # r8: full-outer snapshot table diff
+                                # (r10: gate projection stringifies
+                                # changed_cols — driver hashability)
     "customer_entity_groups",   # r8: entity resolution (linkage + CC)
-    "user_value_resampled",     # r8: time-series gap fill / locf
     "events_value_outliers",    # r8: Tukey fences from mergeable hists
     "pipeline_omnibus",         # doc-pipeline tail, hash-verified in one
                                 # row (inspect passthrough folded into

@@ -145,6 +145,23 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
     ("events_asof_latest_order",
      ["event_id", "user_id", "asof_orderkey", "asof_orderdate"], []),
     ("events_running_totals", ["event_id", "user_id", "run_n"], ["run_sum"]),
+    # round-10 gate rotation: six long-stable veterans folded so the
+    # round-9 oracle-green families (HTML links/meta/main-text, robots
+    # politeness, PageRank dangling/weighted, triangles, incremental
+    # BM25, PMI bigrams) get priority slots. Capability stays
+    # gate-visible: linkage through customer_entity_groups (priority;
+    # composes the same symmetric-delete blocker), PageRank through the
+    # dangling/weighted rows rotating IN (strictly stronger), layout
+    # keys through this hash, CDC through streaming_cdc_snapshot
+    # (priority; same oracle), gap-fill/locf and per-key OLS through
+    # these hashes.
+    ("customer_fuzzy_pairs", ["id_l", "id_r", "s_l", "s_r", "dist"], []),
+    ("customer_pagerank", ["node", "rank"], []),
+    ("events_zorder_key", ["event_id", "zkey"], []),
+    ("orders_cdc_snapshot",
+     ["o_orderkey", "o_custkey", "o_orderstatus"], ["o_totalprice"]),
+    ("user_value_resampled", ["user_id", "bucket", "is_gap"], ["value"]),
+    ("customer_spend_trend", ["k", "n"], ["slope", "intercept"]),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that
@@ -234,6 +251,14 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
     ("doc_text_chunks", ["doc_id", "chunk_id", "n_tokens", "chunk"], []),
     ("dedup_exact_docs", ["fp", "keeper_id", "n_copies"], []),
     ("similarity_topk_cosine", ["q_id", "c_id", "rank"], ["sim"]),
+    # round-10 gate rotation: three doc-pipeline veterans folded (see
+    # _SPECS_B round-10 note). Index build stays gate-visible through
+    # doc_bm25_incremental rotating IN (it rebuilds + merges the same
+    # postings and reuses doc_bm25_search's oracle VERBATIM), simhash
+    # near-dup through dedup_minhash_lsh/clusters staying priority.
+    ("doc_inverted_postings", ["term", "doc_id", "tf", "dl"], []),
+    ("doc_bm25_search", ["query_id", "rank", "doc_id"], ["score"]),
+    ("dedup_simhash", ["id_a", "id_b", "hamming"], []),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]

@@ -1406,7 +1406,7 @@ def customer_spend_trend(spark, sf_dir):
                 WHEN len(ch) > 0 THEN 'changed'
                 ELSE 'unchanged' END AS status,
            CASE WHEN NOT is_added AND NOT is_removed AND len(ch) > 0
-                THEN ch ELSE [] END AS changed_cols
+                THEN array_to_string(ch, ',') ELSE '' END AS changed_cols
     FROM j
     WHERE NOT (NOT is_added AND NOT is_removed AND len(ch) = 0)
     """,
@@ -1418,7 +1418,14 @@ def orders_snapshot_diff(spark, sf_dir):
     added/removed/changed classification with the exact changed-
     column sets, from ONE full-outer join. Null-safe per-column
     compare; changed_cols sorted for determinism. The reconciliation
-    pass a 100 TB migration signs off with."""
+    pass a 100 TB migration signs off with.
+
+    Gate contract (r10): the driver's canonicalizer hashes result
+    cells with pandas factorize, which cannot hash list cells — so
+    the GATE projection flattens `changed_cols array<string>` to a
+    comma-joined string. `table_diff` itself keeps the typed array
+    (tests/test_diff.py pins it); only this registry row stringifies.
+    """
     from ..operators.diff import table_diff
 
     o = table(spark, sf_dir, "orders")
@@ -1441,7 +1448,8 @@ def orders_snapshot_diff(spark, sf_dir):
             )
         )
     )
-    return table_diff(old, new, "o_orderkey")
+    d = table_diff(old, new, "o_orderkey")
+    return d.withColumn("changed_cols", F.array_join("changed_cols", ","))
 
 
 # ---------------------------------------------- entity resolution

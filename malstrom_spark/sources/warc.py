@@ -219,6 +219,13 @@ def sniff_charset(headers: bytes, body: bytes) -> str:
 
     if body.startswith(codecs.BOM_UTF8):
         return "utf-8-sig"
+    # UTF-32 BOMs first: BOM_UTF32_LE (ff fe 00 00) has BOM_UTF16_LE
+    # (ff fe) as a prefix, so the 4-byte checks must win the race or
+    # UTF-32-LE pages decode as NUL-riddled UTF-16.
+    if body.startswith(codecs.BOM_UTF32_LE) or body.startswith(
+        codecs.BOM_UTF32_BE
+    ):
+        return "utf-32"  # stdlib consumes the BOM itself
     if body.startswith(codecs.BOM_UTF16_LE) or body.startswith(
         codecs.BOM_UTF16_BE
     ):
@@ -227,8 +234,15 @@ def sniff_charset(headers: bytes, body: bytes) -> str:
     if m:
         label = m.group(1).decode("ascii", "replace").strip().lower()
         try:
-            codecs.lookup(label)
-            return label
+            info = codecs.lookup(label)
+            # codecs.lookup also resolves NON-text codecs (rot13,
+            # hex_codec, zlib_codec...); bytes.decode() raises
+            # LookupError('not a text encoding') on those, so a page
+            # declaring <meta charset=rot13> would kill the task —
+            # violating the one-bad-page-degrades contract. Only
+            # accept real text encodings.
+            if getattr(info, "_is_text_encoding", True):
+                return label
         except LookupError:
             pass
     return "utf-8"
@@ -262,7 +276,12 @@ def response_text(records: DataFrame, extract: bool = True) -> DataFrame:
             cut = raw.find(b"\r\n\r\n")
             if cut >= 0 and raw[:5] in (b"HTTP/", b"http/"):
                 hdrs, raw = raw[:cut], raw[cut + 4 :]
-            return raw.decode(sniff_charset(hdrs, raw), errors="replace")
+            try:
+                return raw.decode(sniff_charset(hdrs, raw), errors="replace")
+            except LookupError:
+                # last-ditch: a label that resolved at sniff time but
+                # is not decodable must still not fail the batch
+                return raw.decode("utf-8", errors="replace")
 
         return payload.map(body)
 

@@ -225,3 +225,17 @@ def test_triangle_count_matches_brute_force(spark):
             truth[y] += 1
             truth[z] += 1
     assert got == truth
+
+
+def test_weighted_pagerank_rejects_bad_weights(spark):
+    """ADVICE r9: NULL/non-positive weights made Spark's integer div
+    yield NULL (contribution silently dropped) while the DuckDB twin
+    raises — the guard now fails loudly on the Spark side too."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    for rows in ([(1, 2, 0)], [(1, 2, -3)], [(1, 2, None)]):
+        e = spark.createDataFrame(rows, "src long, dst long, w long")
+        with pytest.raises((Py4JJavaError, SparkRuntimeException),
+                           match="positive BIGINT"):
+            graph.pagerank(e, n_iter=1, weight="w").collect()

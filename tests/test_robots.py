@@ -118,3 +118,22 @@ def test_duplicate_groups_for_same_agent_merge():
                 "User-agent: mybot\nDisallow: /b/\n")
     assert sorted(parse_robots(content2, "mybot")) == \
         [("/a/", False), ("/b/", False)]
+
+
+def test_ignored_directive_does_not_split_agent_run():
+    """ADVICE r9: an ignored directive (Sitemap, Crawl-delay) between
+    consecutive User-agent lines must not terminate the start-of-group
+    run — RFC 9309 skips unrecognized lines; only allow/disallow rules
+    end the run. Splitting left the first agent allow-all."""
+    content = ("User-agent: a\n"
+               "Sitemap: http://x.example/sitemap.xml\n"
+               "User-agent: b\n"
+               "Disallow: /\n")
+    assert parse_robots(content, "a") == [("/", False)]
+    assert parse_robots(content, "b") == [("/", False)]
+    # Crawl-delay inside a rule block still doesn't END the group
+    content2 = ("User-agent: c\n"
+                "Disallow: /x/\n"
+                "Crawl-delay: 10\n"
+                "Allow: /x/ok\n")
+    assert parse_robots(content2, "c") == [("/x/", False), ("/x/ok", True)]

@@ -111,3 +111,38 @@ def test_wet_text_lenient_on_invalid_utf8(spark, tmp_path):
     rows = wet_text(warc_source(spark, str(p))).collect()
     assert len(rows) == 1
     assert rows[0].text == "good text \ufffd\ufffd bad bytes"
+
+
+def test_sniff_charset_rejects_non_text_codecs():
+    """ADVICE r9: codecs.lookup() resolves non-text codecs (rot13,
+    hex_codec...), so an adversarial <meta charset=rot13> page passed
+    validation and then killed the decode task with LookupError. The
+    sniffer must fall back to utf-8 for anything bytes.decode() cannot
+    actually use."""
+    from malstrom_spark.sources.warc import sniff_charset
+
+    for label in (b"rot13", b"hex_codec", b"zlib_codec", b"base64_codec"):
+        body = b'<meta charset="' + label + b'"><p>x</p>'
+        enc = sniff_charset(b"", body)
+        assert body.decode(enc, errors="replace")  # must not raise
+        assert enc == "utf-8"
+    # real text encodings still honored
+    assert sniff_charset(b"", b'<meta charset="latin-1">') == "latin-1"
+
+
+def test_sniff_charset_utf32_bom_beats_utf16_prefix():
+    """ADVICE r9: BOM_UTF32_LE (ff fe 00 00) has BOM_UTF16_LE (ff fe)
+    as a prefix; the 4-byte checks must run first or UTF-32-LE pages
+    decode as NUL-riddled UTF-16."""
+    import codecs
+
+    from malstrom_spark.sources.warc import sniff_charset
+
+    for enc, bom in (("utf-32-le", codecs.BOM_UTF32_LE),
+                     ("utf-32-be", codecs.BOM_UTF32_BE)):
+        body = bom + "héllo".encode(enc)
+        label = sniff_charset(b"", body)
+        assert body.decode(label) == "héllo", (enc, label)
+    # UTF-16 BOMs still sniff as utf-16
+    body16 = codecs.BOM_UTF16_LE + "héllo".encode("utf-16-le")
+    assert body16.decode(sniff_charset(b"", body16)) == "héllo"
