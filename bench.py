@@ -154,6 +154,9 @@ HEADLINE = [
     "doc_robots_filter",
     "customer_pagerank_dangling",
     "doc_bm25_incremental",
+    # round-10: delete-and-replace index maintenance (stale index
+    # repaired to the true corpus, served off the repaired state)
+    "doc_bm25_updated",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

