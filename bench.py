@@ -157,6 +157,8 @@ HEADLINE = [
     # round-10: delete-and-replace index maintenance (stale index
     # repaired to the true corpus, served off the repaired state)
     "doc_bm25_updated",
+    # round-10: DSIR importance resampling (fit + score + gumbel-top-k)
+    "doc_dsir_selected",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

@@ -935,3 +935,219 @@ def pmi_bigrams(
     return top.select(
         "a", "b", "c_ab", "pmi_q", F.col("rank").cast("long").alias("rank")
     )
+
+
+# ------------------- DSIR importance resampling (Xie et al. 2023)
+
+
+def dsir_feature_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    portable: bool = False,
+) -> DataFrame:
+    """Hashed-n-gram feature counts — the sufficient statistic of the
+    DSIR bag-of-hashed-ngrams model (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): every unigram and
+    bigram is hashed into one of `n_buckets` buckets; the output is
+    (bucket BIGINT, cnt BIGINT).
+
+    MERGEABLE across shards by construction: counts from separately
+    fitted corpus shards (or days) sum — `df_a.unionByName(df_b)
+    .groupBy("bucket").agg(sum(cnt))` is the exact all-at-once fit,
+    so the target and raw models can be maintained incrementally like
+    every other state here.
+
+    Shape at 100 TB: one explode over tokens+bigrams and ONE
+    aggregation whose partial combine runs map-side and whose output
+    is at most `n_buckets` rows — the shuffle is bounded by the
+    bucket count, not the corpus. Bigrams are hashed from their two
+    token cells via the multi-arg hash (no n-gram string is
+    materialized on the scale path)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        _tokens_cheap(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") > 0)
+    t = F.col("__t")
+    uni = toks.select(
+        F.explode(F.transform(t, lambda x: hash_fn(x))).alias("__h")
+    )
+    big = toks.where(F.size(t) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: hash_fn(
+                    F.element_at(t, i + 1), F.element_at(t, i + 2)
+                ),
+            )
+        ).alias("__h")
+    )
+    return (
+        uni.unionByName(big)
+        .select(F.pmod(F.col("__h"), F.lit(n_buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dsir_log_ratio(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int = 8192,
+    quant: int = 10_000,
+) -> DataFrame:
+    """Per-bucket quantized log importance ratio from two fitted
+    count tables: lam_q = floor(ln((t_b + 1) * (R + B) /
+    ((r_b + 1) * (T + B))) * quant) — Laplace-smoothed log(p/q) in
+    BIGINT quant units (the langid/BM25 discipline: both products are
+    exact BIGINTs, ONE correctly-rounded division, ONE ln, quantized
+    immediately, so scoring downstream is order-free integer
+    arithmetic and oracle-exact).
+
+    Integer-headroom bound (documented like pmi_bigrams): the
+    products must stay inside int64 — (max bucket count + 1) *
+    (total features + n_buckets) < 2^63, which holds to ~3e9 target
+    features against a 3e9-feature raw corpus; fit on a sample (DSIR
+    does) long before that.
+
+    Output is at most `n_buckets` rows (missing buckets on either
+    side get the smoothed ratio via the outer join) — broadcast it
+    onto the corpus for scoring."""
+    t_tot = target_counts.agg(F.sum("cnt").alias("__T"))
+    r_tot = raw_counts.agg(F.sum("cnt").alias("__R"))
+    joined = (
+        target_counts.withColumnRenamed("cnt", "__tc")
+        .join(raw_counts.withColumnRenamed("cnt", "__rc"), "bucket", "full")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    tc = F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(1)
+    rc = F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(1)
+    num = (tc * (F.col("__R") + F.lit(n_buckets))).cast("double")
+    den = (rc * (F.col("__T") + F.lit(n_buckets))).cast("double")
+    return joined.select(
+        "bucket",
+        F.floor(F.log(num / den) * F.lit(float(quant)))
+        .cast("long").alias("lam_q"),
+    )
+
+
+def dsir_fit(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    quant: int = 10_000,
+    portable: bool = False,
+) -> DataFrame:
+    """Convenience: fit both hashed-feature models and return the
+    (bucket, lam_q) importance table in one call. For incremental
+    fits keep the two `dsir_feature_counts` states and re-derive."""
+    return dsir_log_ratio(
+        dsir_feature_counts(target_docs, text_col, n_buckets, portable),
+        dsir_feature_counts(raw_docs, text_col, n_buckets, portable),
+        n_buckets,
+        quant,
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-doc DSIR importance: score_q = sum over the doc's hashed
+    features of lam_q — i.e. quant * log w(x) under the bag-of-
+    hashed-ngrams model, an exact BIGINT sum (order-free, hash-exact).
+    Docs with NULL/empty text score 0 (kept — selection policy
+    belongs to the caller).
+
+    Shape: explode features -> broadcast-join the <= n_buckets weight
+    table -> groupBy(doc) sum with map-side combine — ONE shuffle
+    whose rows are (doc, partial sum), not the token stream."""
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
+    toks = docs.select(
+        F.col(id_col), _tokens_cheap(F.col(text_col)).alias("__t")
+    ).where(F.col(text_col).isNotNull() & (F.size("__t") > 0))
+    t = F.col("__t")
+    # bigram arm guarded: sequence(0, size-2) on a 1-token doc would
+    # be sequence(0, -1), which Spark auto-steps BACKWARDS to [0, -1]
+    # (element_at(t, 0) then errors) — empty array instead
+    bigram_hashes = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: hash_fn(
+                F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    feats = toks.select(
+        id_col,
+        F.explode(
+            F.concat(F.transform(t, lambda x: hash_fn(x)), bigram_hashes)
+        ).alias("__h"),
+    ).select(id_col, F.pmod(F.col("__h"), F.lit(n_buckets)).alias("bucket"))
+    scores = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lam_q").alias("dsir_q"))
+    )
+    return (
+        docs.join(scores, id_col, "left")
+        .select(
+            *docs.columns,
+            F.coalesce(F.col("dsir_q"), F.lit(0)).cast("long")
+            .alias("dsir_q"),
+        )
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    n: int,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    quant: int = 10_000,
+    portable: bool = False,
+) -> DataFrame:
+    """DSIR selection: sample `n` docs without replacement with
+    probability proportional to importance w(x), via Gumbel-top-k
+    (Xie et al.'s resampling) made DETERMINISTIC: the Gumbel noise is
+    derived from hash(doc_id) instead of rand() — u = (h % 1e6 + 0.5)
+    / 1e6, g_q = floor(-ln(-ln(u)) * quant) — so reruns, restarts and
+    the DuckDB oracle reproduce the identical selection (the
+    sample_stratified/temperature_sample resumability convention;
+    rand() would unglue reruns). key_q = dsir_q + g_q is all-BIGINT;
+    top-n by (key_q desc, id asc) runs through the skew-safe
+    two-stage top-k (no global single-task sort).
+
+    Output: the selected docs' columns + dsir_q + rank (1..n)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
+    scored = dsir_score(docs, weights, id_col, text_col, n_buckets, portable)
+    u = (
+        F.pmod(hash_fn(F.col(id_col).cast("string")), F.lit(1_000_000))
+        .cast("double") + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    g_q = F.floor(-F.log(-F.log(u)) * F.lit(float(quant))).cast("long")
+    keyed = scored.withColumn("__key_q", F.col("dsir_q") + g_q)
+    from .search import topk_per_key
+
+    top = topk_per_key(
+        keyed.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.desc("__key_q"), F.asc(id_col)],
+        n,
+    )
+    return top.select(
+        *docs.columns, "dsir_q", F.col("rank").cast("long").alias("rank")
+    )

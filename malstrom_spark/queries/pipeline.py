@@ -2571,6 +2571,101 @@ def corpus_pmi_bigrams(spark, sf_dir):
     return corpus.pmi_bigrams(docs, min_count=5, top_k=50)
 
 
+# -------------------------------- DSIR importance resampling (r10)
+_H60 = "COALESCE(('0x' || substr(md5({x}), 1, 15))::BIGINT, 0)"
+_DSIR_FEATS = (
+    "unnest(list_concat("
+    "list_transform(t, x -> " + _H60.format(x="x") + "), "
+    "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), "
+    "i -> " + _H60.format(x="t[i] || chr(31) || t[i + 1]") + ") "
+    "ELSE []::BIGINT[] END)) AS h"
+)
+
+
+@register(
+    "doc_dsir_selected",
+    oracle=rf"""
+    WITH ttoks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+      WHERE lang = 'en' AND doc_id % 3 = 0 AND text IS NOT NULL
+    ),
+    rtoks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tfeat AS (SELECT {_DSIR_FEATS} FROM ttoks WHERE len(t) > 0),
+    rfeat AS (SELECT {_DSIR_FEATS} FROM rtoks WHERE len(t) > 0),
+    tcnt AS (SELECT h % 8192 AS bucket, CAST(COUNT(*) AS BIGINT) AS tc
+             FROM tfeat GROUP BY 1),
+    rcnt AS (SELECT h % 8192 AS bucket, CAST(COUNT(*) AS BIGINT) AS rc
+             FROM rfeat GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(SUM(tc) AS BIGINT) FROM tcnt) AS T,
+                   (SELECT CAST(SUM(rc) AS BIGINT) FROM rcnt) AS R),
+    lam AS (
+      SELECT bucket,
+             CAST(FLOOR(ln(
+               CAST((COALESCE(tc, 0) + 1) * (R + 8192) AS DOUBLE)
+               / CAST((COALESCE(rc, 0) + 1) * (T + 8192) AS DOUBLE)
+             ) * 10000.0) AS BIGINT) AS lam_q
+      FROM tcnt FULL OUTER JOIN rcnt USING (bucket) CROSS JOIN tot
+    ),
+    dfeat AS (
+      SELECT doc_id, {_DSIR_FEATS}
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE len(t) > 0
+    ),
+    dscore AS (
+      SELECT doc_id, CAST(SUM(lam_q) AS BIGINT) AS sq
+      FROM (SELECT doc_id, h % 8192 AS bucket FROM dfeat) f
+      JOIN lam USING (bucket)
+      GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.source, COALESCE(sq, 0) AS dsir_q,
+             COALESCE(sq, 0) + CAST(FLOOR(-ln(-ln(
+               ({_H60.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000
+                + 0.5) / 1000000.0
+             )) * 10000.0) AS BIGINT) AS key_q
+      FROM documents d LEFT JOIN dscore s ON s.doc_id = d.doc_id
+    ),
+    r AS (
+      SELECT doc_id, source, dsir_q,
+             ROW_NUMBER() OVER (ORDER BY key_q DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT doc_id, source, dsir_q, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 150
+    """,
+)
+def doc_dsir_selected(spark, sf_dir):
+    """DSIR importance resampling (functions/corpus.py dsir_*, round
+    10 — Xie et al. 2023): select 150 documents whose hashed-n-gram
+    distribution looks like a target corpus (here the English
+    doc_id%3 slice standing in for the quality reference). Fit = two
+    bounded feature-count tables (mergeable across shards); weight =
+    integer-quantized Laplace log-ratio per bucket (the langid/BM25
+    discipline — one ln, floored immediately); score = exact BIGINT
+    sum of bucket weights; resample = Gumbel-top-k with HASH-derived
+    noise (floor-quantized to the same units), so the published
+    sampling scheme becomes deterministic, resumable, and hash-exact
+    against the full SQL replay. Completes the mixing toolbox
+    (temperature/stratified/caps) with the importance-based selection
+    method labs actually use. Plan: two bucket-bounded count shuffles
+    for the fit, one broadcast of the <= 8192-row weight table, one
+    (doc, partial-sum) shuffle for scoring, skew-safe two-stage
+    top-k."""
+    docs = table(spark, sf_dir, "documents")
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0))
+    w = corpus.dsir_fit(target, docs, n_buckets=8192, portable=True)
+    sel = corpus.dsir_resample(
+        docs, w, "doc_id", n=150, n_buckets=8192, portable=True
+    )
+    return sel.select("doc_id", "source", "dsir_q", "rank")
+
+
 # ------------------------------------------- image pHash near-dup
 def _seeded_bmp_batches(it):
     """Deterministic REAL images: base pattern = doc_id % 40 (sinusoid

@@ -589,3 +589,121 @@ def test_pmi_bigrams_min_count_prunes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         corpus.pmi_bigrams(docs, min_count=0)
+
+
+# -------------------- DSIR importance resampling (round 10)
+
+def _md5h(*parts):
+    import hashlib
+
+    s = "\x1f".join(parts)
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _dsir_python(target, raw, docs, n_buckets=64, quant=10_000):
+    """Independent reference: the oracle replays the same algorithm,
+    so this brute force is the correctness pin (the r9 triangle
+    lesson — cross-engine agreement is not correctness)."""
+    import math
+    from collections import Counter
+
+    def feats(text):
+        t = text.lower().strip().split()
+        out = [_md5h(x) % n_buckets for x in t]
+        out += [_md5h(a, b) % n_buckets for a, b in zip(t, t[1:])]
+        return out
+
+    tc, rc = Counter(), Counter()
+    for _, txt in target:
+        tc.update(feats(txt))
+    for _, txt in raw:
+        rc.update(feats(txt))
+    T, R = sum(tc.values()), sum(rc.values())
+    lam = {
+        b: math.floor(
+            math.log(((tc.get(b, 0) + 1) * (R + n_buckets))
+                     / ((rc.get(b, 0) + 1) * (T + n_buckets))) * quant
+        )
+        for b in set(tc) | set(rc)
+    }
+    return {
+        i: sum(lam.get(b, 0) for b in feats(txt)) for i, txt in docs
+    }, lam
+
+
+def test_dsir_score_matches_python_reference(spark):
+    target = [(100 + i, f"spark shuffle partition data frame {i % 3}")
+              for i in range(6)]
+    raw = [(200 + i, ("spark data job" if i % 2 else
+                      "cat videos and celebrity gossip news"))
+           for i in range(10)]
+    docs = [(i, txt) for i, txt in
+            [(1, "spark shuffle data"), (2, "celebrity gossip news"),
+             (3, "partition frame spark"), (4, "unrelated words entirely")]]
+    t_df = spark.createDataFrame(target, "doc_id long, text string")
+    r_df = spark.createDataFrame(raw, "doc_id long, text string")
+    d_df = spark.createDataFrame(docs, "doc_id long, text string")
+    w = corpus.dsir_fit(t_df, r_df, n_buckets=64, portable=True)
+    got = {r["doc_id"]: r["dsir_q"]
+           for r in corpus.dsir_score(d_df, w, "doc_id",
+                                      n_buckets=64, portable=True).collect()}
+    want, _ = _dsir_python(target, raw, docs)
+    assert got == want
+    # and target-like docs outscore off-target ones
+    assert got[1] > got[2] and got[3] > got[4]
+
+
+def test_dsir_single_token_and_empty_docs(spark):
+    """1-token docs must not hit the sequence(0,-1) reverse-step trap;
+    NULL/empty docs score 0 and are kept."""
+    t_df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "   "), (4, "alpha beta")],
+        "doc_id long, text string")
+    w = corpus.dsir_fit(t_df, t_df, n_buckets=32, portable=True)
+    got = {r["doc_id"]: r["dsir_q"]
+           for r in corpus.dsir_score(docs, w, "doc_id",
+                                      n_buckets=32, portable=True).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2] == 0
+    # target==raw -> every smoothed ratio is ln(1)=0, so scores are 0
+    assert got[1] == got[4] == 0
+
+
+def test_dsir_counts_mergeable_across_shards(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} shared words") for i in range(30)],
+        "doc_id long, text string")
+    whole = {(r["bucket"], r["cnt"])
+             for r in corpus.dsir_feature_counts(
+                 docs, n_buckets=64, portable=True).collect()}
+    a = corpus.dsir_feature_counts(docs.where("doc_id % 2 = 0"),
+                                   n_buckets=64, portable=True)
+    b = corpus.dsir_feature_counts(docs.where("doc_id % 2 = 1"),
+                                   n_buckets=64, portable=True)
+    merged = {(r["bucket"], r["cnt"]) for r in
+              a.unionByName(b).groupBy("bucket")
+              .agg(F.sum("cnt").alias("cnt")).collect()}
+    assert merged == whole
+
+
+def test_dsir_resample_deterministic_and_target_seeking(spark):
+    target = spark.createDataFrame(
+        [(100 + i, f"clean encyclopedia prose sentence number {i}")
+         for i in range(8)], "doc_id long, text string")
+    rows = ([(i, "clean encyclopedia prose article") for i in range(10)]
+            + [(50 + i, "buy pills casino winner click") for i in range(10)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = corpus.dsir_fit(target, docs, n_buckets=256, portable=True)
+    sel1 = corpus.dsir_resample(docs, w, "doc_id", n=8,
+                                n_buckets=256, portable=True).collect()
+    sel2 = corpus.dsir_resample(docs, w, "doc_id", n=8,
+                                n_buckets=256, portable=True).collect()
+    assert sorted(map(tuple, sel1)) == sorted(map(tuple, sel2))
+    picked = {r["doc_id"] for r in sel1}
+    assert len(picked) == 8
+    # gumbel noise is bounded; the clean docs dominate the selection
+    n_clean = sum(1 for d in picked if d < 50)
+    assert n_clean >= 6, picked
+    # ranks are 1..n and keys deterministic
+    assert sorted(r["rank"] for r in sel1) == list(range(1, 9))
