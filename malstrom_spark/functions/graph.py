@@ -52,6 +52,7 @@ def pagerank(
     checkpoint_every: int | None = None,
     redistribute_dangling: bool = False,
     weight: str | None = None,
+    tol: int | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank over the nodes appearing in `edges`.
     Returns (node BIGINT, rank BIGINT in SCALE micro-units).
@@ -83,17 +84,31 @@ def pagerank(
         r'(v) += (17 * sum_dangling r(u)) div (20 * N)
     making total mass conserve to SCALE up to floor dust, i.e. the
     standard probability-distribution PageRank. Default stays the
-    simplified drop-mass variant (the r8 gate row's fixed contract)."""
+    simplified drop-mass variant (the r8 gate row's fixed contract).
+
+    `tol=<int>` (round 10): convergence early-exit — stop when the
+    max per-node |rank delta| of a round drops below `tol` micro-units
+    (one tiny node-keyed join + one-row aggregate per round, the
+    dangling-scalar pattern; at SCALE=1e12, tol=1e6 is a 1e-6
+    relative tolerance). n_iter becomes the CAP. Early exit is a
+    driver-side decision, so tol=None (default) keeps the
+    fixed-iteration determinism the oracle rows rely on; with tol
+    set, ranks at exit are IDENTICAL to the fixed-iteration run that
+    happens to stop there (pytest-pinned) — the delta check is
+    observation, not perturbation. The returned DataFrame carries
+    `._pagerank_rounds` (rounds actually run) for observability."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     if checkpoint_every is not None and checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
+    if tol is not None and tol < 1:
+        raise ValueError("tol must be >= 1 micro-unit (or None)")
     # The dangling variant references the rank vector TWICE per round
-    # (contribution join + dangling anti-join), so an uncheckpointed
-    # plan grows 2^rounds, not linearly — force a per-round cut unless
-    # the caller chose a cadence (2^k subtree copies between cuts is
-    # then the caller's bounded trade).
-    if redistribute_dangling and checkpoint_every is None:
+    # (contribution join + dangling anti-join) and the tol check once
+    # more, so an uncheckpointed plan grows 2^rounds, not linearly —
+    # force a per-round cut unless the caller chose a cadence (2^k
+    # subtree copies between cuts is then the caller's bounded trade).
+    if (redistribute_dangling or tol is not None) and checkpoint_every is None:
         checkpoint_every = 1
     if weight:
         # Weights must be positive: a NULL/zero out-strength makes
@@ -140,7 +155,9 @@ def pagerank(
     teleport = F.expr(f"{3 * SCALE} div (20 * n)")
 
     prev_ckpt = None
+    rounds_run = n_iter
     for i in range(n_iter):
+        prev_ranks = ranks
         send = (
             e.join(ranks, e.src == ranks.node)
             # outdeg is NODES-sized: no broadcast hint (a hint forces a
@@ -171,17 +188,42 @@ def pagerank(
             base = base.crossJoin(F.broadcast(dang))
             new_rank = new_rank + F.expr("(dmass * 17) div (20 * n)")
         ranks = base.select("node", new_rank.cast("long").alias("rank"))
-        if (
+        ckpted = (
             checkpoint_every
             and (i + 1) % checkpoint_every == 0
             and i + 1 < n_iter
-        ):
+        )
+        if ckpted:
             ranks = ranks.localCheckpoint(eager=True)
+        if tol is not None and i + 1 < n_iter:
+            # one node-keyed join + one-row max per round; runs off
+            # the just-checkpointed vector so nothing recomputes.
+            # MUST run before the previous checkpoint is released —
+            # prev_ranks IS that checkpoint at cadence 1
+            delta = (
+                ranks.join(
+                    prev_ranks.select(
+                        "node", F.col("rank").alias("__prev")
+                    ),
+                    "node",
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))))
+                .first()[0]
+            )
+            if delta is not None and delta < tol:
+                rounds_run = i + 1
+                if ckpted and prev_ckpt is not None:
+                    from .dedup import _free_local_checkpoint
+
+                    _free_local_checkpoint(prev_ckpt)
+                break
+        if ckpted:
             if prev_ckpt is not None:
                 from .dedup import _free_local_checkpoint
 
                 _free_local_checkpoint(prev_ckpt)
             prev_ckpt = ranks
+    ranks._pagerank_rounds = rounds_run
     return ranks
 
 

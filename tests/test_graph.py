@@ -239,3 +239,30 @@ def test_weighted_pagerank_rejects_bad_weights(spark):
         with pytest.raises((Py4JJavaError, SparkRuntimeException),
                            match="positive BIGINT"):
             graph.pagerank(e, n_iter=1, weight="w").collect()
+
+
+def test_pagerank_tol_early_exit_identical_ranks(spark):
+    """tol is observation, not perturbation: a converged graph exits
+    early, and the exit-round ranks equal the fixed-iteration run."""
+    # directed 4-cycle: uniform ranks are the fixed point from round 1
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    early = graph.pagerank(e, n_iter=10, tol=1)
+    got = {r["node"]: r["rank"] for r in early.collect()}
+    assert early._pagerank_rounds < 10
+    fixed = graph.pagerank(e, n_iter=early._pagerank_rounds)
+    want = {r["node"]: r["rank"] for r in fixed.collect()}
+    assert got == want
+    # a non-converged skewed graph runs the full cap
+    e2 = spark.createDataFrame(
+        [(i, 0) for i in range(1, 8)] + [(0, 1)], "src long, dst long")
+    full = graph.pagerank(e2, n_iter=4, tol=1)
+    assert full._pagerank_rounds == 4
+    assert {r["node"]: r["rank"] for r in full.collect()} == \
+        {r["node"]: r["rank"] for r in graph.pagerank(e2, n_iter=4).collect()}
+
+
+def test_pagerank_tol_validation(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="tol"):
+        graph.pagerank(e, tol=0)
