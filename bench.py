@@ -159,6 +159,9 @@ HEADLINE = [
     "doc_bm25_updated",
     # round-10: DSIR importance resampling (fit + score + gumbel-top-k)
     "doc_dsir_selected",
+    # round-10: crawl-frontier pass (normalize -> robots -> dedup ->
+    # history anti-join -> hash-budget cap)
+    "crawl_frontier_batch",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

@@ -1,0 +1,114 @@
+"""Crawl-frontier maintenance: the politeness + dedup + budget pass
+every crawler runs between "links extracted" and "URLs fetched".
+
+Until round 10 this existed only as a composition inside
+examples/crawl_ingest.py; `crawl_frontier` makes it a first-class
+operator: normalize candidate URLs (functions/url.py), drop what
+robots.txt forbids (functions/robots.py, RFC 9309), drop what was
+already fetched or enqueued (anti-join against the persisted fetch
+history — the dedup_against_history discipline), and cap each host to
+a fetch budget chosen by a deterministic URL hash (fair across path
+prefixes; lexicographic order would bias toward /a... paths).
+
+100 TB shape: normalization/robots are zero-shuffle projections; the
+within-batch URL dedup and the history anti-join are the two
+url-keyed exchanges (with the history persisted via persist_stage
+bucketed on url, the anti-join co-locates and only the batch
+shuffles); the budget is one host-keyed window (or the histogram-
+threshold skew-safe form for mega-host frontiers). The whole pass is
+restartable: every stage is deterministic (hash order, not rand), so
+a re-run selects the identical fetch list — see
+examples/crawl_frontier_restart.py for the two-job persist_stage
+form.
+
+No reference analog (the reference is a dataflow kernel; this is
+north-star crawl-pipeline capability like functions/url.py and
+functions/robots.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_prefix_hash
+from .url import registrable_domain, url_host, url_normalize
+
+_ORD_BITS = 2**31
+
+
+def crawl_frontier(
+    new_links: DataFrame,
+    fetched_history: DataFrame | None = None,
+    robots_by_host: dict[str, str] | None = None,
+    user_agent: str = "*",
+    per_host_budget: int | None = None,
+    url_col: str = "url",
+    portable: bool = False,
+    skew_safe: bool = False,
+) -> DataFrame:
+    """The fetchable frontier from a batch of candidate links.
+    Output: (url, host, domain) — one row per NORMALIZED URL that is
+    (a) parseable with a host, (b) allowed by its host's robots.txt
+    for `user_agent`, (c) absent from `fetched_history`, and (d)
+    within the first `per_host_budget` URLs of its host by the
+    deterministic hash order.
+
+    `fetched_history` must hold NORMALIZED urls in `url_col` (feed it
+    this function's own output / the fetch log — the
+    dedup_against_history convention: history is maintained in the
+    operator's key space, never re-derived). `robots_by_host` is the
+    {host -> raw robots.txt} dict collected from the (tiny) fetched
+    robots table — parsed once driver-side, broadcast, evaluated at
+    scan parallelism with zero shuffle. Hosts absent from the dict
+    are allowed (layer fetch-nothing-on-missing policy above).
+
+    `portable=True` swaps the budget hash to the md5-prefix form both
+    engines compute (oracle rows); `skew_safe=True` swaps the budget
+    window for the histogram-threshold cap (mega-host frontiers —
+    output pinned identical to the plain form by the cap_per_key
+    contracts)."""
+    if per_host_budget is not None and per_host_budget < 1:
+        raise ValueError("per_host_budget must be >= 1 (or None)")
+    norm = url_normalize(F.col(url_col))
+    cand = (
+        new_links.where(F.col(url_col).isNotNull())
+        .select(
+            norm.alias("url"),
+            url_host(F.col(url_col)).alias("host"),
+        )
+        .where(F.col("host").isNotNull() & (F.col("host") != ""))
+        .withColumn("domain", registrable_domain(F.col("host")))
+    )
+    if robots_by_host:
+        from .robots import robots_allowed
+
+        cand = cand.where(
+            robots_allowed(F.col("url"), robots_by_host, user_agent)
+        )
+    cand = cand.dropDuplicates(["url"])
+    if fetched_history is not None:
+        hist = fetched_history.select(F.col(url_col).alias("url"))
+        cand = cand.join(hist, "url", "left_anti").select(
+            "url", "host", "domain"
+        )
+    if per_host_budget is None:
+        return cand
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
+    ordered = cand.withColumn(
+        "__ord", F.pmod(hash_fn(F.col("url")), F.lit(_ORD_BITS))
+    )
+    if skew_safe:
+        from .corpus import cap_per_key_skew_safe
+
+        capped = cap_per_key_skew_safe(
+            ordered, ["host"], per_host_budget,
+            order_col="__ord", id_col="url", lo=0, hi=_ORD_BITS,
+        )
+    else:
+        from .corpus import cap_per_key
+
+        capped = cap_per_key(
+            ordered, ["host"], per_host_budget,
+            [F.col("__ord"), F.col("url")],
+        )
+    return capped.select("url", "host", "domain")

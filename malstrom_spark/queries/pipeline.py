@@ -3048,6 +3048,83 @@ def doc_robots_filter(spark, sf_dir):
     )
 
 
+# ------------------------------------ crawl frontier (round 10)
+@register(
+    "crawl_frontier_batch",
+    oracle="""
+    WITH seeds AS (
+      SELECT DISTINCT
+        'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
+          || CASE WHEN doc_id % 10 = 7 THEN '/private/d' ELSE '/p/d' END
+          || CAST((doc_id // 4) % 50 AS VARCHAR) AS url,
+        'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.com' AS host,
+        'example.com' AS domain,
+        (doc_id // 4) % 50 AS pid,
+        doc_id % 10 = 7 AS priv
+      FROM documents
+    ),
+    fresh AS (
+      SELECT url, host, domain FROM seeds
+      WHERE NOT (host = 'h1.example.com' AND priv)  -- robots disallow
+        AND pid % 5 <> 0                            -- fetch history
+    ),
+    ordered AS (
+      SELECT url, host, domain,
+             COALESCE(('0x' || substr(md5(url), 1, 15))::BIGINT, 0)
+               % 2147483648 AS o
+      FROM fresh
+    ),
+    r AS (
+      SELECT url, host, domain,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY o, url) AS rn
+      FROM ordered
+    )
+    SELECT url, host, domain FROM r WHERE rn <= 25
+    """,
+)
+def crawl_frontier_batch(spark, sf_dir):
+    """Crawl-frontier maintenance (functions/crawl.py crawl_frontier,
+    round 10): seeded candidate links (mixed-case scheme/host, :443
+    default port, fragments — the normalizer must collapse them), a
+    robots.txt disallowing /private/ on one of the four hosts, a
+    fetch history covering every pid%5==0 URL, and a 25-per-host
+    budget chosen by the portable URL hash. The Spark side runs the
+    real operator chain (url_normalize -> RFC 9309 evaluation ->
+    within-batch dedup -> history anti-join -> hash-ordered cap); the
+    oracle states normalization and the robots verdict generatively
+    (the seeding is controlled) and REPLAYS the hash budget — so the
+    surviving fetch list is hash-exact end to end."""
+    from ..functions.crawl import crawl_frontier
+
+    d = F.col("doc_id")
+    m4 = (d % 4).cast("string")
+    pid_n = F.expr("doc_id div 4") % 50
+    pid = pid_n.cast("string")
+    seg = F.when(d % 10 == 7, F.lit("/private/d")).otherwise(F.lit("/p/d"))
+    docs = table(spark, sf_dir, "documents")
+    links = docs.select(
+        F.concat(
+            F.lit("HTTPS://H"), m4, F.lit(".Example.COM:443"),
+            seg, pid, F.lit("#frag"),
+        ).alias("url")
+    )
+    hist = docs.where(pid_n % 5 == 0).select(
+        F.concat(
+            F.lit("https://h"), m4, F.lit(".example.com"), seg, pid
+        ).alias("url")
+    ).distinct()
+    return crawl_frontier(
+        links,
+        fetched_history=hist,
+        robots_by_host={
+            "h1.example.com": "User-agent: *\nDisallow: /private/"
+        },
+        user_agent="trainingcrawler",
+        per_host_budget=25,
+        portable=True,
+    )
+
+
 # --------------------------------- incremental search-index serving
 @register(
     "doc_bm25_incremental",

@@ -25,6 +25,7 @@ EXAMPLES = [
     "ann_serving",
     "incremental_dedup",
     "crawl_ingest",
+    "crawl_frontier_restart",
     "cdc_apply",
     "bpe_tokenizer",
     "search_serving",
