@@ -9,10 +9,14 @@ metadata decoders are REAL and stdlib-only: `decode_bmp_bytes`
 `decode_jpeg_bytes` (SOF marker-segment scan), `sniff_image_bytes`
 (magic-byte dispatch over all three), and `decode_wav_bytes` /
 `audio_features_wav` (wave-module WAV decode + numpy RMS over the
-actual samples). Only full pixel/video decode remains stubbed
-(`frame_sample` — needs ffmpeg); `_decode_image_bytes` keeps a
-deterministic fake so the driver's SQL oracle can hash-verify the
-mapInPandas plumbing itself. Everything Spark-side is real and
+actual samples). FULL PIXEL decode is real for all three raster
+containers: BMP (`decode_bmp_pixels`), PNG (`decode_png_pixels`, all
+five scanline filters) and baseline sequential JPEG
+(`decode_jpeg_pixels`, round 10 — Annex-K Huffman + dequant + IDCT,
+4:4:4/4:2:2/4:2:0, grayscale, restart markers). Only video decode
+remains stubbed (`frame_sample` — needs ffmpeg); `_decode_image_bytes`
+keeps a deterministic fake so the driver's SQL oracle can hash-verify
+the mapInPandas plumbing itself. Everything Spark-side is real and
 tested: schema contract, binary column handling, Arrow batch shape,
 partition-parallel UDF signature.
 
@@ -642,15 +646,20 @@ def make_png(pixels, row_filters=None) -> bytes:
 
 
 def decode_image_pixels(payload: bytes):
-    """Container dispatch for the real-pixel path: BMP or PNG by magic
-    bytes -> (H, W, 3) uint8 RGB. The pHash downstream is a pure
-    function of the PIXELS, so the same image hashes identically
-    whichever container carried it."""
+    """Container dispatch for the real-pixel path: BMP, PNG or
+    baseline JPEG by magic bytes -> (H, W, 3) uint8 RGB. The pHash
+    downstream is a pure function of the PIXELS, so the same image
+    hashes identically whichever container carried it (and, because
+    pHash thresholds coarse DCT structure, survives baseline JPEG
+    requantization — pytest-pinned)."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
-    raise ValueError("unsupported image container (BMP and PNG supported)")
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(payload)
+    raise ValueError(
+        "unsupported image container (BMP, PNG, baseline JPEG supported)")
 
 
 def _dct_matrix(n: int):
@@ -786,3 +795,609 @@ def phash_near_dup_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("long").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ------------------------- baseline JPEG codec (round 10)
+#
+# Crawl images are overwhelmingly JPEG; the pHash near-dup family
+# covered BMP + PNG only (JPEG was header-parse only). This is a
+# REAL baseline-sequential JPEG codec in stdlib + numpy: Annex-K
+# tables, Huffman entropy coding, dequant + 2D IDCT, YCbCr->RGB,
+# sampling factors h,v in {1,2} (4:4:4 / 4:2:2 / 4:2:0), grayscale,
+# and restart markers. `make_jpeg` is the seeding/test counterpart
+# (same role as make_bmp/make_png). Correctness-first decode path:
+# the Huffman bit loop is per-MCU Python — right for the seeded
+# gate/test images and honest about it; swap in a native codec via
+# the same decode_image_pixels dispatch when one is present.
+#
+# Shared-twin defense (the r9 triangle lesson): since encoder and
+# decoder are siblings, tests pin the DQT byte stream against the
+# PUBLISHED zigzag-ordered Annex-K constants and the roundtrip
+# against analytically-known images, not just against each other.
+
+_ZIGZAG = [
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K quantization tables (natural order)
+_QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K Huffman table specs: (BITS[1..16], HUFFVAL)
+_HT_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 C.2: codes
+    assigned in value order, incrementing, left-shifted at each new
+    length."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct8():
+    """Orthonormal 8x8 DCT-II basis M: spatial = M.T @ coef @ M,
+    coef = M @ spatial @ M.T."""
+    import numpy as np
+
+    k = np.arange(8)[:, None]
+    i = np.arange(8)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / 16.0) * np.sqrt(2.0 / 8.0)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+def _quality_scale(table, quality: int):
+    """libjpeg quality scaling: 5000/Q below 50, 200-2Q above."""
+    import numpy as np
+
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.asarray(table, dtype=np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(category, low-order bits) for a DC diff / AC level per T.81
+    F.1.2.1 — negative values are encoded as v - 1 in `category`
+    bits."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def make_jpeg(
+    pixels,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    gray: bool = False,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a baseline sequential
+    JFIF JPEG — the seeding/test counterpart of decode_jpeg_pixels.
+    Annex-K Huffman tables, quality-scaled Annex-K quant tables;
+    `subsample=True` writes 4:2:0 (box-averaged chroma) so the
+    decoder's sampling-factor path gets exercised, else 4:4:4;
+    `restart_interval=n` emits DRI + RSTn markers every n MCUs;
+    `gray=True` writes a single-component (luminance) frame."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w, _ = px.shape
+    # JFIF YCbCr (BT.601)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+
+    qt_l = _quality_scale(_QT_LUM, quality)
+    qt_c = _quality_scale(_QT_CHR, quality)
+    m = _dct8()
+
+    def pad_to(img, mult):
+        hh, ww = img.shape
+        ph = (-hh) % mult
+        pw = (-ww) % mult
+        return np.pad(img, ((0, ph), (0, pw)), mode="edge")
+
+    if subsample:
+        hs, vs = 2, 2
+        y_p = pad_to(y, 16)
+        cb_p = pad_to(cb, 16)
+        cr_p = pad_to(cr, 16)
+        # box-average 2x2 chroma
+        cb_s = cb_p.reshape(cb_p.shape[0] // 2, 2, cb_p.shape[1] // 2, 2).mean(
+            axis=(1, 3))
+        cr_s = cr_p.reshape(cr_p.shape[0] // 2, 2, cr_p.shape[1] // 2, 2).mean(
+            axis=(1, 3))
+    else:
+        hs, vs = 1, 1
+        y_p, cb_s, cr_s = pad_to(y, 8), pad_to(cb, 8), pad_to(cr, 8)
+
+    dc_l = _huff_codes(*_HT_DC_LUM)
+    ac_l = _huff_codes(*_HT_AC_LUM)
+    dc_c = _huff_codes(*_HT_DC_CHR)
+    ac_c = _huff_codes(*_HT_AC_CHR)
+
+    def block_coefs(plane, by, bx, qt):
+        blk = plane[by:by + 8, bx:bx + 8] - 128.0
+        coef = m @ blk @ m.T
+        return np.round(coef / qt.reshape(8, 8)).astype(np.int64)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def emit_block(q, dc_t, ac_t, ci):
+        zz = q.flatten()[_ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        cat, bits = _mag_bits(diff)
+        code, ln = dc_t[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(bits, cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_t[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            cat, bits = _mag_bits(v)
+            code, ln = ac_t[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(bits, cat)
+            run = 0
+        if run:
+            code, ln = ac_t[0x00]  # EOB
+            bw.write(code, ln)
+
+    if gray:
+        hs, vs = 1, 1
+    mcu_h, mcu_w = 8 * vs, 8 * hs
+    body = bytearray()
+    mcu_idx = 0
+    rst_n = 0
+    for my in range(0, y_p.shape[0], mcu_h):
+        for mx in range(0, y_p.shape[1], mcu_w):
+            if (restart_interval and mcu_idx
+                    and mcu_idx % restart_interval == 0):
+                bw.flush()
+                body += bytes(bw.out)
+                body += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                bw.out = bytearray()
+                pred[0] = pred[1] = pred[2] = 0
+            mcu_idx += 1
+            for yy in range(vs):
+                for xx in range(hs):
+                    emit_block(
+                        block_coefs(y_p, my + 8 * yy, mx + 8 * xx, qt_l),
+                        dc_l, ac_l, 0)
+            if not gray:
+                cy, cx = my // vs, mx // hs
+                emit_block(block_coefs(cb_s, cy, cx, qt_c), dc_c, ac_c, 1)
+                emit_block(block_coefs(cr_s, cy, cx, qt_c), dc_c, ac_c, 2)
+    bw.flush()
+    body += bytes(bw.out)
+
+    def seg(marker, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid, qt):
+        return seg(0xDB, bytes([tid]) + bytes(int(qt[z]) for z in _ZIGZAG))
+
+    def dht(cls, tid, spec):
+        bits, vals = spec
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    if gray:
+        sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                  + bytes([1, 0x11, 0]))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        tables = dqt(0, qt_l) + dht(0, 0, _HT_DC_LUM) + dht(1, 0, _HT_AC_LUM)
+    else:
+        sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                  + bytes([1, (hs << 4) | vs, 0])
+                  + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+        sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        tables = (dqt(0, qt_l) + dqt(1, qt_c)
+                  + dht(0, 0, _HT_DC_LUM) + dht(1, 0, _HT_AC_LUM)
+                  + dht(0, 1, _HT_DC_CHR) + dht(1, 1, _HT_AC_CHR))
+    jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
+    return (b"\xff\xd8" + jfif + tables + dri
+            + sof + sos + bytes(body) + b"\xff\xd9")
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; RSTn markers
+    are consumed by `restart()` which realigns to the byte boundary."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = d[self.pos] if self.pos < len(d) else None
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            else:
+                # hit a marker mid-read: T.81 pads the last byte with
+                # 1-bits, so feeding 0xFF here lets the final partial
+                # MCU finish; the marker is re-found by restart()/EOI
+                self.pos -= 1
+                b = 0xFF
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                return
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker and realign (byte boundary)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        # skip pad bytes to the marker
+        while self.pos < len(d) and d[self.pos] != 0xFF:
+            self.pos += 1
+        if self.pos + 1 >= len(d) or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+def _huff_decode_table(bits, vals):
+    """{(length, code): symbol} — decoded by extending the code one
+    bit at a time (max 16 steps)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: low-order `cat` bits -> signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Full pixel decode for BASELINE SEQUENTIAL JPEGs (SOF0, 8-bit,
+    Huffman): parses DQT/DHT/SOF0/DRI/SOS, entropy-decodes every MCU
+    (DC diff + AC run/size with ZRL/EOB, restart markers), dequantizes,
+    inverse-zigzags, applies the 2D IDCT, upsamples chroma by sample
+    replication, converts JFIF YCbCr -> RGB and crops to the frame
+    size. Returns (H, W, 3) uint8 RGB (grayscale replicated).
+    Raises ValueError on progressive (SOF2), arithmetic, 12-bit, or
+    sampling factors outside {1, 2} — callers route undecodable
+    payloads around the pixel path, same contract as the BMP/PNG
+    decoders."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, tq)]
+    restart_interval = 0
+    i = 2
+    scan = None
+    while i + 1 < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"JPEG marker desync at offset {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if i + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        seglen = int.from_bytes(payload[i:i + 2], "big")
+        if seglen < 2 or i + seglen > len(payload):
+            raise ValueError("bad JPEG segment length")
+        data = payload[i + 2:i + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if p + 64 > len(data):
+                    raise ValueError("truncated DQT")
+                zz = np.frombuffer(data, np.uint8, 64, p).astype(np.int32)
+                nat = np.zeros(64, np.int32)
+                nat[_ZIGZAG] = zz  # zigzag order -> natural order
+                qt[tq] = nat
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(data):
+                cls, tid = data[p] >> 4, data[p] & 0xF
+                bits = list(data[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(data[p + 17:p + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated DHT")
+                huff[(cls, tid)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. seq.
+            prec = data[0]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            fh = int.from_bytes(data[1:3], "big")
+            fw = int.from_bytes(data[3:5], "big")
+            nc = data[5]
+            comps = []
+            for c in range(nc):
+                cid = data[6 + 3 * c]
+                hv = data[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, data[8 + 3 * c]))
+            frame = (fh, fw, comps)
+        elif marker in _JPEG_SOF:  # progressive etc.
+            raise ValueError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0}")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scomps = []
+            for c in range(ns):
+                cs = data[1 + 2 * c]
+                tt = data[2 + 2 * c]
+                scomps.append((cs, tt >> 4, tt & 0xF))
+            scan = (scomps, i + seglen)
+            break
+        i += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("empty JPEG frame")
+    scomps, data_pos = scan
+    if len(scomps) != len(comps):
+        raise ValueError("partial-scan JPEG unsupported (baseline only)")
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    if not all(hs in (1, 2) and vs in (1, 2) for _, hs, vs, _ in comps):
+        raise ValueError("sampling factors outside {1,2} unsupported")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (fw + mcu_w - 1) // mcu_w
+    mcus_y = (fh + mcu_h - 1) // mcu_h
+
+    m = _dct8()
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
+
+    br = _BitReader(payload, data_pos)
+    pred = {cid: 0 for cid, _, _ in scomps}
+    zz_buf = np.zeros(64, np.int32)
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and \
+                    mcu_idx % restart_interval == 0:
+                br.restart()
+                pred = {cid: 0 for cid, _, _ in scomps}
+            mcu_idx += 1
+            for cid, td, ta in scomps:
+                hs, vs, tq = by_id[cid]
+                dc_tab = huff.get((0, td))
+                ac_tab = huff.get((1, ta))
+                if dc_tab is None or ac_tab is None or tq not in qt:
+                    raise ValueError("JPEG references undefined table")
+                for yy in range(vs):
+                    for xx in range(hs):
+                        zz_buf[:] = 0
+                        cat = _read_symbol(br, dc_tab)
+                        diff = _extend(br.receive(cat), cat)
+                        pred[cid] += diff
+                        zz_buf[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, ac_tab)
+                            run, cat = rs >> 4, rs & 0xF
+                            if cat == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz_buf[k] = _extend(br.receive(cat), cat)
+                            k += 1
+                        nat = np.zeros(64, np.float64)
+                        nat[_ZIGZAG] = zz_buf
+                        coef = (nat * qt[tq]).reshape(8, 8)
+                        blk = m.T @ coef @ m + 128.0
+                        py0 = (my * vs + yy) * 8
+                        px0 = (mx * hs + xx) * 8
+                        planes[cid][py0:py0 + 8, px0:px0 + 8] = blk
+
+    # upsample to full MCU grid by sample replication, crop, transform
+    full = []
+    for cid, hs, vs, tq in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        yp = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([yp] * 3, axis=2)
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

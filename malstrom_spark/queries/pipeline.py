@@ -2667,47 +2667,61 @@ def doc_dsir_selected(spark, sf_dir):
 
 
 # ------------------------------------------- image pHash near-dup
-def _seeded_bmp_batches(it):
-    """Deterministic REAL images: base pattern = doc_id % 40 (sinusoid
-    frequency/phase), plus a tiny per-doc brightness offset — docs
-    sharing a base are near-duplicate images, different bases are
-    unrelated. Pure function of doc_id (no RNG). Round 9: odd doc_ids
-    ship as PNG (cycling all five scanline filters), even as BMP —
-    pHash is a pure function of the PIXELS, so the pair output is
-    container-invariant and this row now exercises BOTH real decode
-    paths."""
+def _seeded_image_batches(it):
+    """Deterministic REAL images: base pattern = doc_id % 40 (blurred
+    noise seeded by the base — BROADBAND spectra, so pHash bits sit
+    far from the median, unlike the r8 sinusoids whose near-DC-only
+    spectra tied half the bits at the median), plus a tiny per-doc
+    brightness offset — docs sharing a base are near-duplicate
+    images, different bases are unrelated. Deterministic per doc_id
+    (the RandomState seed IS the base). Round 10: containers cycle
+    doc_id % 3 over BMP / PNG (all five scanline filters) / baseline
+    JPEG q95 — all three real decode paths in one row; measured
+    margins on this seeding: same-base pairs <= 2 bits apart (JPEG
+    requantization included), cross-base >= 20."""
     import numpy as np
     import pandas as pd
 
     from ..functions import multimodal as mm
 
-    y, x = np.mgrid[0:48, 0:48]
+    def blur(a, k=2):
+        out = a.astype(float)
+        for _ in range(k):
+            out = (np.roll(out, 1, 0) + np.roll(out, -1, 0)
+                   + np.roll(out, 1, 1) + np.roll(out, -1, 1) + out) / 5.0
+        return out
+
     for pdf in it:
         payloads = []
         for did in pdf["doc_id"]:
             did = int(did)
             base = did % 40
-            wave = (
-                np.sin(x * (1 + base % 7) / 6.0 + base)
-                + np.cos(y * (1 + base % 5) / 5.0)
-            )
-            lum = ((wave + 2.0) / 4.0 * 235.0 + (did % 5)).astype(np.uint8)
+            r = np.random.RandomState(base)
+            lum = (blur(r.randint(0, 256, (48, 48))) + (did % 5)).clip(
+                0, 255).astype(np.uint8)
             px = np.stack([lum] * 3, axis=2)
-            payloads.append(mm.make_png(px) if did % 2 else mm.make_bmp(px))
+            m = did % 3
+            if m == 0:
+                payloads.append(mm.make_bmp(px))
+            elif m == 1:
+                payloads.append(mm.make_png(px))
+            else:
+                payloads.append(mm.make_jpeg(px, quality=95))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 @register("image_phash_near_dup", oracle=None)
 def image_phash_near_dup(spark, sf_dir):
     """REAL pixel-path image dedup (functions/multimodal.py): decode
-    24-bit BMPs (struct + numpy, stdlib-only), 64-bit perceptual hash
-    (block-mean resize -> 2D DCT -> median bits), near-dup pairs via
-    the SimHash chunk-banding join (candidates from a chunk equi-join,
-    never all-pairs). Rows-only by necessity — a DCT has no SQL
-    re-derivation — but the pytest suite pins banding output equal to
-    the brute-force numpy reference on the same seeded images. This
-    is the image twin of dedup_simhash: same banding, pixels instead
-    of tokens."""
+    24-bit BMPs, PNGs (all five filters) and baseline JPEGs (round
+    10 — Huffman + dequant + IDCT, the format crawl images actually
+    use), 64-bit perceptual hash (block-mean resize -> 2D DCT ->
+    median bits), near-dup pairs via the SimHash chunk-banding join
+    (candidates from a chunk equi-join, never all-pairs). Rows-only
+    by necessity — a DCT has no SQL re-derivation — but the pytest
+    suite pins banding output equal to the brute-force numpy
+    reference on the same seeded images. This is the image twin of
+    dedup_simhash: same banding, pixels instead of tokens."""
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
     from ..functions import multimodal as mm
@@ -2718,7 +2732,7 @@ def image_phash_near_dup(spark, sf_dir):
     schema = StructType([
         StructField("doc_id", LongType()), StructField("payload", BinaryType()),
     ])
-    imgs = docs.mapInPandas(_seeded_bmp_batches, schema)
+    imgs = docs.mapInPandas(_seeded_image_batches, schema)
     hashed = mm.image_phash(imgs, "payload").drop("payload")
     return mm.phash_near_dup_pairs(hashed, "doc_id", max_hamming=3)
 

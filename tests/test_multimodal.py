@@ -458,3 +458,143 @@ def test_image_phash_over_mixed_containers(spark):
            for r in mm.image_phash(df, "payload").collect()}
     assert got[1] == got[2] and got[1] is not None
     assert got[3] is None
+
+
+# ---------------------- baseline JPEG codec (round 10)
+def _smooth_image(h=40, w=56):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    lum = (np.sin(x / 6.0) + np.cos(y / 5.0) + 2.0) / 4.0 * 220.0
+    return np.stack(
+        [lum, np.minimum(lum + 20, 255.0), lum * 0.8], axis=2
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_tolerance_all_modes():
+    """Encode -> decode across quality, 4:4:4/4:2:0, grayscale and
+    restart markers; baseline JPEG is lossy but bounded on smooth
+    images."""
+    import numpy as np
+    from malstrom_spark.functions import multimodal as mm
+
+    px = _smooth_image()
+    for kw in (dict(quality=95), dict(quality=90, subsample=True),
+               dict(quality=75), dict(quality=90, restart_interval=3),
+               dict(quality=90, subsample=True, restart_interval=2)):
+        blob = mm.make_jpeg(px, **kw)
+        dec = mm.decode_jpeg_pixels(blob)
+        assert dec.shape == px.shape
+        err = np.abs(dec.astype(float) - px.astype(float))
+        assert err.mean() < 3.0 and err.max() < 40, (kw, err.mean(), err.max())
+        # header parser agrees on dimensions
+        assert mm.decode_jpeg_bytes(blob) == (px.shape[1], px.shape[0],
+                                              "YCbCr")
+    gray_blob = mm.make_jpeg(px, quality=95, gray=True)
+    assert mm.decode_jpeg_bytes(gray_blob) == (px.shape[1], px.shape[0], "L")
+    dec = mm.decode_jpeg_pixels(gray_blob)
+    lum = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+           + 0.114 * px[:, :, 2])
+    err = abs(dec[:, :, 0].astype(float) - lum)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()  # gray replicated
+    assert err.mean() < 3.0, err.mean()
+
+
+def test_jpeg_constant_image_near_exact():
+    """A constant-color image is DC-only: the roundtrip must be exact
+    to within the color-transform rounding (analytically known — an
+    independent pin, not encoder-vs-decoder agreement)."""
+    import numpy as np
+    from malstrom_spark.functions import multimodal as mm
+
+    for color in ((128, 128, 128), (200, 30, 90), (0, 0, 0),
+                  (255, 255, 255)):
+        px = np.zeros((24, 24, 3), np.uint8)
+        px[:] = color
+        dec = mm.decode_jpeg_pixels(mm.make_jpeg(px, quality=95))
+        err = np.abs(dec.astype(int) - np.asarray(color))
+        assert err.max() <= 2, (color, err.max())
+
+
+def test_jpeg_dqt_matches_published_annex_k_zigzag():
+    """Shared-twin defense: the DQT segment's byte stream must equal
+    the PUBLISHED zigzag-ordered Annex-K luminance table at quality
+    50 (scale = 100 -> the table verbatim) — pinning both the table
+    constants and the zigzag order against the spec, independent of
+    the sibling decoder."""
+    import numpy as np
+    from malstrom_spark.functions import multimodal as mm
+
+    blob = mm.make_jpeg(np.zeros((8, 8, 3), np.uint8), quality=50)
+    i = blob.find(b"\xff\xdb")
+    assert i > 0
+    payload = blob[i + 5:i + 5 + 64]  # skip marker, length, table id
+    # T.81 Annex K luminance table in zigzag order (published form)
+    want = bytes([
+        16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24,
+        40, 26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60,
+        57, 51, 56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80,
+        109, 81, 87, 95, 98, 103, 104, 103, 62, 77, 113, 121, 112,
+        100, 120, 92, 101, 103, 99,
+    ])
+    assert payload == want
+
+
+def test_jpeg_error_paths():
+    import numpy as np
+    import pytest
+    from malstrom_spark.functions import multimodal as mm
+
+    px = _smooth_image(16, 16)
+    blob = mm.make_jpeg(px)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        mm.decode_jpeg_pixels(b"BM123456")
+    # flip SOF0 -> SOF2 (progressive): refused loudly
+    i = blob.find(b"\xff\xc0")
+    prog = blob[:i + 1] + b"\xc2" + blob[i + 2:]
+    with pytest.raises(ValueError, match="SOF2"):
+        mm.decode_jpeg_pixels(prog)
+    # truncated entropy data
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_pixels(blob[:len(blob) // 2])
+
+
+def test_phash_container_invariant_bmp_png_jpeg():
+    """Container invariance across the THREE decode paths. Lossless
+    containers (BMP, PNG) hash bit-identically. JPEG is lossy, so the
+    honest contract is the near-dup MARGIN pHash is built for: the
+    same image through a q90 JPEG lands within a few bits (the ±1
+    requantization noise can flip near-median bits) while different
+    images sit ~32 bits apart — measured here as <= 4 vs >= 16.
+    (Bit-equality through JPEG is NOT a property even a perfect
+    baseline codec can give: on near-DC-only images most AC pHash
+    coefficients tie at the median and any lossy noise flips them —
+    which is exactly why phash_near_dup_pairs takes a hamming
+    threshold, not an equality join.)"""
+    import numpy as np
+    from malstrom_spark.functions import multimodal as mm
+
+    def blur(a, k=2):
+        out = a.astype(float)
+        for _ in range(k):
+            out = (np.roll(out, 1, 0) + np.roll(out, -1, 0)
+                   + np.roll(out, 1, 1) + np.roll(out, -1, 1) + out) / 5.0
+        return out
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    hashes = []
+    for seed in range(6):
+        r = np.random.RandomState(seed)
+        lum = blur(r.randint(0, 256, (48, 48))).clip(0, 255).astype(np.uint8)
+        px = np.stack([lum] * 3, axis=2)
+        h_bmp = mm.phash64(mm.make_bmp(px))
+        assert h_bmp == mm.phash64(mm.make_png(px))  # lossless: exact
+        for kw in (dict(quality=90), dict(quality=90, subsample=True)):
+            assert ham(h_bmp, mm.phash64(mm.make_jpeg(px, **kw))) <= 4, (
+                seed, kw)
+        hashes.append(h_bmp)
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            assert ham(hashes[i], hashes[j]) >= 16
