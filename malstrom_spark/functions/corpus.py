@@ -966,29 +966,50 @@ def dsir_feature_counts(
     materialized on the scale path)."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    hash_fn = md5_prefix_hash if portable else F.xxhash64
-    toks = docs.where(F.col(text_col).isNotNull()).select(
-        _tokens_cheap(F.col(text_col)).alias("__t")
-    ).where(F.size("__t") > 0)
-    t = F.col("__t")
-    uni = toks.select(
-        F.explode(F.transform(t, lambda x: hash_fn(x))).alias("__h")
-    )
-    big = toks.where(F.size(t) >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - 2),
-                lambda i: hash_fn(
-                    F.element_at(t, i + 1), F.element_at(t, i + 2)
-                ),
-            )
-        ).alias("__h")
-    )
     return (
-        uni.unionByName(big)
-        .select(F.pmod(F.col("__h"), F.lit(n_buckets)).alias("bucket"))
+        _dsir_feature_buckets(docs, [], text_col, n_buckets, portable)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _dsir_feature_buckets(
+    docs: DataFrame,
+    keep_cols: list[str],
+    text_col: str,
+    n_buckets: int,
+    portable: bool,
+) -> DataFrame:
+    """ONE definition of the DSIR feature stream (keep_cols* +
+    bucket): hashed unigrams + bigrams of the cheap tokenizer, bucket
+    = pmod(hash, n_buckets). Fit (dsir_feature_counts) and score
+    (dsir_score) both call THIS — they must hash identically or every
+    score silently sums weights the fit never counted (review catch:
+    two hand-kept copies had already drifted in shape). The bigram
+    arm is guarded: sequence(0, size-2) on a 1-token doc would be
+    sequence(0, -1), which Spark auto-steps BACKWARDS to [0, -1]
+    (element_at(t, 0) then errors) — empty array instead."""
+    hash_fn = md5_prefix_hash if portable else F.xxhash64
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        *keep_cols, _tokens_cheap(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") > 0)
+    t = F.col("__t")
+    bigram_hashes = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: hash_fn(
+                F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return toks.select(
+        *keep_cols,
+        F.explode(
+            F.concat(F.transform(t, lambda x: hash_fn(x)), bigram_hashes)
+        ).alias("__h"),
+    ).select(
+        *keep_cols, F.pmod(F.col("__h"), F.lit(n_buckets)).alias("bucket")
     )
 
 
@@ -1070,29 +1091,9 @@ def dsir_score(
     Shape: explode features -> broadcast-join the <= n_buckets weight
     table -> groupBy(doc) sum with map-side combine — ONE shuffle
     whose rows are (doc, partial sum), not the token stream."""
-    hash_fn = md5_prefix_hash if portable else F.xxhash64
-    toks = docs.select(
-        F.col(id_col), _tokens_cheap(F.col(text_col)).alias("__t")
-    ).where(F.col(text_col).isNotNull() & (F.size("__t") > 0))
-    t = F.col("__t")
-    # bigram arm guarded: sequence(0, size-2) on a 1-token doc would
-    # be sequence(0, -1), which Spark auto-steps BACKWARDS to [0, -1]
-    # (element_at(t, 0) then errors) — empty array instead
-    bigram_hashes = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: hash_fn(
-                F.element_at(t, i + 1), F.element_at(t, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    feats = toks.select(
-        id_col,
-        F.explode(
-            F.concat(F.transform(t, lambda x: hash_fn(x)), bigram_hashes)
-        ).alias("__h"),
-    ).select(id_col, F.pmod(F.col("__h"), F.lit(n_buckets)).alias("bucket"))
+    feats = _dsir_feature_buckets(
+        docs, [id_col], text_col, n_buckets, portable
+    )
     scores = (
         feats.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)

@@ -76,7 +76,14 @@ def crawl_frontier(
             norm.alias("url"),
             url_host(F.col(url_col)).alias("host"),
         )
-        .where(F.col("host").isNotNull() & (F.col("host") != ""))
+        # BOTH must parse: a malformed authority ('https://h:80x/p')
+        # can yield host without url — a NULL url would survive the
+        # history anti-join (NULL never matches) and be re-enqueued
+        # every batch, and dropDuplicates would conflate all NULLs
+        .where(
+            F.col("url").isNotNull()
+            & F.col("host").isNotNull() & (F.col("host") != "")
+        )
         .withColumn("domain", registrable_domain(F.col("host")))
     )
     if robots_by_host:

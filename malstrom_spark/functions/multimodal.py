@@ -911,20 +911,30 @@ _HT_AC_CHR = (
 )
 
 
-def _huff_codes(bits, vals):
-    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 C.2: codes
-    assigned in value order, incrementing, left-shifted at each new
-    length."""
-    out = {}
+def _huff_walk(bits, vals):
+    """ONE implementation of the T.81 C.2 canonical code assignment
+    (codes in value order, incrementing, left-shifted at each new
+    length), yielding (symbol, code, length). Encoder table and
+    decoder table both derive from this walk so they cannot drift
+    (review catch). Validates the spec shape loudly — a truncated
+    DHT must raise ValueError, not IndexError."""
+    if len(bits) != 16:
+        raise ValueError("Huffman BITS must have 16 entries")
+    if len(vals) < sum(bits):
+        raise ValueError("truncated Huffman value list")
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[vals[k]] = (code, length)
+            yield vals[k], code, length
             code += 1
             k += 1
         code <<= 1
-    return out
+
+
+def _huff_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} for encoding."""
+    return {sym: (code, ln) for sym, code, ln in _huff_walk(bits, vals)}
 
 
 def _dct8():
@@ -1192,18 +1202,9 @@ class _BitReader:
 
 
 def _huff_decode_table(bits, vals):
-    """{(length, code): symbol} — decoded by extending the code one
-    bit at a time (max 16 steps)."""
-    out = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    """{(length, code): symbol} for decoding — the same _huff_walk
+    the encoder uses, with the dict orientation flipped."""
+    return {(ln, code): sym for sym, code, ln in _huff_walk(bits, vals)}
 
 
 def _read_symbol(br: _BitReader, table) -> int:
@@ -1279,6 +1280,8 @@ def decode_jpeg_pixels(payload: bytes):
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(data):
+                if p + 17 > len(data):
+                    raise ValueError("truncated DHT")
                 cls, tid = data[p] >> 4, data[p] & 0xF
                 bits = list(data[p + 1:p + 17])
                 n = sum(bits)
@@ -1288,12 +1291,16 @@ def decode_jpeg_pixels(payload: bytes):
                 huff[(cls, tid)] = _huff_decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. seq.
+            if len(data) < 6:
+                raise ValueError("truncated SOF")
             prec = data[0]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
             fh = int.from_bytes(data[1:3], "big")
             fw = int.from_bytes(data[3:5], "big")
             nc = data[5]
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("truncated SOF")
             comps = []
             for c in range(nc):
                 cid = data[6 + 3 * c]
@@ -1304,9 +1311,15 @@ def decode_jpeg_pixels(payload: bytes):
             raise ValueError(
                 f"unsupported JPEG frame type SOF{marker - 0xC0}")
         elif marker == 0xDD:  # DRI
+            if len(data) < 2:
+                raise ValueError("truncated DRI")
             restart_interval = int.from_bytes(data[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if len(data) < 1:
+                raise ValueError("truncated SOS")
             ns = data[0]
+            if len(data) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS")
             scomps = []
             for c in range(ns):
                 cs = data[1 + 2 * c]

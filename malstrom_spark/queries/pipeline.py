@@ -3196,6 +3196,11 @@ def doc_bm25_updated(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     k = F.col("doc_id")
+    # ghost ids are NEGATIVE (-(doc_id+1)): real doc_ids are
+    # non-negative at every sf, so the tombstone set can never
+    # collide with a corpus doc (review catch: +10M offsets collide
+    # once the table outgrows them)
+    ghost_id = -(k + 1)
     stale_docs = docs.select(
         "doc_id",
         F.when(
@@ -3204,7 +3209,7 @@ def doc_bm25_updated(spark, sf_dir):
         ).otherwise(F.col("text")).alias("text"),
     ).unionByName(
         docs.where(k % 97 == 3).select(
-            (k + 10_000_000).alias("doc_id"),
+            ghost_id.alias("doc_id"),
             F.lit("vector stream customer query merge sort window "
                   "slow scan").alias("text"),
         )
@@ -3212,9 +3217,7 @@ def doc_bm25_updated(spark, sf_dir):
     p0 = s.inverted_index(stale_docs, "doc_id")
     s0 = s.doc_stats_from_postings(p0, "doc_id")
     fresh = docs.where(k % 7 == 0).select("doc_id", "text")
-    ghosts = docs.where(k % 97 == 3).select(
-        (k + 10_000_000).alias("doc_id")
-    )
+    ghosts = docs.where(k % 97 == 3).select(ghost_id.alias("doc_id"))
     postings, dstats = s.update_index(
         p0, s0, fresh, "doc_id", deleted_ids=ghosts
     )

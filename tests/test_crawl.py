@@ -68,3 +68,17 @@ def test_frontier_validation(spark):
     with pytest.raises(ValueError, match="per_host_budget"):
         crawl_frontier(_links(spark, ["https://x.example/a"]),
                        per_host_budget=0)
+
+
+def test_frontier_drops_malformed_authority_urls(spark):
+    """Review catch (r10): a malformed authority ('https://h:80x/p')
+    can parse a host while url_normalize yields NULL — such rows must
+    be dropped, not emitted as NULL fetch targets that dodge the
+    history anti-join forever (and the behavior must not depend on
+    whether a robots dict is present)."""
+    links = _links(spark, ["https://h.example:80x/p",
+                           "https://ok.example/p"])
+    for robots in (None, ROBOTS):
+        out = crawl_frontier(links, robots_by_host=robots).collect()
+        assert [r["url"] for r in out] == ["https://ok.example/p"], out
+        assert all(r["url"] is not None for r in out)

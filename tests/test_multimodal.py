@@ -598,3 +598,38 @@ def test_phash_container_invariant_bmp_png_jpeg():
     for i in range(len(hashes)):
         for j in range(i + 1, len(hashes)):
             assert ham(hashes[i], hashes[j]) >= 16
+
+
+def test_jpeg_truncated_segments_raise_valueerror_not_indexerror():
+    """Review catch (r10): truncated DHT/SOF/SOS bodies raised
+    IndexError, which escapes image_phash's except (ValueError,
+    TypeError) and would kill the task on one corrupt crawl JPEG."""
+    import pytest
+    from malstrom_spark.functions import multimodal as mm
+
+    bad = [
+        b"\xff\xd8\xff\xc4\x00\x0c" + b"\x00" * 10 + b"\xff\xd9",  # DHT
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00" + b"\xff\xd9",          # SOF
+        b"\xff\xd8\xff\xda\x00\x03\x03" + b"\xff\xd9",              # SOS
+        b"\xff\xd8\xff\xdd\x00\x03\x01" + b"\xff\xd9",              # DRI
+    ]
+    for blob in bad:
+        with pytest.raises(ValueError):
+            mm.decode_jpeg_pixels(blob)
+
+
+def test_image_phash_null_for_corrupt_jpeg(spark):
+    """One corrupt JPEG in a batch must yield NULL, not a task
+    failure — the one-bad-page-degrades contract of the pixel path."""
+    import numpy as np
+    from malstrom_spark.functions import multimodal as mm
+
+    px = np.full((16, 16, 3), 120, np.uint8)
+    good = mm.make_jpeg(px)
+    rows = [(1, bytearray(good)),
+            (2, bytearray(good[: len(good) // 2])),
+            (3, bytearray(b"\xff\xd8\xff\xc4\x00\x0c" + b"\x00" * 10))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["phash"]
+           for r in mm.image_phash(df, "payload").collect()}
+    assert got[1] is not None and got[2] is None and got[3] is None
