@@ -1414,3 +1414,133 @@ def decode_jpeg_pixels(payload: bytes):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------- MJPEG AVI video (round 10)
+#
+# The baseline JPEG codec unlocks REAL video frame sampling for the
+# one container whose frames are pure JPEGs: MJPEG-in-AVI. RIFF
+# parsing is stdlib struct, so this path needs no ffmpeg — it closes
+# the video gap for a format crawls do carry (older camera uploads,
+# scientific capture), while every other codec stays behind the
+# env-gated frame_sample_ffmpeg path with the same output schema.
+
+
+def make_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """Mux a list of (H, W, 3) uint8 RGB arrays into a minimal
+    MJPEG-in-AVI container — the seeding/test counterpart of
+    demux_avi_mjpeg (same role as make_bmp/make_png/make_jpeg)."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("make_avi_mjpeg needs at least one frame")
+    h, w, _ = np.asarray(frames[0]).shape
+    blobs = [make_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(fcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    max_bytes = max(len(b) for b in blobs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,      # dwMicroSecPerFrame
+        max_bytes * fps,       # dwMaxBytesPerSec
+        0, 0x10,               # padding, flags (AVIF_HASINDEX off)
+        len(blobs), 0, 1, max_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<I", 0)       # fccType/handler/flags
+        + struct.pack("<HH", 0, 0)                     # priority, language
+        + struct.pack("<8I", 0, 1, fps, 0,             # initialframes,
+                      len(blobs), max_bytes,           # scale=1, rate=fps,
+                      0xFFFFFFFF, 0)                   # start, length, buf,
+                                                       # quality, samplesize
+        + struct.pack("<4H", 0, 0, w, h)               # rcFrame
+    )
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D,
+                       w * h * 3, 0, 0, 0, 0)  # BITMAPINFOHEADER 'MJPG'
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi_mjpeg(payload: bytes):
+    """Yield (frame_idx, jpeg_bytes) for every video chunk of an AVI:
+    walks the RIFF tree to the 'movi' LIST and returns '..dc'/'..db'
+    chunk payloads (word-aligned per RIFF). Raises ValueError on
+    non-AVI input; tolerates a truncated tail (frames before the
+    truncation are yielded — the quarantine discipline of the WARC
+    source applied to video)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fcc = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data_start = pos + 8
+            data_end = min(data_start + size, end, len(buf))
+            if fcc == b"LIST" and data_end >= data_start + 4:
+                kind = buf[data_start:data_start + 4]
+                if kind in (b"movi", b"hdrl", b"rec "):
+                    yield from walk(buf, data_start + 4, data_end)
+            elif fcc[2:4] in (b"dc", b"db") and data_end > data_start:
+                yield buf[data_start:data_end]
+            pos = data_start + size + (size % 2)
+
+    for idx, blob in enumerate(walk(payload, 12, len(payload))):
+        yield idx, blob
+
+
+def frame_sample_mjpeg(
+    df: DataFrame, payload_col: str = "payload", every_n: int = 10
+) -> DataFrame:
+    """REAL video frame sampling for MJPEG-in-AVI payloads — no
+    ffmpeg needed: the RIFF demux is struct math and each kept frame
+    IS a baseline JPEG (decode downstream with decode_jpeg_pixels /
+    image_phash, which both accept JPEG bytes). Same output schema as
+    frame_sample / frame_sample_ffmpeg (passthrough cols + frame_idx
+    int + frame binary), so pipelines are source-compatible across
+    the stub, ffmpeg and MJPEG paths. An undecodable payload emits
+    ZERO frames rather than failing the task (the one-bad-page
+    contract); frame_idx is the SOURCE frame number."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        list(keep)
+        + [StructField("frame_idx", IntegerType()),
+           StructField("frame", BinaryType())]
+    )
+    step = max(every_n, 1)
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rep_rows, frame_idx, frames = [], [], []
+            for r, payload in enumerate(pdf[payload_col]):
+                try:
+                    for idx, jpg in demux_avi_mjpeg(bytes(payload)):
+                        if idx % step == 0:
+                            rep_rows.append(r)
+                            frame_idx.append(idx)
+                            frames.append(jpg)
+                except (ValueError, TypeError):
+                    continue
+            out = pdf.drop(columns=[payload_col]).iloc[rep_rows] \
+                .reset_index(drop=True)
+            out["frame_idx"] = pd.array(frame_idx, dtype="int32")
+            out["frame"] = frames
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -2737,6 +2737,67 @@ def image_phash_near_dup(spark, sf_dir):
     return mm.phash_near_dup_pairs(hashed, "doc_id", max_hamming=3)
 
 
+def _seeded_avi_batches(it):
+    """Deterministic REAL videos: each doc becomes a 4-frame MJPEG
+    AVI whose frames are the doc's base image (blurred noise seeded
+    by doc_id % 20) under a growing brightness ramp — same seeding
+    discipline as _seeded_image_batches, one container level up."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import multimodal as mm
+
+    def blur(a, k=2):
+        out = a.astype(float)
+        for _ in range(k):
+            out = (np.roll(out, 1, 0) + np.roll(out, -1, 0)
+                   + np.roll(out, 1, 1) + np.roll(out, -1, 1) + out) / 5.0
+        return out
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            r = np.random.RandomState(did % 20)
+            base = blur(r.randint(0, 256, (32, 32)))
+            frames = [
+                np.stack([(base + 3 * i).clip(0, 255).astype(np.uint8)] * 3,
+                         axis=2)
+                for i in range(4)
+            ]
+            payloads.append(mm.make_avi_mjpeg(frames, fps=4, quality=95))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@register("video_frame_phash", oracle=None)
+def video_frame_phash(spark, sf_dir):
+    """REAL video pipeline (functions/multimodal.py, round 10): seeded
+    MJPEG-in-AVI payloads -> RIFF demux + every-2nd-frame sampling
+    (frame_sample_mjpeg — no ffmpeg; each frame IS a baseline JPEG)
+    -> perceptual hash per kept frame via the SAME image_phash the
+    still-image path uses. Output (doc_id, frame_idx, phash) is the
+    per-frame fingerprint table a video near-dup pass joins on.
+    Rows-only by necessity (DCT pHash has no SQL re-derivation); the
+    pytest suite pins demux/roundtrip/stride and the near-dup margin
+    on re-encoded videos."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from ..functions import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("payload", BinaryType()),
+    ])
+    vids = docs.mapInPandas(_seeded_avi_batches, schema)
+    frames = mm.frame_sample_mjpeg(vids, "payload", every_n=2)
+    hashed = mm.image_phash(
+        frames.withColumnRenamed("frame", "payload"), "payload"
+    )
+    return hashed.select("doc_id", "frame_idx", "phash")
+
+
 # --------------------------------------------- raw-HTML extraction
 @register(
     "doc_html_extract",

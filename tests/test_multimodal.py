@@ -633,3 +633,91 @@ def test_image_phash_null_for_corrupt_jpeg(spark):
     got = {r["doc_id"]: r["phash"]
            for r in mm.image_phash(df, "payload").collect()}
     assert got[1] is not None and got[2] is None and got[3] is None
+
+
+# ---------------------- MJPEG AVI video (round 10)
+def _video_frames(n=6, h=24, w=32, shift=0):
+    import numpy as np
+
+    frames = []
+    y, x = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        lum = ((np.sin(x / 5.0 + i + shift) + 1) * 120).astype(np.uint8)
+        frames.append(np.stack([lum] * 3, axis=2))
+    return frames
+
+
+def test_avi_mjpeg_mux_demux_roundtrip():
+    import numpy as np
+    from malstrom_spark.functions import multimodal as mm
+
+    frames = _video_frames()
+    avi = mm.make_avi_mjpeg(frames, fps=5, quality=95)
+    out = list(mm.demux_avi_mjpeg(avi))
+    assert [i for i, _ in out] == list(range(6))
+    for idx, jpg in out:
+        dec = mm.decode_jpeg_pixels(jpg)
+        err = np.abs(dec.astype(float) - frames[idx].astype(float))
+        assert err.mean() < 2.0, (idx, err.mean())
+    # truncated tail: frames before the cut still demux (quarantine)
+    cut = avi[: len(avi) - len(avi) // 3]
+    partial = list(mm.demux_avi_mjpeg(cut))
+    assert 0 < len(partial) < 6
+    import pytest
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        list(mm.demux_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE"))
+
+
+def test_frame_sample_mjpeg_schema_and_stride(spark):
+    """Same output schema as the stub/ffmpeg samplers; every_n keeps
+    source frame numbers; undecodable payloads emit zero frames
+    rather than failing the task."""
+    from malstrom_spark.functions import multimodal as mm
+
+    avi = mm.make_avi_mjpeg(_video_frames(7), fps=5)
+    rows = [(1, bytearray(avi)), (2, bytearray(b"junk not avi"))]
+    df = spark.createDataFrame(rows, "vid long, payload binary")
+    out = mm.frame_sample_mjpeg(df, "payload", every_n=3)
+    assert [f.name for f in out.schema.fields] == ["vid", "frame_idx",
+                                                   "frame"]
+    got = [(r["vid"], r["frame_idx"]) for r in out.collect()]
+    assert sorted(got) == [(1, 0), (1, 3), (1, 6)]
+    # each kept frame is a decodable baseline JPEG
+    frames = [bytes(r["frame"]) for r in out.collect()]
+    for f in frames:
+        assert mm.decode_jpeg_pixels(f).shape == (24, 32, 3)
+
+
+def test_video_frame_phash_pipeline(spark):
+    """End-to-end video near-dup primitive: sample frames, pHash each
+    (image_phash accepts the JPEG frames directly) — same video =
+    close hashes, different videos = far."""
+    from malstrom_spark.functions import multimodal as mm
+
+    import numpy as np
+
+    def blurred(seed):
+        r = np.random.RandomState(seed)
+        a = r.randint(0, 256, (48, 48)).astype(float)
+        for _ in range(2):
+            a = (np.roll(a, 1, 0) + np.roll(a, -1, 0)
+                 + np.roll(a, 1, 1) + np.roll(a, -1, 1) + a) / 5.0
+        return np.stack([a.clip(0, 255).astype(np.uint8)] * 3, axis=2)
+
+    v1 = mm.make_avi_mjpeg([blurred(1)] * 3, quality=95)
+    v1b = mm.make_avi_mjpeg([blurred(1)] * 3, quality=85)  # re-encode
+    v2 = mm.make_avi_mjpeg([blurred(2)] * 3, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(v1)), (2, bytearray(v1b)), (3, bytearray(v2))],
+        "vid long, payload binary")
+    frames = mm.frame_sample_mjpeg(df, "payload", every_n=1)
+    hashed = mm.image_phash(frames.withColumnRenamed("frame", "payload"),
+                            "payload")
+    h = {(r["vid"], r["frame_idx"]): r["phash"] for r in hashed.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(h[(1, 0)], h[(2, 0)]) <= 4   # same content, re-encoded
+    assert ham(h[(1, 0)], h[(3, 0)]) >= 16  # different content
