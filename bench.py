@@ -162,6 +162,10 @@ HEADLINE = [
     # round-10: crawl-frontier pass (normalize -> robots -> dedup ->
     # history anti-join -> hash-budget cap)
     "crawl_frontier_batch",
+    # round-10 multimodal: MJPEG video frame pHash + audio landmark
+    # match pairs (rows-only ops — no oracle, headline wall only)
+    "video_frame_phash",
+    "audio_fingerprint_pairs",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

@@ -1544,3 +1544,177 @@ def frame_sample_mjpeg(
             yield out
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# --------------------- audio fingerprinting (round 10)
+#
+# Constellation-hash audio fingerprints (Wang 2003, the Shazam
+# scheme, public): STFT magnitude spectrogram -> local spectral
+# peaks -> (f_anchor, f_target, dt) landmark triples hashed to
+# BIGINT. Two recordings of the same audio (re-encoded, scaled,
+# lightly noised) share many landmark hashes at consistent time
+# offsets; unrelated audio shares almost none — the audio twin of
+# pHash near-dup, built on decode_wav_bytes + numpy rFFT only.
+
+
+def _wav_mono_samples(payload: bytes):
+    """(samples float64 in [-1, 1], sample_rate) — channels averaged."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, nch, width, nframes = (
+            w.getframerate(), w.getnchannels(), w.getsampwidth(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        full = 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        full = 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+        full = 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x / full, rate
+
+
+def audio_landmarks(
+    payload: bytes,
+    n_fft: int = 1024,
+    hop: int = 512,
+    peaks_per_frame: int = 3,
+    fanout: int = 4,
+    max_dt: int = 32,
+):
+    """[(t_anchor_frame, hash BIGINT)] landmark fingerprints for one
+    WAV payload. Hann-windowed rFFT frames -> per-frame top-k
+    spectral peaks (local maxima along frequency) -> each anchor peak
+    pairs with up to `fanout` later peaks within `max_dt` frames;
+    hash packs (f1, f2, dt) into one BIGINT. Amplitude-invariant by
+    construction (peaks are argmax positions, not magnitudes)."""
+    import numpy as np
+
+    x, rate = _wav_mono_samples(payload)
+    if len(x) < n_fft:
+        return []
+    n_frames = 1 + (len(x) - n_fft) // hop
+    win = np.hanning(n_fft)
+    idx = (np.arange(n_fft)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    spec = np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1))
+    # per-frame local maxima along frequency, then top-k by magnitude
+    peaks = []
+    for t in range(n_frames):
+        s = spec[t]
+        ismax = (s[1:-1] > s[:-2]) & (s[1:-1] >= s[2:])
+        cand = np.nonzero(ismax)[0] + 1
+        if len(cand) == 0:
+            peaks.append([])
+            continue
+        top = cand[np.argsort(s[cand])[::-1][:peaks_per_frame]]
+        peaks.append(sorted(int(f) for f in top))
+    out = []
+    flat = [(t, f) for t, fs in enumerate(peaks) for f in fs]
+    for i, (t1, f1) in enumerate(flat):
+        paired = 0
+        for t2, f2 in flat[i + 1:]:
+            dt = t2 - t1
+            if dt == 0:
+                continue
+            if dt > max_dt:
+                break
+            h = (f1 << 32) | (f2 << 12) | dt
+            out.append((t1, h))
+            paired += 1
+            if paired >= fanout:
+                break
+    return out
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_fft: int = 1024,
+    hop: int = 512,
+) -> DataFrame:
+    """Explode each WAV payload into its landmark fingerprint rows:
+    input cols (minus payload) + (t_anchor int, fp bigint). The join
+    key for audio near-dup / known-content lookup: two copies of the
+    same recording share many fp values with a CONSISTENT t_anchor
+    offset; count matches per candidate pair and threshold (see
+    audio_match_pairs). Undecodable payloads emit zero rows (the
+    one-bad-page contract). Arrow-batched mapInPandas; the FFT math
+    never leaves the task."""
+    import pandas as pd
+
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        list(keep)
+        + [StructField("t_anchor", IntegerType()),
+           StructField("fp", LongType())]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import wave
+
+        for pdf in it:
+            rep_rows, anchors, fps = [], [], []
+            for r, payload in enumerate(pdf[payload_col]):
+                try:
+                    marks = audio_landmarks(bytes(payload), n_fft, hop)
+                except (ValueError, TypeError, EOFError, wave.Error):
+                    continue
+                for t, h in marks:
+                    rep_rows.append(r)
+                    anchors.append(t)
+                    fps.append(h)
+            out = pdf.drop(columns=[payload_col]).iloc[rep_rows] \
+                .reset_index(drop=True)
+            out["t_anchor"] = pd.array(anchors, dtype="int32")
+            out["fp"] = pd.array(fps, dtype="int64")
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def audio_match_pairs(
+    fingerprints: DataFrame,
+    id_col: str,
+    min_matches: int = 8,
+) -> DataFrame:
+    """Audio near-dup pairs from a fingerprint table: candidates from
+    an fp equi-join (never all-pairs — the LSH-bucket discipline),
+    scored by the MODE of the anchor-time offset (true copies align
+    at one consistent offset; chance collisions scatter). Output
+    (id_a, id_b, n_aligned) for pairs whose best offset has >=
+    min_matches aligned landmarks.
+
+    Shape: one self-join on fp (hash-distributed, uniform keys), one
+    (pair, offset) count, one per-pair max — all map-side
+    combinable."""
+    a = fingerprints.select(
+        F.col(id_col).alias("id_a"), F.col("t_anchor").alias("ta"),
+        "fp",
+    )
+    b = fingerprints.select(
+        F.col(id_col).alias("id_b"), F.col("t_anchor").alias("tb"),
+        "fp",
+    )
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", (F.col("tb") - F.col("ta")).alias("dt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("n").cast("long").alias("n_aligned"))
+        .where(F.col("n_aligned") >= min_matches)
+    )
+    return pairs

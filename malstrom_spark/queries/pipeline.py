@@ -2737,6 +2737,65 @@ def image_phash_near_dup(spark, sf_dir):
     return mm.phash_near_dup_pairs(hashed, "doc_id", max_hamming=3)
 
 
+def _seeded_wav_batches(it):
+    """Deterministic REAL audio: each doc becomes a 2-second mono
+    16-bit WAV of a 3-tone mixture chosen by doc_id % 15 (the base),
+    at a per-doc amplitude — docs sharing a base are the same
+    recording at different levels (the fingerprint is amplitude-
+    invariant), different bases are unrelated audio."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    rate, n = 8000, 16000
+    t = np.arange(n) / rate
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            base = did % 15
+            freqs = [300 + 97 * base, 800 + 61 * base, 1900 + 131 * base]
+            x = sum(np.sin(2 * np.pi * f * t + i)
+                    for i, f in enumerate(freqs)) / 3.0
+            amp = 0.2 + 0.15 * (did % 5)
+            pcm = (np.clip(x * amp, -1, 1) * 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm.tobytes())
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@register("audio_fingerprint_pairs", oracle=None)
+def audio_fingerprint_pairs(spark, sf_dir):
+    """Audio near-dup detection (functions/multimodal.py, round 10 —
+    Wang 2003 constellation hashing): seeded WAV clips -> STFT peak
+    landmarks hashed to BIGINT (amplitude-invariant) ->
+    audio_match_pairs (fp equi-join candidates, offset-mode
+    alignment score). The audio twin of the pHash image row: same
+    candidates-then-verify shape, spectra instead of pixels.
+    Rows-only by necessity (no SQL FFT); pytest pins amplitude
+    invariance, re-encode matching and non-matching clips."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from ..functions import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 150
+    )
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("payload", BinaryType()),
+    ])
+    clips = docs.mapInPandas(_seeded_wav_batches, schema)
+    fps = mm.audio_fingerprints(clips, "payload")
+    return mm.audio_match_pairs(fps, "doc_id", min_matches=8)
+
+
 def _seeded_avi_batches(it):
     """Deterministic REAL videos: each doc becomes a 4-frame MJPEG
     AVI whose frames are the doc's base image (blurred noise seeded

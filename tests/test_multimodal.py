@@ -721,3 +721,61 @@ def test_video_frame_phash_pipeline(spark):
 
     assert ham(h[(1, 0)], h[(2, 0)]) <= 4   # same content, re-encoded
     assert ham(h[(1, 0)], h[(3, 0)]) >= 16  # different content
+
+
+# ---------------------- audio fingerprinting (round 10)
+def _tone_wav(freqs, n=16000, rate=8000, amp=0.5, noise=0.0, seed=0):
+    """Mono 16-bit WAV of a sine mixture (+ optional noise)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(n) / rate
+    x = sum(np.sin(2 * np.pi * f * t + i) for i, f in enumerate(freqs))
+    x = x / max(len(freqs), 1) * amp
+    if noise:
+        x = x + np.random.RandomState(seed).normal(0, noise, n)
+    pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_landmarks_amplitude_invariant_and_deterministic():
+    from malstrom_spark.functions import multimodal as mm
+
+    loud = _tone_wav([440, 1200, 2333], amp=0.8)
+    quiet = _tone_wav([440, 1200, 2333], amp=0.1)
+    m1 = mm.audio_landmarks(loud)
+    assert m1 and m1 == mm.audio_landmarks(loud)  # deterministic
+    assert m1 == mm.audio_landmarks(quiet)        # peaks, not magnitudes
+    # too-short payloads yield no landmarks, not an error
+    assert mm.audio_landmarks(_tone_wav([440], n=100)) == []
+
+
+def test_audio_match_pairs_same_vs_different(spark):
+    """Same recording re-encoded (amplitude scaled + light noise)
+    matches with one consistent offset; different recordings don't."""
+    from malstrom_spark.functions import multimodal as mm
+
+    a = _tone_wav([440, 1200, 2333], amp=0.7)
+    a2 = _tone_wav([440, 1200, 2333], amp=0.3, noise=0.01, seed=5)
+    b = _tone_wav([523, 987, 3100], amp=0.7)
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(a2)), (3, bytearray(b)),
+         (4, bytearray(b"not audio"))],
+        "clip_id long, payload binary")
+    fps = mm.audio_fingerprints(df, "payload")
+    assert [f.name for f in fps.schema.fields] == ["clip_id", "t_anchor",
+                                                   "fp"]
+    assert fps.where("clip_id = 4").count() == 0  # quarantined
+    pairs = {(r["id_a"], r["id_b"]): r["n_aligned"]
+             for r in mm.audio_match_pairs(fps, "clip_id",
+                                           min_matches=8).collect()}
+    assert (1, 2) in pairs, pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs, pairs
