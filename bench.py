@@ -166,6 +166,8 @@ HEADLINE = [
     # match pairs (rows-only ops — no oracle, headline wall only)
     "video_frame_phash",
     "audio_fingerprint_pairs",
+    # round-10: SemDeDup (k-means clusters + within-cluster cosine)
+    "embedding_semdedup",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

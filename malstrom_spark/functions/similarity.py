@@ -1008,3 +1008,136 @@ def ivf_topk_partitioned(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------- SemDeDup (round 10)
+
+
+def semdedup_head_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_clusters: int
+) -> list[list[int]]:
+    """Portable centroids: the QUANTIZED vectors of the first
+    `n_clusters` rows by id — no learning, engine-exact, the same
+    deterministic-quantizer pattern as the IVF/PQ gate rows
+    (pq_head_codebooks). Collect is construction-time small."""
+    rows = (
+        df.where(F.col(id_col) < n_clusters)
+        .select(F.col(id_col).alias("_i"),
+                quantize_vec(F.col(vec_col)).alias("_q"))
+        .orderBy("_i")
+        .collect()
+    )
+    if len(rows) < n_clusters:
+        raise ValueError(
+            f"need {n_clusters} head rows with {id_col} < {n_clusters}, "
+            f"got {len(rows)}")
+    return [[int(x) for x in r._q] for r in rows]
+
+
+def semdedup_learned_centroids(
+    df: DataFrame, vec_col: str, dim: int, n_clusters: int,
+    n_iters: int = 4, sample_fraction: float | None = None,
+) -> list[list[int]]:
+    """Learned centroids: full-dim k-means (pq_fit_codebooks with
+    m=1 — one 'subspace' covering the whole vector), quantized to the
+    integer grid so cluster ASSIGNMENT is deterministic and
+    engine-exact while the fit itself uses true float Lloyd."""
+    from .pq import pq_fit_codebooks
+
+    book = pq_fit_codebooks(
+        df, vec_col, dim, m=1, k=n_clusters, n_iters=n_iters,
+        sample_fraction=sample_fraction,
+    )[0]
+    return [[int(round(x * QUANT_SCALE)) for x in c] for c in book]
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    threshold: float = 0.9,
+    max_iters: int = 10,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup by
+    k-means clustering + WITHIN-CLUSTER cosine pruning — the member
+    of the dedup family that catches paraphrases exact/MinHash/
+    SimHash can't see and that all-pairs cosine can't afford. Output:
+    one row per vector — (id, cluster, dist2, group_id, is_keeper).
+    Keeper policy is the paper's: within each duplicate group keep
+    the vector FARTHEST from its cluster centroid (integer sq-L2,
+    ties to the smaller id) — the most 'extreme' representative —
+    unlike the min-id keeper of the other dedup families.
+
+    `centroids` are QUANTIZED integer vectors (semdedup_head_centroids
+    for the oracle-exact gate path, semdedup_learned_centroids for
+    production): assignment is exact integer argmin (ties to the
+    smaller centroid index), so reruns and the SQL oracle agree;
+    the similarity itself stays true float cosine.
+
+    100 TB shape: the centroid table is a broadcast literal (k rows);
+    assignment is one map over the corpus; candidate pairs come from
+    a self-join ON CLUSTER ONLY (the paper's point — choose k so the
+    mean cluster is constant-sized and pair work stays linear);
+    CC is the same alternating-star contraction every dedup family
+    uses; keeper selection is one window over groups. One vector-
+    keyed shuffle (the cluster join), one group window."""
+    spark = df.sparkSession
+    k = len(centroids)
+    if k < 1:
+        raise ValueError("need at least one centroid")
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell long, cq array<bigint>",
+    )
+    q = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("__q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cell"))
+    assigned = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2)
+        .withColumn("__rk", F.row_number().over(w_assign))
+        .where(F.col("__rk") == 1)
+        .select(id_col, "__v", F.col("cell").alias("cluster"),
+                F.col("__d2").alias("dist2"))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "cluster"
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__sim",
+            F.coalesce(cosine(F.col("va"), F.col("vb")), F.lit(-2.0)),
+        )
+        .where(F.col("__sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    from .dedup import dedup_groups
+
+    labels = dedup_groups(
+        pairs, df.select(id_col), id_col, max_iters=max_iters
+    )
+    w_keep = Window.partitionBy("group_id").orderBy(
+        F.desc("dist2"), F.asc(id_col)
+    )
+    return (
+        assigned.join(labels, id_col)
+        .withColumn("__kr", F.row_number().over(w_keep))
+        .select(
+            id_col, "cluster", "dist2", "group_id",
+            (F.col("__kr") == 1).alias("is_keeper"),
+        )
+    )

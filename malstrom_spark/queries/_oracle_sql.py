@@ -623,3 +623,65 @@ def remove_repeated_spans_oracle(window: int = 8, min_docs: int = 2) -> str:
                 THEN coalesce(array_to_string(kept, ' '), '') END AS cleaned
     FROM cut
     """
+
+
+def semdedup_oracle(
+    dim: int = 64, n_clusters: int = 8, threshold: float = 0.5,
+    id_max: int = 600,
+) -> str:
+    """First-principles SemDeDup twin: head-centroid assignment by
+    exact integer sq-L2 (ties to the smaller cell), within-cluster
+    cosine pairs, recursive-CTE reachability for the groups, and the
+    paper's farthest-from-centroid keeper window."""
+    d2 = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT)"
+    )
+    sim = (
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_quant('embedding')} AS q
+      FROM embeddings WHERE vec_id < {id_max}
+    ),
+    cent AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < {n_clusters}),
+    assigned AS (
+      SELECT e.vec_id, e.v, cent.cell, {d2} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {d2}, cent.cell) AS rk
+      FROM e, cent
+    ),
+    corp AS MATERIALIZED (
+      SELECT vec_id, v, cell AS cluster, d2 AS dist2
+      FROM assigned WHERE rk = 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corp a JOIN corp b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {sim} >= {threshold}
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM corp
+      UNION
+      SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.node
+    ),
+    grp AS (SELECT node AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY node),
+    final AS (
+      SELECT c.vec_id, c.cluster, c.dist2, g.group_id,
+             ROW_NUMBER() OVER (PARTITION BY g.group_id
+                                ORDER BY c.dist2 DESC, c.vec_id) AS kr
+      FROM corp c JOIN grp g USING (vec_id)
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           dist2, group_id, kr = 1 AS is_keeper
+    FROM final
+    """

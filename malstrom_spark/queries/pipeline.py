@@ -534,6 +534,33 @@ def embedding_near_dup_cosine(spark, sf_dir):
     )
 
 
+def _semdedup_oracle():
+    from ._oracle_sql import semdedup_oracle
+
+    return semdedup_oracle(dim=64, n_clusters=8, threshold=0.5, id_max=600)
+
+
+@register("embedding_semdedup", oracle=_semdedup_oracle())
+def embedding_semdedup(spark, sf_dir):
+    """SemDeDup (functions/similarity.py semdedup, round 10 — Abbas
+    et al. 2023): semantic dedup by k-means clustering + within-
+    cluster cosine pruning, the published method for catching
+    paraphrase-level duplicates the token-hash families miss, with
+    pair work bounded by cluster size instead of corpus size. Gate
+    form uses the deterministic head-centroid quantizer (the IVF/PQ
+    gate pattern) on a bounded probe set so every stage — integer
+    argmin assignment, cosine pairs, CC groups, and the paper's
+    farthest-from-centroid keeper — is hash-exact against the
+    first-principles SQL replay. Production swaps in
+    semdedup_learned_centroids (float Lloyd, then the same quantized
+    assignment) with the identical dataflow."""
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 600)
+    cents = similarity.semdedup_head_centroids(emb, "vec_id", "embedding", 8)
+    return similarity.semdedup(
+        emb, "vec_id", "embedding", cents, threshold=0.5
+    )
+
+
 @register("dedup_embedding_cosine", oracle=embedding_near_dup_lsh_oracle())
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup at corpus scale: random-hyperplane LSH

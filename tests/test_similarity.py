@@ -546,3 +546,117 @@ def test_centroid_broadcast_cached_per_matrix(spark):
     for i in range(similarity._CENTROID_BC_MAX + 3):
         similarity._centroid_bc(spark, [[float(i + 10), 1.0]])
     assert len(similarity._centroid_bc_cache) <= similarity._CENTROID_BC_MAX
+
+
+# ---------------------------- SemDeDup (round 10)
+def _semdedup_python(vecs, centroids, threshold):
+    """Independent brute-force reference (the oracle replays the same
+    dataflow, so correctness pins against THIS, not just the SQL)."""
+    import numpy as np
+
+    Q = 1 << 20
+    qv = {i: np.round(np.asarray(v) * Q).astype(np.int64)
+          for i, v in vecs.items()}
+    cents = [np.asarray(c, dtype=np.int64) for c in centroids]
+    assign, dist2 = {}, {}
+    for i, q in qv.items():
+        d = [int(((q - c) ** 2).sum()) for c in cents]
+        cell = min(range(len(cents)), key=lambda j: (d[j], j))
+        assign[i], dist2[i] = cell, d[cell]
+    ids = sorted(vecs)
+    adj = {i: {i} for i in ids}
+    for x in ids:
+        for y in ids:
+            if x < y and assign[x] == assign[y]:
+                a, b = np.asarray(vecs[x]), np.asarray(vecs[y])
+                sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                if sim >= threshold:
+                    adj[x].add(y)
+                    adj[y].add(x)
+    group = {}
+    for i in ids:
+        if i in group:
+            continue
+        stack, comp = [i], set()
+        while stack:
+            n = stack.pop()
+            if n in comp:
+                continue
+            comp.add(n)
+            stack.extend(adj[n] - comp)
+        g = min(comp)
+        for n in comp:
+            group[n] = g
+    keeper = {}
+    for g in set(group.values()):
+        members = [i for i in ids if group[i] == g]
+        keeper[g] = max(members, key=lambda i: (dist2[i], -i))
+    return {
+        i: (assign[i], dist2[i], group[i], i == keeper[group[i]])
+        for i in ids
+    }
+
+
+def test_semdedup_matches_python_reference(spark):
+    import numpy as np
+    from malstrom_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(3)
+    # 3 anchor directions; members = anchor + small noise -> dup groups
+    anchors = [rng.normal(0, 1, 8) for _ in range(3)]
+    vecs = {}
+    for i in range(24):
+        base = anchors[i % 3]
+        v = base + rng.normal(0, 0.05 if i < 18 else 2.0, 8)
+        vecs[i] = [float(x) for x in np.round(v / np.linalg.norm(v), 6)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    cents = sim.semdedup_head_centroids(df, "vec_id", "embedding", 4)
+    got = {r["vec_id"]: (r["cluster"], r["dist2"], r["group_id"],
+                         r["is_keeper"])
+           for r in sim.semdedup(df, "vec_id", "embedding", cents,
+                                 threshold=0.9).collect()}
+    want = _semdedup_python(vecs, cents, 0.9)
+    assert got == want
+    # sanity: dup groups exist and keepers are unique per group
+    groups = {}
+    for i, (_, _, g, k) in got.items():
+        groups.setdefault(g, []).append((i, k))
+    assert any(len(m) > 1 for m in groups.values())
+    for g, members in groups.items():
+        assert sum(1 for _, k in members if k) == 1
+
+
+def test_semdedup_learned_centroids_same_dataflow(spark):
+    """The production path: float Lloyd centroids, quantized, through
+    the identical operator — output still matches the brute force
+    run with THOSE centroids."""
+    import numpy as np
+    from malstrom_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(9)
+    vecs = {i: [float(x) for x in np.round(rng.normal(0, 1, 8), 6)]
+            for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    cents = sim.semdedup_learned_centroids(df, "embedding", 8, 4, n_iters=3)
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+    got = {r["vec_id"]: (r["cluster"], r["dist2"], r["group_id"],
+                         r["is_keeper"])
+           for r in sim.semdedup(df, "vec_id", "embedding", cents,
+                                 threshold=0.95).collect()}
+    assert got == _semdedup_python(vecs, cents, 0.95)
+
+
+def test_semdedup_validation(spark):
+    import pytest
+    from malstrom_spark.functions import similarity as sim
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="centroid"):
+        sim.semdedup(df, "vec_id", "embedding", [], threshold=0.9)
+    with pytest.raises(ValueError, match="head rows"):
+        sim.semdedup_head_centroids(df, "vec_id", "embedding", 5)
