@@ -1051,6 +1051,96 @@ def semdedup_learned_centroids(
     return [[int(round(x * QUANT_SCALE)) for x in c] for c in book]
 
 
+def _assign_cells_int(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """Exact-INTEGER nearest-centroid assignment with zero shuffle:
+    (id, __v float vector, cluster, dist2) where cluster is the
+    argmin of squared L2 between the QUANTIZED vector and the integer
+    centroids (first-min tie-break = smaller cell index) and dist2 is
+    that minimum. Same two-engine dispatch as with_nearest_list —
+    literal expressions inside whole-stage codegen for small
+    quantizers, one Arrow pandas_udf against a broadcast int64 matrix
+    above IVF_LITERAL_MAX_NODES. The Arrow path scores the
+    JVM-QUANTIZED array (not the raw floats), so quantization is
+    engine-identical by construction and int64 math is exact
+    ((q-c)^2 <= 2^42 per dim at QUANT_SCALE for unit-range inputs —
+    no overflow headroom issue at any realistic dim). A null vector
+    assigns null cluster/dist2 on both paths."""
+    k, dim = len(centroids), len(centroids[0])
+    q = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    )
+    if use_arrow is None:
+        use_arrow = k * dim > IVF_LITERAL_MAX_NODES
+    if not use_arrow:
+        dists = []
+        for c in centroids:
+            lit_c = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            dists.append(
+                F.aggregate(
+                    F.zip_with("__q", lit_c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            )
+        darr = F.array(*dists)
+        return (
+            q.withColumn("__d", darr)
+            .select(
+                id_col,
+                "__v",
+                (F.array_position("__d", F.array_min("__d")) - 1)
+                .cast("long").alias("cluster"),
+                F.array_min("__d").alias("dist2"),
+            )
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)
+    bc = content_keyed_broadcast(
+        df.sparkSession, "semdedup-centroids", C,
+        lambda C: (C, (C * C).sum(axis=1)),
+    )
+
+    @F.pandas_udf("struct<cluster:long,dist2:long>")
+    def assign(qv: pd.Series) -> pd.DataFrame:
+        Cm, cn2 = bc.value
+        # ||q||^2 - 2 q.C^T + ||c||^2 == sum((q-c)^2), exact int64;
+        # np.argmin is first-min, matching array_position's tie-break
+        cell: list = [None] * len(qv)
+        d2: list = [None] * len(qv)
+        mask = qv.notna().to_numpy()
+        if mask.any():
+            Q = np.stack([np.asarray(x, dtype=np.int64) for x in qv[mask]])
+            d = ((Q * Q).sum(axis=1)[:, None]
+                 - 2 * (Q @ Cm.T) + cn2[None, :])
+            ids = np.argmin(d, axis=1)
+            mins = d[np.arange(len(ids)), ids]
+            for pos, lid, dv in zip(np.nonzero(mask)[0], ids, mins):
+                cell[pos] = int(lid)
+                d2[pos] = int(dv)
+        return pd.DataFrame(
+            {"cluster": pd.array(cell, dtype="Int64"),
+             "dist2": pd.array(d2, dtype="Int64")}
+        )
+
+    return (
+        q.withColumn("__a", assign(F.col("__q")))
+        .select(id_col, "__v",
+                F.col("__a.cluster").alias("cluster"),
+                F.col("__a.dist2").alias("dist2"))
+    )
+
+
 def semdedup(
     df: DataFrame,
     id_col: str,
@@ -1075,40 +1165,20 @@ def semdedup(
     smaller centroid index), so reruns and the SQL oracle agree;
     the similarity itself stays true float cosine.
 
-    100 TB shape: the centroid table is a broadcast literal (k rows);
-    assignment is one map over the corpus; candidate pairs come from
-    a self-join ON CLUSTER ONLY (the paper's point — choose k so the
-    mean cluster is constant-sized and pair work stays linear);
+    100 TB shape: assignment is a SHUFFLE-FREE projection over the
+    corpus (the centroid matrix is inlined as literal expressions for
+    small quantizers, one Arrow pandas_udf against a broadcast numpy
+    matrix above IVF_LITERAL_MAX_NODES — the with_nearest_list
+    dispatch, exact-integer on both engines); candidate pairs come
+    from a self-join ON CLUSTER ONLY (the paper's point — choose k so
+    the mean cluster is constant-sized and pair work stays linear);
     CC is the same alternating-star contraction every dedup family
     uses; keeper selection is one window over groups. One vector-
     keyed shuffle (the cluster join), one group window."""
-    spark = df.sparkSession
     k = len(centroids)
     if k < 1:
         raise ValueError("need at least one centroid")
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "cell long, cq array<bigint>",
-    )
-    q = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        quantize_vec(F.col(vec_col)).alias("__q"),
-    )
-    d2 = F.aggregate(
-        F.zip_with("__q", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w_assign = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cell"))
-    assigned = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("__d2", d2)
-        .withColumn("__rk", F.row_number().over(w_assign))
-        .where(F.col("__rk") == 1)
-        .select(id_col, "__v", F.col("cell").alias("cluster"),
-                F.col("__d2").alias("dist2"))
-    )
+    assigned = _assign_cells_int(df, id_col, vec_col, centroids)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "cluster"
     )

@@ -660,3 +660,38 @@ def test_semdedup_validation(spark):
         sim.semdedup(df, "vec_id", "embedding", [], threshold=0.9)
     with pytest.raises(ValueError, match="head rows"):
         sim.semdedup_head_centroids(df, "vec_id", "embedding", 5)
+
+
+def test_semdedup_assign_arrow_matches_literal(spark):
+    """The two _assign_cells_int engines (literal codegen vs Arrow
+    broadcast matmul) are value-identical — cluster, dist2, and null
+    propagation. The Arrow path scores the JVM-quantized array, so
+    quantization cannot diverge by construction; this pins the
+    argmin/tie-break/None handling."""
+    import numpy as np
+    from malstrom_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in np.round(rng.normal(0, 1, 8), 6)])
+            for i in range(30)]
+    rows.append((30, None))  # null vector: null cluster/dist2 both paths
+    # an exact-tie row: equidistant from centroids 0 and 1 by symmetry
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.semdedup_head_centroids(
+        df.where("embedding is not null"), "vec_id", "embedding", 4)
+    lit = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in
+           sim._assign_cells_int(df, "vec_id", "embedding", cents,
+                                 use_arrow=False).collect()}
+    arw = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in
+           sim._assign_cells_int(df, "vec_id", "embedding", cents,
+                                 use_arrow=True).collect()}
+    assert lit == arw
+    assert lit[30] == (None, None)
+    # tie-break: a vector EQUAL to centroid 2's quantized value picks 2
+    tie = spark.createDataFrame(
+        [(0, [x / sim.QUANT_SCALE for x in cents[2]])],
+        "vec_id long, embedding array<double>")
+    for ua in (False, True):
+        r = sim._assign_cells_int(tie, "vec_id", "embedding", cents,
+                                  use_arrow=ua).collect()[0]
+        assert (r["cluster"], r["dist2"]) == (2, 0)
