@@ -1689,6 +1689,7 @@ def audio_match_pairs(
     fingerprints: DataFrame,
     id_col: str,
     min_matches: int = 8,
+    max_fp_freq: int | None = 1024,
 ) -> DataFrame:
     """Audio near-dup pairs from a fingerprint table: candidates from
     an fp equi-join (never all-pairs — the LSH-bucket discipline),
@@ -1697,9 +1698,27 @@ def audio_match_pairs(
     (id_a, id_b, n_aligned) for pairs whose best offset has >=
     min_matches aligned landmarks.
 
-    Shape: one self-join on fp (hash-distributed, uniform keys), one
-    (pair, offset) count, one per-pair max — all map-side
-    combinable."""
+    ``max_fp_freq`` (default ON, the minhash max_bucket_size
+    discipline): fp values shared by more than this many landmark
+    rows are DROPPED before the self-join — a stop-fp. A hash shared
+    by a corpus-wide fraction of clips (a common tone pattern,
+    silence-adjacent peaks) contributes quadratic join fanout and ~no
+    discrimination (true copies align on their many RARE hashes).
+    The count is one map-side-combinable groupBy; None disables.
+
+    Shape: one self-join on fp (hash-distributed; skew bounded by the
+    stop-fp cap), one (pair, offset) count, one per-pair max — all
+    map-side combinable."""
+    if max_fp_freq is not None:
+        hot = (
+            fingerprints.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_fp_freq)
+            .select("fp")
+        )
+        fingerprints = fingerprints.join(
+            F.broadcast(hot), "fp", "left_anti"
+        )
     a = fingerprints.select(
         F.col(id_col).alias("id_a"), F.col("t_anchor").alias("ta"),
         "fp",

@@ -779,3 +779,29 @@ def test_audio_match_pairs_same_vs_different(spark):
                                            min_matches=8).collect()}
     assert (1, 2) in pairs, pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs, pairs
+
+
+def test_audio_match_pairs_stop_fp_cap(spark):
+    """max_fp_freq drops corpus-wide hot hashes before the self-join
+    (skew guard): a pair whose only shared hashes are hotter than the
+    cap stops matching; None disables and restores it."""
+    from malstrom_spark.functions import multimodal as mm
+
+    # 40 rows of ONE fp shared by two ids at a consistent offset:
+    # matches with the cap off, dies under cap=16 (fp freq 40 > 16)
+    rows = [(1, t, 777) for t in range(20)] + \
+           [(2, t + 3, 777) for t in range(20)]
+    fps = spark.createDataFrame(rows, "doc_id long, t_anchor int, fp long")
+    uncapped = mm.audio_match_pairs(fps, "doc_id", min_matches=8,
+                                    max_fp_freq=None).collect()
+    assert [(r.id_a, r.id_b) for r in uncapped] == [(1, 2)]
+    capped = mm.audio_match_pairs(fps, "doc_id", min_matches=8,
+                                  max_fp_freq=16).collect()
+    assert capped == []
+    # rare hashes are untouched: distinct fps, freq 2 each, survive
+    rare = [(1, t, 1000 + t) for t in range(10)] + \
+           [(2, t + 5, 1000 + t) for t in range(10)]
+    fps2 = spark.createDataFrame(rare, "doc_id long, t_anchor int, fp long")
+    got = mm.audio_match_pairs(fps2, "doc_id", min_matches=8,
+                               max_fp_freq=16).collect()
+    assert [(r.id_a, r.id_b, r.n_aligned) for r in got] == [(1, 2, 10)]
