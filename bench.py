@@ -168,6 +168,9 @@ HEADLINE = [
     "audio_fingerprint_pairs",
     # round-10: SemDeDup (k-means clusters + within-cluster cosine)
     "embedding_semdedup",
+    # round-10: sitemap discovery (gunzip + XML/text parse + host rule
+    # in one Arrow mapInPandas over the payload scan)
+    "doc_sitemap_discovery",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

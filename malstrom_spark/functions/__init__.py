@@ -1,5 +1,6 @@
-from . import corpus, dedup, html, multimodal, robots, similarity, text
+from . import corpus, dedup, html, multimodal, robots, similarity, sitemap, text
 
 __all__ = [
-    "corpus", "dedup", "html", "multimodal", "robots", "similarity", "text",
+    "corpus", "dedup", "html", "multimodal", "robots", "similarity",
+    "sitemap", "text",
 ]

@@ -1,0 +1,236 @@
+"""Sitemap (sitemaps.org protocol, public) parsing for crawl URL
+discovery.
+
+Completes the crawl-discovery front-end: robots.txt
+(functions/robots.py) declares per-host `Sitemap:` URLs; each sitemap
+payload is an XML `<urlset>` (page URLs + lastmod/changefreq/
+priority), an XML `<sitemapindex>` (pointers to child sitemaps), or a
+plain-text URL list — any of them optionally gzipped. This module
+parses all of those shapes stdlib-only (zlib + xml.etree on bounded
+input) and explodes payloads into URL rows at scan parallelism — the
+discovery twin of sources/warc.py's fetch path. Output rows feed
+functions/crawl.py crawl_frontier (index rows re-enter the fetch
+queue; urlset rows are frontier candidates).
+
+Untrusted-input contract (same as warc/html): one adversarial or
+malformed sitemap must never fail the job — bad payloads emit zero
+rows; decompressed size and entry count are capped (the spec's own
+50 MB / 50,000-URL limits), so a gzip bomb or an unbounded generated
+file costs one truncated parse, not an executor OOM.
+
+No reference analog (the reference is a dataflow kernel; this is
+north-star crawl-pipeline capability like functions/robots.py)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+from urllib.parse import urlsplit
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The protocol's own limits (sitemaps.org): a sitemap file may hold at
+# most 50,000 URLs and 50 MB uncompressed. Enforcing them doubles as
+# the adversarial-input bound.
+SITEMAP_MAX_ENTRIES = 50_000
+SITEMAP_MAX_BYTES = 50 * 1024 * 1024
+
+
+def robots_sitemap_urls(content: str) -> list[str]:
+    """The `Sitemap:` URLs declared in a robots.txt body — RFC 9309
+    treats them as non-group records, so they are collected from
+    anywhere in the file (case-insensitive key, order kept, duplicates
+    dropped). Only absolute http(s) URLs qualify (the protocol
+    requires absolute locations)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        url = val.strip()
+        if urlsplit(url).scheme in ("http", "https") and url not in seen:
+            seen.add(url)
+            out.append(url)
+    return out
+
+
+def _gunzip_bounded(payload: bytes, max_bytes: int) -> bytes:
+    """Gzip-decompress with a hard output cap: a bomb yields a loud
+    ValueError (callers quarantine), never an OOM."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    out = d.decompress(payload, max_bytes + 1)
+    if len(out) > max_bytes:
+        raise ValueError("gzipped sitemap exceeds the 50 MB protocol cap")
+    return out
+
+
+def _local(tag: str) -> str:
+    """XML tag without its namespace ('{ns}loc' -> 'loc')."""
+    return tag.rpartition("}")[2]
+
+
+def parse_sitemap_bytes(
+    payload: bytes,
+    max_entries: int = SITEMAP_MAX_ENTRIES,
+) -> tuple[str, list[tuple[str, str | None, str | None, float | None]]]:
+    """(kind, [(loc, lastmod, changefreq, priority)]) for one sitemap
+    payload. kind is 'urlset' (page URLs), 'index' (child-sitemap
+    URLs — changefreq/priority always None), or 'text' (the plain-text
+    form — one URL per line, no metadata). Gzip is sniffed by magic.
+    Raises ValueError on anything unparsable; entries beyond
+    `max_entries` are truncated (the spec forbids them; an adversarial
+    file must not expand further). Locations must be absolute http(s)
+    URLs — others are dropped; an invalid priority parses to None."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_bounded(payload, SITEMAP_MAX_BYTES)
+    if len(payload) > SITEMAP_MAX_BYTES:
+        raise ValueError("sitemap exceeds the 50 MB protocol cap")
+    text = payload.decode("utf-8", errors="replace")
+    stripped = text.lstrip("﻿ \t\r\n")
+    if not stripped:
+        raise ValueError("empty sitemap payload")
+
+    def ok_loc(u: str) -> bool:
+        return urlsplit(u).scheme in ("http", "https")
+
+    if not stripped.startswith("<"):
+        # plain-text form: every non-blank line is a URL
+        entries = []
+        for line in stripped.splitlines():
+            u = line.strip()
+            if u and ok_loc(u):
+                entries.append((u, None, None, None))
+            if len(entries) >= max_entries:
+                break
+        if not entries:
+            raise ValueError("no URLs in plain-text sitemap")
+        return "text", entries
+
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(stripped)
+    except ET.ParseError as e:
+        raise ValueError(f"malformed sitemap XML: {e}") from e
+    kind = _local(root.tag)
+    if kind == "urlset":
+        child_tag, out_kind = "url", "urlset"
+    elif kind == "sitemapindex":
+        child_tag, out_kind = "sitemap", "index"
+    else:
+        raise ValueError(f"not a sitemap root element: {kind!r}")
+    entries = []
+    for el in root:
+        if _local(el.tag) != child_tag:
+            continue
+        loc = lastmod = changefreq = None
+        priority = None
+        for f in el:
+            name = _local(f.tag)
+            val = (f.text or "").strip()
+            if name == "loc":
+                loc = val
+            elif name == "lastmod":
+                lastmod = val or None
+            elif name == "changefreq" and out_kind == "urlset":
+                changefreq = val.lower() or None
+            elif name == "priority" and out_kind == "urlset":
+                try:
+                    priority = float(val)
+                except ValueError:
+                    priority = None
+        if loc and ok_loc(loc):
+            entries.append((loc, lastmod, changefreq, priority))
+        if len(entries) >= max_entries:
+            break
+    return out_kind, entries
+
+
+def sitemap_entries(
+    df: DataFrame,
+    payload_col: str = "payload",
+    sitemap_url_col: str | None = None,
+    enforce_host: bool = True,
+    max_entries: int = SITEMAP_MAX_ENTRIES,
+) -> DataFrame:
+    """Explode sitemap payloads into URL rows: passthrough columns
+    (minus the payload) + (kind string, loc string, lastmod string,
+    changefreq string, priority double). An unparsable payload emits
+    ZERO rows (the one-bad-page contract); `kind` distinguishes
+    frontier candidates ('urlset'/'text') from child sitemaps
+    ('index') so callers can route index rows back into the fetch
+    queue and urlset rows into crawl_frontier.
+
+    With `enforce_host` (default ON) and `sitemap_url_col` given, locs
+    whose host differs from the sitemap's own host are DROPPED — the
+    protocol's cross-submission rule, which otherwise lets any crawled
+    page inject frontier URLs for arbitrary hosts.
+
+    100 TB shape: one Arrow-batched mapInPandas over the payload scan
+    — zero shuffle, zero Python outside the batch iterator; parse cost
+    is bounded by the spec's own 50 MB / 50k-entry caps per payload."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        list(keep)
+        + [
+            StructField("kind", StringType()),
+            StructField("loc", StringType()),
+            StructField("lastmod", StringType()),
+            StructField("changefreq", StringType()),
+            StructField("priority", DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rep, kinds, locs, mods, freqs, prios = [], [], [], [], [], []
+            urls = (
+                pdf[sitemap_url_col]
+                if sitemap_url_col is not None
+                else None
+            )
+            for r, payload in enumerate(pdf[payload_col]):
+                try:
+                    kind, entries = parse_sitemap_bytes(
+                        bytes(payload), max_entries=max_entries
+                    )
+                except (ValueError, TypeError):
+                    continue
+                host = None
+                if enforce_host and urls is not None and urls.iloc[r]:
+                    host = urlsplit(str(urls.iloc[r])).hostname
+                for loc, mod, freq, prio in entries:
+                    if host is not None and urlsplit(loc).hostname != host:
+                        continue
+                    rep.append(r)
+                    kinds.append(kind)
+                    locs.append(loc)
+                    mods.append(mod)
+                    freqs.append(freq)
+                    prios.append(prio)
+            out = (
+                pdf.drop(columns=[payload_col])
+                .iloc[rep]
+                .reset_index(drop=True)
+            )
+            out["kind"] = kinds
+            out["loc"] = locs
+            out["lastmod"] = mods
+            out["changefreq"] = freqs
+            out["priority"] = pd.array(prios, dtype="float64")
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -3422,3 +3422,145 @@ def customer_triangles(spark, sf_dir):
         (F.col("o_orderkey") % 256).alias("dst"),
     )
     return _graph.triangle_count(edges)
+
+
+# ------------------------------------------ sitemap discovery (r10)
+def _seeded_sitemap_batches(it):
+    """Deterministic REAL sitemap payloads, one per doc — the shape
+    picked by doc_id % 5: XML urlset (0), the same gzipped WITH a
+    cross-host injected loc that enforce_host must drop (1),
+    sitemapindex (2), plain-text list (3), malformed XML that the
+    quarantine contract turns into zero rows (4). changefreq is
+    seeded UPPERCASE on every third URL to exercise lowercasing."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    for pdf in it:
+        payloads, urls = [], []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            host = f"https://h{did % 7}.example"
+            m = did % 5
+            if m in (0, 1):
+                items = []
+                for i in range(did % 3 + 1):
+                    freq = ["DAILY", "weekly", "monthly"][i % 3]
+                    items.append(
+                        f"<url><loc>{host}/p{did}/{i}</loc>"
+                        f"<lastmod>2026-01-{did % 28 + 1:02d}</lastmod>"
+                        f"<changefreq>{freq}</changefreq>"
+                        f"<priority>{(did + i) % 10 / 10:.1f}</priority>"
+                        "</url>"
+                    )
+                if m == 1:
+                    items.append(
+                        f"<url><loc>https://evil.example/x{did}</loc></url>"
+                    )
+                body = (
+                    '<?xml version="1.0" encoding="UTF-8"?><urlset '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    + "".join(items) + "</urlset>"
+                ).encode()
+                payloads.append(_gzip.compress(body) if m == 1 else body)
+            elif m == 2:
+                body = (
+                    '<sitemapindex xmlns="http://www.sitemaps.org/'
+                    'schemas/sitemap/0.9">'
+                    + "".join(
+                        f"<sitemap><loc>{host}/sm{did}-{i}.xml.gz</loc>"
+                        + ("<lastmod>2026-02-01</lastmod>" if i == 0 else "")
+                        + "</sitemap>"
+                        for i in range(2)
+                    )
+                    + "</sitemapindex>"
+                ).encode()
+                payloads.append(body)
+            elif m == 3:
+                payloads.append(
+                    f"{host}/t{did}/0\n\n{host}/t{did}/1\n".encode()
+                )
+            else:
+                payloads.append(b"<urlset><url><loc>https://h")
+            urls.append(f"{host}/sitemap.xml")
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "sitemap_url": urls,
+             "payload": payloads}
+        )
+
+
+@register(
+    "doc_sitemap_discovery",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+    us AS (
+      SELECT doc_id,
+             unnest(range(0, doc_id % 3 + 1)) AS i
+      FROM d WHERE doc_id % 5 IN (0, 1)
+    ),
+    u AS (
+      SELECT doc_id, 'urlset' AS kind,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+               || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR) AS loc,
+             '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               AS lastmod,
+             (['daily', 'weekly', 'monthly'])[(i % 3) + 1] AS changefreq,
+             CAST((doc_id + i) % 10 AS DOUBLE) / 10 AS priority
+      FROM us
+    ),
+    idx AS (
+      SELECT doc_id, 'index' AS kind,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/sm'
+               || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+               || '.xml.gz' AS loc,
+             CASE WHEN i = 0 THEN '2026-02-01' END AS lastmod,
+             CAST(NULL AS VARCHAR) AS changefreq,
+             CAST(NULL AS DOUBLE) AS priority
+      FROM (SELECT doc_id, unnest([0, 1]) AS i FROM d WHERE doc_id % 5 = 2)
+    ),
+    txt AS (
+      SELECT doc_id, 'text' AS kind,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/t'
+               || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR) AS loc,
+             CAST(NULL AS VARCHAR) AS lastmod,
+             CAST(NULL AS VARCHAR) AS changefreq,
+             CAST(NULL AS DOUBLE) AS priority
+      FROM (SELECT doc_id, unnest([0, 1]) AS i FROM d WHERE doc_id % 5 = 3)
+    )
+    SELECT * FROM u
+    UNION ALL SELECT * FROM idx
+    UNION ALL SELECT * FROM txt
+    """,
+)
+def doc_sitemap_discovery(spark, sf_dir):
+    """Sitemap URL discovery (functions/sitemap.py, round 10 — the
+    sitemaps.org protocol): seeded payloads covering every protocol
+    shape — XML urlset, gzipped urlset with a cross-host injected loc
+    (the cross-submission rule must drop it), sitemapindex, the
+    plain-text form, and a malformed file the quarantine contract
+    turns into zero rows — exploded by one Arrow mapInPandas into
+    (kind, loc, lastmod, changefreq, priority) frontier rows. The
+    oracle states every expected row generatively; the Spark side
+    must gunzip, parse, enforce the host rule, lowercase changefreq,
+    and quarantine correctly to hash-match. Completes the crawl
+    front-end: robots_sitemap_urls pulls these URLs out of
+    robots.txt, this row turns fetched payloads into crawl_frontier
+    candidates."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from ..functions import sitemap as _sm
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("sitemap_url", StringType()),
+        StructField("payload", BinaryType()),
+    ])
+    seeded = docs.mapInPandas(_seeded_sitemap_batches, schema)
+    return _sm.sitemap_entries(
+        seeded, "payload", sitemap_url_col="sitemap_url"
+    ).drop("sitemap_url")
