@@ -171,6 +171,8 @@ HEADLINE = [
     # round-10: sitemap discovery (gunzip + XML/text parse + host rule
     # in one Arrow mapInPandas over the payload scan)
     "doc_sitemap_discovery",
+    # round-10: leakage-safe split (two hash projections, zero shuffle)
+    "doc_leakage_safe_split",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

@@ -126,6 +126,61 @@ def pack_sequences(
     )
 
 
+# --------------------------------------------- leakage-safe splits
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    portable: bool = False,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/validation/test assignment: the unit of
+    assignment is the GROUP — a dedup/near-dup cluster id
+    (dedup_groups / semdedup output), a host, an author — never the
+    row. A row-level split lets near-duplicate documents straddle
+    train and eval, which inflates benchmark numbers exactly the way
+    Lee et al. 2021 measured; hashing the group id puts every member
+    of a group in the SAME split by construction.
+
+    split = first name (in sorted-by-name order, so dict order can't
+    change assignments) whose cumulative fraction cutoff exceeds
+    hash(seed, group) mod 1e6. Deterministic, resumable (a re-run or
+    a grown corpus never reassigns an existing group), zero shuffle —
+    one hash and one when-chain. Fractions must sum to 1 (within 1e-9
+    — an accidental 0.8/0.1 split silently dropping 10% of the corpus
+    is the kind of bug that must fail loudly). ``portable=True`` uses
+    the md5-prefix hash so a SQL oracle replays the exact assignment;
+    xxhash64 otherwise (the scale path)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"fractions must sum to 1 (got {total!r}); an implicit "
+            "remainder would silently drop rows")
+    if portable:
+        h = md5_prefix_hash(
+            F.concat_ws("\x1f", F.lit(str(seed)),
+                        F.col(group_col).cast("string")))
+    else:
+        h = F.xxhash64(F.lit(str(seed)), F.col(group_col).cast("string"))
+    u = F.pmod(h, F.lit(1_000_000))
+    expr = None
+    cum = 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cut = int(round(cum * 1_000_000))
+        branch = F.when(u < cut, F.lit(name))
+        expr = branch if expr is None else expr.when(u < cut, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
 # --------------------------------------------- stratified sampling
 
 

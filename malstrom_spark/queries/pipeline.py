@@ -3564,3 +3564,52 @@ def doc_sitemap_discovery(spark, sf_dir):
     return _sm.sitemap_entries(
         seeded, "payload", sitemap_url_col="sitemap_url"
     ).drop("sitemap_url")
+
+
+# ------------------------------------- leakage-safe split (r10)
+@register(
+    "doc_leakage_safe_split",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             COALESCE(('0x' || substr(md5(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g')), 1, 15))::BIGINT, 0) AS group_id
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, group_id,
+             COALESCE(('0x' || substr(md5('7' || chr(31)
+               || CAST(group_id AS VARCHAR)), 1, 15))::BIGINT, 0)
+               % 1000000 AS u
+      FROM g
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN u < 100000 THEN 'test'
+                WHEN u < 900000 THEN 'train'
+                ELSE 'validation' END AS split
+    FROM a
+    """,
+)
+def doc_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (functions/corpus.py
+    split_by_group, round 10): the assignment unit is the exact-dup
+    GROUP (md5 of whitespace/case-normalized text), so duplicate
+    documents can never straddle train and eval — the contamination
+    channel Lee et al. 2021 measured in row-level splits. Zero
+    shuffle end to end: group id and split are two hash projections.
+    The oracle replays both hashes and the cumulative cutoffs in SQL
+    — assignment is engine-exact, and every duplicate pair lands in
+    one split by construction (group_id is the only hash input)."""
+    from ..functions.corpus import split_by_group
+    from ..functions.dedup import md5_prefix_hash
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    grouped = docs.select(
+        "doc_id", md5_prefix_hash(norm).alias("group_id")
+    )
+    return split_by_group(
+        grouped, "group_id",
+        {"train": 0.8, "validation": 0.1, "test": 0.1},
+        seed=7, portable=True,
+    )

@@ -707,3 +707,44 @@ def test_dsir_resample_deterministic_and_target_seeking(spark):
     assert n_clean >= 6, picked
     # ranks are 1..n and keys deterministic
     assert sorted(r["rank"] for r in sel1) == list(range(1, 9))
+
+
+def test_split_by_group_leakage_safe(spark):
+    """Every member of a group gets the SAME split (the leakage
+    guard), assignments are deterministic across engines
+    (portable == rerun), fractions are validated, and proportions
+    land near the requested mix."""
+    import pytest as _pytest
+
+    from malstrom_spark.functions.corpus import split_by_group
+
+    rows = [(i, i % 97) for i in range(2000)]  # ~20 rows per group
+    df = spark.createDataFrame(rows, "doc_id long, group_id long")
+    frac = {"train": 0.8, "validation": 0.1, "test": 0.1}
+    out = split_by_group(df, "group_id", frac, seed=3).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())  # no straddling
+    # proportions over GROUPS approach the mix (97 groups, +-20%)
+    from collections import Counter
+
+    got = Counter(next(iter(s)) for s in by_group.values())
+    assert got["train"] > 60 and got["validation"] >= 3 and got["test"] >= 3
+    # deterministic: rerun and portable path agree with themselves
+    again = split_by_group(df, "group_id", frac, seed=3).collect()
+    assert sorted((r.doc_id, r.split) for r in out) == \
+        sorted((r.doc_id, r.split) for r in again)
+    # a different seed moves groups between splits (not a constant fn)
+    other = split_by_group(df, "group_id", frac, seed=4).collect()
+    assert sorted((r.doc_id, r.split) for r in out) != \
+        sorted((r.doc_id, r.split) for r in other)
+    # fractions must cover the space exactly
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_by_group(df, "group_id", {"train": 0.8, "test": 0.1})
+    with _pytest.raises(ValueError, match="non-empty"):
+        split_by_group(df, "group_id", {})
+    # zero shuffle
+    plan = split_by_group(df, "group_id", frac)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
