@@ -133,6 +133,45 @@ def main(spark, tmp_dir="/tmp/malstrom_example_crawl"):
     fetchable = {r["href"] for r in frontier.where("fetchable").collect()}
     assert fetchable == {"https://html.example.org/about"}, fetchable
 
+    # sitemap discovery: the same robots.txt declares the host's
+    # sitemap; its (gzipped) urlset explodes into frontier candidates,
+    # and a cross-host injected loc is dropped by the protocol's
+    # cross-submission rule — links found by crawling and URLs
+    # declared by the site enter one frontier
+    from malstrom_spark.functions.sitemap import (
+        robots_sitemap_urls,
+        sitemap_entries,
+    )
+
+    friend_robots = (
+        "User-agent: *\nDisallow: /p/\n"
+        "Sitemap: https://blog.paper.co.uk/sitemap.xml.gz\n"
+    )
+    sm_urls = robots_sitemap_urls(friend_robots)
+    assert sm_urls == ["https://blog.paper.co.uk/sitemap.xml.gz"]
+    sitemap_xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://blog.paper.co.uk/archive</loc>"
+        "<lastmod>2026-03-01</lastmod></url>"
+        "<url><loc>https://blog.paper.co.uk/feed</loc></url>"
+        "<url><loc>https://evil.example/injected</loc></url>"
+        "</urlset>"
+    ).encode()
+    sm_df = spark.createDataFrame(
+        [(sm_urls[0], gzip.compress(sitemap_xml))],
+        "sitemap_url string, payload binary",
+    )
+    discovered = {
+        r.loc
+        for r in sitemap_entries(
+            sm_df, "payload", sitemap_url_col="sitemap_url"
+        ).collect()
+    }
+    assert discovered == {
+        "https://blog.paper.co.uk/archive",
+        "https://blog.paper.co.uk/feed",
+    }, discovered
+
     docs = wet_text(records).select(
         "record_id",
         "text",
@@ -167,6 +206,7 @@ def main(spark, tmp_dir="/tmp/malstrom_example_crawl"):
         "records": 8,
         "html_pages": 1,
         "quarantined": n_err,
+        "sitemap_discovered": len(discovered),
         "after_url_dedup": 5,
         "after_domain_cap": 4,
         "kept_by_classifier": len(kept),
