@@ -36,6 +36,39 @@ from .url import registrable_domain, url_host, url_normalize
 _ORD_BITS = 2**31
 
 
+def delay_host_budgets(
+    robots_by_host: dict[str, str],
+    window_seconds: float,
+    user_agent: str = "*",
+    max_budget: int | None = None,
+) -> dict[str, int]:
+    """{host -> fetch budget} from the Crawl-delay directives in a
+    {host -> robots.txt} dict: a host declaring delay d gets
+    floor(window_seconds / d) fetches per window (0 = excluded this
+    window — a delay longer than the window means the host gets its
+    one fetch on a later cycle), clamped to `max_budget`. Hosts
+    declaring no delay are omitted (they take the frontier's default
+    budget). Driver-side and tiny by the same argument as the robots
+    dict itself; feed the result to crawl_frontier's
+    host_budget_overrides."""
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    from .robots import crawl_delay
+
+    out: dict[str, int] = {}
+    for host, content in robots_by_host.items():
+        d = crawl_delay(content, user_agent)
+        if d is None:
+            continue
+        budget = int(window_seconds // d) if d > 0 else (
+            max_budget if max_budget is not None else _ORD_BITS
+        )
+        if max_budget is not None:
+            budget = min(budget, max_budget)
+        out[host] = budget
+    return out
+
+
 def crawl_frontier(
     new_links: DataFrame,
     fetched_history: DataFrame | None = None,
@@ -45,6 +78,7 @@ def crawl_frontier(
     url_col: str = "url",
     portable: bool = False,
     skew_safe: bool = False,
+    host_budget_overrides: dict[str, int] | None = None,
 ) -> DataFrame:
     """The fetchable frontier from a batch of candidate links.
     Output: (url, host, domain) — one row per NORMALIZED URL that is
@@ -66,9 +100,28 @@ def crawl_frontier(
     engines compute (oracle rows); `skew_safe=True` swaps the budget
     window for the histogram-threshold cap (mega-host frontiers —
     output pinned identical to the plain form by the cap_per_key
-    contracts)."""
+    contracts).
+
+    `host_budget_overrides` ({host -> budget}, typically
+    delay_host_budgets' output from the hosts' Crawl-delay
+    directives) tightens the cap per host: an overridden host keeps
+    at most min(override, per_host_budget) URLs; budget 0 excludes
+    the host from this batch entirely. The override map rides as a
+    literal when-chain next to the same rank window — no extra
+    shuffle or join (the map is robots-table-sized: tiny). Not
+    combinable with skew_safe (the histogram cap has one global
+    threshold); overridden frontiers use the plain window."""
     if per_host_budget is not None and per_host_budget < 1:
         raise ValueError("per_host_budget must be >= 1 (or None)")
+    if host_budget_overrides:
+        if per_host_budget is None:
+            raise ValueError(
+                "host_budget_overrides requires a default per_host_budget")
+        if skew_safe:
+            raise ValueError(
+                "host_budget_overrides is not combinable with skew_safe")
+        if any(b < 0 for b in host_budget_overrides.values()):
+            raise ValueError("host budgets must be >= 0")
     norm = url_normalize(F.col(url_col))
     cand = (
         new_links.where(F.col(url_col).isNotNull())
@@ -110,6 +163,20 @@ def crawl_frontier(
         capped = cap_per_key_skew_safe(
             ordered, ["host"], per_host_budget,
             order_col="__ord", id_col="url", lo=0, hi=_ORD_BITS,
+        )
+    elif host_budget_overrides:
+        from pyspark.sql import Window
+
+        budget = F.lit(per_host_budget)
+        for host, b in sorted(host_budget_overrides.items()):
+            budget = F.when(
+                F.col("host") == host, F.lit(min(b, per_host_budget))
+            ).otherwise(budget)
+        w = Window.partitionBy("host").orderBy(F.col("__ord"), F.col("url"))
+        capped = (
+            ordered.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= budget)
+            .drop("__rn")
         )
     else:
         from .corpus import cap_per_key

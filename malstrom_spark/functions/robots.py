@@ -43,18 +43,22 @@ def _pattern_regex(pattern: str) -> "re.Pattern[str]":
     return re.compile("^" + rx + ("$" if anchored else ""))
 
 
-def parse_robots(
-    content: str, user_agent: str = "*"
-) -> list[tuple[str, bool]]:
-    """[(pattern, allow)] for the group governing `user_agent`.
-    RFC 9309 group selection: most-specific user-agent token match
-    wins; `*` is the fallback; unknown directives are ignored; blank
-    lines and comments separate nothing (groups end at the next
-    user-agent run)."""
-    ua = user_agent.lower()
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+def _scan_groups(
+    content: str,
+) -> list[tuple[list[str], list[tuple[str, bool]], float | None]]:
+    """[(agents, rules, crawl_delay)] — one entry per robots.txt
+    group. Group-run semantics per RFC 9309: only allow/disallow
+    lines end a start-of-group user-agent run; every other directive
+    (Crawl-delay, Sitemap, unknown) is skipped WITHOUT interrupting
+    parsing (§2.2.4), so 'User-agent: a / Crawl-delay: 5 /
+    User-agent: b / Disallow: /' is ONE group governing both agents.
+    Crawl-delay (non-standard but universally honored) attaches to
+    the group it appears in; an unparsable or negative value is
+    ignored; repeated delays keep the LAST (later lines override)."""
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
     in_agents = False
     for raw in content.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -64,8 +68,8 @@ def parse_robots(
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
             if not in_agents and cur_agents:
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], [], None
             cur_agents.append(val.lower())
             in_agents = True
         elif key in ("allow", "disallow"):
@@ -76,38 +80,81 @@ def parse_robots(
                 continue  # empty Disallow = allow-all (no rule)
             if val:
                 cur_rules.append((val, key == "allow"))
-        # crawl-delay/sitemap/other directives: ignored WITHOUT
-        # terminating a start-of-group user-agent run (RFC 9309 §2.2.2:
-        # unrecognized lines are skipped; only real group-member rules
-        # end the run). 'User-agent: a / Sitemap: x / User-agent: b /
-        # Disallow: /' is ONE group governing both a and b — splitting
-        # it would leave agent a allow-all against the site's intent.
+        elif key == "crawl-delay" and cur_agents:
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d >= 0:
+                cur_delay = d
+        # sitemap/other directives: ignored WITHOUT terminating a
+        # start-of-group user-agent run (RFC 9309 §2.2.4: parsing of
+        # other records must not interrupt the group). 'User-agent: a
+        # / Sitemap: x / User-agent: b / Disallow: /' is ONE group
+        # governing both a and b — splitting it would leave agent a
+        # allow-all against the site's intent.
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
+        groups.append((cur_agents, cur_rules, cur_delay))
+    return groups
 
-    # An agent token matches when it is a (case-insensitive) substring
-    # of OUR product token — never the reverse: 'googlebot-images'
-    # must not govern 'googlebot' (its rules are someone else's).
-    # Most-specific (longest) token wins; ALL groups at the winning
-    # specificity merge (concatenated robots files repeat groups —
-    # RFC 9309 says groups governing the same agent combine), and the
-    # '*' fallback likewise merges every '*' group.
-    def match_len(a: str) -> int:
-        return len(a) if a != "*" and a in ua else -1
 
+def _match_len(agent: str, ua: str) -> int:
+    """An agent token matches when it is a (case-insensitive)
+    substring of OUR product token — never the reverse:
+    'googlebot-images' must not govern 'googlebot' (its rules are
+    someone else's). -1 = no match; '*' never matches here (it is
+    the fallback tier, handled by callers)."""
+    return len(agent) if agent != "*" and agent in ua else -1
+
+
+def _matching_groups(groups, user_agent: str):
+    """The groups governing `user_agent`: most-specific (longest)
+    token wins; ALL groups at the winning specificity merge
+    (concatenated robots files repeat groups — RFC 9309 says groups
+    governing the same agent combine); the '*' groups are the
+    fallback tier when nothing specific matches."""
+    ua = user_agent.lower()
     best_len = max(
-        (match_len(a) for agents, _ in groups for a in agents), default=-1
+        (_match_len(a, ua) for agents, _, _ in groups for a in agents),
+        default=-1,
     )
-    merged: list[tuple[str, bool]] = []
     if best_len >= 0:
-        for agents, rules in groups:
-            if any(match_len(a) == best_len for a in agents):
-                merged.extend(rules)
-    else:
-        for agents, rules in groups:
-            if "*" in agents:
-                merged.extend(rules)
+        return [
+            g for g in groups
+            if any(_match_len(a, ua) == best_len for a in g[0])
+        ]
+    return [g for g in groups if "*" in g[0]]
+
+
+def parse_robots(
+    content: str, user_agent: str = "*"
+) -> list[tuple[str, bool]]:
+    """[(pattern, allow)] for the group governing `user_agent`.
+    RFC 9309 group selection: most-specific user-agent token match
+    wins; `*` is the fallback; unknown directives are ignored; blank
+    lines and comments separate nothing (groups end at the next
+    user-agent run)."""
+    merged: list[tuple[str, bool]] = []
+    for _, rules, _ in _matching_groups(_scan_groups(content), user_agent):
+        merged.extend(rules)
     return merged
+
+
+def crawl_delay(content: str, user_agent: str = "*") -> float | None:
+    """The Crawl-delay (seconds) governing `user_agent`, or None if
+    the governing groups declare none. Group selection is IDENTICAL
+    to parse_robots (same scan, same specificity/merge rules — one
+    code path, so the two directives can never disagree about which
+    group governs); when several merged groups declare delays the
+    MAXIMUM wins (the conservative read of a self-contradictory
+    file). Feed the result to functions/crawl.py
+    delay_host_budgets to turn per-host delays into frontier fetch
+    budgets."""
+    delays = [
+        d for _, _, d in _matching_groups(_scan_groups(content), user_agent)
+        if d is not None
+    ]
+    return max(delays) if delays else None
 
 
 def robots_allowed_py(path: str, rules: list[tuple[str, bool]]) -> bool:

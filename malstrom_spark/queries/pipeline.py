@@ -3613,3 +3613,83 @@ def doc_leakage_safe_split(spark, sf_dir):
         {"train": 0.8, "validation": 0.1, "test": 0.1},
         seed=7, portable=True,
     )
+
+
+# -------------------------- crawl frontier w/ crawl-delay budgets
+@register(
+    "crawl_frontier_politeness",
+    oracle="""
+    WITH seeds AS (
+      SELECT DISTINCT
+        'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
+          || CASE WHEN doc_id % 10 = 7 THEN '/private/d' ELSE '/p/d' END
+          || CAST((doc_id // 4) % 50 AS VARCHAR) AS url,
+        'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.com' AS host,
+        'example.com' AS domain,
+        doc_id % 10 = 7 AS priv
+      FROM documents
+    ),
+    fresh AS (
+      SELECT url, host, domain FROM seeds
+      WHERE NOT (host = 'h1.example.com' AND priv)  -- robots disallow
+    ),
+    ordered AS (
+      SELECT url, host, domain,
+             COALESCE(('0x' || substr(md5(url), 1, 15))::BIGINT, 0)
+               % 2147483648 AS o
+      FROM fresh
+    ),
+    r AS (
+      SELECT url, host, domain,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY o, url) AS rn
+      FROM ordered
+    )
+    SELECT url, host, domain FROM r
+    WHERE rn <= CASE host
+                  WHEN 'h0.example.com' THEN 6   -- delay 10 -> 60/10
+                  WHEN 'h2.example.com' THEN 0   -- delay 120 > window
+                  ELSE 25                        -- no delay: default
+                END
+    """,
+)
+def crawl_frontier_politeness(spark, sf_dir):
+    """Crawl-delay-aware frontier (functions/robots.py crawl_delay +
+    functions/crawl.py delay_host_budgets/host_budget_overrides,
+    round 10): the same seeded link batch as crawl_frontier_batch,
+    but per-host fetch budgets now come from the hosts' OWN
+    Crawl-delay directives over a 60 s politeness window — h0
+    declares delay 10 (budget 6), h2 declares delay 120 (longer than
+    the window: budget 0, excluded this batch), h1 keeps its
+    /private/ disallow from the same file, h3 publishes no robots
+    and takes the default 25. The budget map is parsed driver-side
+    from the robots dict and rides as a literal when-chain on the
+    SAME rank window — no extra shuffle; the oracle replays the
+    budgets per host."""
+    from ..functions.crawl import crawl_frontier, delay_host_budgets
+
+    d = F.col("doc_id")
+    m4 = (d % 4).cast("string")
+    pid = (F.expr("doc_id div 4") % 50).cast("string")
+    seg = F.when(d % 10 == 7, F.lit("/private/d")).otherwise(F.lit("/p/d"))
+    docs = table(spark, sf_dir, "documents")
+    links = docs.select(
+        F.concat(
+            F.lit("HTTPS://H"), m4, F.lit(".Example.COM:443"),
+            seg, pid, F.lit("#frag"),
+        ).alias("url")
+    )
+    robots = {
+        "h0.example.com": "User-agent: *\nCrawl-delay: 10\n",
+        "h1.example.com": "User-agent: *\nDisallow: /private/",
+        "h2.example.com": "User-agent: *\nCrawl-delay: 120\n",
+    }
+    return crawl_frontier(
+        links,
+        robots_by_host=robots,
+        user_agent="trainingcrawler",
+        per_host_budget=25,
+        host_budget_overrides=delay_host_budgets(
+            robots, window_seconds=60, user_agent="trainingcrawler"
+        ),
+        portable=True,
+    )

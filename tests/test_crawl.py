@@ -82,3 +82,64 @@ def test_frontier_drops_malformed_authority_urls(spark):
         out = crawl_frontier(links, robots_by_host=robots).collect()
         assert [r["url"] for r in out] == ["https://ok.example/p"], out
         assert all(r["url"] is not None for r in out)
+
+
+def test_delay_host_budgets():
+    import pytest as _pytest
+
+    from malstrom_spark.functions.crawl import delay_host_budgets
+
+    robots = {
+        "slow.example": "User-agent: *\nCrawl-delay: 10\n",
+        "fast.example": "User-agent: *\nCrawl-delay: 0.5\n",
+        "nodelay.example": "User-agent: *\nDisallow: /p\n",
+        "frozen.example": "User-agent: *\nCrawl-delay: 120\n",
+    }
+    got = delay_host_budgets(robots, window_seconds=60, max_budget=50)
+    # 60/10=6; 60/0.5=120 clamped to 50; no delay -> omitted; 60/120=0
+    assert got == {"slow.example": 6, "fast.example": 50,
+                   "frozen.example": 0}
+    with _pytest.raises(ValueError, match="positive"):
+        delay_host_budgets(robots, window_seconds=0)
+
+
+def test_frontier_host_budget_overrides(spark):
+    import pytest as _pytest
+
+    from malstrom_spark.functions.crawl import crawl_frontier
+
+    links = spark.createDataFrame(
+        [(f"https://h{h}.example.com/p{i}",)
+         for h in range(2) for i in range(10)],
+        "url string",
+    )
+    base = crawl_frontier(links, per_host_budget=5)
+    assert {r.host: 5 for r in base.collect()} == {
+        "h0.example.com": 5, "h1.example.com": 5}
+    tight = crawl_frontier(
+        links, per_host_budget=5,
+        host_budget_overrides={"h1.example.com": 2, "h0.example.com": 0},
+    ).collect()
+    by_host = {}
+    for r in tight:
+        by_host[r.host] = by_host.get(r.host, 0) + 1
+    assert by_host == {"h1.example.com": 2}  # h0 excluded, h1 capped
+    # the overridden hosts keep the SAME deterministic prefix of the
+    # hash order the default budget would have chosen
+    kept = {r.url for r in tight}
+    default_order = [r.url for r in base.collect() if r.host == "h1.example.com"]
+    assert kept <= set(default_order)
+    # overrides never RAISE a host above the default budget
+    loose = crawl_frontier(
+        links, per_host_budget=3,
+        host_budget_overrides={"h1.example.com": 99},
+    ).collect()
+    assert sum(1 for r in loose if r.host == "h1.example.com") == 3
+    with _pytest.raises(ValueError, match="default per_host_budget"):
+        crawl_frontier(links, host_budget_overrides={"h": 1})
+    with _pytest.raises(ValueError, match="skew_safe"):
+        crawl_frontier(links, per_host_budget=3, skew_safe=True,
+                       host_budget_overrides={"h": 1})
+    with _pytest.raises(ValueError, match=">= 0"):
+        crawl_frontier(links, per_host_budget=3,
+                       host_budget_overrides={"h": -1})

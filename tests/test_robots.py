@@ -137,3 +137,35 @@ def test_ignored_directive_does_not_split_agent_run():
                 "Crawl-delay: 10\n"
                 "Allow: /x/ok\n")
     assert parse_robots(content2, "c") == [("/x/", False), ("/x/ok", True)]
+
+
+def test_crawl_delay_group_selection_and_merge():
+    from malstrom_spark.functions.robots import crawl_delay
+
+    txt = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: trainingcrawler\nCrawl-delay: 10\nDisallow: /y\n\n"
+        "User-agent: trainingcrawler\nCrawl-delay: 7\nDisallow: /z\n"
+    )
+    # specific groups win over *, merged groups take the MAX delay
+    assert crawl_delay(txt, "trainingcrawler") == 10.0
+    assert crawl_delay(txt, "otherbot") == 2.0
+    # no delay declared anywhere for the governing group
+    assert crawl_delay("User-agent: *\nDisallow: /p\n", "x") is None
+    assert crawl_delay("", "x") is None
+
+
+def test_crawl_delay_mid_run_and_bad_values():
+    from malstrom_spark.functions.robots import crawl_delay, parse_robots
+
+    # RFC 9309 §2.2.4: a crawl-delay between user-agent lines does NOT
+    # interrupt the run — one group governs both agents, delay included
+    txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /q\n"
+    assert crawl_delay(txt, "a") == 5.0
+    assert crawl_delay(txt, "b") == 5.0
+    assert parse_robots(txt, "a") == [("/q", False)]
+    # unparsable / negative values are ignored; later valid wins
+    bad = "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -3\n"
+    assert crawl_delay(bad, "x") is None
+    two = "User-agent: *\nCrawl-delay: 4\nCrawl-delay: 0.5\n"
+    assert crawl_delay(two, "x") == 0.5  # last in-group wins
