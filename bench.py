@@ -173,6 +173,9 @@ HEADLINE = [
     "doc_sitemap_discovery",
     # round-10: leakage-safe split (two hash projections, zero shuffle)
     "doc_leakage_safe_split",
+    # round-10: crawl-delay budgets + per-source datasheet report
+    "crawl_frontier_politeness",
+    "corpus_datasheet",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

@@ -126,6 +126,52 @@ def pack_sequences(
     )
 
 
+# --------------------------------------------- corpus datasheet
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-source data-card metrics in ONE aggregation pass — the
+    summary table a dataset datasheet / mixing decision starts from:
+
+      n_docs            rows
+      n_distinct_texts  COUNT(DISTINCT md5 of whitespace/case-
+                        normalized text) — (n_docs - this) is the
+                        exact-duplicate volume per source
+      total_words /     whitespace tokens (the _tokens_cheap
+      min_words /       definition every dedup/LM op shares, so the
+      max_words         numbers agree with the rest of the pipeline)
+      total_chars       raw length sum
+      n_langs           COUNT(DISTINCT lang) (skipped when lang_col
+                        is None)
+
+    Every aggregate is exact and map-side combinable (COUNT DISTINCT
+    goes through Spark's two-phase expand — no sketch, the counts are
+    datasheet facts, not estimates); one shuffle on source. For
+    billion-doc corpora where exact distinct-text counting is too hot,
+    run the HLL twin (functions/stats.py) — this operator's contract
+    is exactness."""
+    toks = _tokens_cheap(F.col(text_col))
+    fp = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct_texts"),
+        F.sum(F.size(toks)).cast("long").alias("total_words"),
+        F.min(F.size(toks)).cast("long").alias("min_words"),
+        F.max(F.size(toks)).cast("long").alias("max_words"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+    ]
+    if lang_col is not None:
+        aggs.append(F.countDistinct(F.col(lang_col)).alias("n_langs"))
+    return df.groupBy(source_col).agg(*aggs)
+
+
 # --------------------------------------------- leakage-safe splits
 
 

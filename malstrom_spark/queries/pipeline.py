@@ -3693,3 +3693,37 @@ def crawl_frontier_politeness(spark, sf_dir):
         ),
         portable=True,
     )
+
+
+# ------------------------------------------ corpus datasheet (r10)
+@register(
+    "corpus_datasheet",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(regexp_replace(trim(lower(text)),
+             '\\s+', ' ', 'g'))) AS n_distinct_texts,
+           CAST(SUM(len(regexp_split_to_array(trim(lower(text)),
+             '\\s+'))) AS BIGINT) AS total_words,
+           MIN(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+             AS min_words,
+           MAX(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+             AS max_words,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def corpus_datasheet_q(spark, sf_dir):
+    """Per-source datasheet metrics (functions/corpus.py
+    corpus_datasheet, round 10): doc counts, exact distinct-text
+    counts (the per-source exact-dup volume), word totals/extremes on
+    the shared tokenizer, char totals and language counts — the
+    data-card table a mixing decision starts from, in one exact
+    map-side-combinable aggregation pass (one shuffle on source).
+    Every number is exact, so the whole report hash-matches the SQL
+    replay."""
+    from ..functions.corpus import corpus_datasheet
+
+    return corpus_datasheet(table(spark, sf_dir, "documents"))

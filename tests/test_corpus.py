@@ -748,3 +748,26 @@ def test_split_by_group_leakage_safe(spark):
     plan = split_by_group(df, "group_id", frac)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_corpus_datasheet_metrics(spark):
+    from malstrom_spark.functions.corpus import corpus_datasheet
+
+    rows = [
+        (1, "Hello  world", "en", "a"),
+        (2, "hello world", "en", "a"),      # exact dup of 1 (normalized)
+        (3, "one two three four", "fr", "a"),
+        (4, "solo", "en", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r.source: r for r in corpus_datasheet(df).collect()}
+    a = got["a"]
+    assert (a.n_docs, a.n_distinct_texts) == (3, 2)  # dup volume = 1
+    assert (a.total_words, a.min_words, a.max_words) == (8, 2, 4)
+    assert a.total_chars == len("Hello  world") + len("hello world") + len("one two three four")
+    assert a.n_langs == 2
+    b = got["b"]
+    assert (b.n_docs, b.n_distinct_texts, b.total_words, b.n_langs) == (1, 1, 1, 1)
+    # lang_col=None drops the column entirely
+    cols = corpus_datasheet(df, lang_col=None).columns
+    assert "n_langs" not in cols
