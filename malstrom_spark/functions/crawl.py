@@ -35,6 +35,10 @@ from .url import registrable_domain, url_host, url_normalize
 
 _ORD_BITS = 2**31
 
+# Above this many overridden hosts the literal budget map switches to
+# a broadcast join (plan size vs one tiny exchange-free hash join).
+_OVERRIDE_LITERAL_MAX = 1024
+
 
 def delay_host_budgets(
     robots_by_host: dict[str, str],
@@ -106,11 +110,13 @@ def crawl_frontier(
     delay_host_budgets' output from the hosts' Crawl-delay
     directives) tightens the cap per host: an overridden host keeps
     at most min(override, per_host_budget) URLs; budget 0 excludes
-    the host from this batch entirely. The override map rides as a
-    literal when-chain next to the same rank window — no extra
-    shuffle or join (the map is robots-table-sized: tiny). Not
-    combinable with skew_safe (the histogram cap has one global
-    threshold); overridden frontiers use the plain window."""
+    the host from this batch entirely; keys are case-normalized to
+    url_host's lowercase output. The map rides as a literal
+    element_at lookup beside the same rank window (no extra shuffle)
+    up to _OVERRIDE_LITERAL_MAX hosts, then as one broadcast join —
+    plan size stays bounded either way. Not combinable with
+    skew_safe (the histogram cap has one global threshold);
+    overridden frontiers use the plain window."""
     if per_host_budget is not None and per_host_budget < 1:
         raise ValueError("per_host_budget must be >= 1 (or None)")
     if host_budget_overrides:
@@ -167,17 +173,43 @@ def crawl_frontier(
     elif host_budget_overrides:
         from pyspark.sql import Window
 
-        budget = F.lit(per_host_budget)
-        for host, b in sorted(host_budget_overrides.items()):
-            budget = F.when(
-                F.col("host") == host, F.lit(min(b, per_host_budget))
-            ).otherwise(budget)
+        # keys lowercased to match url_host's output (robots_allowed
+        # lowercases its dict the same way — a mixed-case key must
+        # tighten the budget, not silently miss); case-collisions
+        # keep the TIGHTEST budget (the conservative read)
+        overrides: dict[str, int] = {}
+        for h, b in host_budget_overrides.items():
+            hl = h.lower()
+            b = min(b, per_host_budget)
+            overrides[hl] = min(b, overrides.get(hl, b))
         w = Window.partitionBy("host").orderBy(F.col("__ord"), F.col("url"))
-        capped = (
-            ordered.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= budget)
-            .drop("__rn")
-        )
+        ranked = ordered.withColumn("__rn", F.row_number().over(w))
+        if len(overrides) <= _OVERRIDE_LITERAL_MAX:
+            # literal map + element_at: one flat expression, fine for
+            # robots-table-sized maps
+            pairs: list = []
+            for h, b in sorted(overrides.items()):
+                pairs += [F.lit(h), F.lit(b)]
+            budget = F.coalesce(
+                F.element_at(F.create_map(*pairs), F.col("host")),
+                F.lit(per_host_budget),
+            )
+            capped = ranked.where(F.col("__rn") <= budget).drop("__rn")
+        else:
+            # tens of thousands of delay-declaring hosts: a literal
+            # that size bloats analysis/codegen — broadcast-join the
+            # (tiny relative to the frontier) budget table instead
+            bdf = new_links.sparkSession.createDataFrame(
+                sorted(overrides.items()), "host string, __budget int"
+            )
+            capped = (
+                ranked.join(F.broadcast(bdf), "host", "left")
+                .where(
+                    F.col("__rn")
+                    <= F.coalesce(F.col("__budget"), F.lit(per_host_budget))
+                )
+                .drop("__rn", "__budget")
+            )
     else:
         from .corpus import cap_per_key
 

@@ -1451,7 +1451,10 @@ def make_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
         "<14I",
         1_000_000 // fps,      # dwMicroSecPerFrame
         max_bytes * fps,       # dwMaxBytesPerSec
-        0, 0x10,               # padding, flags (AVIF_HASINDEX off)
+        0, 0,                  # padding, flags: no AVIF_HASINDEX — we
+                               # write no idx1 chunk, so advertising
+                               # one would make strict demuxers seek
+                               # for an index that is not there
         len(blobs), 0, 1, max_bytes,
         w, h, 0, 0, 0, 0,
     )
@@ -1485,19 +1488,30 @@ def demux_avi_mjpeg(payload: bytes):
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
 
-    def walk(buf: bytes, pos: int, end: int):
-        while pos + 8 <= end:
-            fcc = buf[pos:pos + 4]
-            (size,) = struct.unpack_from("<I", buf, pos + 4)
-            data_start = pos + 8
-            data_end = min(data_start + size, end, len(buf))
-            if fcc == b"LIST" and data_end >= data_start + 4:
-                kind = buf[data_start:data_start + 4]
-                if kind in (b"movi", b"hdrl", b"rec "):
-                    yield from walk(buf, data_start + 4, data_end)
-            elif fcc[2:4] in (b"dc", b"db") and data_end > data_start:
-                yield buf[data_start:data_end]
-            pos = data_start + size + (size % 2)
+    def walk(buf: bytes, start: int, stop: int):
+        # iterative (explicit stack), NOT recursive: a crafted AVI
+        # with thousands of nested LIST headers must cost a loop, not
+        # a RecursionError that escapes the caller's quarantine
+        stack = [(start, stop)]
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                fcc = buf[pos:pos + 4]
+                (size,) = struct.unpack_from("<I", buf, pos + 4)
+                data_start = pos + 8
+                data_end = min(data_start + size, end, len(buf))
+                if fcc == b"LIST" and data_end >= data_start + 4:
+                    kind = buf[data_start:data_start + 4]
+                    if kind in (b"movi", b"hdrl", b"rec "):
+                        # resume the remainder of THIS level after the
+                        # nested list (LIFO order preserves document
+                        # order: nested chunks first, then the rest)
+                        stack.append((data_start + size + (size % 2), end))
+                        pos, end = data_start + 4, data_end
+                        continue
+                elif fcc[2:4] in (b"dc", b"db") and data_end > data_start:
+                    yield buf[data_start:data_end]
+                pos = data_start + size + (size % 2)
 
     for idx, blob in enumerate(walk(payload, 12, len(payload))):
         yield idx, blob
@@ -1593,19 +1607,28 @@ def audio_landmarks(
     peaks_per_frame: int = 3,
     fanout: int = 4,
     max_dt: int = 32,
+    max_frames: int = 8192,
 ):
     """[(t_anchor_frame, hash BIGINT)] landmark fingerprints for one
     WAV payload. Hann-windowed rFFT frames -> per-frame top-k
     spectral peaks (local maxima along frequency) -> each anchor peak
     pairs with up to `fanout` later peaks within `max_dt` frames;
     hash packs (f1, f2, dt) into one BIGINT. Amplitude-invariant by
-    construction (peaks are argmax positions, not magnitudes)."""
+    construction (peaks are argmax positions, not magnitudes).
+
+    `max_frames` bounds the spectrogram (default 8192 frames ~ 8.7
+    minutes at 8 kHz / hop 512): the framed-index matrix and rFFT
+    output are n_frames x n_fft floats, so an unbounded hour-long
+    clip would cost multi-GB intermediates per task — the sitemap
+    50 MB discipline applied to audio. Matching works on the prefix
+    fingerprints (copies still align; Wang's scheme needs seconds,
+    not the whole recording)."""
     import numpy as np
 
     x, rate = _wav_mono_samples(payload)
     if len(x) < n_fft:
         return []
-    n_frames = 1 + (len(x) - n_fft) // hop
+    n_frames = min(1 + (len(x) - n_fft) // hop, max_frames)
     win = np.hanning(n_fft)
     idx = (np.arange(n_fft)[None, :]
            + hop * np.arange(n_frames)[:, None])
@@ -1625,7 +1648,10 @@ def audio_landmarks(
     flat = [(t, f) for t, fs in enumerate(peaks) for f in fs]
     for i, (t1, f1) in enumerate(flat):
         paired = 0
-        for t2, f2 in flat[i + 1:]:
+        # index scan, not flat[i+1:]: the slice copies the tail per
+        # anchor (O(n^2) allocations over a long clip's peak list)
+        for j in range(i + 1, len(flat)):
+            t2, f2 = flat[j]
             dt = t2 - t1
             if dt == 0:
                 continue

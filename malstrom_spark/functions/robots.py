@@ -43,6 +43,20 @@ def _pattern_regex(pattern: str) -> "re.Pattern[str]":
     return re.compile("^" + rx + ("$" if anchored else ""))
 
 
+def _directive_lines(content: str):
+    """(key_lower, value) per robots.txt line: comments stripped at
+    '#', blank/colon-less lines skipped — THE line tokenizer for
+    every robots.txt consumer (group scan here, Sitemap collection in
+    functions/sitemap.py), so the directives can never disagree on
+    what a line is."""
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        yield key.strip().lower(), val.strip()
+
+
 def _scan_groups(
     content: str,
 ) -> list[tuple[list[str], list[tuple[str, bool]], float | None]]:
@@ -60,12 +74,7 @@ def _scan_groups(
     cur_rules: list[tuple[str, bool]] = []
     cur_delay: float | None = None
     in_agents = False
-    for raw in content.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        key, _, val = line.partition(":")
-        key, val = key.strip().lower(), val.strip()
+    for key, val in _directive_lines(content):
         if key == "user-agent":
             if not in_agents and cur_agents:
                 groups.append((cur_agents, cur_rules, cur_delay))

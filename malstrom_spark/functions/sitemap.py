@@ -41,23 +41,33 @@ SITEMAP_MAX_ENTRIES = 50_000
 SITEMAP_MAX_BYTES = 50 * 1024 * 1024
 
 
+def _http_scheme(url: str) -> bool:
+    """True iff the URL parses with an http(s) scheme; a hostile
+    authority that makes urlsplit raise (e.g. an unmatched '[') is
+    simply not a valid URL — untrusted input must never turn a
+    discovery pass into a crash."""
+    try:
+        return urlsplit(url).scheme in ("http", "https")
+    except ValueError:
+        return False
+
+
 def robots_sitemap_urls(content: str) -> list[str]:
     """The `Sitemap:` URLs declared in a robots.txt body — RFC 9309
     treats them as non-group records, so they are collected from
     anywhere in the file (case-insensitive key, order kept, duplicates
     dropped). Only absolute http(s) URLs qualify (the protocol
-    requires absolute locations)."""
+    requires absolute locations). Shares functions/robots.py's line
+    tokenizer so the two modules can never disagree on what a
+    robots.txt line is."""
+    from .robots import _directive_lines
+
     out: list[str] = []
     seen: set[str] = set()
-    for raw in content.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
+    for key, url in _directive_lines(content):
+        if key != "sitemap":
             continue
-        key, _, val = line.partition(":")
-        if key.strip().lower() != "sitemap":
-            continue
-        url = val.strip()
-        if urlsplit(url).scheme in ("http", "https") and url not in seen:
+        if _http_scheme(url) and url not in seen:
             seen.add(url)
             out.append(url)
     return out
@@ -72,6 +82,11 @@ def _gunzip_bounded(payload: bytes, max_bytes: int) -> bytes:
     out = d.decompress(payload, max_bytes + 1)
     if len(out) > max_bytes:
         raise ValueError("gzipped sitemap exceeds the 50 MB protocol cap")
+    if not d.eof:
+        # a truncated stream decompresses to a PARTIAL buffer whose
+        # final line could be a valid-looking but wrong URL — corrupt
+        # data, not a smaller sitemap; quarantine instead
+        raise ValueError("truncated gzip stream in sitemap payload")
     return out
 
 
@@ -101,8 +116,7 @@ def parse_sitemap_bytes(
     if not stripped:
         raise ValueError("empty sitemap payload")
 
-    def ok_loc(u: str) -> bool:
-        return urlsplit(u).scheme in ("http", "https")
+    ok_loc = _http_scheme
 
     if not stripped.startswith("<"):
         # plain-text form: every non-blank line is a URL
@@ -207,11 +221,15 @@ def sitemap_entries(
                     kind, entries = parse_sitemap_bytes(
                         bytes(payload), max_entries=max_entries
                     )
+                    host = None
+                    if enforce_host and urls is not None and urls.iloc[r]:
+                        # a malformed sitemap_url (urlsplit raises on a
+                        # hostile authority) quarantines the row — with
+                        # no trustworthy own-host there is no safe way
+                        # to apply the cross-submission rule
+                        host = urlsplit(str(urls.iloc[r])).hostname
                 except (ValueError, TypeError):
                     continue
-                host = None
-                if enforce_host and urls is not None and urls.iloc[r]:
-                    host = urlsplit(str(urls.iloc[r])).hostname
                 for loc, mod, freq, prio in entries:
                     if host is not None and urlsplit(loc).hostname != host:
                         continue

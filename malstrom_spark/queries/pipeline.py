@@ -3662,8 +3662,8 @@ def crawl_frontier_politeness(spark, sf_dir):
     the window: budget 0, excluded this batch), h1 keeps its
     /private/ disallow from the same file, h3 publishes no robots
     and takes the default 25. The budget map is parsed driver-side
-    from the robots dict and rides as a literal when-chain on the
-    SAME rank window — no extra shuffle; the oracle replays the
+    from the robots dict and rides as a literal element_at lookup on
+    the SAME rank window — no extra shuffle; the oracle replays the
     budgets per host."""
     from ..functions.crawl import crawl_frontier, delay_host_budgets
 

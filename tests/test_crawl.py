@@ -143,3 +143,44 @@ def test_frontier_host_budget_overrides(spark):
     with _pytest.raises(ValueError, match=">= 0"):
         crawl_frontier(links, per_host_budget=3,
                        host_budget_overrides={"h": -1})
+
+
+def test_frontier_override_case_normalized_and_broadcast_identical(spark):
+    from malstrom_spark.functions.crawl import crawl_frontier
+    import malstrom_spark.functions.crawl as crawl_mod
+
+    links = spark.createDataFrame(
+        [(f"https://h{h}.example.com/p{i}",)
+         for h in range(3) for i in range(8)],
+        "url string",
+    )
+    # mixed-case key MUST still tighten the budget (url_host lowers)
+    got = crawl_frontier(
+        links, per_host_budget=5,
+        host_budget_overrides={"H1.Example.COM": 2},
+    ).collect()
+    per = {}
+    for r in got:
+        per[r.host] = per.get(r.host, 0) + 1
+    assert per == {"h0.example.com": 5, "h1.example.com": 2,
+                   "h2.example.com": 5}
+    # case-colliding keys keep the TIGHTEST budget
+    tight = crawl_frontier(
+        links, per_host_budget=5,
+        host_budget_overrides={"h1.example.com": 4, "H1.EXAMPLE.COM": 1},
+    ).collect()
+    assert sum(1 for r in tight if r.host == "h1.example.com") == 1
+    # broadcast-join path (forced via the literal threshold) is
+    # output-identical to the literal map path
+    literal = sorted((r.url for r in got))
+    old = crawl_mod._OVERRIDE_LITERAL_MAX
+    try:
+        crawl_mod._OVERRIDE_LITERAL_MAX = 0
+        bc = crawl_frontier(
+            links, per_host_budget=5,
+            host_budget_overrides={"H1.Example.COM": 2},
+        ).collect()
+    finally:
+        crawl_mod._OVERRIDE_LITERAL_MAX = old
+    assert sorted(r.url for r in bc) == literal
+    assert {r.host for r in bc} == {r.host for r in got}

@@ -805,3 +805,33 @@ def test_audio_match_pairs_stop_fp_cap(spark):
     got = mm.audio_match_pairs(fps2, "doc_id", min_matches=8,
                                max_fp_freq=16).collect()
     assert [(r.id_a, r.id_b, r.n_aligned) for r in got] == [(1, 2, 10)]
+
+
+def test_audio_landmarks_max_frames_bounds_work():
+    """max_frames caps the spectrogram (the hour-long-clip guard):
+    prefix fingerprints of the capped run equal the uncapped run's
+    prefix, so matching still works on long clips."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from malstrom_spark.functions import multimodal as mm
+
+    rate, n = 8000, 80000  # 10 s -> ~155 frames at hop 512
+    t = np.arange(n) / rate
+    x = (np.sin(2 * np.pi * 440 * t) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    wav = buf.getvalue()
+    full = mm.audio_landmarks(wav)
+    capped = mm.audio_landmarks(wav, max_frames=40)
+    assert 0 < len(capped) < len(full)
+    assert max(t for t, _ in capped) < 40
+    # the capped landmarks are exactly the full run's early-anchor set
+    cut = [m for m in full if m[0] < 40 - 32]  # clear of the dt horizon
+    assert set(cut) <= set(capped)

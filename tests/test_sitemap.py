@@ -155,3 +155,38 @@ def test_sitemap_entries_plan_is_shuffle_free(spark):
     plan = sm.sitemap_entries(df, "payload")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hostile_inputs_never_crash(spark):
+    """Adversarial-input hardening: truncated gzip quarantines (no
+    partial corrupt URLs), hostile authorities in Sitemap: lines and
+    sitemap_url values are skipped/quarantined, never raised."""
+    import gzip as _gz
+
+    # truncated gzip -> ValueError (quarantine), not partial output
+    full = _gz.compress(b"https://a.example/page-1234\n")
+    with pytest.raises(ValueError, match="truncated"):
+        sm.parse_sitemap_bytes(full[:-5])
+    # hostile Sitemap: line in robots.txt is skipped, rest collected
+    assert sm.robots_sitemap_urls(
+        "Sitemap: https://[x\nSitemap: https://a.example/s.xml\n"
+    ) == ["https://a.example/s.xml"]
+    # hostile loc inside a urlset is dropped, good locs kept
+    body = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://[bad</loc></url>"
+        "<url><loc>https://a.example/ok</loc></url></urlset>"
+    ).encode()
+    assert sm.parse_sitemap_bytes(body)[1] == [
+        ("https://a.example/ok", None, None, None)]
+    # hostile sitemap_url value quarantines the ROW on the Spark path
+    df = spark.createDataFrame(
+        [(1, "https://[bad.example/sm.xml", body),
+         (2, "https://a.example/sm.xml", body)],
+        "doc_id long, sitemap_url string, payload binary",
+    )
+    rows = sm.sitemap_entries(
+        df, "payload", sitemap_url_col="sitemap_url"
+    ).collect()
+    assert [(r.doc_id, r.loc) for r in rows] == [
+        (2, "https://a.example/ok")]
