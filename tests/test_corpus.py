@@ -771,3 +771,15 @@ def test_corpus_datasheet_metrics(spark):
     # lang_col=None drops the column entirely
     cols = corpus_datasheet(df, lang_col=None).columns
     assert "n_langs" not in cols
+
+
+def test_corpus_datasheet_plan_partial_agg_and_pruned_scan(spark):
+    """The datasheet must map-side combine (partial_ aggs below the
+    exchange) and prune the scan to the three consumed columns."""
+    from malstrom_spark.functions.corpus import corpus_datasheet
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = corpus_datasheet(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "doc_id" not in plan  # pruned from the scan
