@@ -112,3 +112,32 @@ def test_agreement_with_heuristic_on_documents(spark):
         lang_guess(F.col("text")).alias("heur"),
     ).collect()[0]
     assert r.trained == "en" and r.heur == "en"
+
+
+def test_lang_id_arrow_matches_column_form(spark):
+    """The Arrow production scorer is bit-identical to the pure-Column
+    lang_id on the gate model — including NULLs, too-short texts,
+    NBSP/whitespace edge cases, and tie-break order."""
+    from malstrom_spark.functions import langid as L
+    from malstrom_spark.queries.pipeline import (
+        _LANGID_SENTENCES, _LANGID_TOP_GRAMS,
+    )
+
+    model = L.fit_ngram_lang_id_local(
+        _LANGID_SENTENCES, n=2, top_grams=_LANGID_TOP_GRAMS
+    )
+    texts = [s for sents in _LANGID_SENTENCES.values() for s in sents]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [
+        (900, None), (901, ""), (902, "x"),          # und paths
+        (903, "  le chat  est\tsur le tapis  "),      # ws collapse
+        (904, "der hund ist hier"),              # NBSP survives
+        (905, "THE CAT SAT ON THE MAT"),              # lower()
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    col = {r.id: r.p for r in df.select(
+        "id", L.lang_id(F.col("text"), model).alias("p")).collect()}
+    arrow = {r.id: r.lang_pred for r in L.lang_id_arrow(
+        df, "text", model).collect()}
+    assert col == arrow
+    assert col[900] == "und" and col[902] == "und"
