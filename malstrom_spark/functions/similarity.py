@@ -1148,6 +1148,7 @@ def semdedup(
     centroids: list[list[int]],
     threshold: float = 0.9,
     max_iters: int = 10,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic dedup by
     k-means clustering + WITHIN-CLUSTER cosine pruning — the member
@@ -1174,15 +1175,55 @@ def semdedup(
     the mean cluster is constant-sized and pair work stays linear);
     CC is the same alternating-star contraction every dedup family
     uses; keeper selection is one window over groups. One vector-
-    keyed shuffle (the cluster join), one group window."""
+    keyed shuffle (the cluster join), one group window.
+
+    ``collapse_exact`` (default: adaptive probe, the
+    functions/dedup._collapse_exact discipline applied to vectors):
+    byte-identical float vectors always pair at cosine 1 >= threshold,
+    so when the duplicate mass justifies it the within-cluster pair
+    join runs on DISTINCT vectors only and the copies rejoin their
+    representative's component via star edges — output provably
+    identical (every star edge is a real threshold-passing pair; any
+    full-graph edge maps to a rep-rep edge with the same cosine). In
+    a dup-heavy corpus — the case semantic dedup exists for — pair
+    work drops with the square of the mean copy count. Skipped
+    automatically when threshold > 1 (no pair is guaranteed then) or
+    the duplicate mass is under 5%; null vectors are never collapsed
+    (they pair with nothing, so merging them would invent groups)."""
     k = len(centroids)
     if k < 1:
         raise ValueError("need at least one centroid")
     assigned = _assign_cells_int(df, id_col, vec_col, centroids)
-    a = assigned.select(
+
+    members = None
+    if collapse_exact is not False and threshold <= 1.0:
+        fps = assigned.where(F.col("__v").isNotNull()).select(
+            F.col(id_col), F.md5(F.col("__v").cast("string")).alias("__fp")
+        )
+        if collapse_exact is None:
+            total, distinct = fps.agg(
+                F.count(F.lit(1)), F.approx_count_distinct("__fp", 0.02)
+            ).first()
+            collapse_exact = total > 0 and (total - distinct) / total >= 0.05
+        if collapse_exact:
+            reps = fps.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+            members = (
+                fps.join(reps, "__fp")
+                .select(F.col(id_col), F.col("__rep"))
+                .localCheckpoint(eager=True)
+            )
+    pair_src = assigned
+    if members is not None:
+        pair_src = assigned.join(
+            members.where(F.col(id_col) == F.col("__rep"))
+            .select(id_col),
+            id_col,
+            "left_semi",
+        )
+    a = pair_src.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "cluster"
     )
-    b = assigned.select(
+    b = pair_src.select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "cluster"
     )
     pairs = (
@@ -1195,6 +1236,12 @@ def semdedup(
         .where(F.col("__sim") >= threshold)
         .select("id_a", "id_b")
     )
+    if members is not None:
+        # rep = min(id) of its copy set, so rep < copy: edge order holds
+        stars = members.where(F.col(id_col) != F.col("__rep")).select(
+            F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+        pairs = pairs.union(stars)
     from .dedup import dedup_groups
 
     labels = dedup_groups(

@@ -695,3 +695,41 @@ def test_semdedup_assign_arrow_matches_literal(spark):
         r = sim._assign_cells_int(tie, "vec_id", "embedding", cents,
                                   use_arrow=ua).collect()[0]
         assert (r["cluster"], r["dist2"]) == (2, 0)
+
+
+def test_semdedup_exact_collapse_identical_output(spark):
+    """The adaptive exact-copy collapse path is output-identical to
+    the uncollapsed pipeline on a dup-heavy corpus (the discipline's
+    contract), and null vectors never merge through the collapse."""
+    import numpy as np
+    from malstrom_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(5)
+    base = [[float(x) for x in np.round(rng.normal(0, 1, 8), 6)]
+            for _ in range(6)]
+    rows = []
+    for i in range(60):  # 10 exact copies of each of 6 vectors
+        rows.append((i, base[i % 6]))
+    rows += [(100, None), (101, None)]  # null vecs: singleton groups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.semdedup_head_centroids(
+        df.where("embedding is not null"), "vec_id", "embedding", 3)
+
+    def run(collapse):
+        return sorted(
+            (r["vec_id"], r["cluster"], r["dist2"], r["group_id"],
+             r["is_keeper"])
+            for r in sim.semdedup(df, "vec_id", "embedding", cents,
+                                  threshold=0.9,
+                                  collapse_exact=collapse).collect()
+        )
+
+    plain = run(False)
+    collapsed = run(True)
+    adaptive = run(None)  # 90% dup mass -> probe turns collapse ON
+    assert plain == collapsed == adaptive
+    # the two null-vector rows are singleton groups, never merged
+    by_id = {t[0]: t for t in plain}
+    assert by_id[100][3] != by_id[101][3]
+    # copies share groups (cosine 1 >= threshold)
+    assert by_id[0][3] == by_id[6][3] == by_id[54][3]
