@@ -1193,7 +1193,13 @@ def semdedup(
     k = len(centroids)
     if k < 1:
         raise ValueError("need at least one centroid")
-    assigned = _assign_cells_int(df, id_col, vec_col, centroids)
+    # assignment is referenced by BOTH pair-join sides, the collapse
+    # probe/members, and the final label join — without an eager
+    # checkpoint each reference re-runs the k x dim argmin over the
+    # whole corpus (the dedup-family lineage discipline; measured
+    # sf10 k=800: 633 s -> see BASELINE round-10)
+    assigned = _assign_cells_int(df, id_col, vec_col, centroids) \
+        .localCheckpoint(eager=True)
 
     members = None
     if collapse_exact is not False and threshold <= 1.0:
