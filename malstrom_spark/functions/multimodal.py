@@ -1622,7 +1622,16 @@ def audio_landmarks(
     clip would cost multi-GB intermediates per task — the sitemap
     50 MB discipline applied to audio. Matching works on the prefix
     fingerprints (copies still align; Wang's scheme needs seconds,
-    not the whole recording)."""
+    not the whole recording).
+
+    COMPATIBILITY: the max_frames cap (introduced round 10) changes
+    fingerprints for clips longer than the cap vs. the earlier
+    uncapped scheme — the prefix is identical, but tail landmarks
+    vanish. Fingerprint tables persisted under different caps are
+    detectably mixed only by re-deriving; when maintaining a stored
+    fingerprint index across versions, record (n_fft, hop,
+    peaks_per_frame, fanout, max_dt, max_frames) alongside it and
+    recompute on any mismatch rather than comparing across schemes."""
     import numpy as np
 
     x, rate = _wav_mono_samples(payload)
@@ -1716,6 +1725,7 @@ def audio_match_pairs(
     id_col: str,
     min_matches: int = 8,
     max_fp_freq: int | None = 1024,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Audio near-dup pairs from a fingerprint table: candidates from
     an fp equi-join (never all-pairs — the LSH-bucket discipline),
@@ -1724,6 +1734,21 @@ def audio_match_pairs(
     (id_a, id_b, n_aligned) for pairs whose best offset has >=
     min_matches aligned landmarks.
 
+    ``collapse_exact`` (default ON): clips whose ENTIRE landmark
+    sequence is identical — exact copies, the heaviest dedup target —
+    are collapsed to one representative (min id) BEFORE the stop-fp
+    cap and the self-join, then rejoin the output as star edges
+    (rep, copy, n_aligned = the copy's landmark count, its dt=0
+    alignment). Without this, a clip duplicated more than
+    max_fp_freq times would push every one of its own hashes over
+    the cap and become completely undetectable. With the collapse on,
+    output is REP-LEVEL: pairs between non-representative copies of
+    two different duplicate sets appear as one rep-rep edge plus the
+    star edges — downstream connected-components grouping is
+    identical to the all-pairs output's, but the pair list itself is
+    linear, not quadratic, in copy count (the dedup_clusters
+    rep-candidate discipline).
+
     ``max_fp_freq`` (default ON, the minhash max_bucket_size
     discipline): fp values shared by more than this many landmark
     rows are DROPPED before the self-join — a stop-fp. A hash shared
@@ -1731,10 +1756,45 @@ def audio_match_pairs(
     silence-adjacent peaks) contributes quadratic join fanout and ~no
     discrimination (true copies align on their many RARE hashes).
     The count is one map-side-combinable groupBy; None disables.
+    With collapse_exact off, note the blind spot: a clip with more
+    than max_fp_freq exact copies contributes that many rows to each
+    of its hashes and drops out entirely.
 
-    Shape: one self-join on fp (hash-distributed; skew bounded by the
-    stop-fp cap), one (pair, offset) count, one per-pair max — all
-    map-side combinable."""
+    Shape: one id-keyed signature groupBy (collapse), one self-join
+    on fp (hash-distributed; skew bounded by the stop-fp cap), one
+    (pair, offset) count, one per-pair max — all map-side
+    combinable."""
+    stars = None
+    if collapse_exact:
+        # canonical per-clip signature: sorted (t_anchor, fp) list
+        # hashed — exact payload copies produce identical landmark
+        # sequences, so identical signatures; sort_array removes the
+        # collect_list order nondeterminism. List size is bounded by
+        # max_frames * peaks_per_frame * fanout from audio_landmarks.
+        sets = fingerprints.groupBy(id_col).agg(
+            F.xxhash64(
+                F.sort_array(F.collect_list(F.struct("t_anchor", "fp")))
+            ).alias("__sig"),
+            F.count(F.lit(1)).alias("__nfp"),
+        )
+        reps = sets.groupBy("__sig").agg(F.min(id_col).alias("__rep"))
+        members = sets.join(reps, "__sig")
+        # rep = min(id) of its copy set, so rep < copy: order holds
+        stars = (
+            members.where(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("__nfp").cast("long").alias("n_aligned"),
+            )
+            .where(F.col("n_aligned") >= min_matches)
+        )
+        fingerprints = fingerprints.join(
+            members.where(F.col(id_col) == F.col("__rep"))
+            .select(id_col),
+            id_col,
+            "left_semi",
+        )
     if max_fp_freq is not None:
         hot = (
             fingerprints.groupBy("fp")
@@ -1762,4 +1822,6 @@ def audio_match_pairs(
         .agg(F.max("n").cast("long").alias("n_aligned"))
         .where(F.col("n_aligned") >= min_matches)
     )
+    if stars is not None:
+        pairs = pairs.union(stars)
     return pairs

@@ -1188,8 +1188,11 @@ def semdedup(
     a dup-heavy corpus — the case semantic dedup exists for — pair
     work drops with the square of the mean copy count. Skipped
     automatically when threshold > 1 (no pair is guaranteed then) or
-    the duplicate mass is under 5%; null vectors are never collapsed
-    (they pair with nothing, so merging them would invent groups)."""
+    the duplicate mass is under 5%; null AND zero-norm vectors are
+    never collapsed (cosine with a zero vector is NULL -> below any
+    threshold, so they pair with nothing in the plain path; merging
+    byte-identical zero vectors via star edges would invent groups
+    the uncollapsed path never emits)."""
     k = len(centroids)
     if k < 1:
         raise ValueError("need at least one centroid")
@@ -1203,7 +1206,15 @@ def semdedup(
 
     members = None
     if collapse_exact is not False and threshold <= 1.0:
-        fps = assigned.where(F.col("__v").isNotNull()).select(
+        fps = assigned.where(
+            F.col("__v").isNotNull()
+            # zero-norm vectors have NULL cosine with everything (the
+            # try_divide -> coalesce(-2) path), so the plain pair join
+            # never links them; keep them out of the collapse too or
+            # byte-identical zero vectors would be star-edged into a
+            # group the uncollapsed path provably never produces
+            & F.exists("__v", lambda x: x != F.lit(0))
+        ).select(
             F.col(id_col), F.md5(F.col("__v").cast("string")).alias("__fp")
         )
         if collapse_exact is None:

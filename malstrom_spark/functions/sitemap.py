@@ -75,19 +75,41 @@ def robots_sitemap_urls(content: str) -> list[str]:
 
 def _gunzip_bounded(payload: bytes, max_bytes: int) -> bytes:
     """Gzip-decompress with a hard output cap: a bomb yields a loud
-    ValueError (callers quarantine), never an OOM."""
+    ValueError (callers quarantine), never an OOM. MULTI-MEMBER
+    (concatenated) gzip is valid per RFC 1952 and produced by some
+    sitemap generators — loop over members until the input is
+    consumed, keeping the CUMULATIVE size under the cap, instead of
+    silently truncating to the first member."""
     import zlib
 
-    d = zlib.decompressobj(wbits=31)
-    out = d.decompress(payload, max_bytes + 1)
-    if len(out) > max_bytes:
-        raise ValueError("gzipped sitemap exceeds the 50 MB protocol cap")
-    if not d.eof:
-        # a truncated stream decompresses to a PARTIAL buffer whose
-        # final line could be a valid-looking but wrong URL — corrupt
-        # data, not a smaller sitemap; quarantine instead
-        raise ValueError("truncated gzip stream in sitemap payload")
-    return out
+    chunks: list[bytes] = []
+    remaining = max_bytes + 1
+    while True:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(payload, remaining)
+        except zlib.error as e:
+            # corrupt member (first or a bad concatenated tail):
+            # surface as the ValueError callers quarantine on
+            raise ValueError(f"bad gzip member in sitemap: {e}") from e
+        chunks.append(chunk)
+        remaining -= len(chunk)
+        if remaining <= 0:
+            raise ValueError(
+                "gzipped sitemap exceeds the 50 MB protocol cap")
+        if not d.eof:
+            # a truncated stream decompresses to a PARTIAL buffer
+            # whose final line could be a valid-looking but wrong
+            # URL — corrupt data, not a smaller sitemap; quarantine
+            raise ValueError("truncated gzip stream in sitemap payload")
+        payload = d.unused_data
+        if not payload.lstrip(b"\x00"):
+            # trailing NUL padding after the last member is common
+            # (block-aligned writers); anything else non-gzip is a
+            # corrupt tail and falls through to the next member
+            # attempt, which raises loudly
+            break
+    return b"".join(chunks)
 
 
 def _local(tag: str) -> str:

@@ -733,3 +733,42 @@ def test_semdedup_exact_collapse_identical_output(spark):
     assert by_id[100][3] != by_id[101][3]
     # copies share groups (cosine 1 >= threshold)
     assert by_id[0][3] == by_id[6][3] == by_id[54][3]
+
+
+def test_semdedup_zero_norm_vectors_never_collapse(spark):
+    """Byte-identical ZERO vectors must behave the same in the collapse
+    and uncollapsed paths: cosine(0, anything) is NULL -> below every
+    threshold, so the plain pair join never links them. The collapse
+    must not star-edge them into one group (round-11 ADVICE fix)."""
+    import numpy as np
+    from malstrom_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(7)
+    base = [[float(x) for x in np.round(rng.normal(0, 1, 4), 6)]
+            for _ in range(3)]
+    rows = []
+    for i in range(30):  # heavy dup mass so the adaptive probe fires
+        rows.append((i, base[i % 3]))
+    zero = [0.0, 0.0, 0.0, 0.0]
+    rows += [(200, zero), (201, zero), (202, zero)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.semdedup_head_centroids(df, "vec_id", "embedding", 2)
+
+    def run(collapse):
+        return sorted(
+            (r["vec_id"], r["group_id"], r["is_keeper"])
+            for r in sim.semdedup(df, "vec_id", "embedding", cents,
+                                  threshold=0.9,
+                                  collapse_exact=collapse).collect()
+        )
+
+    plain = run(False)
+    collapsed = run(True)
+    adaptive = run(None)
+    assert plain == collapsed == adaptive
+    # the three zero vectors are pairwise-unlinked singletons
+    by_id = {t[0]: t for t in plain}
+    groups = {by_id[200][1], by_id[201][1], by_id[202][1]}
+    assert len(groups) == 3
+    # and every singleton is its own keeper
+    assert by_id[200][2] and by_id[201][2] and by_id[202][2]

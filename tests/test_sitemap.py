@@ -190,3 +190,30 @@ def test_hostile_inputs_never_crash(spark):
     ).collect()
     assert [(r.doc_id, r.loc) for r in rows] == [
         (2, "https://a.example/ok")]
+
+
+def test_gunzip_multi_member_sitemap():
+    """Concatenated (multi-member) gzip is valid RFC 1952 output from
+    rotating sitemap writers: all members must decompress, not just
+    the first (round-11 ADVICE fix); the cumulative cap still holds
+    and a corrupt tail still quarantines."""
+    import gzip
+    import pytest
+    from malstrom_spark.functions.sitemap import _gunzip_bounded
+
+    a = gzip.compress(b"<urlset>part-one")
+    b = gzip.compress(b"...part-two</urlset>")
+    assert _gunzip_bounded(a + b, 1 << 20) == \
+        b"<urlset>part-one...part-two</urlset>"
+    # trailing NUL block padding after the last member is tolerated
+    assert _gunzip_bounded(a + b + b"\x00" * 512, 1 << 20).endswith(
+        b"</urlset>")
+    # cumulative cap applies across members
+    with pytest.raises(ValueError, match="50 MB|cap"):
+        _gunzip_bounded(a + b, 20)
+    # corrupt second member quarantines loudly, never truncates
+    with pytest.raises(ValueError):
+        _gunzip_bounded(a + b"not gzip at all", 1 << 20)
+    # truncated second member quarantines too
+    with pytest.raises(ValueError, match="truncated"):
+        _gunzip_bounded(a + b[: len(b) // 2], 1 << 20)
