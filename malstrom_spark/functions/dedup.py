@@ -1420,10 +1420,26 @@ def remove_repeated_spans(
     ~O(tokens) on real corpora where flags are sparse.
 
     Output: (id, n_tokens, n_removed, n_spans, cleaned)."""
-    w = F.lit(window)
     flagged = repeated_window_spans(
         df, id_col, text_col, window, min_docs, portable
     ).select(id_col, "pos")
+    return _cut_flagged_positions(df, id_col, text_col, flagged, window)
+
+
+def _cut_flagged_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    flagged: DataFrame,
+    window: int,
+) -> DataFrame:
+    """Shared removal tail for the exact-substring family: gather each
+    doc's flagged window-start positions, interval-union overlapping/
+    adjacent windows into maximal spans, cut those token ranges out of
+    the ORIGINAL-case split, and re-emit
+    (id, n_tokens, n_removed, n_spans, cleaned). One groupBy(id) to
+    gather positions; the cut itself is pure per-doc Column work."""
+    w = F.lit(window)
     ps = flagged.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("_ps")
     )
@@ -1451,3 +1467,100 @@ def remove_repeated_spans(
         F.size(starts).cast("long").alias("n_spans"),
         F.array_join(kept, " ").alias("cleaned"),
     )
+
+
+def exact_substring_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_len: int = 50,
+    portable: bool = False,
+) -> DataFrame:
+    """ExactSubstr candidate table (Lee et al. 2022 §4.1, the
+    suffix-array pass of "Deduplicating Training Data Makes Language
+    Models Better", re-expressed as a sorted-fingerprint shuffle):
+    one row per token position whose ``min_len``-token window is
+    duplicated ANYWHERE in the corpus — in another document or later
+    in the SAME document (occurrence count, NOT the distinct-doc
+    count `repeated_window_spans` uses; self-repetition is exactly
+    what the distinct-doc form cannot see). Output
+    (id, pos, whash, n_occurrences, is_canonical) where the CANONICAL
+    occurrence of each window value is the globally first one
+    (smallest id, then smallest pos) — the copy `exact_substring_dedup`
+    keeps when keep_first is set.
+
+    A duplicated span of L >= min_len tokens contributes its
+    L - min_len + 1 window positions, which interval-union back to
+    exactly [pos, pos + L) downstream — the standard windowed
+    equivalent of the paper's length-threshold suffix-array match.
+    Docs shorter than min_len hash one truncated window (the
+    window_hash_positions contract), so byte-identical short docs
+    still register as duplicated; partial matches shorter than
+    min_len never do.
+
+    Scale: one row per corpus token; the per-hash aggregate is
+    map-side combinable (count + min(struct)) so boilerplate hashes
+    shared by millions of positions never skew a join — the flag
+    join back is against the ONE-ROW-PER-HASH aggregate.
+
+    Reference: malstrom-core exact-substring surface (the same
+    min_len=50 operating point the paper ships)."""
+    wh = window_hash_positions(df, id_col, text_col, min_len, portable)
+    canon = (
+        wh.groupBy("whash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__c"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
+    return wh.join(canon, "whash").select(
+        id_col,
+        "pos",
+        "whash",
+        "n_occurrences",
+        (
+            (F.col(f"__c.{id_col}") == F.col(id_col))
+            & (F.col("__c.pos") == F.col("pos"))
+        ).alias("is_canonical"),
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_len: int = 50,
+    keep_first: bool = True,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-document ExactSubstr dedup (Lee et al. 2022): cut every
+    duplicated >= ``min_len``-token span, keeping the corpus's FIRST
+    occurrence (smallest id, then position) when ``keep_first`` —
+    the content-preserving form: exactly one copy of every duplicated
+    passage survives somewhere. With keep_first=False every
+    occurrence is cut (the paper's released tool's behavior, which
+    removes slightly more than needed but guarantees no duplicated
+    span remains anywhere).
+
+    Differs from `remove_repeated_spans` in both triggers and policy:
+    duplication is counted by OCCURRENCE (a span repeated twice
+    within one doc is cut — the distinct-doc form is blind to it)
+    and the canonical copy is spared. When sharing sets overlap
+    (three docs sharing staggered sub-spans), each window
+    independently spares its own globally-first occurrence, so the
+    kept copy can be split across docs at the overlap boundary —
+    deterministic, and never keeps more than one copy per window.
+
+    Shape: the window-hash shuffle (one row per token, uniform
+    keys), one map-side-combinable per-hash aggregate, the flag join
+    back, then `remove_repeated_spans`' interval-union cut — three
+    uniform-key shuffles plus the per-doc gather, no Python in the
+    hot path.
+
+    Output: (id, n_tokens, n_removed, n_spans, cleaned)."""
+    occ = exact_substring_positions(df, id_col, text_col, min_len, portable)
+    if keep_first:
+        occ = occ.where(~F.col("is_canonical"))
+    flagged = occ.select(id_col, "pos")
+    return _cut_flagged_positions(df, id_col, text_col, flagged, min_len)

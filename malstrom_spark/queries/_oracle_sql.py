@@ -625,6 +625,73 @@ def remove_repeated_spans_oracle(window: int = 8, min_docs: int = 2) -> str:
     """
 
 
+def exact_substring_dedup_oracle(
+    min_len: int = 8, keep_first: bool = True
+) -> str:
+    """Twin of `dedup.exact_substring_dedup` (ExactSubstr, Lee et
+    al. 2022): positional window hashes counted by OCCURRENCE (>= 2
+    anywhere, same doc included); the globally-first occurrence per
+    hash (min (doc_id, pos) struct) is spared when keep_first; the
+    rest interval-union and cut exactly like
+    remove_repeated_spans_oracle."""
+    cells = ", ".join(f"t[i+{j}]" for j in range(min_len))
+    wh = _h60(f"concat_ws(chr(31), {cells})")
+    spare = (
+        "AND NOT (w.doc_id = r.canon.i AND w.pos = r.canon.p)"
+        if keep_first else ""
+    )
+    return f"""
+    WITH toks AS MATERIALIZED ({_TOKS}),
+    wseq AS MATERIALIZED (
+      SELECT doc_id, list_transform(
+        range(1, greatest(len(t) - {min_len}, 0) + 2),
+        i -> {wh}) AS ws
+      FROM toks
+    ),
+    wh AS MATERIALIZED (
+      SELECT doc_id, unnest(ws) AS whash,
+             generate_subscripts(ws, 1) - 1 AS pos
+      FROM wseq
+    ),
+    rep AS MATERIALIZED (
+      SELECT whash, COUNT(*) AS n_occ,
+             min({{'i': doc_id, 'p': pos}}) AS canon
+      FROM wh GROUP BY whash HAVING COUNT(*) >= 2
+    ),
+    fl AS (
+      SELECT w.doc_id, list_sort(list(w.pos)) AS ps
+      FROM wh w JOIN rep r ON w.whash = r.whash {spare}
+      GROUP BY w.doc_id
+    ),
+    base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ot
+      FROM documents
+    ),
+    j AS (
+      SELECT b.doc_id, b.ot,
+             coalesce(f.ps, CAST([] AS BIGINT[])) AS ps
+      FROM base b LEFT JOIN fl f ON b.doc_id = f.doc_id
+    ),
+    cut AS (
+      SELECT doc_id, ot, ps,
+             list_filter(ot, (x, i) ->
+               len(list_filter(ps, p ->
+                 p <= i - 1 AND i - 1 < p + {min_len})) = 0) AS kept,
+             list_filter(ps, p ->
+               len(list_filter(ps, q ->
+                 q < p AND q + {min_len} >= p)) = 0) AS starts
+      FROM j
+    )
+    SELECT doc_id,
+           CAST(len(ot) AS BIGINT) AS n_tokens,
+           CAST(len(ot) - len(kept) AS BIGINT) AS n_removed,
+           CAST(len(starts) AS BIGINT) AS n_spans,
+           CASE WHEN kept IS NOT NULL
+                THEN coalesce(array_to_string(kept, ' '), '') END AS cleaned
+    FROM cut
+    """
+
+
 def semdedup_oracle(
     dim: int = 64, n_clusters: int = 8, threshold: float = 0.5,
     id_max: int = 600,

@@ -25,6 +25,7 @@ from ._oracle_sql import (
     dedup_clusters_oracle,
     embedding_near_dup_lsh_oracle,
     fingerprint_sketch_oracle,
+    exact_substring_dedup_oracle,
     incremental_minhash_oracle,
     minhash_lsh_oracle,
     remove_repeated_spans_oracle,
@@ -2019,6 +2020,25 @@ def doc_repeated_span_removal(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return dedup.remove_repeated_spans(
         docs, "doc_id", window=8, min_docs=2, portable=True
+    )
+
+
+@register(
+    "doc_exact_substring_dedup", oracle=exact_substring_dedup_oracle()
+)
+def doc_exact_substring_dedup(spark, sf_dir):
+    """Cross-document ExactSubstr dedup (functions/dedup.py
+    exact_substring_dedup, round 11 — Lee et al. 2022 §4.1):
+    duplication counted by OCCURRENCE (same-doc repeats included,
+    unlike doc_repeated_span_removal's distinct-doc trigger), the
+    corpus's globally-first copy of every duplicated span SPARED,
+    the rest interval-unioned into maximal spans and cut. Portable
+    md5 window hashes; the oracle replays the canonical min-(id,pos)
+    struct selection and the cut, so every surviving token is
+    hash-exact."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_substring_dedup(
+        docs, "doc_id", min_len=8, keep_first=True, portable=True
     )
 
 

@@ -568,3 +568,96 @@ def test_remove_repeated_spans_fully_duplicated_doc(spark):
     for r in out:
         assert r.n_removed == r.n_tokens == 6
         assert r.cleaned == ""
+
+
+def test_exact_substring_dedup_keep_first(spark):
+    """ExactSubstr (Lee et al.): duplicated >= min_len spans are cut
+    from every occurrence EXCEPT the globally first (smallest id,
+    then pos); unrelated text round-trips whitespace-normalized."""
+    from malstrom_spark.functions import dedup
+
+    shared = "alpha bravo charlie delta echo"  # 5 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} tail one"),
+            (2, f"different start {shared} and different end"),
+            (3, "nothing in common with anyone at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.exact_substring_dedup(
+        docs, "doc_id", min_len=5).collect()}
+    # doc 1 is canonical: untouched
+    assert out[1].n_removed == 0 and out[1].n_spans == 0
+    assert out[1].cleaned == f"intro one {shared} tail one"
+    # doc 2 loses exactly the shared span
+    assert out[2].n_removed == 5 and out[2].n_spans == 1
+    assert out[2].cleaned == "different start and different end"
+    # doc 3 untouched
+    assert out[3].n_removed == 0
+    assert out[3].cleaned == "nothing in common with anyone at all here"
+
+    # keep_first=False: the paper's tool cuts EVERY occurrence
+    all_cut = {r.doc_id: r for r in dedup.exact_substring_dedup(
+        docs, "doc_id", min_len=5, keep_first=False).collect()}
+    assert all_cut[1].n_removed == 5 and all_cut[2].n_removed == 5
+
+
+def test_exact_substring_dedup_same_doc_repetition(spark):
+    """Occurrence counting catches a span repeated WITHIN one doc —
+    the distinct-doc form (remove_repeated_spans) is blind to it."""
+    from malstrom_spark.functions import dedup
+
+    rep = "one two three four"
+    docs = spark.createDataFrame(
+        [(7, f"{rep} filler a b c {rep} closing words")],
+        "doc_id long, text string",
+    )
+    got = dedup.exact_substring_dedup(
+        docs, "doc_id", min_len=4).collect()[0]
+    assert got.n_removed == 4 and got.n_spans == 1
+    assert got.cleaned == f"{rep} filler a b c closing words"
+    # contrast: the distinct-doc form leaves it alone
+    old = dedup.remove_repeated_spans(
+        docs, "doc_id", window=4, min_docs=2).collect()[0]
+    assert old.n_removed == 0
+
+
+def test_exact_substring_dedup_longer_span_interval_union(spark):
+    """A shared span LONGER than min_len interval-unions to exactly
+    one maximal cut of the full span length."""
+    from malstrom_spark.functions import dedup
+
+    span = "t1 t2 t3 t4 t5 t6 t7 t8 t9"  # 9 tokens, min_len 4
+    docs = spark.createDataFrame(
+        [(1, f"{span} unique tail"), (2, f"other head {span}")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.exact_substring_dedup(
+        docs, "doc_id", min_len=4).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 9 and out[2].n_spans == 1
+    assert out[2].cleaned == "other head"
+
+
+def test_exact_substring_positions_canonical_flags(spark):
+    """The positions table marks exactly one canonical occurrence per
+    duplicated window value, at the smallest (id, pos)."""
+    from malstrom_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(5, "z z q w e r"), (9, "q w e r z z"), (11, "totally other")],
+        "doc_id long, text string",
+    )
+    rows = dedup.exact_substring_positions(
+        docs, "doc_id", min_len=4).collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r.whash, []).append(r)
+    assert by_hash  # the q w e r window duplicates across 5 and 9
+    for grp in by_hash.values():
+        canon = [r for r in grp if r.is_canonical]
+        assert len(canon) == 1
+        best = min((r.doc_id, r.pos) for r in grp)
+        assert (canon[0].doc_id, canon[0].pos) == best
+        assert all(r.n_occurrences == len(grp) for r in grp)
