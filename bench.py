@@ -125,10 +125,14 @@ HEADLINE = [
     "doc_text_chunks",
     "doc_unicode_normalize",
     # round-8 batch 1: repeated-span removal transform, full-PSL
-    # eTLD+1 and the trained char-bigram language ID (all gate rows)
+    # eTLD+1 and the trained char-bigram language ID. Round 11: the
+    # headline times the ARROW production path (pinned bit-identical,
+    # same oracle, ~5x faster) — doc_lang_id_trained's portable fold
+    # stays the gate/oracle row but its 5.9 s was fit+literal-map
+    # cost users never pay (VERDICT r10 "headline honesty")
     "doc_repeated_span_removal",
     "doc_url_psl",
-    "doc_lang_id_trained",
+    "doc_lang_id_arrow",
     # round-8 batch 2: CDC compaction (max_by single-shuffle), fuzzy
     # linkage (symmetric-delete blocker; DuckDB side runs the true
     # cross join — the honest cost of the exact semantics), bloom-
@@ -176,6 +180,9 @@ HEADLINE = [
     # round-10: crawl-delay budgets + per-source datasheet report
     "crawl_frontier_politeness",
     "corpus_datasheet",
+    # round-11: cross-document ExactSubstr (occurrence-counted window
+    # hashes, keep-first canonical, interval-union cut)
+    "doc_exact_substring_dedup",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",
