@@ -183,6 +183,9 @@ HEADLINE = [
     # round-11: cross-document ExactSubstr (occurrence-counted window
     # hashes, keep-first canonical, interval-union cut)
     "doc_exact_substring_dedup",
+    # round-11: host-reputation prior (link graph -> weighted PageRank
+    # x quality rollup -> broadcast join back onto docs)
+    "doc_host_reputation",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

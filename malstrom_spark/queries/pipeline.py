@@ -3462,6 +3462,150 @@ def customer_pagerank_weighted(spark, sf_dir):
     return _graph.pagerank(edges, n_iter=5, weight="w")
 
 
+_HOSTREP_SITE = "'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'"
+_HOSTREP_EDGES = f"""
+    SELECT src, dst, COUNT(*) AS w FROM (
+      SELECT {_HOSTREP_SITE} AS src,
+             'site' || CAST((doc_id + 1) % 5 AS VARCHAR)
+               || '.example.com' AS dst
+      FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT {_HOSTREP_SITE},
+             'site' || CAST((doc_id + 2) % 5 AS VARCHAR) || '.example.com'
+      FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT {_HOSTREP_SITE}, 'hub.example.org'
+      FROM documents WHERE text IS NOT NULL
+    ) GROUP BY src, dst
+"""
+
+
+@register(
+    "doc_host_reputation",
+    oracle=f"""
+    WITH pr AS (
+      SELECT * FROM ({_graph.pagerank_sql(_HOSTREP_EDGES, n_iter=5,
+                                          weighted=True)})
+    ),
+    t AS (
+      SELECT doc_id, text, {_HOSTREP_SITE} AS host,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+             length(text) AS n_chars
+      FROM documents WHERE text IS NOT NULL
+    ),
+    q AS (
+      SELECT doc_id, host,
+             (-1.2
+              + 2.0 * CAST(length(regexp_replace(text, '[^A-Za-z ]', '',
+                  'g')) AS DOUBLE) / greatest(n_chars, 1)
+              + -0.15 * CAST(list_sum(list_transform(toks,
+                  x -> length(x))) AS DOUBLE) / greatest(len(toks), 1)
+              + -4.0 * CAST(length(regexp_replace(text, '[^0-9]', '',
+                  'g')) AS DOUBLE) / greatest(n_chars, 1)
+              + 1.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+              + 3.0 * CAST(len(list_filter(ltoks, x -> list_contains(
+                  ['the','and','of','to','a','in','is'], x))) AS DOUBLE)
+                  / greatest(len(ltoks), 1)
+             ) >= 0.0 AS keep
+      FROM t
+    ),
+    stats AS (
+      SELECT host, COUNT(*) AS n_docs,
+             SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
+      FROM q GROUP BY host
+    ),
+    hosts AS (
+      SELECT coalesce(p.node, s.host) AS host,
+             coalesce(p.rank, 0) AS rank,
+             coalesce(s.n_docs, 0) AS n_docs,
+             coalesce(s.n_keep, 0) AS n_keep
+      FROM pr p FULL OUTER JOIN stats s ON p.node = s.host
+    ),
+    rep AS (
+      SELECT host, rank,
+             (rank * (1 + n_keep)) // (1 + n_docs) AS reputation
+      FROM hosts
+    )
+    SELECT q.doc_id, q.host,
+           CAST(coalesce(r.rank, 0) AS BIGINT) AS host_rank,
+           CAST(coalesce(r.reputation, 0) AS BIGINT) AS host_reputation
+    FROM q LEFT JOIN rep r ON r.host = q.host
+    """,
+)
+def doc_host_reputation(spark, sf_dir):
+    """Host-reputation propagation (functions/reputation.py, round 11)
+    — the CCNet/Dolma-style SOURCE prior, composed end to end from
+    real pieces: per-doc raw HTML is parsed by the stdlib parser and
+    RFC 3986-resolved (html.extract_links), hosts extracted
+    (url.url_host), the host-level weighted link graph run through
+    the integer-exact weighted PageRank fixed point (graph.pagerank),
+    per-host quality rolled up from the trained linear classifier's
+    keep verdicts (text.linear_classifier), and the combined integer
+    prior ((rank * (1 + n_keep)) div (1 + n_docs)) joined BACK onto
+    every document as a broadcast — the docs side never reshuffles
+    (plan-pinned in test_plans). The seeded pages link each host to
+    its two successor sites (one absolute href, one protocol-relative)
+    plus a shared hub, and carry a same-host link that the self-link
+    rule must drop; the oracle replays the link structure
+    generatively, the five PageRank rounds as chained CTEs, and the
+    classifier features in SQL — every rank and reputation BIGINT
+    hash-exact."""
+    from ..functions import reputation as _rep
+    from ..functions.html import extract_links
+    from ..functions.url import url_host
+
+    d = F.col("doc_id")
+    s = (d % 5).cast("string")
+    s1 = ((d + 1) % 5).cast("string")
+    s2 = ((d + 2) % 5).cast("string")
+    url = F.concat(
+        F.lit("https://site"), s, F.lit(".example.com/p/"),
+        d.cast("string"), F.lit(".html"),
+    )
+    page = F.concat(
+        F.lit('<p>body</p><a href="https://site'), s1,
+        F.lit('.example.com/next.html">next</a>'),
+        F.lit('<a href="//site'), s2,
+        F.lit('.example.com/two.html">proto relative</a>'),
+        F.lit('<a href="/local.html">same host, dropped</a>'),
+        F.lit('<a href="https://hub.example.org/index.html">hub</a>'),
+    )
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text", url.alias("url"), page.alias("page"))
+    )
+    links = docs.select(
+        "url", F.explode(extract_links(F.col("page"), F.col("url"))).alias("l")
+    ).select("url", F.col("l.href").alias("href"))
+    edges = _rep.host_edges_from_links(links, "url", "href")
+    scored = text.linear_classifier(
+        docs,
+        "url",
+        weights={
+            "alpha_ratio": 2.0,
+            "avg_token_len": -0.15,
+            "digit_ratio": -4.0,
+            "length_term": 1.5,
+            "stopword_ratio": 3.0,
+        },
+        bias=-1.2,
+        threshold=0.0,
+    )
+    stats = _rep.host_quality_stats(scored, "url", "keep")
+    prior = _rep.host_reputation(edges, stats, n_iter=5)
+    per_doc = _rep.with_host_reputation(
+        docs.select("doc_id", "url"), "url", prior
+    )
+    return per_doc.select(
+        "doc_id",
+        url_host(F.col("url")).alias("host"),
+        F.col("host_rank"),
+        F.col("host_reputation"),
+    )
+
+
 @register(
     "customer_triangles",
     oracle=_graph.triangle_count_sql(

@@ -266,3 +266,42 @@ def test_pagerank_tol_validation(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="tol"):
         graph.pagerank(e, tol=0)
+
+
+def test_host_reputation_composition(spark):
+    """host_edges_from_links drops self-links and unparseable ends,
+    aggregates parallel links into weights; host_reputation's
+    integer prior keeps exactly the link rank for uncrawled hosts
+    and zeroes unlinked ones (quality alone never launders)."""
+    from malstrom_spark.functions import reputation as rep
+    from pyspark.sql import functions as F
+
+    links = spark.createDataFrame(
+        [("https://a.com/1", "https://b.com/x"),
+         ("https://a.com/2", "https://b.com/y"),      # parallel: w=2
+         ("https://a.com/3", "https://A.com/self"),   # self, dropped
+         ("https://b.com/1", "https://hub.org/"),
+         ("bogus", "https://hub.org/")],              # no src host
+        "src string, dst string")
+    edges = rep.host_edges_from_links(links, "src", "dst")
+    got = {(r.src, r.dst): r.w for r in edges.collect()}
+    assert got == {("a.com", "b.com"): 2, ("b.com", "hub.org"): 1}
+
+    docs = spark.createDataFrame(
+        [("https://a.com/1", True), ("https://a.com/2", False),
+         ("https://b.com/1", True),
+         ("https://island.net/1", True)],   # unlinked host
+        "url string, keep boolean")
+    stats = rep.host_quality_stats(docs, "url", "keep")
+    prior = {r.host: r for r in rep.host_reputation(
+        edges, stats, n_iter=3).collect()}
+    # hub.org: linked but uncrawled -> n_docs=0, reputation == rank
+    assert prior["hub.org"].n_docs == 0
+    assert prior["hub.org"].reputation == prior["hub.org"].rank
+    assert prior["hub.org"].rank > 0
+    # island.net: crawled but unlinked -> rank 0, reputation 0
+    assert prior["island.net"].rank == 0
+    assert prior["island.net"].reputation == 0
+    # a.com: rank r, 2 docs 1 keep -> rep = (r * 2) div 3
+    a = prior["a.com"]
+    assert a.reputation == (a.rank * 2) // 3

@@ -319,3 +319,34 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_host_reputation_broadcasts_prior_docs_never_reshuffle(spark):
+    """with_host_reputation's contract: the host prior joins onto the
+    document table as a BROADCAST hash join — no Exchange may sit
+    between the docs-side scan and the join (the doc table is the
+    100 TB side; reshuffling it for a host-cardinality prior would be
+    the scale killer)."""
+    from malstrom_spark.functions import reputation as rep
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 7).cast("string"),
+            F.lit(".example.com/p"),
+        ).alias("url"),
+    )
+    prior = spark.createDataFrame(
+        [(f"h{i}.example.com", 1000 + i, 900 + i) for i in range(7)],
+        "host string, rank long, reputation long",
+    )
+    out = rep.with_host_reputation(docs, "url", prior)
+    plan = plan_simple(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # the docs side feeds the join straight from the range scan: the
+    # only Exchange allowed anywhere is the broadcast one
+    import re
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
+    # and the values survive the plan: every doc got its host prior
+    got = {r.doc_id: r.host_rank for r in out.collect()}
+    assert got[0] == 1000 and got[8] == 1001
