@@ -186,6 +186,9 @@ HEADLINE = [
     # round-11: host-reputation prior (link graph -> weighted PageRank
     # x quality rollup -> broadcast join back onto docs)
     "doc_host_reputation",
+    # round-11: unigram-LM tokenizer (distributed hard-EM fit +
+    # Arrow Viterbi encode, integer micro-nat scores)
+    "doc_unigram_tokens",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

@@ -2006,6 +2006,85 @@ def doc_bpe_tokens(spark, sf_dir):
     )
 
 
+# ------------------------------------- unigram-LM tokenization
+from ..functions import unigram as _ug  # noqa: E402
+
+# Same fixed literal seed table as the BPE row (the synthetic corpus
+# vocabulary + morphological variants) — the two tokenizers train on
+# identical evidence so their rows differ only by ALGORITHM. The
+# oracle embeds the model the pure-Python twin derives at import
+# time; the Spark side runs the DISTRIBUTED fit (pinned bit-identical
+# by test_unigram) — any divergence hash-mismatches the gate.
+_UNI_MODEL = _ug.unigram_fit_local(
+    _BPE_SEED_COUNTS, vocab_size=160, n_iters=3,
+    max_piece_len=6, max_word_chars=16, seed_size=1024,
+)
+
+
+@register(
+    "doc_unigram_tokens",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wpos AS (
+      SELECT doc_id, unnest(ws) AS word,
+             generate_subscripts(ws, 1) AS pos
+      FROM d
+    ),
+    words AS MATERIALIZED (SELECT DISTINCT word FROM wpos),
+    v(piece, ps) AS MATERIALIZED (
+      VALUES {_ug.unigram_sql_values(_UNI_MODEL)}),
+    {_ug.viterbi_sql_steps(_UNI_MODEL)},
+    tok AS (
+      SELECT word, array_to_string(toks, ' ') AS toks,
+             len(toks) AS n_tok
+      FROM seg
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t.n_tok) AS BIGINT) AS n_pieces,
+           string_agg(t.toks, ' ' ORDER BY w.pos) AS tokens
+    FROM wpos w JOIN tok t ON w.word = t.word
+    GROUP BY w.doc_id
+    """,
+)
+def doc_unigram_tokens(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenization
+    (functions/unigram.py, round 11 — Kudo 2018), the
+    likelihood-based alternative to doc_bpe_tokens' merge-based BPE:
+    the DISTRIBUTED fit (one word-count shuffle, substring-explode
+    seeding, hard-EM rounds with order-free integer counts, final
+    prune) followed by the Arrow Viterbi encode of every document.
+    Scores are integer-quantized micro-nat log-probs, so the oracle
+    replays the EXACT same DP as unrolled chained CTEs (score DESC,
+    longer-last-piece tie-break) — every piece of every document
+    hash-exact, an EM-trained tokenizer made gate-checkable."""
+    seed = spark.createDataFrame(
+        [(" ".join([w] * c),) for w, c in sorted(_BPE_SEED_COUNTS.items())],
+        "text string",
+    )
+    model = _ug.unigram_fit(
+        seed, "text", vocab_size=160, n_iters=3,
+        max_piece_len=6, max_word_chars=16, seed_size=1024,
+    )
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    enc = _ug.unigram_encode(docs, "text", model)
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    return (
+        enc.select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_words"),
+            F.size("unigram_tokens").cast("long").alias("n_pieces"),
+            F.array_join("unigram_tokens", " ").alias("tokens"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+
+
 @register(
     "doc_repeated_span_removal", oracle=remove_repeated_spans_oracle()
 )
