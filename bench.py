@@ -189,6 +189,9 @@ HEADLINE = [
     # round-11: unigram-LM tokenizer (distributed hard-EM fit +
     # Arrow Viterbi encode, integer micro-nat scores)
     "doc_unigram_tokens",
+    # round-11: incremental pHash index maintenance (delete-and-
+    # replace bands, serve from the updated index)
+    "image_phash_index_updated",
     "customer_pagerank_weighted",
     "customer_triangles",
     "lineitem_bloom_join",

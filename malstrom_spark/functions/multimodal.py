@@ -756,11 +756,31 @@ def phash_near_dup_pairs(
             "lower max_hamming, shrink chunk_bits, or pass "
             "allow_lossy=True to accept recall loss"
         )
+    index = phash_band_index(df, id_col, phash_col, chunk_bits)
+    return phash_pairs_from_index(
+        index, id_col, max_hamming, chunk_bits,
+        allow_lossy=True, phash_col=phash_col,
+    )
+
+
+def phash_band_index(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str = "phash",
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """(id, chunk_id, chunk, phash): the banded pHash index rows for
+    a batch of images — the PERSISTED form of the near-dup candidate
+    table (persist via operators/bucketing.persist_stage bucketed on
+    `chunk` so cross-job serving joins prune; the search.py inverted-
+    index discipline applied to images). NULL phashes (undecodable
+    images) contribute no rows."""
+    n_chunks = 64 // chunk_bits
     mask = (1 << chunk_bits) - 1
     h = df.where(F.col(phash_col).isNotNull()).select(
         F.col(id_col), F.col(phash_col).alias("__ph")
     )
-    chunks = h.select(
+    return h.select(
         id_col,
         "__ph",
         F.explode(
@@ -776,12 +796,88 @@ def phash_near_dup_pairs(
                 for i in range(n_chunks)
             ])
         ).alias("c"),
-    ).select(id_col, "__ph", "c.chunk_id", "c.chunk")
-    left = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("__ph").alias("ph_a"),
+    ).select(
+        id_col, "c.chunk_id", "c.chunk", F.col("__ph").alias(phash_col)
+    )
+
+
+def update_phash_index(
+    index: DataFrame,
+    fresh_images: DataFrame,
+    id_col: str,
+    phash_col: str = "phash",
+    chunk_bits: int = 16,
+    deleted_ids: DataFrame | None = None,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """Delete-and-replace maintenance for the banded pHash index —
+    the search.update_index discipline applied to images: every id
+    present in `fresh_images` (a re-crawled image) or `deleted_ids`
+    has ALL of its old band rows anti-joined away before the freshly
+    banded batch unions in, so the served index is exactly what a
+    full rebuild over the updated image set would produce (pinned by
+    test and by the image_phash_index_updated registry row reusing
+    the rebuild oracle).
+
+    Tombstones in both forms: an id in `deleted_ids`, and a fresh
+    image whose new phash is NULL (the re-crawl 404'd or stopped
+    decoding) — the id is touched so its old bands vanish, and the
+    NULL contributes no new rows. This is why the function takes the
+    fresh IMAGES (id, phash), not pre-built band rows: a band
+    relation would silently drop null-phash tombstones.
+
+    100 TB shape: with `broadcast_touched` (a daily re-crawl is small
+    next to the accumulated index) the anti-join is a broadcast hash
+    join — a map-side filter that preserves the persisted index's
+    chunk-bucketed layout with no exchange; fresh rows stay
+    unbucketed until the next persist_stage compaction, like any
+    LSM delta."""
+    touched = fresh_images.select(id_col).distinct()
+    if deleted_ids is not None:
+        touched = touched.unionByName(
+            deleted_ids.select(id_col)
+        ).distinct()
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+    fresh_rows = phash_band_index(
+        fresh_images, id_col, phash_col, chunk_bits
+    )
+    return (
+        index.join(touched, id_col, "left_anti")
+        .select(*index.columns)
+        .unionByName(fresh_rows.select(*index.columns))
+    )
+
+
+def phash_pairs_from_index(
+    index: DataFrame,
+    id_col: str,
+    max_hamming: int | None = None,
+    chunk_bits: int = 16,
+    allow_lossy: bool = False,
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Serve near-duplicate pairs (id_a, id_b, hamming) from a banded
+    pHash index — the same chunk equi-join + exact hamming verify as
+    phash_near_dup_pairs, runnable against a persisted/merged/updated
+    index without re-deriving bands. Same pigeonhole-completeness
+    validation on max_hamming."""
+    n_chunks = 64 // chunk_bits
+    if max_hamming is None:
+        max_hamming = n_chunks - 1
+    elif max_hamming >= n_chunks and not allow_lossy:
+        raise ValueError(
+            f"phash_pairs_from_index: max_hamming={max_hamming} >= "
+            f"n_chunks={n_chunks} voids the pigeonhole completeness "
+            "guarantee; lower max_hamming, shrink chunk_bits, or pass "
+            "allow_lossy=True to accept recall loss"
+        )
+    ph = phash_col
+    left = index.select(
+        F.col(id_col).alias("id_a"), F.col(ph).alias("ph_a"),
         "chunk_id", "chunk")
-    right = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("__ph").alias("ph_b"),
+    right = index.select(
+        F.col(id_col).alias("id_b"), F.col(ph).alias("ph_b"),
         F.col("chunk_id").alias("cid2"), F.col("chunk").alias("ch2"))
     cand = (
         left.join(right,

@@ -2121,6 +2121,93 @@ def doc_exact_substring_dedup(spark, sf_dir):
     )
 
 
+# ----------------------------- incremental pHash index maintenance
+
+# deterministic 64-bit "phash" seeding, identical in both engines:
+# groups of 7 docs share a base hash (dup groups), the group leader's
+# low bit flips (hamming-1 near-dups); all four 16-bit chunks carry
+# entropy so no chunk value is corpus-wide hot
+_PHIDX_BASE = (
+    "((({g} * 40009) % 65536)"
+    " + (({g} * 40013) % 65536) * 65536"
+    " + (({g} * 40031) % 65536) * 4294967296"
+    " + (({g} * 40037) % 32768) * 281474976710656)"
+)
+
+
+@register(
+    "image_phash_index_updated",
+    oracle=f"""
+    WITH ph AS MATERIALIZED (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 5 = 0 THEN
+                 CASE WHEN doc_id % 25 = 0 THEN NULL
+                      ELSE {_PHIDX_BASE.format(g="(doc_id // 35)")}
+                 END
+               WHEN doc_id % 9 = 1 THEN NULL
+               ELSE xor({_PHIDX_BASE.format(g="(doc_id // 7)")},
+                        CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+             END AS phv
+      FROM documents
+    ),
+    live AS MATERIALIZED (SELECT doc_id, phv FROM ph WHERE phv IS NOT NULL)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phv, b.phv)) AS BIGINT) AS hamming
+    FROM live a JOIN live b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phv, b.phv)) <= 3
+    """,
+)
+def image_phash_index_updated(spark, sf_dir):
+    """Incremental pHash index maintenance (functions/multimodal.py
+    update_phash_index, round 11): the search.update_index
+    delete-and-replace discipline applied to the image near-dup
+    family. A base banded index is built, then a re-crawl batch
+    (every 5th image, with every 25th a NULL-phash tombstone — the
+    404 re-crawl) and an explicit delete set update it; near-dup
+    pairs are served FROM THE UPDATED INDEX. The oracle computes the
+    pairs of a from-scratch REBUILD over the post-update image set
+    directly (for hamming <= 3 of 4 chunks, pigeonhole makes the
+    banded candidates provably complete, so rebuild pairs == served
+    pairs) — if any replaced or deleted image's old bands lingered,
+    stale pairs would surface and hash-mismatch. Synthetic
+    SQL-expressible 64-bit hashes stand in for DCT output so the
+    MAINTENANCE semantics get a full-value oracle; the DCT itself is
+    covered rows-only by the multimodal rows."""
+    from ..functions import multimodal as mm
+
+    d = F.col("doc_id")
+
+    def base_ph(g):
+        return (
+            (g * 40009) % 65536
+            + ((g * 40013) % 65536) * F.lit(65536)
+            + ((g * 40031) % 65536) * F.lit(4294967296)
+            + ((g * 40037) % 32768) * F.lit(281474976710656)
+        )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id",
+        base_ph(F.expr("doc_id div 7"))
+        .bitwiseXOR(F.when(d % 7 == 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("phash"),
+    )
+    index = mm.phash_band_index(base, "doc_id")
+    fresh = docs.where(d % 5 == 0).select(
+        "doc_id",
+        F.when(d % 25 == 0, F.lit(None).cast("long"))
+        .otherwise(base_ph(F.expr("doc_id div 35")).cast("long"))
+        .alias("phash"),
+    )
+    deleted = docs.where((d % 9 == 1) & (d % 5 != 0)).select("doc_id")
+    updated = mm.update_phash_index(
+        index, fresh, "doc_id", deleted_ids=deleted
+    )
+    return mm.phash_pairs_from_index(updated, "doc_id")
+
+
 # ------------------------------------------------- PSL eTLD+1
 from ..functions.url import psl_rules_sql as _psl_rules_sql  # noqa: E402
 

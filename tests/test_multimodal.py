@@ -868,3 +868,55 @@ def test_audio_match_pairs_collapse_keeps_mass_duplicates(spark):
     # and the rep still matches the offset near-copy through the join
     assert got[(0, 99)] == 12
     assert len(got) == 30
+
+
+def test_update_phash_index_equals_rebuild(spark):
+    """Delete-and-replace pHash index maintenance (round 11): after a
+    re-crawl batch (including a NULL-phash tombstone) and an explicit
+    delete, pairs served from the UPDATED index equal pairs from a
+    from-scratch rebuild over the post-update image set — a replaced
+    image's old bands provably vanish."""
+    from malstrom_spark.functions import multimodal as mm
+
+    imgs = [(i, bytearray(mm.make_bmp(_pattern(i % 6, (i // 6) % 4))))
+            for i in range(36)]
+    df = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    hashed = mm.image_phash(df, "payload").drop("payload")
+    index = mm.phash_band_index(hashed, "doc_id")
+
+    # re-crawl: ids 0-5 now decode to DIFFERENT patterns; id 3 404s
+    fresh_imgs = [(i, bytearray(mm.make_bmp(_pattern(17 + i, 2))))
+                  for i in range(6) if i != 3]
+    fresh_imgs.append((3, bytearray(b"broken bytes")))
+    fdf = spark.createDataFrame(fresh_imgs, "doc_id long, payload binary")
+    fresh = mm.image_phash(fdf, "payload").drop("payload")
+    deleted = spark.createDataFrame([(30,), (31,)], "doc_id long")
+
+    updated = mm.update_phash_index(index, fresh, "doc_id",
+                                    deleted_ids=deleted)
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.phash_pairs_from_index(updated, "doc_id").collect()
+    )
+
+    # rebuild: the post-update truth
+    post = {i: p for i, p in imgs if i not in (3, 30, 31) and i >= 6}
+    for i, p in fresh_imgs:
+        if i != 3:
+            post[i] = p
+    rdf = spark.createDataFrame(sorted(post.items()),
+                                "doc_id long, payload binary")
+    rebuilt = mm.phash_band_index(
+        mm.image_phash(rdf, "payload").drop("payload"), "doc_id")
+    want = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.phash_pairs_from_index(rebuilt, "doc_id").collect()
+    )
+    assert got == want and len(want) > 0
+    # the tombstoned/deleted ids appear in no pair
+    gone = {3, 30, 31}
+    assert all(a not in gone and b not in gone for a, b, _ in got)
+    # replaced ids lost their OLD pairs: id 0's old dup partners were
+    # the same-pattern ids (6,12,...); its new pattern matches none
+    old_partners = {b for a, b, _ in got if a == 0}
+    assert not old_partners & {6, 12, 18, 24}
