@@ -75,15 +75,22 @@ _PRIORITY = [
     "doc_bpe_tokens",          # r8: distributed BPE fit + Arrow encode,
                                # recursive-CTE oracle, every token
                                # hash-exact
-    "corpus_heavy_tokens",     # r7: Misra-Gries + exact-recount heavy
-                               # hitters
+    "doc_unigram_tokens",      # r11: unigram-LM (SentencePiece-style)
+                               # tokenizer — integer Viterbi, chained-CTE
+                               # DP oracle (corpus_heavy_tokens folded
+                               # into pipeline_omnibus; heavy hitters
+                               # stay priority via streaming_heavy_tokens)
     # (r8 rotation batch 2: doc_url_stats folded into pipeline_omnibus
     # — the URL kit stays visible via doc_url_psl, which exercises the
     # full PSL path on top of the same normalizer; doc_text_chunks and
     # doc_unicode_normalize folded there too, both single-expression
     # zero-shuffle projections long stable)
-    "doc_url_psl",             # r8: FULL Public-Suffix-List eTLD+1
-                               # (wildcards/exceptions, literal-map)
+    # (r11 rotation: doc_url_psl folded into pipeline_omnibus — the
+    # URL kit stays priority-visible through doc_host_reputation /
+    # doc_sitemap_discovery / crawl_frontier_politeness, which all run
+    # the same normalizer+eTLD machinery on top.)
+    "doc_host_reputation",     # r11: link-graph PageRank x per-host
+                               # quality prior joined back onto docs
     "doc_source_cap_skew_safe",  # r7 batch-3: histogram-threshold cap
     "streaming_heavy_tokens",  # r7 batch-3: state-store MG shards
     "training_data_pipeline",   # flagship composition (supersedes
@@ -106,10 +113,17 @@ _PRIORITY = [
     # customer_entity_groups, PageRank via the dangling/weighted rows,
     # CDC via streaming_cdc_snapshot; dedup_simhash folded into
     # pipeline_omnibus — near-dup stays visible via minhash/clusters.)
-    "doc_bm25_incremental",     # r9: incremental index merge + serve
-                                # (reuses doc_bm25_search's oracle)
-    "customer_pagerank_dangling",  # r9: exact dangling-mass PageRank
-    "customer_pagerank_weighted",  # r9: weighted out-edge PageRank
+    # (r11 rotation: doc_bm25_incremental folded into pipeline_omnibus
+    # — index build/merge stays priority-visible via doc_bm25_updated,
+    # which runs the SAME serve oracle after a delete-and-replace
+    # update on top of the merged index. customer_pagerank_dangling +
+    # _weighted folded into relational_omnibus_b — PageRank stays
+    # priority-visible via doc_host_reputation, which runs the
+    # tol/dangling path on the real link graph.)
+    "doc_bm25_updated",         # r11: update_index delete-and-replace
+                                # (reuses the post-update serve oracle)
+    "image_phash_index_updated",  # r11: same discipline on the image
+                                  # near-dup banded index (tombstones)
     "customer_triangles",       # r9: degree-oriented triangle counts
     "corpus_pmi_bigrams",       # r9: integer-quantized PMI collocations
     "dedup_minhash_lsh",
@@ -122,6 +136,14 @@ _PRIORITY = [
                                   # re-emitted (subsumes the
                                   # doc_repeated_windows stats row,
                                   # now omnibus-folded)
+    "doc_exact_substring_dedup",  # r11: CROSS-document ExactSubstr
+                                  # (Lee et al. 2021) — keep-first
+                                  # span removal across the corpus
+    "embedding_semdedup",      # r11: semantic dedup (k-means +
+                               # within-cluster cosine), checkpointed
+                               # shuffle-free assignment
+    "doc_dsir_selected",       # r11: DSIR importance resampling
+                               # (hash-exact integer log-ratios)
     # (r8 rotation batch 2: similarity_topk_cosine folded into
     # pipeline_omnibus — it is the brute-force baseline the ANN rows
     # are verified against, so the capability stays doubly covered)
@@ -130,14 +152,19 @@ _PRIORITY = [
                                # folded into pipeline_omnibus; LSH+PQ
                                # keep the ANN family priority-visible)
     "multimodal_pipeline",
-    "doc_html_extract",        # r9: raw-HTML -> text extraction (the
-                               # WARC response-record stage; real
-                               # stdlib parser vs generative oracle)
-    "doc_html_links",          # r10 rotation in: RFC 3986-resolved
-                               # link extraction (crawl front-end)
-    "doc_html_meta",           # r10: title/description/lang metadata
+    # (r11 rotation: doc_html_extract / doc_html_links / doc_html_meta
+    # folded into pipeline_omnibus — the crawl front-end stays
+    # priority-visible through doc_html_main_text, doc_robots_filter,
+    # and the three crawl rows rotating IN below; link extraction
+    # specifically through doc_host_reputation, which builds the link
+    # graph from the same extractor.)
     "doc_html_main_text",      # r10: link-density main-content extract
     "doc_robots_filter",       # r10: RFC 9309 robots.txt politeness
+    "crawl_frontier_politeness",  # r11: frontier operator with
+                                  # robots + crawl-delay budgets
+    "doc_sitemap_discovery",   # r11: sitemap/sitemapindex URL discovery
+    "doc_leakage_safe_split",  # r11: train/val/test split by dedup group
+    "corpus_datasheet",        # r11: per-source data-card metrics
     # --- r9 rotation: the r8 batch-2 operator families get gate rows
     # (they were full-registry-only in r8). Nine veterans folded into
     # relational_omnibus_b: q4_order_priority, customers_without_orders,
@@ -148,9 +175,13 @@ _PRIORITY = [
     # full_registry. EXISTS/anti/semi/rank/ROLLUP/CUBE/session/as-of/
     # stateful-totals capabilities stay priority-visible through q3/q5,
     # the streaming rows, and error_next_purchase_asof in omnibus_b.
-    "lineitem_bloom_join",      # r8: runtime bloom filter ahead of join
+    # (r11 rotation: lineitem_bloom_join, orders_incremental_rollup,
+    # events_value_outliers folded into relational_omnibus_b — bloom
+    # pre-filtering stays priority-visible via doc_decontaminate_bloom,
+    # incremental maintenance via doc_bm25_updated /
+    # image_phash_index_updated / orders_snapshot_diff, and
+    # distribution stats via corpus_datasheet rotating in.)
     "orders_quality_report",    # r8: data-quality expectations
-    "orders_incremental_rollup",  # r8: incremental aggregate maintenance
     # (r10 rotation: customer_spend_trend + user_value_resampled folded
     # into relational_omnibus_b — still gate-hashed there and
     # individually oracle-checked via full_registry.)
@@ -158,7 +189,6 @@ _PRIORITY = [
                                 # (r10: gate projection stringifies
                                 # changed_cols — driver hashability)
     "customer_entity_groups",   # r8: entity resolution (linkage + CC)
-    "events_value_outliers",    # r8: Tukey fences from mergeable hists
     "pipeline_omnibus",         # doc-pipeline tail, hash-verified in one
                                 # row (inspect passthrough folded into
                                 # omnibus_b to free this slot)

@@ -162,6 +162,23 @@ _SPECS_B: list[tuple[str, list[str], list[str]]] = [
      ["o_orderkey", "o_custkey", "o_orderstatus"], ["o_totalprice"]),
     ("user_value_resampled", ["user_id", "bucket", "is_gap"], ["value"]),
     ("customer_spend_trend", ["k", "n"], ["slope", "intercept"]),
+    # round-11 gate rotation: five long-stable relational veterans
+    # folded so the round-10/11 operator families (semdedup, DSIR,
+    # crawl frontier, sitemap discovery, leakage-safe split, datasheet,
+    # cross-doc ExactSubstr, host reputation, unigram tokenizer,
+    # updated BM25/pHash indexes) get priority slots. Capability stays
+    # gate-visible: PageRank through doc_host_reputation (priority;
+    # runs the tol/dangling path on the real link graph), bloom
+    # pre-filtering through doc_decontaminate_bloom (priority),
+    # incremental aggregate maintenance through doc_bm25_updated and
+    # orders_snapshot_diff, distribution stats through corpus_datasheet.
+    ("customer_pagerank_dangling", ["node", "rank"], []),
+    ("customer_pagerank_weighted", ["node", "rank"], []),
+    ("lineitem_bloom_join", ["s_suppkey", "n_items"], ["revenue"]),
+    ("orders_incremental_rollup",
+     ["o_orderstatus", "o_orderpriority", "n_rows", "price_n"],
+     ["price_sum", "price_min", "price_max", "price_avg"]),
+    ("events_value_outliers", ["event_id", "event_type", "bin"], []),
 ]
 
 # Doc-pipeline tail (round 3): the SQL-expressible corpus ops that
@@ -259,6 +276,20 @@ _SPECS_P: list[tuple[str, list[str], list[str]]] = [
     ("doc_inverted_postings", ["term", "doc_id", "tf", "dl"], []),
     ("doc_bm25_search", ["query_id", "rank", "doc_id"], ["score"]),
     ("dedup_simhash", ["id_a", "id_b", "hamming"], []),
+    # round-11 gate rotation: six doc-pipeline veterans folded (see
+    # _SPECS_B round-11 note). Heavy hitters stay priority-visible via
+    # streaming_heavy_tokens; the URL kit via doc_host_reputation /
+    # doc_sitemap_discovery / crawl_frontier_politeness; HTML
+    # extraction via doc_html_main_text (runs the same parser with the
+    # link-density stage on top); link extraction via
+    # doc_host_reputation's link graph; incremental BM25 via
+    # doc_bm25_updated (same serve oracle, post-update).
+    ("corpus_heavy_tokens", ["token", "cnt"], ["share"]),
+    ("doc_url_psl", ["doc_id", "host", "public_suffix", "domain"], []),
+    ("doc_html_extract", ["doc_id", "text", "n_lines"], []),
+    ("doc_html_links", ["doc_id", "link_rank", "href", "anchor"], []),
+    ("doc_html_meta", ["doc_id", "title", "description", "lang"], []),
+    ("doc_bm25_incremental", ["query_id", "rank", "doc_id"], ["score"]),
 ]
 
 PACKED = [name for name, _, _ in _SPECS_A + _SPECS_B + _SPECS_P]
