@@ -202,6 +202,13 @@ HEADLINE = [
     "customer_entity_groups",
     "user_value_resampled",
     "events_value_outliers",
+    # round-11 batch 2: margin-based bitext mining (exact-kNN kernel;
+    # the margin core is ANN-agnostic), positional multi-phrase
+    # search (one term-broadcast join, any phrase length), and fuzzy
+    # benchmark decontamination (MinHash bands vs the eval set)
+    "embedding_bitext_mining",
+    "doc_phrase_search",
+    "doc_decontaminate_fuzzy",
 ]
 
 

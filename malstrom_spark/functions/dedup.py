@@ -1564,3 +1564,48 @@ def exact_substring_dedup(
         occ = occ.where(~F.col("is_canonical"))
     flagged = occ.select(id_col, "pos")
     return _cut_flagged_positions(df, id_col, text_col, flagged, min_len)
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """FUZZY benchmark decontamination (the GPT-3 appendix-C /
+    FineWeb discipline): flag training documents that are NEAR-dups
+    of any evaluation document, not just exact 13-gram hits — the
+    channel `decontaminate`'s exact n-gram match cannot see
+    (paraphrased or lightly-edited benchmark leakage).
+
+    Composition of the incremental-dedup machinery with the eval set
+    playing the history corpus: eval docs band into a (band, bhash)
+    store (tiny — benchmark-sized — so the probe join broadcasts),
+    train docs probe it, candidates verify by exact shingle-set
+    Jaccard against the eval hash sets. Returns ONE ROW PER TRAIN
+    DOC: (id, is_contaminated, matched_eval = min matching eval id
+    or NULL, n_matches) — filter on ~is_contaminated for the kept
+    corpus, keep the flagged rows for the contamination report.
+
+    Train-side cost is exactly one banding pass + one bounded probe;
+    the 100 TB train corpus never self-joins."""
+    bands = minhash_band_table(
+        eval_docs, id_col, text_col, n_hashes, n_bands, shingle_n, portable,
+        max_bucket_size=None,
+    )
+    hsets = shingle_hash_sets(eval_docs, id_col, text_col, shingle_n, portable)
+    flagged = dedup_against_history(
+        train, bands, hsets, id_col, text_col, threshold,
+        n_hashes, n_bands, shingle_n, portable,
+    )
+    return train.select(id_col).join(flagged, id_col, "left").select(
+        id_col,
+        F.col("dup_of").isNotNull().alias("is_contaminated"),
+        F.col("dup_of").alias("matched_eval"),
+        F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias("n_matches"),
+    )

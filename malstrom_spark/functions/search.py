@@ -376,3 +376,87 @@ def bm25_topk(
         id_col,
         (F.col("__s").cast("double") / F.lit(1_000_000.0)).alias("score"),
     )
+
+
+# --------------------------------------------- positional / phrase search
+def positional_postings(
+    docs: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Position-augmented postings: one row per token OCCURRENCE —
+    (term, id, pos) with pos 1-based. The phrase/proximity operators
+    need positions, which the tf-only `inverted_index` deliberately
+    drops. Same tokenizer as the whole retrieval family
+    (`_tokens_cheap`), one explode, no shuffle; persist bucketed by
+    term for repeated serving (persist_stage discipline)."""
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(_tokens_cheap(F.col(text_col))).alias("__p", "term")
+    )
+    return toks.select(
+        "term", id_col, (F.col("__p") + 1).cast("long").alias("pos")
+    )
+
+
+def phrase_matches(
+    postings: DataFrame,
+    phrases: DataFrame,
+    id_col: str,
+    phrase_id_col: str = "phrase_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Exact phrase occurrences for a batch of phrases in ONE pass.
+
+    phrases: (phrase_id, terms array<string>) — small by contract
+    (a query workload), broadcast.
+
+    Relational form (no per-phrase join chain): explode each phrase
+    into (phrase_id, off, term, n_terms); an occurrence of phrase p
+    starting at position s exists iff for EVERY offset o the posting
+    (term = p[o], pos = s + o) exists — i.e. the (postings ⋈ terms)
+    rows grouped by (phrase_id, doc, s = pos - off) cover all
+    n_terms DISTINCT offsets (distinct handles repeated words inside
+    a phrase). One broadcast join on term (Catalyst prunes the
+    postings scan to query terms) + one count-distinct aggregation —
+    phrase length never adds joins, and nothing is corpus-quadratic.
+
+    Returns (phrase_id, id, start_pos) per occurrence.
+    """
+    q = phrases.select(
+        phrase_id_col,
+        F.size(terms_col).cast("long").alias("__n_terms"),
+        F.posexplode(terms_col).alias("__off", "term"),
+    )
+    hits = postings.join(F.broadcast(q), "term").select(
+        phrase_id_col,
+        F.col(id_col),
+        (F.col("pos") - F.col("__off")).alias("start_pos"),
+        "__off",
+        "__n_terms",
+    ).where(F.col("start_pos") >= 1)
+    return (
+        hits.groupBy(phrase_id_col, id_col, "start_pos")
+        .agg(
+            F.countDistinct("__off").alias("__hit"),
+            F.first("__n_terms").alias("__n_terms"),
+        )
+        .where(F.col("__hit") == F.col("__n_terms"))
+        .select(phrase_id_col, id_col, "start_pos")
+    )
+
+
+def proximity_matches(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Co-occurrence within a token window: (id, pos_a, pos_b) for
+    every pair of occurrences with |pos_a - pos_b| <= window and
+    pos_a <> pos_b. Term filters push to the postings scan; the join
+    is doc-keyed over the two tiny filtered slices."""
+    a = postings.where(F.col("term") == term_a).select(id_col, F.col("pos").alias("pos_a"))
+    b = postings.where(F.col("term") == term_b).select(id_col, F.col("pos").alias("pos_b"))
+    return a.join(b, id_col).where(
+        (F.abs(F.col("pos_a") - F.col("pos_b")) <= window)
+        & (F.col("pos_a") != F.col("pos_b"))
+    )

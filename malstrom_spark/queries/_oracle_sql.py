@@ -752,3 +752,72 @@ def semdedup_oracle(
            dist2, group_id, kr = 1 AS is_keeper
     FROM final
     """
+
+
+def fuzzy_decontaminate_oracle(
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    eval_mod: int = 10,
+    eval_rem: int = 7,
+) -> str:
+    """First-principles twin of `decontaminate_fuzzy`: documents with
+    doc_id % eval_mod == eval_rem play the benchmark/eval set, the
+    rest the training corpus; a train doc is contaminated when it
+    shares a band bucket with an eval doc AND verifies at exact
+    shingle-set Jaccard >= threshold. One row per TRAIN doc."""
+    params = _perm_params(n_hashes)
+    a_lit = "[" + ",".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ",".join(str(b) for _, b in params) + "]"
+    rows = n_hashes // n_bands
+    p = _MERSENNE
+    bh = _h60(
+        "array_to_string(list_transform("
+        f"sig[band*{rows}+1 : band*{rows}+{rows}], x -> CAST(x AS VARCHAR)), chr(31))"
+    )
+    return f"""
+    WITH toks AS MATERIALIZED ({_TOKS}),
+    shseq AS MATERIALIZED ({_SHSEQ}),
+    sh AS MATERIALIZED (SELECT doc_id, list_distinct(s) AS sh FROM shseq),
+    shm AS MATERIALIZED (
+      SELECT doc_id, sh, list_transform(sh, h -> h % {p}) AS shm FROM sh
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(1, {n_hashes + 1}),
+               i -> list_min(list_transform(shm,
+                 h -> (h * ({a_lit})[i] + ({b_lit})[i]) % {p}))) AS sig
+      FROM shm
+    ),
+    banded AS MATERIALIZED (
+      SELECT doc_id, band, {bh} AS bhash
+      FROM sigs, (SELECT unnest(range({n_bands})) AS band)
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT t.doc_id AS id_a, e.doc_id AS id_b
+      FROM banded t JOIN banded e
+        ON t.band = e.band AND t.bhash = e.bhash
+      WHERE t.doc_id % {eval_mod} != {eval_rem}
+        AND e.doc_id % {eval_mod} = {eval_rem}
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+            >= {threshold}
+    ),
+    agg AS (
+      SELECT id_a AS doc_id, MIN(id_b) AS matched_eval,
+             COUNT(*) AS n_matches
+      FROM ver GROUP BY id_a
+    )
+    SELECT t.doc_id,
+           (a.matched_eval IS NOT NULL) AS is_contaminated,
+           a.matched_eval,
+           CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {eval_mod} != {eval_rem}) t
+    LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """

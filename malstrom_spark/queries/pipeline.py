@@ -26,6 +26,7 @@ from ._oracle_sql import (
     embedding_near_dup_lsh_oracle,
     fingerprint_sketch_oracle,
     exact_substring_dedup_oracle,
+    fuzzy_decontaminate_oracle,
     incremental_minhash_oracle,
     minhash_lsh_oracle,
     remove_repeated_spans_oracle,
@@ -4099,3 +4100,178 @@ def corpus_datasheet_q(spark, sf_dir):
     from ..functions.corpus import corpus_datasheet
 
     return corpus_datasheet(table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------- bitext / parallel-pair mining (r11)
+_BITEXT_K = 4
+
+
+def _bitext_oracle(k: int = _BITEXT_K, threshold: float = 1.0) -> str:
+    return f"""
+    WITH av AS MATERIALIZED (
+      SELECT vec_id AS x_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xv
+      FROM embeddings WHERE vec_id % 2 = 0
+    ), bv AS MATERIALIZED (
+      SELECT vec_id AS y_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS yv
+      FROM embeddings WHERE vec_id % 2 = 1
+    ), pairs AS MATERIALIZED (
+      SELECT x_id, y_id,
+             list_dot_product(xv, yv)
+               / (sqrt(list_dot_product(xv, xv))
+                  * sqrt(list_dot_product(yv, yv))) AS sim
+      FROM av, bv
+      WHERE sqrt(list_dot_product(xv, xv))
+            * sqrt(list_dot_product(yv, yv)) > 0
+    ), q AS MATERIALIZED (
+      SELECT x_id, y_id, sim,
+             CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_q
+      FROM pairs
+    ),
+    fk AS MATERIALIZED (
+      SELECT x_id, y_id, sim_q FROM (
+        SELECT x_id, y_id, sim_q,
+               ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY sim DESC, y_id) AS r
+        FROM q) WHERE r <= {k}
+    ),
+    bk AS MATERIALIZED (
+      SELECT x_id, y_id, sim_q FROM (
+        SELECT x_id, y_id, sim_q,
+               ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS r
+        FROM q) WHERE r <= {k}
+    ),
+    sx AS (SELECT x_id, SUM(sim_q) AS sum_x FROM fk GROUP BY x_id),
+    sy AS (SELECT y_id, SUM(sim_q) AS sum_y FROM bk GROUP BY y_id),
+    cands AS (
+      SELECT DISTINCT x_id, y_id, sim_q FROM (
+        SELECT x_id, y_id, sim_q FROM fk
+        UNION ALL SELECT x_id, y_id, sim_q FROM bk)
+    ),
+    scored AS MATERIALIZED (
+      SELECT c.x_id, c.y_id, c.sim_q,
+             CAST(c.sim_q * {2 * k} AS DOUBLE)
+               / CAST(sx.sum_x + sy.sum_y AS DOUBLE) AS margin
+      FROM cands c
+      JOIN sx ON sx.x_id = c.x_id
+      JOIN sy ON sy.y_id = c.y_id
+      WHERE sx.sum_x + sy.sum_y > 0
+    ),
+    best AS (
+      SELECT x_id, y_id, sim_q, margin,
+             ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS ry
+      FROM scored
+    )
+    SELECT x_id, y_id, sim_q, margin
+    FROM best WHERE rx = 1 AND ry = 1 AND margin >= {threshold}
+    """
+
+
+@register("embedding_bitext_mining", oracle=_bitext_oracle())
+def embedding_bitext_mining(spark, sf_dir):
+    """Margin-based bitext mining (functions/bitext.py, Artetxe &
+    Schwenk 2019): the embeddings table split into two sides by
+    vec_id parity (standing in for two languages), exact kNN both
+    directions, ratio-margin scoring, mutual-best alignment. Cosines
+    quantize to integer micro-sims before the per-node neighborhood
+    sums, so the margin is one division of exact BIGINTs and the row
+    hash-matches the SQL replay. The margin core is ANN-agnostic
+    (mine_bitext_from_knn) — at corpus scale the kNN edges come from
+    the IVF serving path instead of the brute-force kernel used
+    here."""
+    from ..functions.bitext import mine_bitext_exact
+
+    emb = table(spark, sf_dir, "embeddings")
+    side_a = emb.filter(F.col("vec_id") % 2 == 0)
+    side_b = emb.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext_exact(side_a, side_b, k=_BITEXT_K, threshold=1.0)
+
+
+# --------------------------------------- positional phrase search (r11)
+_PHRASES: list[tuple[int, list[str]]] = [
+    (0, ["slow", "hash", "batch"]),
+    (1, ["row", "column", "sort"]),
+    (2, ["big", "order", "scan"]),
+    (3, ["group", "slow", "spark"]),
+    (4, ["spark", "window", "join"]),
+    (5, ["table", "value"]),
+    (6, ["join", "customer", "a"]),
+]
+
+
+def _phrase_oracle() -> str:
+    vals = ", ".join(
+        f"({pid}, {off}, '{term}', {len(terms)})"
+        for pid, terms in _PHRASES
+        for off, term in enumerate(terms)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, i AS pos, t[i] AS term
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+    ),
+    ph(phrase_id,off, term, n_terms) AS (VALUES {vals}),
+    hits AS (
+      SELECT ph.phrase_id, p.doc_id, p.pos - ph.off AS start_pos,
+             ph.off AS off, ph.n_terms
+      FROM pos p JOIN ph ON p.term = ph.term
+      WHERE p.pos - ph.off >= 1
+    ),
+    occ AS (
+      SELECT phrase_id, doc_id, start_pos
+      FROM hits GROUP BY phrase_id, doc_id, start_pos, n_terms
+      HAVING COUNT(DISTINCT off) = n_terms
+    )
+    SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(start_pos) AS BIGINT) AS first_pos
+    FROM occ GROUP BY phrase_id, doc_id
+    """
+
+
+@register("doc_phrase_search", oracle=_phrase_oracle())
+def doc_phrase_search(spark, sf_dir):
+    """Exact multi-phrase search over positional postings (functions/
+    search.py positional_postings + phrase_matches): a 7-phrase query
+    workload served in ONE term-broadcast join + ONE count-distinct
+    aggregation — phrase length never adds joins, the postings scan
+    prunes to query terms, and nothing is corpus-quadratic. Output
+    per (phrase, doc): occurrence count and first position — all
+    exact integers, hash-matching the positional SQL replay."""
+    from ..functions.search import phrase_matches, positional_postings
+
+    docs = table(spark, sf_dir, "documents")
+    postings = positional_postings(docs, "doc_id")
+    phrases = spark.createDataFrame(
+        _PHRASES, "phrase_id long, terms array<string>"
+    )
+    occ = phrase_matches(postings, phrases, "doc_id")
+    return occ.groupBy("phrase_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("start_pos").cast("long").alias("first_pos"),
+    )
+
+
+# --------------------------------------- fuzzy decontamination (r11)
+@register("doc_decontaminate_fuzzy", oracle=fuzzy_decontaminate_oracle())
+def doc_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy (near-dup) benchmark decontamination (functions/dedup.py
+    decontaminate_fuzzy): documents with doc_id % 10 == 7 play the
+    held-out benchmark; every OTHER doc is flagged when it shares a
+    MinHash band bucket with a benchmark doc and verifies at exact
+    shingle-Jaccard >= 0.5 — the paraphrase-leakage channel the exact
+    13-gram `doc_decontaminate_bloom` cannot see. Portable md5
+    hashing end to end, so the oracle recomputes the identical band
+    stores and candidate set. One row per train doc (left-join form:
+    the kept corpus is the is_contaminated = false slice)."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 7)
+    ev = docs.filter(F.col("doc_id") % 10 == 7)
+    return dedup.decontaminate_fuzzy(
+        train, ev, "doc_id", threshold=0.5, n_hashes=32, n_bands=8, portable=True
+    )

@@ -1,0 +1,83 @@
+"""Margin-based bitext mining (functions/bitext.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from malstrom_spark.functions.bitext import (
+    SIM_SCALE,
+    mine_bitext_exact,
+    mine_bitext_from_knn,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+
+
+def test_identical_vectors_align(spark):
+    # a0 == b1 exactly; a2 == b3 exactly; one decoy per side.
+    a = _emb(spark, [(0, [1, 0, 0]), (2, [0, 1, 0]), (4, [0.5, 0.5, 0.7])])
+    b = _emb(spark, [(1, [1, 0, 0]), (3, [0, 1, 0]), (5, [-1, 0.2, 0.1])])
+    got = mine_bitext_exact(a, b, k=2, threshold=1.0).collect()
+    aligned = {(r.x_id, r.y_id) for r in got}
+    assert (0, 1) in aligned and (2, 3) in aligned
+    for r in got:
+        if (r.x_id, r.y_id) in {(0, 1), (2, 3)}:
+            assert r.sim_q == SIM_SCALE - 1 or r.sim_q == SIM_SCALE  # floor(~1.0 * 1e6)
+            assert r.margin > 1.0
+
+
+def test_mutual_best_is_one_to_one(spark):
+    # A hub in B (close to every A vector) can win at most one x —
+    # the mutual filter makes the output a partial matching.
+    a = _emb(spark, [(0, [1, 0.1, 0]), (2, [1, -0.1, 0]), (4, [1, 0, 0.1])])
+    b = _emb(spark, [(1, [1, 0, 0]), (3, [0, 0, 1])])
+    got = mine_bitext_exact(a, b, k=2, threshold=0.0).collect()
+    xs = [r.x_id for r in got]
+    ys = [r.y_id for r in got]
+    assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
+
+
+def test_margin_integer_arithmetic_exact(spark):
+    # Hand-built kNN edges with known micro-sims: margin must equal
+    # 2k * sim_q / (sum_x + sum_y) computed on exact integers.
+    k = 2
+    fwd = spark.createDataFrame(
+        [(0, 1, 0.900000), (0, 3, 0.500000), (2, 1, 0.400000), (2, 3, 0.300000)],
+        "x_id long, y_id long, sim double",
+    )
+    bwd = spark.createDataFrame(
+        [(0, 1, 0.900000), (2, 1, 0.400000), (0, 3, 0.500000), (2, 3, 0.300000)],
+        "x_id long, y_id long, sim double",
+    )
+    got = {(r.x_id, r.y_id): r for r in mine_bitext_from_knn(fwd, bwd, k=k, threshold=0.0).collect()}
+    # x=0: sum_x = 900000+500000; y=1: sum_y = 900000+400000
+    r = got[(0, 1)]
+    assert r.sim_q == 900000
+    assert r.margin == pytest.approx(4 * 900000 / (1400000 + 1300000), abs=0)
+    # x=2: margin(2,1) = 1600000/2000000 and margin(2,3) =
+    # 1200000/1500000 tie at exactly 0.8; the y_id tie-break picks
+    # y=1, whose own best is x=0 — so x=2 stays unmatched (mutual-best
+    # is a single matching round, not stable marriage).
+    assert set(got) == {(0, 1)}
+
+
+def test_zero_norm_vectors_dropped(spark):
+    a = _emb(spark, [(0, [0, 0, 0]), (2, [1, 0, 0])])
+    b = _emb(spark, [(1, [1, 0, 0]), (3, [0, 0, 0])])
+    got = mine_bitext_exact(a, b, k=1, threshold=0.0).collect()
+    ids = {r.x_id for r in got} | {r.y_id for r in got}
+    assert 0 not in ids and 3 not in ids
+    assert {(r.x_id, r.y_id) for r in got} == {(2, 1)}
+
+
+def test_threshold_filters(spark):
+    a = _emb(spark, [(0, [1, 0, 0]), (2, [0, 1, 0])])
+    b = _emb(spark, [(1, [1, 0, 0]), (3, [0.6, 0.8, 0])])
+    all_pairs = mine_bitext_exact(a, b, k=2, threshold=0.0).collect()
+    high = mine_bitext_exact(a, b, k=2, threshold=1.2).collect()
+    assert len(high) <= len(all_pairs)
+    for r in high:
+        assert r.margin >= 1.2

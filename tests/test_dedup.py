@@ -661,3 +661,27 @@ def test_exact_substring_positions_canonical_flags(spark):
         best = min((r.doc_id, r.pos) for r in grp)
         assert (canon[0].doc_id, canon[0].pos) == best
         assert all(r.n_occurrences == len(grp) for r in grp)
+
+
+# ------------------------------------------ fuzzy decontamination (r11)
+def test_decontaminate_fuzzy_flags_near_dup_of_eval(spark):
+    from malstrom_spark.functions.dedup import decontaminate_fuzzy
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, base),                          # exact copy of eval doc 100
+            (2, base.replace("kappa", "mu")),   # near-dup (1 token changed)
+            (3, "completely different words about ships and harbors now"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    got = {r.doc_id: r for r in decontaminate_fuzzy(
+        train, ev, "doc_id", threshold=0.5, portable=True
+    ).collect()}
+    assert set(got) == {1, 2, 3}  # one row per train doc
+    assert got[1].is_contaminated and got[1].matched_eval == 100
+    assert got[2].is_contaminated and got[2].n_matches >= 1
+    assert not got[3].is_contaminated and got[3].matched_eval is None
+    assert got[3].n_matches == 0

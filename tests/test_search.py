@@ -299,3 +299,78 @@ def test_update_index_antijoin_is_broadcast_no_exchange(spark, tmp_path):
     # and the composed update still computes the right survivors
     assert {r["doc_id"] for r in p.select("doc_id").distinct().collect()} \
         == set(range(40))
+
+
+# ---------------------------------------- positional / phrase search (r11)
+def _phrase_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "quick brown quick brown fox"),
+            (2, "fox brown quick"),
+            (3, None),
+            (4, "the the the"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_positional_postings_positions_are_one_based(spark):
+    from malstrom_spark.functions.search import positional_postings
+
+    p = positional_postings(_phrase_docs(spark), "doc_id")
+    rows = {(r.term, r.doc_id, r.pos) for r in p.where("doc_id = 2").collect()}
+    assert rows == {("fox", 2, 1), ("brown", 2, 2), ("quick", 2, 3)}
+
+
+def test_phrase_matches_basic_and_overlapping(spark):
+    from malstrom_spark.functions.search import phrase_matches, positional_postings
+
+    p = positional_postings(_phrase_docs(spark), "doc_id")
+    phrases = spark.createDataFrame(
+        [(0, ["quick", "brown"]), (1, ["the", "the"]), (2, ["brown", "fox"])],
+        "phrase_id long, terms array<string>",
+    )
+    got = {
+        (r.phrase_id, r.doc_id, r.start_pos)
+        for r in phrase_matches(p, phrases, "doc_id").collect()
+    }
+    # doc 1 has "quick brown" at 1 and 3; doc 0 at 2
+    assert (0, 0, 2) in got and (0, 1, 1) in got and (0, 1, 3) in got
+    # repeated-word phrase: "the the" overlaps at 1 and 2 in doc 4
+    assert (1, 4, 1) in got and (1, 4, 2) in got
+    # "brown fox" in docs 0 (pos 3) and 1 (pos 4), NOT doc 2 (reversed)
+    assert (2, 0, 3) in got and (2, 1, 4) in got
+    assert not any(pid == 2 and d == 2 for pid, d, _ in got)
+
+
+def test_phrase_longer_than_doc_no_match(spark):
+    from malstrom_spark.functions.search import phrase_matches, positional_postings
+
+    p = positional_postings(_phrase_docs(spark), "doc_id")
+    phrases = spark.createDataFrame(
+        [(0, ["fox", "brown", "quick", "fox"])], "phrase_id long, terms array<string>"
+    )
+    assert phrase_matches(p, phrases, "doc_id").count() == 0
+
+
+def test_proximity_matches_window(spark):
+    from malstrom_spark.functions.search import positional_postings, proximity_matches
+
+    p = positional_postings(_phrase_docs(spark), "doc_id")
+    got = {
+        (r.doc_id, r.pos_a, r.pos_b)
+        for r in proximity_matches(p, "quick", "fox", window=2).collect()
+    }
+    # doc 0: quick@2, fox@4 (dist 2); doc 1: quick@1,3 fox@5 (3->5 ok, 1->5 not)
+    assert (0, 2, 4) in got and (1, 3, 5) in got and (1, 1, 5) not in got
+    # doc 2: quick@3, fox@1 (dist 2, order-agnostic)
+    assert (2, 3, 1) in got
+
+
+def test_phrase_search_plan_prunes_to_query_terms(spark, sf_dir):
+    from malstrom_spark.queries import full_registry
+
+    df = full_registry()["doc_phrase_search"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
