@@ -207,6 +207,9 @@ HEADLINE = [
     # search (one term-broadcast join, any phrase length), and fuzzy
     # benchmark decontamination (MinHash bands vs the eval set)
     "embedding_bitext_mining",
+    # the corpus-scale twin: cell-keyed shuffle joins, no broadcast of
+    # either side (the shape that survives two billion-sentence sides)
+    "embedding_bitext_ivf",
     "doc_phrase_search",
     "doc_decontaminate_fuzzy",
 ]

@@ -134,3 +134,42 @@ def mine_bitext_exact(
         k=k,
     ).select(F.col("c_id").alias("x_id"), F.col("q_id").alias("y_id"), "sim")
     return mine_bitext_from_knn(fwd, bwd, k=k, threshold=threshold, mutual=mutual)
+
+
+def mine_bitext_ivf(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    centroids: DataFrame,
+    k: int = 4,
+    n_probe: int = 3,
+    threshold: float = 1.0,
+    mutual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bitext mining with IVF-approximate kNN — the corpus-scale
+    shape: both sides share ONE coarse quantizer (they live in the
+    same embedding space), each side assigns to a single cell as
+    corpus and probes `n_probe` cells as queries, and every kNN join
+    is a CELL-keyed shuffle equi-join (`broadcast_queries=False` —
+    neither side is broadcast, unlike the exact kernel which must
+    broadcast a whole side). Cell assignment is exact integer L2 over
+    quantized vectors, so the candidate sets — and hence the mined
+    pairs — are engine-reproducible, not just approximately right.
+    With n_probe = number of centroids it degrades gracefully to the
+    exact kernel's output (pytest-pinned)."""
+    from .similarity import ivf_topk_portable
+
+    a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = side_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    fwd = ivf_topk_portable(
+        a.select(F.col("a_id").alias("q_id"), F.col("a_vec").alias("q_vec")),
+        b.select(F.col("b_id").alias("c_id"), F.col("b_vec").alias("c_vec")),
+        centroids, k=k, n_probe=n_probe, broadcast_queries=False,
+    ).select(F.col("q_id").alias("x_id"), F.col("c_id").alias("y_id"), "sim")
+    bwd = ivf_topk_portable(
+        b.select(F.col("b_id").alias("q_id"), F.col("b_vec").alias("q_vec")),
+        a.select(F.col("a_id").alias("c_id"), F.col("a_vec").alias("c_vec")),
+        centroids, k=k, n_probe=n_probe, broadcast_queries=False,
+    ).select(F.col("c_id").alias("x_id"), F.col("q_id").alias("y_id"), "sim")
+    return mine_bitext_from_knn(fwd, bwd, k=k, threshold=threshold, mutual=mutual)

@@ -608,15 +608,21 @@ def ivf_topk_portable(
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF top-k against an externally supplied centroid table:
     corpus -> 1 cell each, queries probe `n_probe` cells, bucket
     equi-join, exact cosine, window top-k. Every bucketing decision is
     integer-exact, so a DuckDB oracle reproduces the identical result
-    set; `ivf_topk` (k-means fit) remains the self-contained variant."""
+    set; `ivf_topk` (k-means fit) remains the self-contained variant.
+    ``broadcast_queries=False`` drops the broadcast hint for workloads
+    where the query side is itself corpus-sized (bitext mining) — the
+    cell join becomes a plain shuffle equi-join on the cell key."""
     cb = ivf_assign(corpus, centroids, 1, c_vec, c_id)
     qb = ivf_assign(queries, centroids, n_probe, q_vec, q_id)
-    scored = cb.join(F.broadcast(qb), "cell").select(
+    if broadcast_queries:
+        qb = F.broadcast(qb)
+    scored = cb.join(qb, "cell").select(
         F.col(q_id), F.col(c_id), cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))

@@ -4275,3 +4275,106 @@ def doc_decontaminate_fuzzy(spark, sf_dir):
     return dedup.decontaminate_fuzzy(
         train, ev, "doc_id", threshold=0.5, n_hashes=32, n_bands=8, portable=True
     )
+
+
+def _bitext_ivf_oracle(
+    dim: int = 64, n_lists: int = 8, n_probe: int = 3,
+    k: int = _BITEXT_K, threshold: float = 1.0,
+) -> str:
+    from ._oracle_sql import _quant
+
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (e.q[i] - cent.cq[i]) * (e.q[i] - cent.cq[i])))"
+    )
+    cos = (
+        "list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v,
+             {_quant('embedding')} AS q
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < {n_lists}),
+    assigned AS MATERIALIZED (
+      SELECT e.vec_id, e.v, cent.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, cent.cell) AS rk
+      FROM e, cent
+    ),
+    corp_a AS (SELECT vec_id, v, cell FROM assigned WHERE rk = 1 AND vec_id % 2 = 0),
+    corp_b AS (SELECT vec_id, v, cell FROM assigned WHERE rk = 1 AND vec_id % 2 = 1),
+    prob_a AS (SELECT vec_id, v, cell FROM assigned WHERE rk <= {n_probe} AND vec_id % 2 = 0),
+    prob_b AS (SELECT vec_id, v, cell FROM assigned WHERE rk <= {n_probe} AND vec_id % 2 = 1),
+    fwd0 AS (
+      SELECT x.vec_id AS x_id, y.vec_id AS y_id, {cos} AS sim
+      FROM prob_a x JOIN corp_b y USING (cell)
+      WHERE sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) > 0
+    ),
+    bwd0 AS (
+      SELECT x.vec_id AS x_id, y.vec_id AS y_id, {cos} AS sim
+      FROM corp_a x JOIN prob_b y USING (cell)
+      WHERE sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) > 0
+    ),
+    fk AS MATERIALIZED (
+      SELECT x_id, y_id, CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_q FROM (
+        SELECT x_id, y_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY sim DESC, y_id) AS r
+        FROM fwd0) WHERE r <= {k}
+    ),
+    bk AS MATERIALIZED (
+      SELECT x_id, y_id, CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_q FROM (
+        SELECT x_id, y_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS r
+        FROM bwd0) WHERE r <= {k}
+    ),
+    sx AS (SELECT x_id, SUM(sim_q) AS sum_x FROM fk GROUP BY x_id),
+    sy AS (SELECT y_id, SUM(sim_q) AS sum_y FROM bk GROUP BY y_id),
+    cands AS (
+      SELECT DISTINCT x_id, y_id, sim_q FROM (
+        SELECT x_id, y_id, sim_q FROM fk
+        UNION ALL SELECT x_id, y_id, sim_q FROM bk)
+    ),
+    scored AS MATERIALIZED (
+      SELECT c.x_id, c.y_id, c.sim_q,
+             CAST(c.sim_q * {2 * k} AS DOUBLE)
+               / CAST(sx.sum_x + sy.sum_y AS DOUBLE) AS margin
+      FROM cands c
+      JOIN sx ON sx.x_id = c.x_id
+      JOIN sy ON sy.y_id = c.y_id
+      WHERE sx.sum_x + sy.sum_y > 0
+    ),
+    best AS (
+      SELECT x_id, y_id, sim_q, margin,
+             ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS ry
+      FROM scored
+    )
+    SELECT x_id, y_id, sim_q, margin
+    FROM best WHERE rx = 1 AND ry = 1 AND margin >= {threshold}
+    """
+
+
+@register("embedding_bitext_ivf", oracle=_bitext_ivf_oracle())
+def embedding_bitext_ivf(spark, sf_dir):
+    """IVF-approximate bitext mining (functions/bitext.py
+    mine_bitext_ivf) — the corpus-scale twin of
+    embedding_bitext_mining: one shared coarse quantizer (first 8
+    embeddings as cells, exact integer-L2 assignment), each side
+    probes 3 cells, and every kNN join is a cell-keyed SHUFFLE
+    equi-join — neither corpus-sized side is ever broadcast, the
+    shape that survives when both sides are billions of sentences.
+    Cell decisions are integer-exact, so the oracle reproduces the
+    identical candidate sets and the row hash-matches end to end."""
+    from ..functions.bitext import mine_bitext_ivf
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    side_a = emb.filter(F.col("vec_id") % 2 == 0)
+    side_b = emb.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext_ivf(
+        side_a, side_b, centroids, k=_BITEXT_K, n_probe=3, threshold=1.0
+    )

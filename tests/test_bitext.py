@@ -81,3 +81,48 @@ def test_threshold_filters(spark):
     assert len(high) <= len(all_pairs)
     for r in high:
         assert r.margin >= 1.2
+
+
+def test_ivf_bitext_with_full_probe_equals_exact(spark):
+    # n_probe = n_cells => every query probes every cell => candidate
+    # set is all pairs => IVF mining must reproduce the exact kernel.
+    from pyspark.sql import functions as F
+
+    from malstrom_spark.functions.bitext import mine_bitext_ivf
+    from malstrom_spark.queries import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    exact = mine_bitext_exact(a, b, k=3, threshold=1.0)
+    ivf_full = mine_bitext_ivf(a, b, cents, k=3, n_probe=4, threshold=1.0)
+    e = {(r.x_id, r.y_id, r.sim_q) for r in exact.collect()}
+    i = {(r.x_id, r.y_id, r.sim_q) for r in ivf_full.collect()}
+    assert e == i and len(e) > 0
+
+
+def test_ivf_bitext_partial_probe_subset_recall(spark):
+    # with fewer probes the mined set may shrink but every pair it
+    # emits must carry the same exact sim_q the full-probe run has
+    from pyspark.sql import functions as F
+
+    from malstrom_spark.functions.bitext import mine_bitext_ivf
+    from malstrom_spark.queries import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    part = mine_bitext_ivf(a, b, cents, k=3, n_probe=1, threshold=1.0).collect()
+    sims = {
+        (r.x_id, r.y_id): r.sim_q
+        for r in mine_bitext_ivf(a, b, cents, k=3, n_probe=4, threshold=0.0).collect()
+    }
+    for r in part:
+        if (r.x_id, r.y_id) in sims:
+            assert sims[(r.x_id, r.y_id)] == r.sim_q
