@@ -212,6 +212,11 @@ HEADLINE = [
     "embedding_bitext_ivf",
     "doc_phrase_search",
     "doc_decontaminate_fuzzy",
+    # round-11 batch 3: mixture planning, tokenizer fertility report
+    # (composes both tokenizer encodes), recrawl scheduling
+    "corpus_mixture_plan",
+    "doc_tokenizer_fertility",
+    "crawl_recrawl_schedule",
 ]
 
 

@@ -1253,3 +1253,70 @@ def dsir_resample(
     return top.select(
         *docs.columns, "dsir_q", F.col("rank").cast("long").alias("rank")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    weight: Column,
+    token_budget: int,
+    max_epochs: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixing PLAN for a token-budgeted training run — the
+    per-source table a Dolma/LLaMA-style mixture decision produces
+    before any sampling happens: for each stratum, how many tokens
+    are available, how many the target mixture asks for, how many
+    epochs (passes) that implies, and whether the max-epochs repeat
+    cap binds (the "we cannot upsample Wikipedia 40x" constraint).
+    Feed the resulting rates into `temperature_sample`/
+    `upsample_by_weight` to realize the plan.
+
+    `weight` is an integer Column giving the stratum's relative
+    mixture weight (ppm-precision integer weights cover practical
+    mixtures). ALL plan arithmetic is exact integer math — target =
+    budget * w // W, epochs = ceil-div — and the one reported rate is
+    a single division of exact BIGINTs, so the plan is engine-exact,
+    not approximately right.
+
+    Shape: one map-side-combinable count/sum aggregation keyed by the
+    stratum (the corpus never reshuffles), then literal one-row-
+    broadcast arithmetic — the q11 scalar pattern."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    avail = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(strata_col), F.size(toks).cast("long").alias("__n"))
+        .groupBy(strata_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__n").alias("available_tokens"),
+        )
+        .withColumn("weight", weight.cast("long"))
+    )
+    tot = avail.agg(F.sum("weight").alias("__w_total"))
+    target = F.expr(f"(CAST({int(token_budget)} AS BIGINT) * weight) div __w_total")
+    planned = F.least(
+        F.col("target_tokens"),
+        F.col("available_tokens") * F.lit(int(max_epochs)),
+    )
+    epochs = F.expr("(target_tokens + available_tokens - 1) div available_tokens")
+    return (
+        avail.crossJoin(F.broadcast(tot))
+        .withColumn("target_tokens", target)
+        .where(F.col("available_tokens") > 0)
+        .withColumn("planned_tokens", planned)
+        .withColumn("n_epochs", F.greatest(epochs, F.lit(1).cast("long")))
+        .withColumn(
+            "sampling_rate",
+            F.col("target_tokens").cast("double")
+            / F.col("available_tokens").cast("double"),
+        )
+        .withColumn("is_capped", F.col("n_epochs") > F.lit(int(max_epochs)))
+        .select(
+            strata_col, "n_docs", "available_tokens", "weight",
+            "target_tokens", "planned_tokens", "n_epochs",
+            "sampling_rate", "is_capped",
+        )
+    )

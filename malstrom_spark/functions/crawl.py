@@ -218,3 +218,105 @@ def crawl_frontier(
             [F.col("__ord"), F.col("url")],
         )
     return capped.select("url", "host", "domain")
+
+
+#: changefreq -> recrawl interval (days); the sitemaps.org hint
+#: vocabulary. 'always'/'hourly' mean "every visit is fine" (0 days);
+#: 'never' means only a lastmod bump justifies a refetch.
+CHANGEFREQ_DAYS: dict[str, int] = {
+    "always": 0,
+    "hourly": 0,
+    "daily": 1,
+    "weekly": 7,
+    "monthly": 30,
+    "yearly": 365,
+}
+
+#: recrawl-reason urgency weights (modified content outranks a new
+#: URL outranks a merely stale one at equal overdue-age)
+_REASON_WEIGHT = {"modified": 3, "new": 2, "stale": 1}
+
+
+def recrawl_schedule(
+    entries: DataFrame,
+    history: DataFrame,
+    as_of: str,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    changefreq_col: str = "changefreq",
+    fetch_date_col: str = "last_fetch",
+    default_interval_days: int = 7,
+) -> DataFrame:
+    """Recrawl scheduling from sitemap freshness hints — the pass
+    that turns discovered sitemap entries (`sitemap_entries` output:
+    url, lastmod, changefreq) plus the persisted fetch history into a
+    prioritized refetch list:
+
+    - never fetched                         -> due, reason 'new'
+    - lastmod after the last fetch          -> due, reason 'modified'
+    - age >= changefreq interval (hint map
+      CHANGEFREQ_DAYS, default_interval
+      when the hint is absent/unknown;
+      'never' disables the age rule)       -> due, reason 'stale'
+
+    score = reason_weight * 1000 + min(days overdue, 999) — exact
+    integers, so ORDER BY (score DESC, url) is a total engine-
+    reproducible order for budget cutting (feed the due rows into
+    `crawl_frontier`'s per-host budgets).
+
+    Output: one row per entry — (url, due, reason, last_fetch,
+    days_since_fetch, interval_days, score).
+
+    100 TB shape: one url-keyed left join against the bucketed
+    history (only the sitemap batch shuffles), then zero-shuffle date
+    arithmetic; no windows, no collects."""
+    as_of_d = F.to_date(F.lit(as_of))
+    cf = F.lower(F.col(changefreq_col))
+    iv = F.when(cf == "never", F.lit(None).cast("long"))
+    for k, v in CHANGEFREQ_DAYS.items():
+        iv = iv.when(cf == k, F.lit(v).cast("long"))
+    iv = iv.otherwise(F.lit(int(default_interval_days)).cast("long"))
+    h = history.select(
+        F.col(url_col), F.col(fetch_date_col).cast("date").alias("__fetch")
+    )
+    j = entries.join(h, url_col, "left")
+    days_since = F.datediff(as_of_d, F.col("__fetch")).cast("long")
+    lastmod_d = F.to_date(F.col(lastmod_col))
+    reason = (
+        F.when(F.col("__fetch").isNull(), F.lit("new"))
+        .when(lastmod_d > F.col("__fetch"), F.lit("modified"))
+        .when(
+            F.col("__interval").isNotNull()
+            & (days_since >= F.col("__interval")),
+            F.lit("stale"),
+        )
+    )
+    overdue = F.least(
+        F.greatest(
+            F.coalesce(days_since - F.coalesce(F.col("__interval"), F.lit(0)),
+                       F.lit(0).cast("long")),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(999).cast("long"),
+    )
+    weight = F.coalesce(
+        *[
+            F.when(F.col("reason") == k, F.lit(v).cast("long"))
+            for k, v in _REASON_WEIGHT.items()
+        ],
+    )
+    return (
+        j.withColumn("__interval", iv)
+        .withColumn("reason", reason)
+        .select(
+            F.col(url_col).alias("url"),
+            F.col("reason").isNotNull().alias("due"),
+            "reason",
+            F.col("__fetch").alias("last_fetch"),
+            days_since.alias("days_since_fetch"),
+            F.col("__interval").alias("interval_days"),
+            F.when(
+                F.col("reason").isNotNull(), weight * F.lit(1000) + overdue
+            ).alias("score"),
+        )
+    )

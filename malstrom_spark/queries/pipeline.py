@@ -4378,3 +4378,244 @@ def embedding_bitext_ivf(spark, sf_dir):
     return mine_bitext_ivf(
         side_a, side_b, centroids, k=_BITEXT_K, n_probe=3, threshold=1.0
     )
+
+
+# ----------------------------------------- corpus mixture plan (r11)
+_MIX_BUDGET = 100_000
+_MIX_MAX_EPOCHS = 4
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    avail AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS available_tokens
+      FROM tok GROUP BY source
+    ),
+    wt AS (
+      SELECT *, CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT) AS weight
+      FROM avail
+    ),
+    tot AS (SELECT SUM(weight) AS w_total FROM wt),
+    plan AS (
+      SELECT source, n_docs, available_tokens, weight,
+             (CAST({_MIX_BUDGET} AS BIGINT) * weight) // w_total AS target_tokens
+      FROM wt, tot
+      WHERE available_tokens > 0
+    )
+    SELECT source, n_docs, available_tokens, weight,
+           CAST(target_tokens AS BIGINT) AS target_tokens,
+           CAST(least(target_tokens, available_tokens * {_MIX_MAX_EPOCHS})
+                AS BIGINT) AS planned_tokens,
+           CAST(greatest((target_tokens + available_tokens - 1)
+                         // available_tokens, 1) AS BIGINT) AS n_epochs,
+           CAST(target_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE)
+             AS sampling_rate,
+           ((target_tokens + available_tokens - 1) // available_tokens)
+             > {_MIX_MAX_EPOCHS} AS is_capped
+    FROM plan
+    """,
+)
+def corpus_mixture_plan(spark, sf_dir):
+    """Token-budgeted mixture planning (functions/corpus.py
+    mixture_plan): per-source availability vs a target mixture
+    (integer weights derived from the source id here), exact-integer
+    target/epoch arithmetic, the max-epochs repeat cap, and the
+    realized sampling rate — the data-card table a training-mixture
+    decision starts from. One stratum-keyed aggregation + one-row
+    broadcast; every number is exact so the plan hash-matches the SQL
+    replay."""
+    from ..functions.corpus import mixture_plan
+
+    docs = table(spark, sf_dir, "documents")
+    w = (F.substring(F.col("source"), 4, 10).cast("int") % 4 + 1).cast("long")
+    return mixture_plan(
+        docs, "source", w, token_budget=_MIX_BUDGET, max_epochs=_MIX_MAX_EPOCHS
+    )
+
+
+# ------------------------------------ tokenizer fertility report (r11)
+def _fertility_oracle() -> str:
+    bpe_sql = REGISTRY["doc_bpe_tokens"].oracle
+    uni_sql = REGISTRY["doc_unigram_tokens"].oracle
+    return f"""
+    WITH bpe AS MATERIALIZED (
+      SELECT doc_id, n_words, n_bpe_tokens FROM ({bpe_sql}) t
+    ),
+    uni AS MATERIALIZED (
+      SELECT doc_id, n_pieces FROM ({uni_sql}) t
+    ),
+    d AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(b.n_words) AS BIGINT) AS total_words,
+           CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(u.n_pieces) AS BIGINT) AS total_unigram_pieces,
+           CAST(SUM(b.n_bpe_tokens) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE)
+             AS bpe_fertility,
+           CAST(SUM(u.n_pieces) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE)
+             AS unigram_fertility,
+           CAST(SUM(d.n_chars) AS DOUBLE) / CAST(SUM(b.n_bpe_tokens) AS DOUBLE)
+             AS chars_per_bpe_token
+    FROM d
+    JOIN bpe b ON b.doc_id = d.doc_id
+    JOIN uni u ON u.doc_id = d.doc_id
+    GROUP BY d.lang
+    """
+
+
+@register("doc_tokenizer_fertility", oracle=_fertility_oracle())
+def doc_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer evaluation report (the fertility table a tokenizer
+    choice is made from): per language, tokens-per-word for the
+    merge-based BPE vs the likelihood-based unigram-LM tokenizer and
+    chars-per-token compression — composed from the two hash-exact
+    encode rows (doc_bpe_tokens, doc_unigram_tokens), so every count
+    is exact and each ratio is ONE division of exact BIGINT sums.
+    The encodes are per-doc projections; the report adds one
+    lang-keyed aggregation."""
+    bpe_df = REGISTRY["doc_bpe_tokens"].fn(spark, sf_dir).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+    uni_df = REGISTRY["doc_unigram_tokens"].fn(spark, sf_dir).select(
+        "doc_id", "n_pieces"
+    )
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
+    )
+    j = d.join(bpe_df, "doc_id").join(uni_df, "doc_id")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.sum("n_pieces").cast("long").alias("total_unigram_pieces"),
+        (F.sum("n_bpe_tokens").cast("double") / F.sum("n_words").cast("double"))
+            .alias("bpe_fertility"),
+        (F.sum("n_pieces").cast("double") / F.sum("n_words").cast("double"))
+            .alias("unigram_fertility"),
+        (F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens").cast("double"))
+            .alias("chars_per_bpe_token"),
+    )
+
+
+# ------------------------------------------ recrawl scheduling (r11)
+@register(
+    "crawl_recrawl_schedule",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+    e AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+             '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               AS lastmod,
+             (['daily', 'weekly', 'monthly', 'never', 'always',
+               NULL])[(doc_id % 6) + 1] AS changefreq
+      FROM d
+    ),
+    h AS (
+      SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+             CAST('2026-01-' || lpad(CAST(doc_id % 20 + 1 AS VARCHAR), 2, '0')
+                  AS DATE) AS last_fetch
+      FROM d WHERE doc_id % 3 != 0
+    ),
+    iv AS (
+      SELECT e.url, e.lastmod, e.changefreq, h.last_fetch,
+             CASE lower(e.changefreq)
+               WHEN 'never' THEN NULL
+               WHEN 'always' THEN 0 WHEN 'hourly' THEN 0
+               WHEN 'daily' THEN 1 WHEN 'weekly' THEN 7
+               WHEN 'monthly' THEN 30 WHEN 'yearly' THEN 365
+               ELSE 7 END AS interval_days,
+             CAST(DATE '2026-02-10' - h.last_fetch AS BIGINT)
+               AS days_since_fetch
+      FROM e LEFT JOIN h ON h.url = e.url
+    ),
+    r AS (
+      SELECT *,
+             CASE
+               WHEN last_fetch IS NULL THEN 'new'
+               WHEN CAST(lastmod AS DATE) > last_fetch THEN 'modified'
+               WHEN interval_days IS NOT NULL
+                    AND days_since_fetch >= interval_days THEN 'stale'
+             END AS reason
+      FROM iv
+    )
+    SELECT url,
+           (reason IS NOT NULL) AS due,
+           reason, strftime(last_fetch, '%Y-%m-%d') AS last_fetch,
+           days_since_fetch,
+           CAST(interval_days AS BIGINT) AS interval_days,
+           CASE WHEN reason IS NOT NULL THEN
+             CAST(CASE reason WHEN 'modified' THEN 3 WHEN 'new' THEN 2
+                  ELSE 1 END * 1000
+               + least(greatest(COALESCE(days_since_fetch
+                   - COALESCE(interval_days, 0), 0), 0), 999) AS BIGINT)
+           END AS score
+    FROM r
+    """,
+)
+def crawl_recrawl_schedule(spark, sf_dir):
+    """Recrawl scheduling (functions/crawl.py recrawl_schedule): the
+    sitemaps.org freshness hints (lastmod + changefreq) joined against
+    the persisted fetch history into a prioritized refetch list —
+    never-fetched URLs, modified-since-fetch URLs, and
+    changefreq-stale URLs, scored with exact integer urgency so the
+    cut order is engine-reproducible. Generative inputs derived from
+    doc_id (one-third never fetched, six-way changefreq cycle
+    including 'never' and a missing hint); oracle restates the whole
+    date algebra in SQL. One url-keyed left join + zero-shuffle date
+    arithmetic."""
+    from ..functions.crawl import recrawl_schedule
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p"), F.col("doc_id").cast("string"),
+    )
+    cf = F.element_at(
+        F.array(
+            F.lit("daily"), F.lit("weekly"), F.lit("monthly"),
+            F.lit("never"), F.lit("always"), F.lit(None).cast("string"),
+        ),
+        ((F.col("doc_id") % 6) + 1).cast("int"),
+    )
+    entries = d.select(
+        url.alias("url"),
+        F.concat(
+            F.lit("2026-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+        cf.alias("changefreq"),
+    )
+    history = d.where(F.col("doc_id") % 3 != 0).select(
+        url.alias("url"),
+        F.to_date(
+            F.concat(
+                F.lit("2026-01-"),
+                F.lpad((F.col("doc_id") % 20 + 1).cast("string"), 2, "0"),
+            )
+        ).alias("last_fetch"),
+    )
+    out = recrawl_schedule(entries, history, as_of="2026-02-10")
+    # DATE cells reach the driver as engine-specific objects
+    # (datetime.date vs Timestamp); stringify for the hash compare,
+    # the q3/q18 orderdate convention
+    return out.withColumn(
+        "last_fetch", F.date_format("last_fetch", "yyyy-MM-dd")
+    )

@@ -783,3 +783,39 @@ def test_corpus_datasheet_plan_partial_agg_and_pruned_scan(spark):
         .toString()
     assert "partial_count" in plan and "partial_sum" in plan
     assert "doc_id" not in plan  # pruned from the scan
+
+
+# -------------------------------------------------- mixture plan (r11)
+def test_mixture_plan_exact_integer_arithmetic(spark):
+    from pyspark.sql import functions as F
+
+    from malstrom_spark.functions.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [("a", "w " * 10), ("a", "w " * 10), ("b", "w " * 5)],
+        "source string, text string",
+    )
+    w = F.when(F.col("source") == "a", F.lit(1)).otherwise(F.lit(3))
+    got = {r.source: r for r in mixture_plan(
+        docs, "source", w, token_budget=100, max_epochs=2
+    ).collect()}
+    # a: 20 tokens avail, weight 1 -> target 100*1//4 = 25 -> 2 epochs
+    assert got["a"].available_tokens == 20 and got["a"].target_tokens == 25
+    assert got["a"].n_epochs == 2 and not got["a"].is_capped
+    assert got["a"].planned_tokens == 25
+    # b: 5 avail, weight 3 -> target 75 -> 15 epochs, capped at 2 -> 10
+    assert got["b"].target_tokens == 75 and got["b"].n_epochs == 15
+    assert got["b"].is_capped and got["b"].planned_tokens == 10
+    assert got["b"].sampling_rate == 75 / 5
+
+
+def test_mixture_plan_skips_empty_strata(spark):
+    from pyspark.sql import functions as F
+
+    from malstrom_spark.functions.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", None)], "source string, text string"
+    )
+    got = mixture_plan(docs, "source", F.lit(1), token_budget=10).collect()
+    assert [r.source for r in got] == ["a"]

@@ -184,3 +184,48 @@ def test_frontier_override_case_normalized_and_broadcast_identical(spark):
         crawl_mod._OVERRIDE_LITERAL_MAX = old
     assert sorted(r.url for r in bc) == literal
     assert {r.host for r in bc} == {r.host for r in got}
+
+
+# ---------------------------------------------- recrawl schedule (r11)
+def test_recrawl_schedule_reasons(spark):
+    from malstrom_spark.functions.crawl import recrawl_schedule
+
+    entries = spark.createDataFrame(
+        [
+            ("u/new", "2026-01-05", "daily"),
+            ("u/mod", "2026-02-01", "monthly"),
+            ("u/stale", "2026-01-01", "weekly"),
+            ("u/fresh", "2026-01-01", "monthly"),
+            ("u/never", "2026-01-01", "never"),
+            ("u/never-mod", "2026-02-01", "never"),
+            ("u/nohint", "2026-01-01", None),
+        ],
+        "url string, lastmod string, changefreq string",
+    )
+    history = spark.createDataFrame(
+        [
+            ("u/mod", "2026-01-20"),
+            ("u/stale", "2026-01-25"),
+            ("u/fresh", "2026-02-01"),
+            ("u/never", "2026-01-01"),
+            ("u/never-mod", "2026-01-15"),
+            ("u/nohint", "2026-01-25"),
+        ],
+        "url string, last_fetch string",
+    )
+    got = {r.url: r for r in recrawl_schedule(
+        entries, history, as_of="2026-02-05"
+    ).collect()}
+    assert got["u/new"].reason == "new" and got["u/new"].due
+    assert got["u/mod"].reason == "modified"
+    assert got["u/stale"].reason == "stale"          # 11 days > weekly 7
+    assert got["u/fresh"].reason is None and not got["u/fresh"].due
+    # 'never': age alone NEVER makes it due...
+    assert got["u/never"].reason is None
+    # ...but a lastmod bump still does
+    assert got["u/never-mod"].reason == "modified"
+    # missing hint -> default 7-day interval -> 11 days stale
+    assert got["u/nohint"].reason == "stale"
+    # scores: modified tier > new tier > stale tier
+    assert got["u/mod"].score > got["u/new"].score > got["u/stale"].score
+    assert got["u/fresh"].score is None
