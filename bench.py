@@ -217,6 +217,10 @@ HEADLINE = [
     "corpus_mixture_plan",
     "doc_tokenizer_fertility",
     "crawl_recrawl_schedule",
+    # round-11 batch 4: anchor-text profiles (link-graph ranking
+    # signal) and observed-change-rate adaptive recrawl intervals
+    "doc_anchor_profile",
+    "crawl_change_rate",
 ]
 
 

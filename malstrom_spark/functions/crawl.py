@@ -320,3 +320,72 @@ def recrawl_schedule(
             ).alias("score"),
         )
     )
+
+
+def change_rate_intervals(
+    history: DataFrame,
+    url_col: str = "url",
+    fetch_date_col: str = "fetch_date",
+    fingerprint_col: str = "fingerprint",
+    base_days: int = 7,
+    min_days: int = 1,
+    max_days: int = 60,
+) -> DataFrame:
+    """Adaptive recrawl intervals from OBSERVED change rates — the
+    incremental-crawler estimator (Cho & Garcia-Molina 2003,
+    "Effective Page Refresh Policies for Web Crawlers"): for each
+    URL, compare consecutive fetch fingerprints, count changes over
+    intervals, and derive a refetch interval inversely proportional
+    to the change rate. Complements `recrawl_schedule` (sitemap HINTS
+    say what the site claims; this measures what actually happened).
+
+    interval_days = clamp(base_days * n_intervals // max(n_changes,1),
+                          [min_days, max_days])
+
+    — exact integer arithmetic end to end (change_rate is reported as
+    ONE division of exact BIGINTs), so schedules are engine- and
+    rerun-reproducible.
+
+    Shape: one url-keyed window (lag over each URL's fetch sequence —
+    bounded by per-URL history length) + one url-keyed aggregate.
+    URLs with a single fetch have no observable rate: they report
+    n_intervals = 0 and fall back to base_days."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(F.col(fetch_date_col).asc())
+    seq = history.select(
+        F.col(url_col),
+        F.col(fetch_date_col),
+        F.col(fingerprint_col).alias("__fp"),
+    ).withColumn("__prev", F.lag("__fp").over(w))
+    changed = F.when(
+        F.col("__prev").isNotNull() & (F.col("__fp") != F.col("__prev")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    agg = (
+        seq.withColumn("__chg", changed)
+        .groupBy(url_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_intervals"),
+            F.sum("__chg").cast("long").alias("n_changes"),
+        )
+    )
+    raw_iv = F.expr(
+        f"(CAST({int(base_days)} AS BIGINT) * n_intervals)"
+        " div greatest(n_changes, 1)"
+    )
+    iv = F.when(F.col("n_intervals") == 0, F.lit(int(base_days)).cast("long")).otherwise(
+        F.least(
+            F.greatest(raw_iv, F.lit(int(min_days)).cast("long")),
+            F.lit(int(max_days)).cast("long"),
+        )
+    )
+    return agg.select(
+        url_col, "n_fetches", "n_intervals", "n_changes",
+        F.when(
+            F.col("n_intervals") > 0,
+            F.col("n_changes").cast("double") / F.col("n_intervals").cast("double"),
+        ).alias("change_rate"),
+        iv.alias("interval_days"),
+    )

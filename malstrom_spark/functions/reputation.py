@@ -147,3 +147,50 @@ def with_host_reputation(
     return out.drop("__h").fillna(
         {f"{prefix}rank": 0, f"{prefix}reputation": 0}
     )
+
+
+def anchor_text_profile(
+    links: DataFrame,
+    dst_url_col: str,
+    anchor_col: str,
+) -> DataFrame:
+    """Per-target-host anchor-text profile — the classic web-search /
+    quality signal (how OTHER pages describe a host beats how the
+    host describes itself; used for ranking since anchor propagation
+    in early web search and for spam priors in crawl pipelines).
+
+    Output per destination host: (host, n_inlinks,
+    n_distinct_anchors, top_anchor, top_anchor_n) where top_anchor is
+    the most frequent non-empty anchor string (ties broken
+    lexicographically — a total, engine-reproducible order).
+
+    100 TB shape: two host-keyed aggregations over the (already
+    link-level) table — the profile keyspace is host-sized, millions
+    of times smaller than the corpus; no data-sized windows (the
+    top-1 window runs on (host, anchor) COUNTS, not raw links)."""
+    a = links.select(
+        url_host(F.col(dst_url_col)).alias("host"),
+        F.trim(F.col(anchor_col)).alias("__a"),
+    ).where((F.col("host") != "") & (F.col("__a") != ""))
+    counts = a.groupBy("host", "__a").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.desc("__n"), F.asc("__a"))
+    top = (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            "host",
+            F.col("__a").alias("top_anchor"),
+            F.col("__n").alias("top_anchor_n"),
+        )
+    )
+    totals = counts.groupBy("host").agg(
+        F.sum("__n").cast("long").alias("n_inlinks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_anchors"),
+    )
+    return totals.join(top, "host").select(
+        "host", "n_inlinks", "n_distinct_anchors", "top_anchor", "top_anchor_n"
+    )

@@ -4619,3 +4619,118 @@ def crawl_recrawl_schedule(spark, sf_dir):
     return out.withColumn(
         "last_fetch", F.date_format("last_fetch", "yyyy-MM-dd")
     )
+
+
+# ------------------------------------------ anchor-text profile (r11)
+@register(
+    "doc_anchor_profile",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(doc_id % 3 AS VARCHAR) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM b)
+    SELECT 'site' || s || '.example.com' AS host,
+           n * 3 AS n_inlinks, CAST(3 AS BIGINT) AS n_distinct_anchors,
+           'Root link' AS top_anchor, n AS top_anchor_n
+    FROM b
+    UNION ALL SELECT 'other.org', t, 1, 'absolute', t FROM tot
+    UNION ALL SELECT 'cdn.example.net', t, 1, 'proto relative', t FROM tot
+    """,
+)
+def doc_anchor_profile(spark, sf_dir):
+    """Anchor-text profiles per destination host (functions/
+    reputation.py anchor_text_profile): how OTHER pages describe a
+    host — inlink counts, distinct anchor vocabulary, and the modal
+    anchor string (lexicographic tie-break, a total order) — the
+    anchor-propagation signal web ranking and crawl spam priors use.
+    Runs on the SAME generative page doc_html_links parses, so the
+    Spark side must parse, resolve, host-normalize and aggregate
+    correctly for the three site hosts and the two external hosts to
+    hash-match the generative oracle (ties: 'Root link' beats
+    'child page'/'frag stripped' lexicographically at equal count)."""
+    from ..functions.html import extract_links
+    from ..functions.reputation import anchor_text_profile
+
+    docs = table(spark, sf_dir, "documents")
+    s = (F.col("doc_id") % 3).cast("string")
+    base = F.concat(F.lit("https://site"), s,
+                    F.lit(".example.com/a/b/page.html"))
+    page = F.lit(
+        '<p>No link here</p>'
+        '<a href="/root.html">Root <b>link</b></a>'
+        '<a href="rel/child.html">child page</a>'
+        '<a href="https://other.org/x?q=1">absolute</a>'
+        '<a href="//cdn.example.net/lib.js">proto relative</a>'
+        '<a href="javascript:void(0)">dropped</a>'
+        '<a href="#frag">dropped too</a>'
+        '<a href="page2.html#sec">frag stripped</a>'
+    )
+    links = docs.select(
+        "doc_id", F.explode(extract_links(page, base)).alias("l")
+    ).select(F.col("l.href").alias("href"), F.col("l.anchor").alias("anchor"))
+    return anchor_text_profile(links, "href", "anchor")
+
+
+# ------------------------------------------ crawl change rate (r11)
+@register(
+    "crawl_change_rate",
+    oracle="""
+    WITH h AS (
+      SELECT 'https://h' || CAST(doc_id % 100 AS VARCHAR) || '.example/p'
+               AS url,
+             DATE '2026-01-01' + CAST(doc_id // 100 AS INT) AS fetch_date,
+             'f' || CAST((doc_id // 100) // ((doc_id % 100) % 3 + 1)
+                         AS VARCHAR) AS fp
+      FROM documents
+    ),
+    s AS (
+      SELECT url, fp,
+             lag(fp) OVER (PARTITION BY url ORDER BY fetch_date) AS prev
+      FROM h
+    ),
+    a AS (
+      SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+             CAST(COUNT(*) - 1 AS BIGINT) AS n_intervals,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND fp != prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+      FROM s GROUP BY url
+    )
+    SELECT url, n_fetches, n_intervals, n_changes,
+           CASE WHEN n_intervals > 0 THEN
+             CAST(n_changes AS DOUBLE) / CAST(n_intervals AS DOUBLE)
+           END AS change_rate,
+           CAST(CASE WHEN n_intervals = 0 THEN 7
+                ELSE least(greatest((7 * n_intervals)
+                                    // greatest(n_changes, 1), 1), 60)
+                END AS BIGINT) AS interval_days
+    FROM a
+    """,
+)
+def crawl_change_rate(spark, sf_dir):
+    """Adaptive recrawl intervals from observed change rates
+    (functions/crawl.py change_rate_intervals — the Cho &
+    Garcia-Molina incremental-crawler estimator): generative fetch
+    history (each URL fetched once per 100-doc revision wave, content
+    fingerprints changing every 1st/2nd/3rd revision by URL class),
+    consecutive-fingerprint lag compare, exact integer interval
+    derivation. Complements crawl_recrawl_schedule (sitemap CLAIMS)
+    with measured behavior. One url-keyed window + one aggregate."""
+    from ..functions.crawl import change_rate_intervals
+
+    d = F.col("doc_id")
+    history = table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (d % 100).cast("string"), F.lit(".example/p")
+        ).alias("url"),
+        F.date_add(
+            F.lit("2026-01-01").cast("date"), F.expr("doc_id div 100").cast("int")
+        ).alias("fetch_date"),
+        F.concat(
+            F.lit("f"),
+            F.expr("(doc_id div 100) div ((doc_id % 100) % 3 + 1)").cast("string"),
+        ).alias("fingerprint"),
+    )
+    return change_rate_intervals(
+        history, base_days=7, min_days=1, max_days=60
+    )

@@ -229,3 +229,31 @@ def test_recrawl_schedule_reasons(spark):
     # scores: modified tier > new tier > stale tier
     assert got["u/mod"].score > got["u/new"].score > got["u/stale"].score
     assert got["u/fresh"].score is None
+
+
+# ------------------------------------------- change-rate intervals (r11)
+def test_change_rate_intervals_math_and_clamps(spark):
+    from malstrom_spark.functions.crawl import change_rate_intervals
+
+    hist = spark.createDataFrame(
+        [
+            # u/hot: changes every interval -> rate 1 -> 7*4//4 = 7
+            *[("u/hot", f"2026-01-0{i}", f"f{i}") for i in range(1, 6)],
+            # u/cold: never changes over 4 intervals -> 7*4//1=28
+            *[("u/cold", f"2026-01-0{i}", "same") for i in range(1, 6)],
+            # u/one: single fetch -> fallback base
+            ("u/one", "2026-01-01", "x"),
+            # u/frozen: 20 intervals no change -> 140 clamped to 60
+            *[("u/frozen", f"2026-01-{i:02d}", "s") for i in range(1, 22)],
+        ],
+        "url string, fetch_date string, fingerprint string",
+    )
+    got = {r.url: r for r in change_rate_intervals(
+        hist, base_days=7, min_days=1, max_days=60
+    ).collect()}
+    assert got["u/hot"].n_changes == 4 and got["u/hot"].interval_days == 7
+    assert got["u/hot"].change_rate == 1.0
+    assert got["u/cold"].n_changes == 0 and got["u/cold"].interval_days == 28
+    assert got["u/one"].n_intervals == 0 and got["u/one"].interval_days == 7
+    assert got["u/one"].change_rate is None
+    assert got["u/frozen"].interval_days == 60  # max clamp

@@ -305,3 +305,29 @@ def test_host_reputation_composition(spark):
     # a.com: rank r, 2 docs 1 keep -> rep = (r * 2) div 3
     a = prior["a.com"]
     assert a.reputation == (a.rank * 2) // 3
+
+
+# --------------------------------------------- anchor profile (r11)
+def test_anchor_text_profile_mode_and_ties(spark):
+    from malstrom_spark.functions.reputation import anchor_text_profile
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.example/x", "Home"),
+            ("https://a.example/y", "Home"),
+            ("https://a.example/z", "About"),
+            ("https://A.EXAMPLE:443/w", "  About  "),  # host-normalized, trimmed
+            ("https://b.example/1", "zeta"),
+            ("https://b.example/2", "alpha"),  # tie at 1 -> lexicographic
+            ("https://c.example/1", ""),       # empty anchor dropped
+            ("notaurl", "skipped"),
+        ],
+        "href string, anchor string",
+    )
+    got = {r.host: r for r in anchor_text_profile(links, "href", "anchor").collect()}
+    assert got["a.example"].n_inlinks == 4
+    assert got["a.example"].n_distinct_anchors == 2
+    # Home=2 vs About=2 after trim+host-norm -> tie -> 'About' < 'Home'
+    assert got["a.example"].top_anchor == "About"
+    assert got["b.example"].top_anchor == "alpha"
+    assert "c.example" not in got
