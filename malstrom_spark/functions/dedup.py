@@ -1609,3 +1609,70 @@ def decontaminate_fuzzy(
         F.col("dup_of").alias("matched_eval"),
         F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias("n_matches"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle-set CONTAINMENT —
+    |A ∩ B| / |A| — the quote/aggregator/boilerplate-wrapper signal
+    symmetric Jaccard cannot see: a short article fully embedded in a
+    long aggregator page has containment ~1 but Jaccard ~|A|/|B|,
+    below any sane symmetric threshold (the C4/news-dedup use case).
+
+    Output: one row per ORDERED pair (contained_id, container_id,
+    containment DOUBLE, jaccard DOUBLE) with containment >= threshold
+    (both directions of a candidate pair are tested; a true mutual
+    near-dup emits both orders).
+
+    Candidates come from the SAME MinHash band store as
+    `near_dup_pairs_minhash` (shared discipline incl. the hot-bucket
+    cap), so recall follows the Jaccard banding curve: a containment
+    pair with tiny Jaccard (|A| << |B|) may not share a band — the
+    documented MinHash-LSH blind spot; size-stratified banding is the
+    escalation when that tail matters. Verification is exact set
+    arithmetic over the hashed shingle sets."""
+    bands = minhash_band_table(
+        df, id_col, text_col, n_hashes, n_bands, shingle_n, portable,
+        max_bucket_size=None,
+    )
+    cand = _bucket_candidate_pairs(
+        bands, id_col, ["band", "bhash"], max_bucket_size=max_bucket_size
+    )
+    sh = shingle_hash_sets(df, id_col, text_col, shingle_n, portable)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    uni = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    sized = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            inter.alias("__i"), uni.alias("__u"),
+            F.size("sh_a").cast("double").alias("__na"),
+            F.size("sh_b").cast("double").alias("__nb"),
+        )
+    )
+    t = F.lit(float(threshold))
+    ab = sized.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("__i") / F.greatest(F.col("__na"), F.lit(1.0))).alias("containment"),
+        (F.col("__i") / F.greatest(F.col("__u"), F.lit(1.0))).alias("jaccard"),
+    )
+    ba = sized.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("__i") / F.greatest(F.col("__nb"), F.lit(1.0))).alias("containment"),
+        (F.col("__i") / F.greatest(F.col("__u"), F.lit(1.0))).alias("jaccard"),
+    )
+    return ab.unionByName(ba).where(F.col("containment") >= t)

@@ -418,3 +418,62 @@ def strip_boilerplate_lines(
         F.size(F.split(l, " ")) >= F.lit(min_words)
     )
     return F.array_join(F.filter(F.split(col, "\n"), keep), "\n")
+
+
+def meta_robots_py(html: str) -> tuple[bool, bool]:
+    """(noindex, nofollow) from <meta name="robots"> directives — the
+    page-level indexing-consent layer above robots.txt (a crawler may
+    FETCH an allowed page yet must not index or follow it). Directive
+    tokens are comma-separated and case-insensitive; 'none' means
+    noindex+nofollow, 'all' asserts neither; multiple robots metas
+    union their restrictions (most-restrictive-wins, the de-facto
+    standard across engines). Absent/malformed metas restrict
+    nothing."""
+
+    class _Robots(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.noindex = False
+            self.nofollow = False
+
+        def handle_starttag(self, tag, attrs):
+            if tag != "meta":
+                return
+            a = dict(attrs)
+            if (a.get("name") or "").strip().lower() != "robots":
+                return
+            toks = {
+                t.strip().lower()
+                for t in (a.get("content") or "").split(",")
+            }
+            if "none" in toks:
+                self.noindex = self.nofollow = True
+            if "noindex" in toks:
+                self.noindex = True
+            if "nofollow" in toks:
+                self.nofollow = True
+
+    p = _Robots()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # pragma: no cover
+        pass
+    return (p.noindex, p.nofollow)
+
+
+def meta_robots(html_col: Column) -> Column:
+    """Column form: struct<noindex: boolean, nofollow: boolean>.
+    Arrow-batched; NULL html restricts nothing (fetch-layer policy
+    belongs to robots.txt, not here)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<noindex: boolean, nofollow: boolean>")
+    def _robots(html: pd.Series) -> pd.DataFrame:
+        rows = [
+            (False, False) if h is None else meta_robots_py(h)
+            for h in html
+        ]
+        return pd.DataFrame(rows, columns=["noindex", "nofollow"])
+
+    return _robots(html_col)

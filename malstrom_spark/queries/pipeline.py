@@ -4734,3 +4734,153 @@ def crawl_change_rate(spark, sf_dir):
     return change_rate_intervals(
         history, base_days=7, min_days=1, max_days=60
     )
+
+
+# ------------------------------------------ containment dedup (r11)
+def _containment_oracle(threshold: float = 0.9) -> str:
+    from ..functions.dedup import _perm_params
+    from ._oracle_sql import _MERSENNE, _h60
+
+    n_hashes, n_bands = 32, 8
+    params = _perm_params(n_hashes)
+    a_lit = "[" + ",".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ",".join(str(b) for _, b in params) + "]"
+    rows = n_hashes // n_bands
+    p = _MERSENNE
+    bh = _h60(
+        "array_to_string(list_transform("
+        f"sig[band*{rows}+1 : band*{rows}+{rows}], x -> CAST(x AS VARCHAR)), chr(31))"
+    )
+    return f"""
+    WITH uni0 AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_filter(string_split_regex(trim(text),
+               '\\s+'), x -> x <> '')[1 :
+               greatest(len(list_filter(string_split_regex(trim(text),
+               '\\s+'), x -> x <> '')) // 2, 4)], ' ')
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM uni0
+    ),
+    shseq AS MATERIALIZED (
+      SELECT doc_id, list_transform(
+        range(1, greatest(len(t) - 3, 0) + 2),
+        i -> {_h60("concat_ws(chr(31), t[i], t[i+1], t[i+2])")}) AS s
+      FROM toks
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, list_distinct(s) AS sh FROM shseq),
+    shm AS MATERIALIZED (
+      SELECT doc_id, sh, list_transform(sh, h -> h % {p}) AS shm FROM sh
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(1, {n_hashes + 1}),
+               i -> list_min(list_transform(shm,
+                 h -> (h * ({a_lit})[i] + ({b_lit})[i]) % {p}))) AS sig
+      FROM shm
+    ),
+    banded AS MATERIALIZED (
+      SELECT doc_id, band, {bh} AS bhash
+      FROM sigs, (SELECT unnest(range({n_bands})) AS band)
+    ),
+    cands AS MATERIALIZED (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+    ),
+    sized AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS u,
+             CAST(len(a.sh) AS DOUBLE) AS na,
+             CAST(len(b.sh) AS DOUBLE) AS nb
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+    ),
+    both_dirs AS (
+      SELECT id_a AS contained_id, id_b AS container_id,
+             i / greatest(na, 1) AS containment,
+             i / greatest(u, 1) AS jaccard
+      FROM sized
+      UNION ALL
+      SELECT id_b, id_a, i / greatest(nb, 1), i / greatest(u, 1)
+      FROM sized
+    )
+    SELECT * FROM both_dirs WHERE containment >= {threshold}
+    """
+
+
+@register("dedup_containment", oracle=_containment_oracle())
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (functions/dedup.py
+    containment_pairs): |A∩B|/|A| — the quote/aggregator signal
+    symmetric Jaccard cannot see. The corpus is augmented with a
+    half-length EXCERPT of every document (ids offset by 1e6), so
+    true containment pairs with mid Jaccard exist by construction;
+    candidates come from the shared portable MinHash band machinery,
+    verification is exact shingle-set arithmetic — the oracle
+    recomputes the identical signatures, buckets and both-direction
+    containment scores."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    half = F.array_join(
+        F.slice(
+            toks, 1,
+            F.greatest(F.expr("size(filter(split(trim(text), '\\\\s+'), t -> t != '')) div 2"),
+                       F.lit(4)),
+        ),
+        " ",
+    )
+    excerpts = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), half.alias("text")
+    )
+    uni = docs.select("doc_id", "text").unionByName(excerpts)
+    return dedup.containment_pairs(
+        uni, "doc_id", threshold=0.9, portable=True, max_bucket_size=None
+    )
+
+
+# ------------------------------------------ meta-robots filter (r11)
+@register(
+    "doc_meta_robots_filter",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 6 IN (1, 3, 5)) AS noindex,
+           (doc_id % 6 IN (2, 3, 5)) AS nofollow,
+           NOT (doc_id % 6 IN (1, 3, 5)) AS indexable
+    FROM documents
+    """,
+)
+def doc_meta_robots_filter(spark, sf_dir):
+    """Page-level indexing consent (functions/html.py meta_robots):
+    <meta name="robots"> directives parsed from raw HTML — noindex /
+    nofollow / none (= both) / all (= neither), case-insensitive
+    names and tokens, multiple metas union restrictions. The layer
+    ABOVE robots.txt every compliant corpus build honors (a page a
+    crawler may fetch but must not index). Generative six-way page
+    cycle; the Spark side must parse every variant to hash-match."""
+    from ..functions.html import meta_robots
+
+    docs = table(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 6).cast("int")
+    page = (
+        F.when(m == 1, F.lit('<html><head><meta name="robots" content="noindex"></head><body>x</body></html>'))
+        .when(m == 2, F.lit('<html><head><META NAME="ROBOTS" CONTENT="NOFOLLOW"></head><body>x</body></html>'))
+        .when(m == 3, F.lit('<html><head><meta name="robots" content="none"></head><body>x</body></html>'))
+        .when(m == 4, F.lit('<html><head><meta name="robots" content="all"></head><body>x</body></html>'))
+        .when(m == 5, F.lit('<html><head><meta name="robots" content="noindex">'
+                            '<meta name="robots" content="nofollow"></head><body>x</body></html>'))
+        .otherwise(F.lit('<html><head><title>t</title></head><body>x</body></html>'))
+    )
+    r = docs.select("doc_id", meta_robots(page).alias("r"))
+    return r.select(
+        "doc_id",
+        F.col("r.noindex").alias("noindex"),
+        F.col("r.nofollow").alias("nofollow"),
+        (~F.col("r.noindex")).alias("indexable"),
+    )

@@ -685,3 +685,27 @@ def test_decontaminate_fuzzy_flags_near_dup_of_eval(spark):
     assert got[2].is_contaminated and got[2].n_matches >= 1
     assert not got[3].is_contaminated and got[3].matched_eval is None
     assert got[3].n_matches == 0
+
+
+# ---------------------------------------------- containment pairs (r11)
+def test_containment_pairs_detects_embedded_excerpt(spark):
+    from malstrom_spark.functions.dedup import containment_pairs
+
+    # excerpt = 32 of 36 tokens so the pair still shares a MinHash
+    # band (shingle Jaccard ~0.88; at J~0.3 banding recall is ~4% —
+    # the documented containment-vs-band blind spot)
+    long_text = " ".join(f"w{i}" for i in range(36))
+    excerpt = " ".join(f"w{i}" for i in range(32))   # strict prefix
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, "entirely different tokens here now ok yes")],
+        "doc_id long, text string",
+    )
+    got = {(r.contained_id, r.container_id): r for r in containment_pairs(
+        docs, "doc_id", threshold=0.9, portable=True, max_bucket_size=None
+    ).collect()}
+    # prefix 3-grams are a subset of the full doc's -> containment 1.0
+    assert (2, 1) in got and got[(2, 1)].containment == 1.0
+    # the reverse direction is nowhere near containment 0.9
+    assert (1, 2) not in got
+    # jaccard is symmetric and strictly below the containment score
+    assert got[(2, 1)].jaccard < got[(2, 1)].containment

@@ -371,3 +371,22 @@ def test_html_family_plans_are_shuffle_free(spark, sf_dir):
         plan = fr[name].fn(spark, sf_dir)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan, f"{name} plan shuffles"
+
+
+# ---------------------------------------------- meta robots (r11)
+def test_meta_robots_py_variants():
+    from malstrom_spark.functions.html import meta_robots_py
+
+    assert meta_robots_py("<html><body>x</body></html>") == (False, False)
+    assert meta_robots_py('<meta name="robots" content="noindex">') == (True, False)
+    assert meta_robots_py('<META NAME="ROBOTS" CONTENT="NOFOLLOW">') == (False, True)
+    assert meta_robots_py('<meta name="robots" content="none">') == (True, True)
+    assert meta_robots_py('<meta name="robots" content="all">') == (False, False)
+    assert meta_robots_py(
+        '<meta name="robots" content="noindex"><meta name="robots" content="nofollow">'
+    ) == (True, True)
+    # token list with whitespace; unrelated meta names ignored
+    assert meta_robots_py('<meta name="robots" content=" NOINDEX , follow ">') == (True, False)
+    assert meta_robots_py('<meta name="viewport" content="noindex">') == (False, False)
+    # malformed html restricts nothing
+    assert meta_robots_py("<meta <<<") == (False, False)
