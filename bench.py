@@ -206,10 +206,13 @@ HEADLINE = [
     # the margin core is ANN-agnostic), positional multi-phrase
     # search (one term-broadcast join, any phrase length), and fuzzy
     # benchmark decontamination (MinHash bands vs the eval set)
-    "embedding_bitext_mining",
+    # bitext rows: the headline times the ARROW production twins —
+    # pinned BIT-IDENTICAL (sequential-fold numpy kernel, same oracle,
+    # 6x/2.5x faster); the Column forms stay the gate rows
+    "embedding_bitext_arrow",
     # the corpus-scale twin: cell-keyed shuffle joins, no broadcast of
     # either side (the shape that survives two billion-sentence sides)
-    "embedding_bitext_ivf",
+    "embedding_bitext_ivf_arrow",
     "doc_phrase_search",
     "doc_decontaminate_fuzzy",
     # round-11 batch 3: mixture planning, tokenizer fertility report
@@ -221,6 +224,10 @@ HEADLINE = [
     # signal) and observed-change-rate adaptive recrawl intervals
     "doc_anchor_profile",
     "crawl_change_rate",
+    # round-11 batch 5: asymmetric containment pairs + page-level
+    # indexing consent
+    "dedup_containment",
+    "doc_meta_robots_filter",
 ]
 
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine_topk
+from .similarity import dot, norm
 
 #: micro-sim quantization: FLOOR(cos * SIM_SCALE) as BIGINT
 SIM_SCALE = 1_000_000
@@ -117,22 +117,42 @@ def mine_bitext_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact-kNN bitext mining: brute-force `cosine_topk` in both
-    directions (each side broadcast once as the query set — the
-    validation kernel; swap in ANN edges via `mine_bitext_from_knn`
-    when both sides are corpus-sized)."""
-    a = side_a.select(F.col(id_col).alias("x_id"), F.col(vec_col).alias("x_vec"))
-    b = side_b.select(F.col(id_col).alias("y_id"), F.col(vec_col).alias("y_vec"))
-    fwd = cosine_topk(
-        a.withColumnRenamed("x_id", "q_id").withColumnRenamed("x_vec", "q_vec"),
-        b.withColumnRenamed("y_id", "c_id").withColumnRenamed("y_vec", "c_vec"),
-        k=k,
-    ).select(F.col("q_id").alias("x_id"), F.col("c_id").alias("y_id"), "sim")
-    bwd = cosine_topk(
-        b.withColumnRenamed("y_id", "q_id").withColumnRenamed("y_vec", "q_vec"),
-        a.withColumnRenamed("x_id", "c_id").withColumnRenamed("x_vec", "c_vec"),
-        k=k,
-    ).select(F.col("c_id").alias("x_id"), F.col("q_id").alias("y_id"), "sim")
+    """Exact-kNN bitext mining — the validation kernel (swap in ANN
+    edges via `mine_bitext_from_knn` when both sides are
+    corpus-sized).
+
+    The pair matrix is scored ONCE and BOTH directional top-k ranks
+    ride on it as stacked windows — running `cosine_topk` twice would
+    evaluate every pair's cosine fold twice. Norms are projected once
+    per VECTOR before the join (cosine = dot / (norm_x * norm_y), the
+    same IEEE ops in a cheaper place — bit-identical sims, 3x fewer
+    folds per pair). The <= 2k(|A|+|B|)-row ranked edge set is
+    eagerly localCheckpoint'ed so the three downstream consumers
+    (both sums + candidates) do not re-run the quadratic scoring —
+    the dedup-family eager-construction contract."""
+    a = side_a.select(
+        F.col(id_col).alias("x_id"), F.col(vec_col).alias("x_vec")
+    ).withColumn("__xn", norm(F.col("x_vec")))
+    b = side_b.select(
+        F.col(id_col).alias("y_id"), F.col(vec_col).alias("y_vec")
+    ).withColumn("__yn", norm(F.col("y_vec")))
+    pairs = b.crossJoin(F.broadcast(a)).select(
+        "x_id", "y_id",
+        F.try_divide(
+            dot(F.col("x_vec"), F.col("y_vec")), F.col("__xn") * F.col("__yn")
+        ).alias("sim"),
+    )
+    pairs = pairs.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
+    wx = Window.partitionBy("x_id").orderBy(F.desc("sim"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("sim"), F.asc("x_id"))
+    ranked = (
+        pairs.withColumn("__rx", F.row_number().over(wx))
+        .withColumn("__ry", F.row_number().over(wy))
+        .where((F.col("__rx") <= k) | (F.col("__ry") <= k))
+        .localCheckpoint(eager=True)
+    )
+    fwd = ranked.where(F.col("__rx") <= k).select("x_id", "y_id", "sim")
+    bwd = ranked.where(F.col("__ry") <= k).select("x_id", "y_id", "sim")
     return mine_bitext_from_knn(fwd, bwd, k=k, threshold=threshold, mutual=mutual)
 
 
@@ -172,4 +192,238 @@ def mine_bitext_ivf(
         a.select(F.col("a_id").alias("c_id"), F.col("a_vec").alias("c_vec")),
         centroids, k=k, n_probe=n_probe, broadcast_queries=False,
     ).select(F.col("c_id").alias("x_id"), F.col("q_id").alias("y_id"), "sim")
+    return mine_bitext_from_knn(fwd, bwd, k=k, threshold=threshold, mutual=mutual)
+
+
+def bitext_edges_pandas(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_block: int = 512,
+) -> tuple[DataFrame, DataFrame]:
+    """(fwd, bwd) directed kNN edge sets for bitext mining, scored by
+    an Arrow/numpy kernel that is BIT-IDENTICAL to the HOF-fold
+    kernel — not merely rank-identical like `cosine_topk_pandas`:
+    products are elementwise IEEE doubles and the reduction is
+    ``np.add.accumulate`` (defined sequential left-to-right, exactly
+    the `similarity.dot` fold order), so every sim — and hence every
+    floor-quantized micro-sim downstream — matches the Column form
+    bitwise (pytest-pinned). BLAS matmul would be ~2x faster again
+    but sums pairwise, breaking the oracle contract; this kernel is
+    the honest fastest path that keeps hash-exactness.
+
+    One pass over B's partitions scores BOTH directions: each
+    partition holds complete rows of the pair matrix, so per-y top-k
+    (bwd) is exact locally, and per-x candidates reduce to k per
+    partition before one global window merge (the cosine_topk_pandas
+    merge shape). Side A is collected and broadcast (the exact-kernel
+    contract; corpus-x-corpus sides belong on `mine_bitext_ivf`)."""
+    import numpy as np
+
+    def _fold_norms(m: "np.ndarray") -> "np.ndarray":
+        # strict left fold over squares: 64 vectorized adds, same
+        # association as the HOF fold (np.add.reduce would sum
+        # PAIRWISE — bit-different)
+        acc = m[..., 0] * m[..., 0]
+        for t in range(1, m.shape[-1]):
+            acc = acc + m[..., t] * m[..., t]
+        return np.sqrt(acc)
+
+    def _fold_dots(y_mat: "np.ndarray", x_blk: "np.ndarray") -> "np.ndarray":
+        # (n, d) x (b, d) -> (n, b) exact left-fold dot: d axpy steps
+        # over the (n, b) output — the cheapest memory shape that
+        # preserves the fold's addition order bit-for-bit
+        acc = y_mat[:, 0, None] * x_blk[None, :, 0]
+        for t in range(1, y_mat.shape[1]):
+            acc = acc + y_mat[:, t, None] * x_blk[None, :, t]
+        return acc
+
+    a_rows = side_a.select(id_col, vec_col).collect()
+    spark = side_b.sparkSession
+    if not a_rows:
+        empty = spark.createDataFrame([], "x_id long, y_id long, sim double")
+        return empty, empty
+    x_ids = np.array([r[0] for r in a_rows], dtype=np.int64)
+    x_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in a_rows])
+    x_norm = _fold_norms(x_mat)
+    bx = spark.sparkContext.broadcast((x_ids, x_mat, x_norm))
+
+    out_schema = "direction string, x_id long, y_id long, sim double"
+
+    def score(batches):
+        import pandas as pd
+
+        ids_x, mat_x, nrm_x = bx.value
+        m = len(ids_x)
+        # deterministic x tie-break order for the bwd top-k
+        x_order = np.argsort(ids_x, kind="stable")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            y_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            y_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            y_norm = _fold_norms(y_mat)
+            n = len(y_ids)
+            sims = np.empty((n, m), dtype=np.float64)
+            for j0 in range(0, m, q_block):
+                j1 = min(j0 + q_block, m)
+                dots = _fold_dots(y_mat, mat_x[j0:j1])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims[:, j0:j1] = dots / (nrm_x[None, j0:j1] * y_norm[:, None])
+            valid = np.isfinite(sims)
+            rows = []
+            # bwd: top-k per y over ALL x — exact within this partition
+            for i in range(n):
+                v = np.where(valid[i], sims[i], -np.inf)
+                if not valid[i].any():
+                    continue
+                # order: sim DESC, x_id ASC — sort x-id-ordered values
+                # stably by -sim so equal sims keep ascending-id order
+                sv = v[x_order]
+                top = x_order[np.argsort(-sv, kind="stable")[:k]]
+                for j in top:
+                    if valid[i, j]:
+                        rows.append(("b", int(ids_x[j]), int(y_ids[i]), sims[i, j]))
+            # fwd candidates: per x, local top-k over this partition's y
+            y_order = np.argsort(y_ids, kind="stable")
+            for j in range(m):
+                col = np.where(valid[:, j], sims[:, j], -np.inf)
+                if not valid[:, j].any():
+                    continue
+                sv = col[y_order]
+                top = y_order[np.argsort(-sv, kind="stable")[:k]]
+                for i in top:
+                    if valid[i, j]:
+                        rows.append(("f", int(ids_x[j]), int(y_ids[i]), sims[i, j]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["direction", "x_id", "y_id", "sim"])
+
+    edges = side_b.select(id_col, vec_col).mapInPandas(score, out_schema)
+    edges = edges.localCheckpoint(eager=True)
+    wx = Window.partitionBy("x_id").orderBy(F.desc("sim"), F.asc("y_id"))
+    fwd = (
+        edges.where(F.col("direction") == "f")
+        .withColumn("__r", F.row_number().over(wx))
+        .where(F.col("__r") <= k)
+        .select("x_id", "y_id", "sim")
+    )
+    bwd = edges.where(F.col("direction") == "b").select("x_id", "y_id", "sim")
+    return fwd, bwd
+
+
+def mine_bitext_exact_arrow(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    mutual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`mine_bitext_exact` with the bit-identical Arrow kernel
+    (`bitext_edges_pandas`) — same output, bitwise (pytest-pinned;
+    the production path when the pair matrix is the bottleneck)."""
+    fwd, bwd = bitext_edges_pandas(side_a, side_b, k, id_col, vec_col)
+    return mine_bitext_from_knn(fwd, bwd, k=k, threshold=threshold, mutual=mutual)
+
+
+def _score_pairs_arrow(
+    joined: DataFrame,
+    x_id: str,
+    y_id: str,
+    x_vec: str,
+    y_vec: str,
+    xn: str,
+    yn: str,
+) -> DataFrame:
+    """(x_id, y_id, sim) from a pre-joined candidate-pair frame, the
+    dot computed by the exact left-fold axpy kernel (bit-identical to
+    `similarity.dot`, see bitext_edges_pandas). Non-finite sims
+    (zero-norm sides — try_divide-NULL in the Column form) are
+    dropped, matching the Column pipelines' NULL-drop."""
+    import numpy as np
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[x_vec]])
+            y = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[y_vec]])
+            acc = x[:, 0] * y[:, 0]
+            for t in range(1, x.shape[1]):
+                acc = acc + x[:, t] * y[:, t]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = acc / (pdf[xn].to_numpy() * pdf[yn].to_numpy())
+            keep = np.isfinite(sim)
+            out = pd.DataFrame(
+                {
+                    "x_id": pdf[x_id].to_numpy()[keep],
+                    "y_id": pdf[y_id].to_numpy()[keep],
+                    "sim": sim[keep],
+                }
+            )
+            if len(out):
+                yield out
+
+    return joined.mapInPandas(score, "x_id long, y_id long, sim double")
+
+
+def mine_bitext_ivf_arrow(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    centroids: DataFrame,
+    k: int = 4,
+    n_probe: int = 3,
+    threshold: float = 1.0,
+    mutual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`mine_bitext_ivf` with the candidate pairs scored by the
+    bit-identical Arrow fold kernel instead of the interpreted HOF
+    fold — same cells, same candidates, same sims bitwise
+    (pytest-pinned); the production path. Joins stay cell-keyed
+    shuffles with neither side broadcast."""
+    from .similarity import ivf_assign
+
+    a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = side_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    ac = ivf_assign(a, centroids, 1, "a_vec", "a_id").withColumn(
+        "__an", norm(F.col("a_vec"))
+    )
+    ap = ivf_assign(a, centroids, n_probe, "a_vec", "a_id").withColumn(
+        "__an", norm(F.col("a_vec"))
+    )
+    bc = ivf_assign(b, centroids, 1, "b_vec", "b_id").withColumn(
+        "__bn", norm(F.col("b_vec"))
+    )
+    bp = ivf_assign(b, centroids, n_probe, "b_vec", "b_id").withColumn(
+        "__bn", norm(F.col("b_vec"))
+    )
+    fwd_pairs = ap.join(bc, "cell").select(
+        F.col("a_id").alias("x_id"), F.col("b_id").alias("y_id"),
+        F.col("a_vec").alias("xv"), F.col("b_vec").alias("yv"),
+        "__an", "__bn",
+    )
+    bwd_pairs = ac.join(bp, "cell").select(
+        F.col("a_id").alias("x_id"), F.col("b_id").alias("y_id"),
+        F.col("a_vec").alias("xv"), F.col("b_vec").alias("yv"),
+        "__an", "__bn",
+    )
+    fs = _score_pairs_arrow(fwd_pairs, "x_id", "y_id", "xv", "yv", "__an", "__bn")
+    bs = _score_pairs_arrow(bwd_pairs, "x_id", "y_id", "xv", "yv", "__an", "__bn")
+    wx = Window.partitionBy("x_id").orderBy(F.desc("sim"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("sim"), F.asc("x_id"))
+    fwd = (
+        fs.withColumn("__r", F.row_number().over(wx))
+        .where(F.col("__r") <= k).select("x_id", "y_id", "sim")
+    )
+    bwd = (
+        bs.withColumn("__r", F.row_number().over(wy))
+        .where(F.col("__r") <= k).select("x_id", "y_id", "sim")
+    )
     return mine_bitext_from_knn(fwd, bwd, k=k, threshold=threshold, mutual=mutual)

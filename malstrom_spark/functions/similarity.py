@@ -618,12 +618,23 @@ def ivf_topk_portable(
     ``broadcast_queries=False`` drops the broadcast hint for workloads
     where the query side is itself corpus-sized (bitext mining) — the
     cell join becomes a plain shuffle equi-join on the cell key."""
-    cb = ivf_assign(corpus, centroids, 1, c_vec, c_id)
-    qb = ivf_assign(queries, centroids, n_probe, q_vec, q_id)
+    # norms projected once per VECTOR, not once per candidate pair —
+    # cosine = dot / (norm_q * norm_c) is the same IEEE ops in a
+    # cheaper place (bit-identical sims, 3x fewer folds per pair)
+    cb = ivf_assign(corpus, centroids, 1, c_vec, c_id).withColumn(
+        "__cn", norm(F.col(c_vec))
+    )
+    qb = ivf_assign(queries, centroids, n_probe, q_vec, q_id).withColumn(
+        "__qn", norm(F.col(q_vec))
+    )
     if broadcast_queries:
         qb = F.broadcast(qb)
     scored = cb.join(qb, "cell").select(
-        F.col(q_id), F.col(c_id), cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
+        F.col(q_id),
+        F.col(c_id),
+        F.try_divide(
+            dot(F.col(q_vec), F.col(c_vec)), F.col("__qn") * F.col("__cn")
+        ).alias("sim"),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -4884,3 +4884,41 @@ def doc_meta_robots_filter(spark, sf_dir):
         F.col("r.nofollow").alias("nofollow"),
         (~F.col("r.noindex")).alias("indexable"),
     )
+
+
+@register("embedding_bitext_arrow", oracle=_bitext_oracle())
+def embedding_bitext_arrow(spark, sf_dir):
+    """Arrow production twin of embedding_bitext_mining (functions/
+    bitext.py mine_bitext_exact_arrow): the pair matrix scored by a
+    numpy kernel whose reduction is np.add.accumulate — SEQUENTIAL
+    left-to-right, exactly the HOF fold's order — so sims are
+    bit-identical (not merely rank-identical) and the row runs the
+    SAME oracle as the Column form. One pass over B scores both
+    directions (per-y top-k exact locally; per-x candidates merge in
+    one window)."""
+    from ..functions.bitext import mine_bitext_exact_arrow
+
+    emb = table(spark, sf_dir, "embeddings")
+    side_a = emb.filter(F.col("vec_id") % 2 == 0)
+    side_b = emb.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext_exact_arrow(side_a, side_b, k=_BITEXT_K, threshold=1.0)
+
+
+@register("embedding_bitext_ivf_arrow", oracle=_bitext_ivf_oracle())
+def embedding_bitext_ivf_arrow(spark, sf_dir):
+    """Arrow production twin of embedding_bitext_ivf (functions/
+    bitext.py mine_bitext_ivf_arrow): same integer-exact cells, same
+    candidates, the pair cosines computed by the sequential-fold
+    numpy kernel — bit-identical sims, SAME oracle. Joins stay
+    cell-keyed shuffles; neither side is broadcast."""
+    from ..functions.bitext import mine_bitext_ivf_arrow
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    side_a = emb.filter(F.col("vec_id") % 2 == 0)
+    side_b = emb.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext_ivf_arrow(
+        side_a, side_b, centroids, k=_BITEXT_K, n_probe=3, threshold=1.0
+    )

@@ -126,3 +126,23 @@ def test_ivf_bitext_partial_probe_subset_recall(spark):
     for r in part:
         if (r.x_id, r.y_id) in sims:
             assert sims[(r.x_id, r.y_id)] == r.sim_q
+
+
+def test_arrow_twins_bitwise_identical(spark):
+    # The Arrow kernels must reproduce the Column kernels BITWISE
+    # (sequential-fold numpy; pairwise/BLAS summation would break the
+    # oracle contract) — sets compared on every column incl. the
+    # float margin.
+    from pyspark.sql import functions as F
+
+    from malstrom_spark.queries import full_registry
+
+    fr = full_registry()
+    sf = "/root/testdata/sf0.001"
+    for col_row, arrow_row in (
+        ("embedding_bitext_mining", "embedding_bitext_arrow"),
+        ("embedding_bitext_ivf", "embedding_bitext_ivf_arrow"),
+    ):
+        a = {tuple(r) for r in fr[col_row].fn(spark, sf).collect()}
+        b = {tuple(r) for r in fr[arrow_row].fn(spark, sf).collect()}
+        assert a == b and len(a) > 0, (col_row, len(a), len(b))
