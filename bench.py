@@ -211,8 +211,11 @@ HEADLINE = [
     # 6x/2.5x faster); the Column forms stay the gate rows
     "embedding_bitext_arrow",
     # the corpus-scale twin: cell-keyed shuffle joins, no broadcast of
-    # either side (the shape that survives two billion-sentence sides)
-    "embedding_bitext_ivf_arrow",
+    # either side (the shape that survives two billion-sentence sides).
+    # The HOF form, not the Arrow pair-scorer: per-pair vector
+    # transfer makes the Arrow twin LOSE at sf10 (227 vs 179 s) —
+    # measured crossover, see BASELINE.md round-11
+    "embedding_bitext_ivf",
     "doc_phrase_search",
     "doc_decontaminate_fuzzy",
     # round-11 batch 3: mixture planning, tokenizer fertility report

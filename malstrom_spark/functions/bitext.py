@@ -386,8 +386,12 @@ def mine_bitext_ivf_arrow(
     """`mine_bitext_ivf` with the candidate pairs scored by the
     bit-identical Arrow fold kernel instead of the interpreted HOF
     fold — same cells, same candidates, same sims bitwise
-    (pytest-pinned); the production path. Joins stay cell-keyed
-    shuffles with neither side broadcast."""
+    (pytest-pinned). CROSSOVER CAVEAT (measured, BASELINE.md r11):
+    this twin ships BOTH vectors of every candidate pair through
+    Arrow, so it wins only while compute dominates transfer (2.6x at
+    sf0.1) and LOSES at sf10 (227 vs 179 s) — prefer the Column form
+    for corpus-scale runs; the exact kernel's Arrow twin has no such
+    cliff (its transfer is one broadcast + one corpus scan)."""
     from .similarity import ivf_assign
 
     a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))

@@ -72,6 +72,11 @@ def _bitext_ivf(spark, sf_dir, mult):
     )
     a = emb.filter(F.col("vec_id") % 2 == 0)
     b = emb.filter(F.col("vec_id") % 2 == 1)
+    # probes the Column (HOF) form: at sf10 the Arrow pair-scorer
+    # twin ships every candidate pair's two vectors through Arrow
+    # (227 s vs 179 s here) — JVM-side scoring wins once transfer
+    # dominates; the Arrow twin's bench win holds at sf0.1 only for
+    # the EXACT kernel, whose transfer is one broadcast + corpus scan
     return mine_bitext_ivf(a, b, cents, k=4, n_probe=3, threshold=1.0)
 
 
