@@ -29,6 +29,7 @@ EXAMPLES = [
     "cdc_apply",
     "bpe_tokenizer",
     "search_serving",
+    "bitext_mining",
 ]
 
 
