@@ -327,6 +327,9 @@ def bpe_save(spark, merges: list[tuple[str, str]], table_name: str) -> None:
     # a previous incarnation of the table (possibly from a catalog
     # that has since been recreated) must not block the write
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    from .unigram import _clear_orphaned_location
+
+    _clear_orphaned_location(spark, table_name)
     df.write.mode("overwrite").format("parquet").saveAsTable(table_name)
 
 

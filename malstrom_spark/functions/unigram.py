@@ -399,6 +399,26 @@ def unigram_encode(
 UNIGRAM_FORMAT_VERSION = 1
 
 
+def _clear_orphaned_location(spark, table_name: str) -> None:
+    """Remove a managed-table LOCATION left by a killed writer: the
+    fresh (in-memory) catalog does not know the table, so DROP TABLE
+    is a no-op, but saveAsTable still refuses to CREATE over the
+    existing directory (LOCATION_ALREADY_EXISTS). Only fires when the
+    catalog does NOT have the table — a registered table is handled
+    by the DROP + overwrite path, never deleted behind the catalog's
+    back."""
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table_name):
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(
+            f"{wh.rstrip('/')}/{table_name.lower()}", ignore_errors=True
+        )
+
+
 def unigram_save(spark, model: UnigramModel, table_name: str) -> None:
     """Persist the quantized model as a versioned stage table
     (piece, score, max_piece_len, max_word_chars, format_version) —
@@ -417,6 +437,7 @@ def unigram_save(spark, model: UnigramModel, table_name: str) -> None:
         "max_word_chars int, format_version int",
     )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    _clear_orphaned_location(spark, table_name)
     df.write.mode("overwrite").format("parquet").saveAsTable(table_name)
 
 
