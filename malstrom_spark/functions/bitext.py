@@ -52,7 +52,6 @@ def _micro(sim_col) -> F.Column:
 def mine_bitext_from_knn(
     fwd: DataFrame,
     bwd: DataFrame,
-    k: int,
     threshold: float = 1.0,
     mutual: bool = True,
 ) -> DataFrame:
@@ -66,8 +65,15 @@ def mine_bitext_from_knn(
     on a shared pair).
 
     Returns (x_id, y_id, sim_q, margin): mutual-best pairs with
-    margin >= threshold, margin a double computed as one division of
-    exact integers (2k * sim_q / (sum_k(x) + sum_k(y))).
+    margin >= threshold. The margin divides by each node's ACTUAL
+    neighbor count, not k — margin = sim / ((sum_x/cnt_x +
+    sum_y/cnt_y) / 2) = 2*sim_q*cnt_x*cnt_y / (sum_x*cnt_y +
+    sum_y*cnt_x), exact integer products and ONE double division. A
+    node with fewer than k neighbors (sparse ANN cell, |B| < k, NULL
+    sims dropped) would otherwise have its margin inflated by up to
+    k/cnt: a lone mediocre pair at cos 0.3 scores margin 1.0 (its
+    own average), not 4.0. When every node has exactly k neighbors
+    this reduces to the fixed-2k form verbatim.
 
     Shape: two map-side-combinable integer sums keyed by id, one
     distinct over <= 2k|A| candidate edges, two id-keyed broadcast-or
@@ -77,19 +83,25 @@ def mine_bitext_from_knn(
     f = fwd.select("x_id", "y_id", _micro(F.col("sim")).alias("sim_q"))
     b = bwd.select("x_id", "y_id", _micro(F.col("sim")).alias("sim_q"))
 
-    # Exact integer neighborhood mass per node (k terms each).
-    sum_x = f.groupBy("x_id").agg(F.sum("sim_q").alias("sum_x"))
-    sum_y = b.groupBy("y_id").agg(F.sum("sim_q").alias("sum_y"))
+    # Exact integer neighborhood mass + size per node.
+    sum_x = f.groupBy("x_id").agg(
+        F.sum("sim_q").alias("sum_x"), F.count(F.lit(1)).alias("cnt_x")
+    )
+    sum_y = b.groupBy("y_id").agg(
+        F.sum("sim_q").alias("sum_y"), F.count(F.lit(1)).alias("cnt_y")
+    )
 
+    denom = F.col("sum_x") * F.col("cnt_y") + F.col("sum_y") * F.col("cnt_x")
     cands = f.unionByName(b).distinct()
     scored = (
         cands.join(sum_x, "x_id")
         .join(sum_y, "y_id")
-        .where((F.col("sum_x") + F.col("sum_y")) > 0)
+        .where(denom > 0)
         .withColumn(
             "margin",
-            (F.col("sim_q") * F.lit(2 * k)).cast("double")
-            / (F.col("sum_x") + F.col("sum_y")).cast("double"),
+            (F.lit(2) * F.col("sim_q") * F.col("cnt_x") * F.col("cnt_y"))
+            .cast("double")
+            / denom.cast("double"),
         )
     )
 
@@ -153,7 +165,7 @@ def mine_bitext_exact(
     )
     fwd = ranked.where(F.col("__rx") <= k).select("x_id", "y_id", "sim")
     bwd = ranked.where(F.col("__ry") <= k).select("x_id", "y_id", "sim")
-    return mine_bitext_from_knn(fwd, bwd, k=k, threshold=threshold, mutual=mutual)
+    return mine_bitext_from_knn(fwd, bwd, threshold=threshold, mutual=mutual)
 
 
 def mine_bitext_ivf(
@@ -192,7 +204,7 @@ def mine_bitext_ivf(
         a.select(F.col("a_id").alias("c_id"), F.col("a_vec").alias("c_vec")),
         centroids, k=k, n_probe=n_probe, broadcast_queries=False,
     ).select(F.col("c_id").alias("x_id"), F.col("q_id").alias("y_id"), "sim")
-    return mine_bitext_from_knn(fwd, bwd, k=k, threshold=threshold, mutual=mutual)
+    return mine_bitext_from_knn(fwd, bwd, threshold=threshold, mutual=mutual)
 
 
 def bitext_edges_pandas(
@@ -326,7 +338,7 @@ def mine_bitext_exact_arrow(
     (`bitext_edges_pandas`) — same output, bitwise (pytest-pinned;
     the production path when the pair matrix is the bottleneck)."""
     fwd, bwd = bitext_edges_pandas(side_a, side_b, k, id_col, vec_col)
-    return mine_bitext_from_knn(fwd, bwd, k=k, threshold=threshold, mutual=mutual)
+    return mine_bitext_from_knn(fwd, bwd, threshold=threshold, mutual=mutual)
 
 
 def _score_pairs_arrow(
@@ -396,18 +408,20 @@ def mine_bitext_ivf_arrow(
 
     a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
     b = side_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    ac = ivf_assign(a, centroids, 1, "a_vec", "a_id").withColumn(
-        "__an", norm(F.col("a_vec"))
-    )
-    ap = ivf_assign(a, centroids, n_probe, "a_vec", "a_id").withColumn(
-        "__an", norm(F.col("a_vec"))
-    )
-    bc = ivf_assign(b, centroids, 1, "b_vec", "b_id").withColumn(
-        "__bn", norm(F.col("b_vec"))
-    )
-    bp = ivf_assign(b, centroids, n_probe, "b_vec", "b_id").withColumn(
-        "__bn", norm(F.col("b_vec"))
-    )
+    # assign each side ONCE with ranks kept: the single-cell (corpus)
+    # role is just the rank-1 slice of the n_probe assignment — four
+    # separate ivf_assign calls would run the centroid-distance scan
+    # twice per billion-row side
+    ap = ivf_assign(
+        a, centroids, n_probe, "a_vec", "a_id", rank_col="__rk"
+    ).withColumn("__an", norm(F.col("a_vec")))
+    bp = ivf_assign(
+        b, centroids, n_probe, "b_vec", "b_id", rank_col="__rk"
+    ).withColumn("__bn", norm(F.col("b_vec")))
+    ac = ap.where(F.col("__rk") == 1).drop("__rk")
+    bc = bp.where(F.col("__rk") == 1).drop("__rk")
+    ap = ap.drop("__rk")
+    bp = bp.drop("__rk")
     fwd_pairs = ap.join(bc, "cell").select(
         F.col("a_id").alias("x_id"), F.col("b_id").alias("y_id"),
         F.col("a_vec").alias("xv"), F.col("b_vec").alias("yv"),
@@ -430,4 +444,4 @@ def mine_bitext_ivf_arrow(
         bs.withColumn("__r", F.row_number().over(wy))
         .where(F.col("__r") <= k).select("x_id", "y_id", "sim")
     )
-    return mine_bitext_from_knn(fwd, bwd, k=k, threshold=threshold, mutual=mutual)
+    return mine_bitext_from_knn(fwd, bwd, threshold=threshold, mutual=mutual)

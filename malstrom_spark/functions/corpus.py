@@ -1269,8 +1269,10 @@ def mixture_plan(
     are available, how many the target mixture asks for, how many
     epochs (passes) that implies, and whether the max-epochs repeat
     cap binds (the "we cannot upsample Wikipedia 40x" constraint).
-    Feed the resulting rates into `temperature_sample`/
-    `upsample_by_weight` to realize the plan.
+    Feed `planned_rate` (the cap-respecting rate) into
+    `temperature_sample`/`upsample_by_weight` to realize the plan;
+    `sampling_rate` reports the uncapped ask so the report shows how
+    far the cap binds.
 
     `weight` is an integer Column giving the stratum's relative
     mixture weight (ppm-precision integer weights cover practical
@@ -1313,10 +1315,18 @@ def mixture_plan(
             F.col("target_tokens").cast("double")
             / F.col("available_tokens").cast("double"),
         )
+        .withColumn(
+            # the rate that RESPECTS the repeat cap — this is the one
+            # to feed into temperature_sample/upsample_by_weight;
+            # sampling_rate reports the uncapped ask for the report
+            "planned_rate",
+            F.col("planned_tokens").cast("double")
+            / F.col("available_tokens").cast("double"),
+        )
         .withColumn("is_capped", F.col("n_epochs") > F.lit(int(max_epochs)))
         .select(
             strata_col, "n_docs", "available_tokens", "weight",
             "target_tokens", "planned_tokens", "n_epochs",
-            "sampling_rate", "is_capped",
+            "sampling_rate", "planned_rate", "is_capped",
         )
     )

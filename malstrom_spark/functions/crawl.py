@@ -276,8 +276,16 @@ def recrawl_schedule(
     for k, v in CHANGEFREQ_DAYS.items():
         iv = iv.when(cf == k, F.lit(v).cast("long"))
     iv = iv.otherwise(F.lit(int(default_interval_days)).cast("long"))
-    h = history.select(
-        F.col(url_col), F.col(fetch_date_col).cast("date").alias("__fetch")
+    # append-style fetch logs carry one row per fetch: aggregate to
+    # the LATEST fetch per URL first, or the join would fan out one
+    # schedule row per historical fetch and score staleness against
+    # long-superseded dates
+    h = (
+        history.select(
+            F.col(url_col), F.col(fetch_date_col).cast("date").alias("__fetch")
+        )
+        .groupBy(url_col)
+        .agg(F.max("__fetch").alias("__fetch"))
     )
     j = entries.join(h, url_col, "left")
     days_since = F.datediff(as_of_d, F.col("__fetch")).cast("long")

@@ -1663,16 +1663,30 @@ def containment_pairs(
         )
     )
     t = F.lit(float(threshold))
-    ab = sized.select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        (F.col("__i") / F.greatest(F.col("__na"), F.lit(1.0))).alias("containment"),
-        (F.col("__i") / F.greatest(F.col("__u"), F.lit(1.0))).alias("jaccard"),
+    # ONE pass over the verified pairs: both direction rows explode
+    # from the same computed row — a unionByName of two selects would
+    # duplicate the whole candidate-join + set-arithmetic subtree
+    # (ReuseExchange shares shuffles but not post-join projections),
+    # doubling the expensive verify at corpus scale
+    ca = F.col("__i") / F.greatest(F.col("__na"), F.lit(1.0))
+    cb = F.col("__i") / F.greatest(F.col("__nb"), F.lit(1.0))
+    jac = F.col("__i") / F.greatest(F.col("__u"), F.lit(1.0))
+    both = sized.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    ca.alias("containment"),
+                    jac.alias("jaccard"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    cb.alias("containment"),
+                    jac.alias("jaccard"),
+                ),
+            )
+        ).alias("__r")
     )
-    ba = sized.select(
-        F.col("id_b").alias("contained_id"),
-        F.col("id_a").alias("container_id"),
-        (F.col("__i") / F.greatest(F.col("__nb"), F.lit(1.0))).alias("containment"),
-        (F.col("__i") / F.greatest(F.col("__u"), F.lit(1.0))).alias("jaccard"),
-    )
-    return ab.unionByName(ba).where(F.col("containment") >= t)
+    return both.select("__r.*").where(F.col("containment") >= t)

@@ -1867,10 +1867,20 @@ def audio_match_pairs(
         # sequences, so identical signatures; sort_array removes the
         # collect_list order nondeterminism. List size is bounded by
         # max_frames * peaks_per_frame * fanout from audio_landmarks.
+        # 128-bit md5 (the semdedup exact-collapse discipline), NOT
+        # xxhash64: collapse edges skip downstream verification, and
+        # a 64-bit birthday collision at ~1e9 clips (~3%) would merge
+        # two genuinely different clips as 'exact copies'
+        sig_bytes = F.to_binary(
+            F.md5(
+                F.to_json(
+                    F.sort_array(F.collect_list(F.struct("t_anchor", "fp")))
+                )
+            ),
+            F.lit("hex"),
+        )
         sets = fingerprints.groupBy(id_col).agg(
-            F.xxhash64(
-                F.sort_array(F.collect_list(F.struct("t_anchor", "fp")))
-            ).alias("__sig"),
+            sig_bytes.alias("__sig"),
             F.count(F.lit(1)).alias("__nfp"),
         )
         reps = sets.groupBy("__sig").agg(F.min(id_col).alias("__rep"))

@@ -114,10 +114,18 @@ def host_reputation(
     )
     # integer `div`, not float `/` + floor: rank*(1+n_keep) can pass
     # 2^53 where double division drops bits and diverges from the
-    # oracle's integer `//`
+    # oracle's integer `//`. The product goes through DECIMAL(38,0):
+    # a mega-host (rank ~1e11 micro-units = 10% of all link mass)
+    # with ~1e8 kept docs overflows BIGINT (1e19 > 2^63), which ANSI
+    # mode turns into a job-killing ARITHMETIC_OVERFLOW; the decimal
+    # product is exact to 1e38 and the quotient is bounded by rank
+    # (n_keep <= n_docs), so the final BIGINT cast is always safe.
+    # DuckDB side mirrors with a HUGEINT product.
     return joined.withColumn(
         "reputation",
-        F.expr("(rank * (1 + n_keep)) div (1 + n_docs)").cast("long"),
+        F.expr(
+            "(CAST(rank AS DECIMAL(38, 0)) * (1 + n_keep)) div (1 + n_docs)"
+        ).cast("long"),
     )
 
 

@@ -577,6 +577,7 @@ def ivf_assign(
     id_col: str,
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector its `n_probe` nearest centroid cells by
     exact integer L2 over quantized vectors (ties by centroid id).
@@ -591,10 +592,11 @@ def ivf_assign(
         "_d2", _quant_dist2(F.col("_q"), F.col("_cq"))
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("_cid"))
+    extra = [F.col("_rk").alias(rank_col)] if rank_col else []
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n_probe)
-        .select(*vecs.columns, F.col("_cid").alias("cell"))
+        .select(*vecs.columns, F.col("_cid").alias("cell"), *extra)
     )
 
 

@@ -413,10 +413,16 @@ def _clear_orphaned_location(spark, table_name: str) -> None:
     if spark.catalog.tableExists(table_name):
         return
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if wh:
-        shutil.rmtree(
-            f"{wh.rstrip('/')}/{table_name.lower()}", ignore_errors=True
-        )
+    if not wh:
+        return
+    # managed-table layout: <wh>/<table> for the default database,
+    # <wh>/<db>.db/<table> otherwise; the name may be db-qualified
+    if "." in table_name:
+        db, _, t = table_name.rpartition(".")
+    else:
+        db, t = spark.catalog.currentDatabase(), table_name
+    sub = t.lower() if db == "default" else f"{db.lower()}.db/{t.lower()}"
+    shutil.rmtree(f"{wh.rstrip('/')}/{sub}", ignore_errors=True)
 
 
 def unigram_save(spark, model: UnigramModel, table_name: str) -> None:

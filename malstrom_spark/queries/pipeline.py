@@ -3691,7 +3691,8 @@ _HOSTREP_EDGES = f"""
     ),
     rep AS (
       SELECT host, rank,
-             (rank * (1 + n_keep)) // (1 + n_docs) AS reputation
+             CAST((CAST(rank AS HUGEINT) * (1 + n_keep))
+                  // (1 + n_docs) AS BIGINT) AS reputation
       FROM hosts
     )
     SELECT q.doc_id, q.host,
@@ -4106,6 +4107,43 @@ def corpus_datasheet_q(spark, sf_dir):
 _BITEXT_K = 4
 
 
+def _bitext_margin_tail(threshold: float) -> str:
+    """Shared margin/mutual-best SQL tail (the oracle twin of
+    mine_bitext_from_knn) over CTEs fk/bk: per-node exact integer
+    sums AND counts, margin = 2*sim_q*cnt_x*cnt_y /
+    (sum_x*cnt_y + sum_y*cnt_x) — divides by ACTUAL neighbor counts
+    so sparse-neighborhood nodes are not inflated (reduces to the
+    fixed-2k form when every node has k neighbors). One definition
+    for both the exact and the IVF oracle rows."""
+    return f"""sx AS (SELECT x_id, SUM(sim_q) AS sum_x,
+                      COUNT(*) AS cnt_x FROM fk GROUP BY x_id),
+    sy AS (SELECT y_id, SUM(sim_q) AS sum_y,
+           COUNT(*) AS cnt_y FROM bk GROUP BY y_id),
+    cands AS (
+      SELECT DISTINCT x_id, y_id, sim_q FROM (
+        SELECT x_id, y_id, sim_q FROM fk
+        UNION ALL SELECT x_id, y_id, sim_q FROM bk)
+    ),
+    scored AS MATERIALIZED (
+      SELECT c.x_id, c.y_id, c.sim_q,
+             CAST(2 * c.sim_q * sx.cnt_x * sy.cnt_y AS DOUBLE)
+               / CAST(sx.sum_x * sy.cnt_y + sy.sum_y * sx.cnt_x AS DOUBLE)
+               AS margin
+      FROM cands c
+      JOIN sx ON sx.x_id = c.x_id
+      JOIN sy ON sy.y_id = c.y_id
+      WHERE sx.sum_x * sy.cnt_y + sy.sum_y * sx.cnt_x > 0
+    ),
+    best AS (
+      SELECT x_id, y_id, sim_q, margin,
+             ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS ry
+      FROM scored
+    )
+    SELECT x_id, y_id, sim_q, margin
+    FROM best WHERE rx = 1 AND ry = 1 AND margin >= {threshold}"""
+
+
 def _bitext_oracle(k: int = _BITEXT_K, threshold: float = 1.0) -> str:
     return f"""
     WITH av AS MATERIALIZED (
@@ -4141,30 +4179,7 @@ def _bitext_oracle(k: int = _BITEXT_K, threshold: float = 1.0) -> str:
                ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS r
         FROM q) WHERE r <= {k}
     ),
-    sx AS (SELECT x_id, SUM(sim_q) AS sum_x FROM fk GROUP BY x_id),
-    sy AS (SELECT y_id, SUM(sim_q) AS sum_y FROM bk GROUP BY y_id),
-    cands AS (
-      SELECT DISTINCT x_id, y_id, sim_q FROM (
-        SELECT x_id, y_id, sim_q FROM fk
-        UNION ALL SELECT x_id, y_id, sim_q FROM bk)
-    ),
-    scored AS MATERIALIZED (
-      SELECT c.x_id, c.y_id, c.sim_q,
-             CAST(c.sim_q * {2 * k} AS DOUBLE)
-               / CAST(sx.sum_x + sy.sum_y AS DOUBLE) AS margin
-      FROM cands c
-      JOIN sx ON sx.x_id = c.x_id
-      JOIN sy ON sy.y_id = c.y_id
-      WHERE sx.sum_x + sy.sum_y > 0
-    ),
-    best AS (
-      SELECT x_id, y_id, sim_q, margin,
-             ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rx,
-             ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS ry
-      FROM scored
-    )
-    SELECT x_id, y_id, sim_q, margin
-    FROM best WHERE rx = 1 AND ry = 1 AND margin >= {threshold}
+    {_bitext_margin_tail(threshold)}
     """
 
 
@@ -4329,30 +4344,7 @@ def _bitext_ivf_oracle(
                ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS r
         FROM bwd0) WHERE r <= {k}
     ),
-    sx AS (SELECT x_id, SUM(sim_q) AS sum_x FROM fk GROUP BY x_id),
-    sy AS (SELECT y_id, SUM(sim_q) AS sum_y FROM bk GROUP BY y_id),
-    cands AS (
-      SELECT DISTINCT x_id, y_id, sim_q FROM (
-        SELECT x_id, y_id, sim_q FROM fk
-        UNION ALL SELECT x_id, y_id, sim_q FROM bk)
-    ),
-    scored AS MATERIALIZED (
-      SELECT c.x_id, c.y_id, c.sim_q,
-             CAST(c.sim_q * {2 * k} AS DOUBLE)
-               / CAST(sx.sum_x + sy.sum_y AS DOUBLE) AS margin
-      FROM cands c
-      JOIN sx ON sx.x_id = c.x_id
-      JOIN sy ON sy.y_id = c.y_id
-      WHERE sx.sum_x + sy.sum_y > 0
-    ),
-    best AS (
-      SELECT x_id, y_id, sim_q, margin,
-             ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rx,
-             ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS ry
-      FROM scored
-    )
-    SELECT x_id, y_id, sim_q, margin
-    FROM best WHERE rx = 1 AND ry = 1 AND margin >= {threshold}
+    {_bitext_margin_tail(threshold)}
     """
 
 
@@ -4418,6 +4410,9 @@ _MIX_MAX_EPOCHS = 4
                          // available_tokens, 1) AS BIGINT) AS n_epochs,
            CAST(target_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE)
              AS sampling_rate,
+           CAST(least(target_tokens, available_tokens * {_MIX_MAX_EPOCHS})
+                AS DOUBLE) / CAST(available_tokens AS DOUBLE)
+             AS planned_rate,
            ((target_tokens + available_tokens - 1) // available_tokens)
              > {_MIX_MAX_EPOCHS} AS is_capped
     FROM plan

@@ -52,7 +52,7 @@ def test_margin_integer_arithmetic_exact(spark):
         [(0, 1, 0.900000), (2, 1, 0.400000), (0, 3, 0.500000), (2, 3, 0.300000)],
         "x_id long, y_id long, sim double",
     )
-    got = {(r.x_id, r.y_id): r for r in mine_bitext_from_knn(fwd, bwd, k=k, threshold=0.0).collect()}
+    got = {(r.x_id, r.y_id): r for r in mine_bitext_from_knn(fwd, bwd, threshold=0.0).collect()}
     # x=0: sum_x = 900000+500000; y=1: sum_y = 900000+400000
     r = got[(0, 1)]
     assert r.sim_q == 900000
@@ -146,3 +146,31 @@ def test_arrow_twins_bitwise_identical(spark):
         a = {tuple(r) for r in fr[col_row].fn(spark, sf).collect()}
         b = {tuple(r) for r in fr[arrow_row].fn(spark, sf).collect()}
         assert a == b and len(a) > 0, (col_row, len(a), len(b))
+
+
+def test_margin_uses_actual_neighbor_counts(spark):
+    # a node with ONE mediocre neighbor scores margin exactly 1.0
+    # (its own average), not k/cnt-inflated above threshold
+    fwd = spark.createDataFrame(
+        [(0, 1, 0.300000)], "x_id long, y_id long, sim double"
+    )
+    bwd = spark.createDataFrame(
+        [(0, 1, 0.300000)], "x_id long, y_id long, sim double"
+    )
+    got = mine_bitext_from_knn(fwd, bwd, threshold=0.0, mutual=True).collect()
+    assert len(got) == 1 and got[0].margin == 1.0
+    # and asymmetric counts: x has 2 neighbors, y has 1
+    fwd2 = spark.createDataFrame(
+        [(0, 1, 0.600000), (0, 3, 0.200000), (2, 3, 0.100000)],
+        "x_id long, y_id long, sim double",
+    )
+    bwd2 = spark.createDataFrame(
+        [(0, 1, 0.600000), (0, 3, 0.200000), (2, 3, 0.100000)],
+        "x_id long, y_id long, sim double",
+    )
+    got2 = {(r.x_id, r.y_id): r for r in mine_bitext_from_knn(
+        fwd2, bwd2, threshold=0.0, mutual=False
+    ).collect()}
+    # margin(0,1): cnt_x=2 (sum 800000), cnt_y=1 (sum 600000)
+    # = 2*600000*2*1 / (800000*1 + 600000*2) = 2400000/2000000 = 1.2
+    assert got2[(0, 1)].margin == 1.2

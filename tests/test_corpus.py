@@ -807,6 +807,9 @@ def test_mixture_plan_exact_integer_arithmetic(spark):
     assert got["b"].target_tokens == 75 and got["b"].n_epochs == 15
     assert got["b"].is_capped and got["b"].planned_tokens == 10
     assert got["b"].sampling_rate == 75 / 5
+    # planned_rate respects the cap — the rate to actually realize
+    assert got["b"].planned_rate == 10 / 5
+    assert got["a"].planned_rate == got["a"].sampling_rate
 
 
 def test_mixture_plan_skips_empty_strata(spark):

@@ -257,3 +257,21 @@ def test_change_rate_intervals_math_and_clamps(spark):
     assert got["u/one"].n_intervals == 0 and got["u/one"].interval_days == 7
     assert got["u/one"].change_rate is None
     assert got["u/frozen"].interval_days == 60  # max clamp
+
+
+def test_recrawl_schedule_append_history_uses_latest_fetch(spark):
+    from malstrom_spark.functions.crawl import recrawl_schedule
+
+    entries = spark.createDataFrame(
+        [("u", "2026-01-02", "weekly")], "url string, lastmod string, changefreq string"
+    )
+    # append-style log: an old fetch AND a fresh one — only the
+    # latest may drive the schedule, and output stays one row per entry
+    history = spark.createDataFrame(
+        [("u", "2026-01-01"), ("u", "2026-02-04")],
+        "url string, last_fetch string",
+    )
+    got = recrawl_schedule(entries, history, as_of="2026-02-05").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.days_since_fetch == 1 and not r.due and r.reason is None
