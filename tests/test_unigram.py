@@ -156,12 +156,14 @@ def test_unigram_save_load_roundtrip_and_validation(spark):
     assert back == m
     with pytest.raises(ValueError, match="empty"):
         ug.unigram_save(spark, ug.UnigramModel({}, 2, 8), "uni_bad")
-    # corrupt version is refused
+    # corrupt version is refused (orphan-clear: a killed earlier run
+    # may have left the location without a catalog entry)
     spark.sql("DROP TABLE IF EXISTS uni_badver")
+    ug._clear_orphaned_location(spark, "uni_badver")
     spark.createDataFrame(
         [("a", -9, 2, 8, 999)],
         "piece string, score long, max_piece_len int, "
         "max_word_chars int, format_version int",
-    ).write.format("parquet").saveAsTable("uni_badver")
+    ).write.mode("overwrite").format("parquet").saveAsTable("uni_badver")
     with pytest.raises(ValueError, match="format_version"):
         ug.unigram_load(spark, "uni_badver")
