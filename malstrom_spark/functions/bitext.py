@@ -44,9 +44,31 @@ from .similarity import dot, norm
 #: micro-sim quantization: FLOOR(cos * SIM_SCALE) as BIGINT
 SIM_SCALE = 1_000_000
 
+#: exact-kernel contract: side A is collected/broadcast to every
+#: task, so it must be dimension-table-sized. Above this row count
+#: the exact kernels refuse loudly instead of OOMing the driver —
+#: corpus x corpus sides belong on `mine_bitext_ivf`.
+MAX_EXACT_SIDE_A_ROWS = 2_000_000
+
 
 def _micro(sim_col) -> F.Column:
     return F.floor(sim_col * F.lit(float(SIM_SCALE))).cast("long")
+
+
+def _guard_exact_side_a(side_a: DataFrame, max_rows: int) -> None:
+    """Refuse driver-sized side-A inputs before collecting or
+    broadcasting them. The probe is a column-pruned limit(max+1)
+    count — it stops scanning after max_rows+1 rows, so the guard
+    costs O(max_rows) regardless of the true side size."""
+    cols = side_a.columns
+    probe = side_a.select(cols[0]).limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"exact bitext kernel: side A has more than {max_rows} rows; "
+            "it is collected/broadcast by contract. Use mine_bitext_ivf "
+            "(cell-keyed shuffle joins, neither side broadcast) for "
+            "corpus x corpus mining, or raise max_side_a_rows explicitly."
+        )
 
 
 def mine_bitext_from_knn(
@@ -80,8 +102,14 @@ def mine_bitext_from_knn(
     -shuffle joins, two window top-1 passes. Nothing is ever
     all-pairs; feed ANN edges and it runs at corpus scale.
     """
-    f = fwd.select("x_id", "y_id", _micro(F.col("sim")).alias("sim_q"))
-    b = bwd.select("x_id", "y_id", _micro(F.col("sim")).alias("sim_q"))
+    # NULL/NaN sims from arbitrary producers are dropped HERE, not
+    # just by convention upstream: F.sum skips NULLs while count()
+    # counts the row, so an unfiltered NULL edge would inflate
+    # cnt_x/cnt_y and skew the margin denominator (in-repo producers
+    # pre-filter, but this is a public ANN-agnostic entry point).
+    ok = F.col("sim").isNotNull() & ~F.isnan("sim")
+    f = fwd.where(ok).select("x_id", "y_id", _micro(F.col("sim")).alias("sim_q"))
+    b = bwd.where(ok).select("x_id", "y_id", _micro(F.col("sim")).alias("sim_q"))
 
     # Exact integer neighborhood mass + size per node.
     sum_x = f.groupBy("x_id").agg(
@@ -128,6 +156,7 @@ def mine_bitext_exact(
     mutual: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_side_a_rows: int = MAX_EXACT_SIDE_A_ROWS,
 ) -> DataFrame:
     """Exact-kNN bitext mining — the validation kernel (swap in ANN
     edges via `mine_bitext_from_knn` when both sides are
@@ -142,6 +171,7 @@ def mine_bitext_exact(
     eagerly localCheckpoint'ed so the three downstream consumers
     (both sums + candidates) do not re-run the quadratic scoring —
     the dedup-family eager-construction contract."""
+    _guard_exact_side_a(side_a, max_side_a_rows)
     a = side_a.select(
         F.col(id_col).alias("x_id"), F.col(vec_col).alias("x_vec")
     ).withColumn("__xn", norm(F.col("x_vec")))
@@ -214,6 +244,7 @@ def bitext_edges_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_block: int = 512,
+    max_side_a_rows: int = MAX_EXACT_SIDE_A_ROWS,
 ) -> tuple[DataFrame, DataFrame]:
     """(fwd, bwd) directed kNN edge sets for bitext mining, scored by
     an Arrow/numpy kernel that is BIT-IDENTICAL to the HOF-fold
@@ -252,6 +283,7 @@ def bitext_edges_pandas(
             acc = acc + y_mat[:, t, None] * x_blk[None, :, t]
         return acc
 
+    _guard_exact_side_a(side_a, max_side_a_rows)
     a_rows = side_a.select(id_col, vec_col).collect()
     spark = side_b.sparkSession
     if not a_rows:
@@ -285,32 +317,50 @@ def bitext_edges_pandas(
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims[:, j0:j1] = dots / (nrm_x[None, j0:j1] * y_norm[:, None])
             valid = np.isfinite(sims)
-            rows = []
+            neg = np.where(valid, sims, -np.inf)
+
+            def _topk(mat, vmask, id_order, chunk=2048):
+                # Vectorized top-k per ROW of `mat` by (value DESC,
+                # neighbor id ASC): reorder columns by ascending id
+                # once, then a STABLE argsort on the negated values
+                # keeps ascending-id order among ties — the exact
+                # selection the former per-row Python loop made.
+                # Chunked so the argsort scratch stays O(chunk x m),
+                # not a second full matrix.
+                kk = min(k, mat.shape[1])
+                r_idx, c_idx = [], []
+                for i0 in range(0, mat.shape[0], chunk):
+                    sv = mat[i0 : i0 + chunk][:, id_order]
+                    ordc = np.argsort(-sv, axis=1, kind="stable")[:, :kk]
+                    cols = id_order[ordc]
+                    ri = np.repeat(
+                        np.arange(i0, i0 + cols.shape[0]), cols.shape[1]
+                    )
+                    cj = cols.ravel()
+                    keep = vmask[ri, cj]
+                    r_idx.append(ri[keep])
+                    c_idx.append(cj[keep])
+                return np.concatenate(r_idx), np.concatenate(c_idx)
+
             # bwd: top-k per y over ALL x — exact within this partition
-            for i in range(n):
-                v = np.where(valid[i], sims[i], -np.inf)
-                if not valid[i].any():
-                    continue
-                # order: sim DESC, x_id ASC — sort x-id-ordered values
-                # stably by -sim so equal sims keep ascending-id order
-                sv = v[x_order]
-                top = x_order[np.argsort(-sv, kind="stable")[:k]]
-                for j in top:
-                    if valid[i, j]:
-                        rows.append(("b", int(ids_x[j]), int(y_ids[i]), sims[i, j]))
+            bi, bj = _topk(neg, valid, x_order)
             # fwd candidates: per x, local top-k over this partition's y
             y_order = np.argsort(y_ids, kind="stable")
-            for j in range(m):
-                col = np.where(valid[:, j], sims[:, j], -np.inf)
-                if not valid[:, j].any():
-                    continue
-                sv = col[y_order]
-                top = y_order[np.argsort(-sv, kind="stable")[:k]]
-                for i in top:
-                    if valid[i, j]:
-                        rows.append(("f", int(ids_x[j]), int(y_ids[i]), sims[i, j]))
-            if rows:
-                yield pd.DataFrame(rows, columns=["direction", "x_id", "y_id", "sim"])
+            fj, fi = _topk(neg.T, valid.T, y_order)
+            n_b, n_f = len(bi), len(fi)
+            if n_b + n_f:
+                yield pd.DataFrame(
+                    {
+                        "direction": np.repeat(
+                            np.array(["b", "f"]), [n_b, n_f]
+                        ),
+                        "x_id": np.concatenate([ids_x[bj], ids_x[fj]]),
+                        "y_id": np.concatenate([y_ids[bi], y_ids[fi]]),
+                        "sim": np.concatenate(
+                            [sims[bi, bj], sims[fi, fj]]
+                        ),
+                    }
+                )
 
     edges = side_b.select(id_col, vec_col).mapInPandas(score, out_schema)
     edges = edges.localCheckpoint(eager=True)
@@ -333,11 +383,14 @@ def mine_bitext_exact_arrow(
     mutual: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_side_a_rows: int = MAX_EXACT_SIDE_A_ROWS,
 ) -> DataFrame:
     """`mine_bitext_exact` with the bit-identical Arrow kernel
     (`bitext_edges_pandas`) — same output, bitwise (pytest-pinned;
     the production path when the pair matrix is the bottleneck)."""
-    fwd, bwd = bitext_edges_pandas(side_a, side_b, k, id_col, vec_col)
+    fwd, bwd = bitext_edges_pandas(
+        side_a, side_b, k, id_col, vec_col, max_side_a_rows=max_side_a_rows
+    )
     return mine_bitext_from_knn(fwd, bwd, threshold=threshold, mutual=mutual)
 
 

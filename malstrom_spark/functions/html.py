@@ -424,7 +424,9 @@ def meta_robots_py(html: str) -> tuple[bool, bool]:
     """(noindex, nofollow) from <meta name="robots"> directives — the
     page-level indexing-consent layer above robots.txt (a crawler may
     FETCH an allowed page yet must not index or follow it). Directive
-    tokens are comma-separated and case-insensitive; 'none' means
+    tokens are comma-separated per the standard (whitespace-separated
+    content is tolerated, as major engines do) and case-insensitive;
+    'none' means
     noindex+nofollow, 'all' asserts neither; multiple robots metas
     union their restrictions (most-restrictive-wins, the de-facto
     standard across engines). Absent/malformed metas restrict
@@ -442,9 +444,14 @@ def meta_robots_py(html: str) -> tuple[bool, bool]:
             a = dict(attrs)
             if (a.get("name") or "").strip().lower() != "robots":
                 return
+            # directives are comma-separated per the standard, but
+            # space-separated content ("noindex nofollow") is seen in
+            # the wild and tolerated by major engines — split on both
+            # so the consent filter fails CLOSED on sloppy markup
             toks = {
-                t.strip().lower()
-                for t in (a.get("content") or "").split(",")
+                t.lower()
+                for t in re.split(r"[,\s]+", a.get("content") or "")
+                if t
             }
             if "none" in toks:
                 self.noindex = self.nofollow = True

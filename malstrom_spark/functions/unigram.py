@@ -407,12 +407,21 @@ def _clear_orphaned_location(spark, table_name: str) -> None:
     catalog does NOT have the table — a registered table is handled
     by the DROP + overwrite path, never deleted behind the catalog's
     back."""
+    import os
     import shutil
+    import warnings
     from urllib.parse import urlparse
 
     if spark.catalog.tableExists(table_name):
         return
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    parsed = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if parsed.scheme not in ("", "file"):
+        # remote warehouse (hdfs://, s3://, ...): shutil cannot reach
+        # it, and parsed.path would alias an unrelated LOCAL path —
+        # never delete there; the writer will surface
+        # LOCATION_ALREADY_EXISTS for the operator to resolve.
+        return
+    wh = parsed.path
     if not wh:
         return
     # managed-table layout: <wh>/<table> for the default database,
@@ -422,7 +431,10 @@ def _clear_orphaned_location(spark, table_name: str) -> None:
     else:
         db, t = spark.catalog.currentDatabase(), table_name
     sub = t.lower() if db == "default" else f"{db.lower()}.db/{t.lower()}"
-    shutil.rmtree(f"{wh.rstrip('/')}/{sub}", ignore_errors=True)
+    loc = f"{wh.rstrip('/')}/{sub}"
+    if os.path.isdir(loc):
+        warnings.warn(f"removing orphaned managed-table location {loc}")
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def unigram_save(spark, model: UnigramModel, table_name: str) -> None:

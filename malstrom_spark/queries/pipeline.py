@@ -4845,9 +4845,9 @@ def dedup_containment(spark, sf_dir):
     "doc_meta_robots_filter",
     oracle="""
     SELECT doc_id,
-           (doc_id % 6 IN (1, 3, 5)) AS noindex,
-           (doc_id % 6 IN (2, 3, 5)) AS nofollow,
-           NOT (doc_id % 6 IN (1, 3, 5)) AS indexable
+           (doc_id % 7 IN (1, 3, 5, 6)) AS noindex,
+           (doc_id % 7 IN (2, 3, 5, 6)) AS nofollow,
+           NOT (doc_id % 7 IN (1, 3, 5, 6)) AS indexable
     FROM documents
     """,
 )
@@ -4855,14 +4855,16 @@ def doc_meta_robots_filter(spark, sf_dir):
     """Page-level indexing consent (functions/html.py meta_robots):
     <meta name="robots"> directives parsed from raw HTML — noindex /
     nofollow / none (= both) / all (= neither), case-insensitive
-    names and tokens, multiple metas union restrictions. The layer
-    ABOVE robots.txt every compliant corpus build honors (a page a
-    crawler may fetch but must not index). Generative six-way page
-    cycle; the Spark side must parse every variant to hash-match."""
+    names and tokens, multiple metas union restrictions, and
+    space-separated content ("noindex nofollow", seen in the wild)
+    parsed fail-closed. The layer ABOVE robots.txt every compliant
+    corpus build honors (a page a crawler may fetch but must not
+    index). Generative seven-way page cycle; the Spark side must
+    parse every variant to hash-match."""
     from ..functions.html import meta_robots
 
     docs = table(spark, sf_dir, "documents")
-    m = (F.col("doc_id") % 6).cast("int")
+    m = (F.col("doc_id") % 7).cast("int")
     page = (
         F.when(m == 1, F.lit('<html><head><meta name="robots" content="noindex"></head><body>x</body></html>'))
         .when(m == 2, F.lit('<html><head><META NAME="ROBOTS" CONTENT="NOFOLLOW"></head><body>x</body></html>'))
@@ -4870,6 +4872,7 @@ def doc_meta_robots_filter(spark, sf_dir):
         .when(m == 4, F.lit('<html><head><meta name="robots" content="all"></head><body>x</body></html>'))
         .when(m == 5, F.lit('<html><head><meta name="robots" content="noindex">'
                             '<meta name="robots" content="nofollow"></head><body>x</body></html>'))
+        .when(m == 6, F.lit('<html><head><meta name="robots" content="noindex nofollow"></head><body>x</body></html>'))
         .otherwise(F.lit('<html><head><title>t</title></head><body>x</body></html>'))
     )
     r = docs.select("doc_id", meta_robots(page).alias("r"))

@@ -174,3 +174,35 @@ def test_margin_uses_actual_neighbor_counts(spark):
     # margin(0,1): cnt_x=2 (sum 800000), cnt_y=1 (sum 600000)
     # = 2*600000*2*1 / (800000*1 + 600000*2) = 2400000/2000000 = 1.2
     assert got2[(0, 1)].margin == 1.2
+
+
+def test_exact_kernel_refuses_oversized_side_a(spark):
+    # the exact kernels collect/broadcast side A by contract; above
+    # the cap they must fail loudly with a pointer to mine_bitext_ivf
+    # instead of OOMing the driver
+    from malstrom_spark.functions.bitext import mine_bitext_exact_arrow
+
+    a = _emb(spark, [(i, [1, 0, 0]) for i in range(5)])
+    b = _emb(spark, [(9, [1, 0, 0])])
+    for kernel in (mine_bitext_exact, mine_bitext_exact_arrow):
+        with pytest.raises(ValueError, match="mine_bitext_ivf"):
+            kernel(a, b, k=2, max_side_a_rows=3)
+        # at/below the cap the same input mines fine
+        got = kernel(a, b, k=2, threshold=0.0, max_side_a_rows=5).collect()
+        assert len(got) > 0
+
+
+def test_from_knn_drops_null_and_nan_sims(spark):
+    # NULL/NaN sims from arbitrary producers must not inflate the
+    # neighbor counts in the margin denominator (public entry point)
+    fwd = spark.createDataFrame(
+        [(0, 1, 0.300000), (0, 3, None), (0, 5, float("nan"))],
+        "x_id long, y_id long, sim double",
+    )
+    bwd = spark.createDataFrame(
+        [(0, 1, 0.300000), (2, 1, None)], "x_id long, y_id long, sim double"
+    )
+    got = mine_bitext_from_knn(fwd, bwd, threshold=0.0, mutual=True).collect()
+    # with the junk edges dropped, (0,1) is each side's only neighbor:
+    # margin is exactly 1.0 (its own average), cnt_x = cnt_y = 1
+    assert len(got) == 1 and got[0].margin == 1.0

@@ -388,5 +388,9 @@ def test_meta_robots_py_variants():
     # token list with whitespace; unrelated meta names ignored
     assert meta_robots_py('<meta name="robots" content=" NOINDEX , follow ">') == (True, False)
     assert meta_robots_py('<meta name="viewport" content="noindex">') == (False, False)
+    # space-separated directives (seen in the wild, engines tolerate):
+    # the consent filter must fail CLOSED, not parse one unknown token
+    assert meta_robots_py('<meta name="robots" content="noindex nofollow">') == (True, True)
+    assert meta_robots_py('<meta name="robots" content="none follow">') == (True, True)
     # malformed html restricts nothing
     assert meta_robots_py("<meta <<<") == (False, False)
