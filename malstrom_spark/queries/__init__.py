@@ -80,6 +80,9 @@ _PRIORITY = [
                                # DP oracle (corpus_heavy_tokens folded
                                # into pipeline_omnibus; heavy hitters
                                # stay priority via streaming_heavy_tokens)
+    "doc_tokenizer_fertility",  # r12: per-lang tokens/word + coverage
+                                # eval on top of the persisted BPE stage
+                                # table (judge-replicated exact in r11)
     # (r8 rotation batch 2: doc_url_stats folded into pipeline_omnibus
     # — the URL kit stays visible via doc_url_psl, which exercises the
     # full PSL path on top of the same normalizer; doc_text_chunks and
@@ -91,7 +94,11 @@ _PRIORITY = [
     # the same normalizer+eTLD machinery on top.)
     "doc_host_reputation",     # r11: link-graph PageRank x per-host
                                # quality prior joined back onto docs
-    "doc_source_cap_skew_safe",  # r7 batch-3: histogram-threshold cap
+    "doc_anchor_profile",      # r12: inbound anchor-text profiles over
+                               # the same link graph (judge-replicated)
+    # (r12 rotation: doc_source_cap_skew_safe folded into
+    # pipeline_omnibus — skew-safe capping stays gate-hashed there and
+    # distribution stats priority-visible via corpus_datasheet.)
     "streaming_heavy_tokens",  # r7 batch-3: state-store MG shards
     "training_data_pipeline",   # flagship composition (supersedes
                                 # clean_corpus_pipeline, which stays
@@ -103,7 +110,16 @@ _PRIORITY = [
     # the SAME oracle through a strictly larger plan)
     "doc_decontaminate_bloom",  # r8: distributed Bloom prefilter +
                                 # exact verify (exact-output contract)
-    "corpus_lang_temperature_sample",  # r8: p^alpha multilingual mixing
+    "doc_decontaminate_fuzzy",  # r12: n-gram-overlap (fuzzy) benchmark
+                                # decontamination — catches paraphrased
+                                # leaks exact matching cannot
+    # (r12 rotation: corpus_lang_temperature_sample folded into
+    # pipeline_omnibus — p^alpha mixing stays priority-visible via
+    # corpus_mixture_plan below, which plans the same weights
+    # end-to-end with token budgets.)
+    "corpus_mixture_plan",      # r12: corpus mixture planning (per-
+                                # source token budgets from p^alpha
+                                # weights; judge-replicated exact)
     # (r10 rotation: doc_bm25_search + doc_inverted_postings folded
     # into pipeline_omnibus — retrieval stays priority-visible through
     # doc_bm25_incremental below, which rebuilds the index, merges
@@ -122,28 +138,38 @@ _PRIORITY = [
     # tol/dangling path on the real link graph.)
     "doc_bm25_updated",         # r11: update_index delete-and-replace
                                 # (reuses the post-update serve oracle)
+    "doc_phrase_search",        # r12: positional postings + exact
+                                # phrase match (judge-replicated exact)
     "image_phash_index_updated",  # r11: same discipline on the image
                                   # near-dup banded index (tombstones)
-    "customer_triangles",       # r9: degree-oriented triangle counts
-    "corpus_pmi_bigrams",       # r9: integer-quantized PMI collocations
-    "dedup_minhash_lsh",
+    # (r12 rotation: customer_triangles + corpus_pmi_bigrams folded
+    # into the omnibus rows — triangle counting and collocation stats
+    # stay gate-hashed there; the graph family stays priority-visible
+    # via doc_host_reputation + doc_anchor_profile.)
+    # (r12 rotation: dedup_minhash_lsh folded into pipeline_omnibus —
+    # the banded-candidate machinery stays priority-visible via
+    # dedup_containment below, which shares the band index, and via
+    # dedup_clusters.)
+    "dedup_containment",        # r12: asymmetric containment near-dup
+                                # (|A∩B|/|A| — quotes/aggregators that
+                                # symmetric Jaccard cannot see)
     "dedup_clusters",           # cluster-output near-dup (100 TB default;
                                 # dedup_groups_probe folded into
                                 # pipeline_omnibus — same CC capability)
     "dedup_incremental",       # r7: daily batch vs persisted history store
-    "doc_repeated_span_removal",  # r8: the Lee et al. TRANSFORM —
-                                  # repeated spans cut, cleaned text
-                                  # re-emitted (subsumes the
-                                  # doc_repeated_windows stats row,
-                                  # now omnibus-folded)
+    # (r12 rotation: doc_repeated_span_removal folded into
+    # pipeline_omnibus — the within-document transform; the CROSS-
+    # document form below strictly contains it and keeps the Lee et
+    # al. span-removal capability priority-visible.)
     "doc_exact_substring_dedup",  # r11: CROSS-document ExactSubstr
                                   # (Lee et al. 2021) — keep-first
                                   # span removal across the corpus
     "embedding_semdedup",      # r11: semantic dedup (k-means +
                                # within-cluster cosine), checkpointed
                                # shuffle-free assignment
-    "doc_dsir_selected",       # r11: DSIR importance resampling
-                               # (hash-exact integer log-ratios)
+    # (r12 rotation: doc_dsir_selected folded into pipeline_omnibus —
+    # data selection stays priority-visible via corpus_mixture_plan +
+    # training_data_pipeline.)
     # (r8 rotation batch 2: similarity_topk_cosine folded into
     # pipeline_omnibus — it is the brute-force baseline the ANN rows
     # are verified against, so the capability stays doubly covered)
@@ -151,6 +177,12 @@ _PRIORITY = [
     "similarity_ann_pq",       # r7: product-quantization ADC (IVF
                                # folded into pipeline_omnibus; LSH+PQ
                                # keep the ANN family priority-visible)
+    "embedding_bitext_mining",  # r12: margin-based bitext mining,
+                                # exact-kNN validation kernel (Artetxe
+                                # & Schwenk 2019; judge-replicated)
+    "embedding_bitext_ivf",     # r12: the corpus-scale IVF form —
+                                # cell-keyed shuffle joins, neither
+                                # side broadcast
     "multimodal_pipeline",
     # (r11 rotation: doc_html_extract / doc_html_links / doc_html_meta
     # folded into pipeline_omnibus — the crawl front-end stays
@@ -159,10 +191,20 @@ _PRIORITY = [
     # specifically through doc_host_reputation, which builds the link
     # graph from the same extractor.)
     "doc_html_main_text",      # r10: link-density main-content extract
-    "doc_robots_filter",       # r10: RFC 9309 robots.txt politeness
+    # (r12 rotation: doc_robots_filter + doc_sitemap_discovery folded
+    # into pipeline_omnibus — fetch consent stays priority-visible via
+    # crawl_frontier_politeness, which runs the same RFC 9309 matcher
+    # inside the frontier, and discovery via the recrawl rows below.)
+    "doc_meta_robots_filter",  # r12: page-level indexing consent
+                               # (<meta name=robots> — the layer ABOVE
+                               # robots.txt; fail-closed parsing)
     "crawl_frontier_politeness",  # r11: frontier operator with
                                   # robots + crawl-delay budgets
-    "doc_sitemap_discovery",   # r11: sitemap/sitemapindex URL discovery
+    "crawl_recrawl_schedule",   # r12: per-URL revisit scheduling from
+                                # observed change history (judge-
+                                # replicated exact)
+    "crawl_change_rate",        # r12: Poisson change-rate estimation
+                                # feeding the scheduler
     "doc_leakage_safe_split",  # r11: train/val/test split by dedup group
     "corpus_datasheet",        # r11: per-source data-card metrics
     # --- r9 rotation: the r8 batch-2 operator families get gate rows
@@ -181,7 +223,9 @@ _PRIORITY = [
     # incremental maintenance via doc_bm25_updated /
     # image_phash_index_updated / orders_snapshot_diff, and
     # distribution stats via corpus_datasheet rotating in.)
-    "orders_quality_report",    # r8: data-quality expectations
+    # (r12 rotation: orders_quality_report folded into
+    # relational_omnibus_b — expectations stay gate-hashed there and
+    # data-quality reporting priority-visible via corpus_datasheet.)
     # (r10 rotation: customer_spend_trend + user_value_resampled folded
     # into relational_omnibus_b — still gate-hashed there and
     # individually oracle-checked via full_registry.)
@@ -194,7 +238,9 @@ _PRIORITY = [
                                 # omnibus_b to free this slot)
     # --- relational: one instance per distinct capability ---
     "q1_pricing_summary",       # aggregation library (flagship/entry)
-    "q3_top_revenue_orders",    # join + top-k
+    # (r12 rotation: q3_top_revenue_orders folded into
+    # relational_omnibus_b — join+top-k stays priority-visible via q5
+    # and the q10/q15/q18 folds.)
     "q5_region_nation_revenue", # multi-way join
     "part_scalar_functions",    # scalar function library
     # --- omnibus: the relational tail, hash-verified in two rows ---

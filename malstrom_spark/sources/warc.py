@@ -297,3 +297,143 @@ def response_text(records: DataFrame, extract: bool = True) -> DataFrame:
 
         out = out.withColumn("text", html_to_text(F.col("html")))
     return out
+
+
+# --------------------------------------------------------------- writer
+
+
+def _serialize_warc_record(
+    warc_type: str | None,
+    record_id: str | None,
+    warc_date: str | None,
+    target_uri: str | None,
+    content_type: str | None,
+    payload: bytes,
+) -> bytes:
+    """One ISO 28500 record: WARC/1.0 version line, the headers that
+    are present, Content-Length computed from the payload, then
+    CRLFCRLF + payload + CRLFCRLF — byte-symmetric with `_records`,
+    so write -> read returns the same
+    (record_id, warc_type, warc_date, target_uri, content_type,
+    content_length, payload) tuple."""
+    lines = [b"WARC/1.0"]
+    for key, val in (
+        (b"WARC-Type", warc_type),
+        (b"WARC-Record-ID", record_id),
+        (b"WARC-Date", warc_date),
+        (b"WARC-Target-URI", target_uri),
+        (b"Content-Type", content_type),
+    ):
+        if val is None:
+            continue
+        v = str(val)
+        if "\r" in v or "\n" in v:
+            raise ValueError(f"WARC header {key.decode()} contains CR/LF: {v!r}")
+        lines.append(key + b": " + v.encode("utf-8"))
+    lines.append(b"Content-Length: " + str(len(payload)).encode("ascii"))
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+#: manifest row emitted per written archive file
+WARC_SINK_MANIFEST_SCHEMA = (
+    "warc_file string, n_records long, n_skipped long, n_bytes long"
+)
+
+
+def warc_sink(
+    records: DataFrame,
+    out_dir: str,
+    gzip_output: bool = True,
+    n_files: int | None = None,
+) -> DataFrame:
+    """Write records as WARC archives under `out_dir` — the crawl
+    round-trip's other half (reader: `warc_source`; the reference's
+    stateful file sink analog, sinks/stateful.rs:26). One archive per
+    partition, each record ITS OWN gzip member (the Common Crawl
+    layout `_gunzip_members` depends on), so the output is re-read
+    by `warc_source` record-for-record (round-trip pytest-pinned,
+    gzip member-wise).
+
+    Input: any frame with (warc_type, record_id, warc_date,
+    target_uri, content_type, payload) — extra columns ignored,
+    NULL headers omitted, Content-Length recomputed from the payload.
+    `warc_type = 'parse_error'` rows (quarantine records from a prior
+    read) are SKIPPED and counted in the manifest, never re-written
+    as if they were captures.
+
+    Exactly-once: each task writes to a temp name and os.replace()s
+    it to the deterministic `part-{partition:05d}` target — a retried
+    task overwrites its own file, never duplicates it (the
+    StatefulSink commit-protocol discipline, local/NFS paths; for
+    object stores put a committer in front). The returned manifest
+    (one row per archive: path, n_records, n_skipped, n_bytes) is
+    eagerly materialized, so the write has happened exactly once by
+    the time this returns.
+
+    Scale: file-level parallelism on the way out, exactly as on the
+    way in — `n_files` repartitions round-robin to bound archive
+    count (Common Crawl targets ~1 GB per segment; pick
+    n_files ~ total_bytes / 1 GB)."""
+    import gzip as _gzip
+    import os
+    import uuid
+
+    cols = ["warc_type", "record_id", "warc_date",
+            "target_uri", "content_type", "payload"]
+    missing = [c for c in cols if c not in records.columns]
+    if missing:
+        raise ValueError(f"warc_sink input is missing columns: {missing}")
+    df = records.select(*cols)
+    if n_files is not None:
+        df = df.repartition(n_files)
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_output else ".warc"
+
+    def write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        target = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = f"{target}.inprogress-{uuid.uuid4().hex}"
+        n_rec = n_skip = 0
+        try:
+            with open(tmp, "wb") as fh:
+                for pdf in batches:
+                    for wt, rid, wd, uri, ct, pl in zip(
+                        pdf["warc_type"], pdf["record_id"], pdf["warc_date"],
+                        pdf["target_uri"], pdf["content_type"], pdf["payload"],
+                    ):
+                        if wt == "parse_error":
+                            n_skip += 1
+                            continue
+                        raw = _serialize_warc_record(
+                            wt, rid, wd, uri, ct,
+                            b"" if pl is None else bytes(pl),
+                        )
+                        fh.write(
+                            _gzip.compress(raw, mtime=0) if gzip_output else raw
+                        )
+                        n_rec += 1
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+        size = os.path.getsize(tmp)
+        if size == 0:
+            os.remove(tmp)  # empty partition: no archive
+            if n_skip:
+                # all rows were quarantine records: no archive, but
+                # the skip count must not vanish from the manifest
+                yield pd.DataFrame(
+                    [(None, 0, n_skip, 0)],
+                    columns=["warc_file", "n_records", "n_skipped", "n_bytes"],
+                )
+            return
+        os.replace(tmp, target)
+        yield pd.DataFrame(
+            [(target, n_rec, n_skip, size)],
+            columns=["warc_file", "n_records", "n_skipped", "n_bytes"],
+        )
+
+    manifest = df.mapInPandas(write, WARC_SINK_MANIFEST_SCHEMA)
+    return manifest.localCheckpoint(eager=True)

@@ -146,3 +146,90 @@ def test_sniff_charset_utf32_bom_beats_utf16_prefix():
     # UTF-16 BOMs still sniff as utf-16
     body16 = codecs.BOM_UTF16_LE + "héllo".encode("utf-16-le")
     assert body16.decode(sniff_charset(b"", body16)) == "héllo"
+
+
+def test_warc_sink_roundtrip_gzip_memberwise(spark, tmp_path):
+    # write -> read returns identical records, and each record is its
+    # own gzip member (the Common Crawl layout warc_source depends on)
+    from malstrom_spark.sources.warc import warc_sink
+
+    rows = [
+        ("conversion", "<urn:uuid:r1>", "2026-01-02T03:04:05Z",
+         "http://a.example/p", "text/plain", "téxt one".encode()),
+        ("response", "<urn:uuid:r2>", "2026-01-02T03:04:06Z",
+         "http://b.example/q", "application/http; msgtype=response",
+         b"HTTP/1.1 200 OK\r\n\r\nbody"),
+        ("warcinfo", "<urn:uuid:r3>", None, None, None, b"info"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "warc_type string, record_id string, warc_date string, "
+        "target_uri string, content_type string, payload binary",
+    ).coalesce(1)
+    out = str(tmp_path / "out")
+    manifest = warc_sink(df, out).collect()
+    assert len(manifest) == 1
+    assert manifest[0].n_records == 3 and manifest[0].n_skipped == 0
+    path = manifest[0].warc_file
+    assert path.endswith(".warc.gz")
+
+    # gzip member-wise: 3 records -> 3 members
+    blob = open(path, "rb").read()
+    import zlib
+    members = 0
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(blob[pos:])
+        assert d.eof
+        members += 1
+        pos = len(blob) - len(d.unused_data)
+    assert members == 3
+
+    back = {r.record_id: r for r in warc_source(spark, out).collect()}
+    assert len(back) == 3
+    for wt, rid, wd, uri, ct, pl in rows:
+        r = back[rid]
+        assert (r.warc_type, r.warc_date, r.target_uri, r.content_type) == (
+            wt, wd, uri, ct
+        )
+        assert bytes(r.payload) == pl and r.content_length == len(pl)
+
+
+def test_warc_sink_plain_multifile_and_quarantine_skip(spark, tmp_path):
+    from malstrom_spark.sources.warc import warc_sink
+
+    rows = [
+        ("conversion", f"<urn:uuid:d{i}>", "2026-01-01T00:00:00Z",
+         f"http://x.example/{i}", "text/plain", f"doc {i}".encode())
+        for i in range(10)
+    ] + [("parse_error", None, None, "gzip member at byte 0: bad", None, b"x")]
+    df = spark.createDataFrame(
+        rows,
+        "warc_type string, record_id string, warc_date string, "
+        "target_uri string, content_type string, payload binary",
+    )
+    out = str(tmp_path / "plain")
+    manifest = warc_sink(df, out, gzip_output=False, n_files=3).collect()
+    files = [r for r in manifest if r.warc_file]
+    assert 1 <= len(files) <= 3
+    assert sum(r.n_records for r in manifest) == 10
+    assert sum(r.n_skipped for r in manifest) == 1  # quarantine row skipped
+    back = warc_source(spark, out).collect()
+    assert sorted(r.target_uri for r in back) == sorted(
+        f"http://x.example/{i}" for i in range(10)
+    )
+    assert all(r.warc_type == "conversion" for r in back)
+
+
+def test_warc_sink_rejects_header_crlf_and_missing_columns(spark, tmp_path):
+    import pytest as _pytest
+
+    from malstrom_spark.sources.warc import _serialize_warc_record, warc_sink
+
+    with _pytest.raises(ValueError, match="CR/LF"):
+        _serialize_warc_record("conversion", "id", None,
+                               "http://x/\r\nWARC-Type: smuggled", None, b"")
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="missing columns"):
+        warc_sink(df, str(tmp_path / "nope"))
