@@ -2989,7 +2989,14 @@ def image_phash_near_dup(spark, sf_dir):
         StructField("doc_id", LongType()), StructField("payload", BinaryType()),
     ])
     imgs = docs.mapInPandas(_seeded_image_batches, schema)
-    hashed = mm.image_phash(imgs, "payload").drop("payload")
+    # eager checkpoint: the banded index self-joins, i.e. TWO passes
+    # over this row's synthesized decode+DCT lineage without it (the
+    # audio row's r12 attribution, same shape). hashed is tiny
+    # (doc_id, phash) — the checkpoint stores hashes, not pixels.
+    hashed = (
+        mm.image_phash(imgs, "payload").drop("payload")
+        .localCheckpoint(eager=True)
+    )
     return mm.phash_near_dup_pairs(hashed, "doc_id", max_hamming=3)
 
 
@@ -3048,7 +3055,16 @@ def audio_fingerprint_pairs(spark, sf_dir):
         StructField("doc_id", LongType()), StructField("payload", BinaryType()),
     ])
     clips = docs.mapInPandas(_seeded_wav_batches, schema)
-    fps = mm.audio_fingerprints(clips, "payload")
+    # eager checkpoint: audio_match_pairs consumes the fingerprint
+    # frame five times (collapse signature, rep semi-join, hot-fp
+    # count, both self-join sides), and this row's fingerprints are
+    # an expensive synthesized lineage (WAV gen + STFT) that Spark
+    # would otherwise recompute per consumer — the r11 +49% bench
+    # move, attributed by interleaved A/B (tools/probe_r12_audio.py:
+    # lazy 2.65 s, collapse-off 1.78 s, checkpointed 1.18 s at
+    # sf0.1). Production fingerprint TABLES (parquet-backed) don't
+    # need this; it belongs to the lineage, not the operator.
+    fps = mm.audio_fingerprints(clips, "payload").localCheckpoint(eager=True)
     return mm.audio_match_pairs(fps, "doc_id", min_matches=8)
 
 
