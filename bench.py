@@ -231,6 +231,10 @@ HEADLINE = [
     # indexing consent
     "dedup_containment",
     "doc_meta_robots_filter",
+    # round-12: incremental IVF assignment maintenance (delete-and-
+    # replace against the frozen quantizer, served from the updated
+    # assignments — closes the index family's incremental asymmetry)
+    "similarity_ann_ivf_updated",
 ]
 
 

@@ -74,6 +74,36 @@ def main(spark, tmp_dir=None):
         spark.table(frontier_table).select("url").write.mode("append") \
             .saveAsTable(hist_table)
 
+        # ---- persist job 1's fetches as re-fetchable WARC archives
+        # (sources/warc.py warc_sink) — the crawl round-trip's other
+        # half: a later pipeline re-reads the same captures with
+        # warc_source instead of re-fetching the web
+        from malstrom_spark.sources.warc import warc_sink, warc_source
+
+        captures = spark.table(frontier_table).select(
+            F.lit("response").alias("warc_type"),
+            F.concat(F.lit("<urn:uuid:"), F.md5("url"), F.lit(">"))
+            .alias("record_id"),
+            F.lit("2026-02-03T04:05:06Z").alias("warc_date"),
+            F.col("url").alias("target_uri"),
+            F.lit("application/http; msgtype=response").alias("content_type"),
+            F.encode(
+                F.concat(
+                    F.lit("HTTP/1.1 200 OK\r\n\r\n<html><body>"),
+                    F.col("url"), F.lit("</body></html>"),
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+        archive_dir = f"/tmp/malstrom_example_warc_{uid}"
+        manifest = warc_sink(captures, archive_dir, n_files=2).collect()
+        n_written = sum(r.n_records for r in manifest)
+        assert n_written == n1, (n_written, n1)
+        reread = warc_source(spark, archive_dir)
+        assert {r.target_uri for r in reread.collect()} == {
+            r["url"] for r in spark.table(frontier_table).select("url").collect()
+        }, "WARC round-trip lost or invented captures"
+
         # ---- job 2: overlapping batch (ids 50..150) — a later run
         # that knows only the table names
         f2 = frontier_job(spark, _links(spark, 50, 150), hist_table)
@@ -91,10 +121,14 @@ def main(spark, tmp_dir=None):
             "job1_frontier": n1,
             "job2_frontier": len(got2),
             "rerun_identical": True,
+            "warc_records": n_written,
         }
     finally:
+        import shutil
+
         spark.sql(f"DROP TABLE IF EXISTS {hist_table}")
         spark.sql(f"DROP TABLE IF EXISTS {frontier_table}")
+        shutil.rmtree(f"/tmp/malstrom_example_warc_{uid}", ignore_errors=True)
 
 
 if __name__ == "__main__":

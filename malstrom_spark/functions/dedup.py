@@ -1621,6 +1621,7 @@ def containment_pairs(
     shingle_n: int = 3,
     portable: bool = False,
     max_bucket_size: int | None = 4096,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs by shingle-set CONTAINMENT —
     |A ∩ B| / |A| — the quote/aggregator/boilerplate-wrapper signal
@@ -1639,15 +1640,35 @@ def containment_pairs(
     pair with tiny Jaccard (|A| << |B|) may not share a band — the
     documented MinHash-LSH blind spot; size-stratified banding is the
     escalation when that tail matters. Verification is exact set
-    arithmetic over the hashed shingle sets."""
+    arithmetic over the hashed shingle sets.
+
+    ``collapse_exact`` (default ON, the near_dup_pairs_minhash
+    discipline): byte-identical texts collapse to one representative
+    before signatures/candidates/verify and the output expands back —
+    provably identical rows (identical text => identical shingle set
+    => candidacy and both containment directions are exactly 1.0, one
+    exact division of equal integers), adaptively skipped when the
+    duplicate mass is negligible (`_collapse_exact` probe). Without
+    it, duplicate-cluster depth makes the verify join quadratic: the
+    round-12 sf100 probe (1000x replicas) SPILLED THE DISK shuffling
+    shingle arrays for intra-cluster candidate pairs before this
+    pre-pass existed."""
+    src = df
+    members = None
+    if collapse_exact:
+        src, members = _collapse_exact(df, id_col, text_col)
     bands = minhash_band_table(
-        df, id_col, text_col, n_hashes, n_bands, shingle_n, portable,
+        src, id_col, text_col, n_hashes, n_bands, shingle_n, portable,
         max_bucket_size=None,
     )
     cand = _bucket_candidate_pairs(
         bands, id_col, ["band", "bhash"], max_bucket_size=max_bucket_size
     )
-    sh = shingle_hash_sets(df, id_col, text_col, shingle_n, portable)
+    sh = shingle_hash_sets(src, id_col, text_col, shingle_n, portable)
+    if members is not None:
+        # narrow (id, array<long>) stage table consumed by both verify
+        # sides + the intra-group filter: compute once
+        sh = sh.localCheckpoint(eager=True)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -1689,4 +1710,43 @@ def containment_pairs(
             )
         ).alias("__r")
     )
-    return both.select("__r.*").where(F.col("containment") >= t)
+    out = both.select("__r.*").where(F.col("containment") >= t)
+    if members is None:
+        return out
+    # expand representative-level ORDERED pairs back to member level:
+    # candidacy and both scores are pure functions of the text, so
+    # every (contained member, container member) combination inherits
+    # its rep pair's row verbatim
+    ma = members.select(
+        F.col("__rep").alias("__rc"), F.col(id_col).alias("__idc")
+    )
+    mb = members.select(
+        F.col("__rep").alias("__rk"), F.col(id_col).alias("__idk")
+    )
+    inter = (
+        out.join(ma, F.col("contained_id") == F.col("__rc"))
+        .join(mb, F.col("container_id") == F.col("__rk"))
+        .select(
+            F.col("__idc").alias("contained_id"),
+            F.col("__idk").alias("container_id"),
+            "containment", "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return inter  # intra pairs score exactly 1.0 — below threshold
+    # intra-group ordered pairs (x != y, both directions): identical
+    # NON-EMPTY shingle sets score containment = jaccard = 1.0 exactly
+    # in the uncollapsed pipeline; empty-set twins score 0/1 = 0.0
+    # there, so they must not be emitted here either
+    nonempty = sh.where(F.size("sh") > 0).select(F.col(id_col).alias("__rc"))
+    intra = (
+        ma.join(nonempty, "__rc", "left_semi")
+        .join(mb, (F.col("__rc") == F.col("__rk")) & (F.col("__idc") != F.col("__idk")))
+        .select(
+            F.col("__idc").alias("contained_id"),
+            F.col("__idk").alias("container_id"),
+            F.lit(1.0).alias("containment"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter.unionByName(intra)

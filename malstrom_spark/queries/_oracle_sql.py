@@ -413,19 +413,32 @@ def ann_pq_oracle(
 
 
 def ann_ivf_oracle(
-    dim: int = 64, n_lists: int = 8, n_probe: int = 3, k: int = 5, n_queries: int = 8
+    dim: int = 64,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    k: int = 5,
+    n_queries: int = 8,
+    src: str = "SELECT vec_id, embedding FROM embeddings",
 ) -> str:
+    """IVF top-k over the vector set produced by `src` (default: the
+    embeddings table) with the quantizer FROZEN on the original
+    embeddings' head rows — so the updated-index variant reuses this
+    body verbatim with only the vector set swapped."""
     d2 = (
         f"list_sum(list_transform(range(1, {dim + 1}),"
         " i -> (q[i] - cq[i]) * (q[i] - cq[i])))"
     )
     return f"""
-    WITH e AS (
+    WITH vecs AS ({src}),
+    e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              {_quant('embedding')} AS q
-      FROM embeddings
+      FROM vecs
     ),
-    cent AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < {n_lists}),
+    cent AS (
+      SELECT vec_id AS cell, {_quant('embedding')} AS cq
+      FROM embeddings WHERE vec_id < {n_lists}
+    ),
     assigned AS (
       SELECT e.vec_id, e.v, cent.cell,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, cent.cell) AS rk
@@ -450,6 +463,31 @@ def ann_ivf_oracle(
     )
     SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= {k}
     """
+
+
+#: post-update vector set for the incremental-IVF row: every 5th
+#: vector is re-embedded (its new vector is vec (vec_id div 5)'s
+#: original embedding), every 25th a NULL tombstone, and
+#: (vec_id % 9 == 1, % 5 != 0) ids are explicitly deleted — mirrors
+#: image_phash_index_updated's re-crawl batch shape.
+ANN_IVF_UPDATED_SRC = """
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      WHERE e.vec_id % 5 != 0 AND e.vec_id % 9 != 1
+      UNION ALL
+      SELECT e.vec_id, s.embedding
+      FROM embeddings e JOIN embeddings s ON s.vec_id = e.vec_id // 5
+      WHERE e.vec_id % 5 = 0 AND e.vec_id % 25 != 0
+"""
+
+
+def ann_ivf_updated_oracle(
+    dim: int = 64, n_lists: int = 8, n_probe: int = 3, k: int = 5, n_queries: int = 8
+) -> str:
+    """From-scratch REBUILD over the post-update vector set (frozen
+    quantizer) — if any replaced or deleted vector's old assignment
+    lingered in the served index, stale neighbors would surface and
+    hash-mismatch."""
+    return ann_ivf_oracle(dim, n_lists, n_probe, k, n_queries, src=ANN_IVF_UPDATED_SRC)
 
 
 def embedding_near_dup_lsh_oracle(dim: int = 64, n_planes: int = 8, threshold: float = 0.35) -> str:

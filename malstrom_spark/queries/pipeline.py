@@ -19,6 +19,7 @@ from ._oracle_sql import (
 )
 from ._oracle_sql import (
     ann_ivf_oracle,
+    ann_ivf_updated_oracle,
     ann_lsh_oracle,
     ann_pq_oracle,
     decontaminate_oracle,
@@ -732,6 +733,64 @@ def similarity_ann_ivf(spark, sf_dir):
     )
     return similarity.ivf_topk_portable(queries, corpus, centroids, k=5, n_probe=3).select(
         "q_id", "c_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register("similarity_ann_ivf_updated", oracle=ann_ivf_updated_oracle())
+def similarity_ann_ivf_updated(spark, sf_dir):
+    """Incremental IVF index maintenance (functions/similarity.py
+    update_ivf_assignments, round 12 — the one incremental asymmetry
+    left in the index family, VERDICT r11 #5): a base cell-assignment
+    table is built against a frozen head-row quantizer, then a
+    re-embed batch (every 5th vector gets vector (vec_id div 5)'s
+    embedding; every 25th a NULL tombstone — the re-crawl 404) and an
+    explicit delete set update it via delete-and-replace; top-k is
+    served FROM THE UPDATED ASSIGNMENTS. The oracle rebuilds from
+    scratch over the post-update vector set — if any replaced or
+    deleted vector's old assignment lingered, stale neighbors would
+    surface and hash-mismatch (the image_phash_index_updated
+    discipline applied to ANN)."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec_t = emb.schema["embedding"].dataType
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    base = similarity.ivf_assign(corpus, centroids, 1, "c_vec", "c_id")
+    src = emb.select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
+    )
+    fresh = (
+        emb.where(F.col("vec_id") % 5 == 0)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.expr("vec_id div 5").alias("s_id"),
+        )
+        .join(src, "s_id")
+        .select(
+            "c_id",
+            F.when(F.col("c_id") % 25 == 0, F.lit(None).cast(vec_t))
+            .otherwise(F.col("s_vec"))
+            .alias("c_vec"),
+        )
+    )
+    deleted = emb.where(
+        (F.col("vec_id") % 9 == 1) & (F.col("vec_id") % 5 != 0)
+    ).select(F.col("vec_id").alias("c_id"))
+    updated = similarity.update_ivf_assignments(
+        base, fresh, centroids, deleted_ids=deleted
+    )
+    queries = updated.where(F.col("c_id") < 8).select(
+        F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec")
+    )
+    out = similarity.ivf_topk_from_assignments(
+        updated, queries, centroids, k=5, n_probe=3
+    )
+    return out.select(
+        "q_id", "c_id", F.round("sim", 6).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

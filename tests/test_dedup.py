@@ -709,3 +709,48 @@ def test_containment_pairs_detects_embedded_excerpt(spark):
     assert (1, 2) not in got
     # jaccard is symmetric and strictly below the containment score
     assert got[(2, 1)].jaccard < got[(2, 1)].containment
+
+
+def test_containment_collapse_equals_uncollapsed(spark):
+    # byte-identical copies collapse to a representative; the expanded
+    # output must equal the uncollapsed pipeline ROW FOR ROW (ordered
+    # pairs, exact 1.0 scores for identical non-empty shingle sets)
+    from malstrom_spark.functions.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(36))
+    excerpt = " ".join(f"w{i}" for i in range(32))
+    rows = [
+        (1, long_text), (2, excerpt),
+        (3, "entirely different tokens here now ok yes"),
+        # deep exact-copy cluster of the long doc + one of the excerpt
+        *[(10 + i, long_text) for i in range(4)],
+        (20, excerpt),
+        # empty-text twins: the tokenizer yields one empty token, so
+        # the shingle set is a SINGLETON (hash of ""), identical for
+        # both — containment 1.0 in the uncollapsed pipeline, and the
+        # collapse path must reproduce that, not drop them
+        (30, ""), (31, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(collapse):
+        return {
+            (r.contained_id, r.container_id): (r.containment, r.jaccard)
+            for r in containment_pairs(
+                docs, "doc_id", threshold=0.9, portable=True,
+                max_bucket_size=None, collapse_exact=collapse,
+            ).collect()
+        }
+
+    # min_dup_ratio: 6/10 of the docs are byte-dups, so the adaptive
+    # probe fires the collapse path for real
+    col, unc = run(True), run(False)
+    assert col == unc and len(col) > 0
+    # copies of the long doc contain each other (both directions)
+    assert col[(1, 10)] == (1.0, 1.0) and col[(10, 1)] == (1.0, 1.0)
+    # every copy inherits the excerpt-containment edge
+    assert (2, 13) in col and (20, 1) in col
+    # empty twins pair with each other (singleton empty-token shingle
+    # set, identical both sides) but with nothing else
+    assert col[(30, 31)] == (1.0, 1.0) and col[(31, 30)] == (1.0, 1.0)
+    assert not any((30 in p or 31 in p) and not {30, 31} >= set(p) for p in col)

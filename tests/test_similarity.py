@@ -772,3 +772,75 @@ def test_semdedup_zero_norm_vectors_never_collapse(spark):
     assert len(groups) == 3
     # and every singleton is its own keeper
     assert by_id[200][2] and by_id[201][2] and by_id[202][2]
+
+
+def test_update_ivf_assignments_equals_rebuild(spark):
+    # delete-and-replace against the frozen quantizer must serve
+    # exactly what a from-scratch rebuild over the updated vector set
+    # serves: same assignments, same top-k
+    from pyspark.sql import functions as F
+
+    from malstrom_spark.functions import similarity as sim
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    base_rows = [(i, [1.0 * (i % 4), 1.0, 0.1 * i]) for i in range(12)]
+    base_vecs = emb(base_rows)
+    cents = emb([(0, [0, 1, 0]), (1, [1, 1, 0]), (2, [3, 1, 1])]).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    corpus = base_vecs.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    assignments = sim.ivf_assign(corpus, cents, 1, "c_vec", "c_id")
+
+    # re-embed 3 and 7, tombstone 5 (NULL vector), delete 9 outright
+    fresh = spark.createDataFrame(
+        [(3, [9.0, 9.0, 9.0]), (7, [0.0, 0.5, 0.2]), (5, None)],
+        "c_id long, c_vec array<float>",
+    )
+    deleted = spark.createDataFrame([(9,)], "c_id long")
+    updated = sim.update_ivf_assignments(
+        assignments, fresh, cents, deleted_ids=deleted
+    )
+
+    survivors = {i for i, _ in base_rows} - {5, 9}
+    new_vec = {3: [9.0, 9.0, 9.0], 7: [0.0, 0.5, 0.2]}
+    rebuilt_rows = [
+        (i, new_vec.get(i, dict(base_rows)[i])) for i in sorted(survivors)
+    ]
+    rebuilt = sim.ivf_assign(
+        emb(rebuilt_rows).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        ),
+        cents, 1, "c_vec", "c_id",
+    )
+    as_set = lambda df: {  # noqa: E731
+        (r.c_id, tuple(r.c_vec), r.cell) for r in df.collect()
+    }
+    assert as_set(updated) == as_set(rebuilt)
+
+    # served top-k from the updated table == ivf_topk_portable rebuild
+    queries = emb([(100, [1.0, 1.0, 0.0]), (101, [9.0, 8.0, 9.0])]).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    served = sim.ivf_topk_from_assignments(
+        updated, queries, cents, k=3, n_probe=2
+    )
+    rebuilt_topk = sim.ivf_topk_portable(
+        queries,
+        emb(rebuilt_rows).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        ),
+        cents, k=3, n_probe=2,
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.q_id, r.rank, r.c_id, round(r.sim, 12)) for r in df.collect()
+    )
+    assert key(served) == key(rebuilt_topk)
+    # the deleted and tombstoned ids must not serve
+    assert not {r.c_id for r in served.collect()} & {5, 9}
