@@ -112,6 +112,7 @@ def fuzzy_self_pairs(
     max_distance: int = 2,
     prefix_len: int | None = None,
     lowercase: bool = True,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """All unordered pairs (id_l < id_r) of rows whose `s_col` values
     are within `max_distance` edits. Output: id_l, id_r, s_l, s_r,
@@ -123,8 +124,28 @@ def fuzzy_self_pairs(
     the distinct entirely — near-identical strings share ~L²/2
     variants, so every byte carried per candidate row is multiplied
     by that duplication factor); the two name lookups and the
-    levenshtein verify run once per DISTINCT pair."""
+    levenshtein verify run once per DISTINCT pair.
+
+    ``collapse_exact`` (default ON, the dedup-family discipline):
+    rows with IDENTICAL normalized strings collapse to one
+    representative before variant generation and the output expands
+    back — provably identical rows (candidacy, the verify and both
+    string columns are pure functions of the normalized string;
+    identical strings are always within any max_distance >= 0 at
+    dist 0), adaptively skipped when the duplicate mass is negligible
+    (`dedup._collapse_exact` probe). Without it, duplicated keys make
+    the variant join quadratic per copy cluster: a 1000-deep
+    identical-name cluster shares ALL ~L²/2 variants, so each variant
+    bucket alone yields 500k candidate rows — the round-12 sf100
+    probe's entity-resolution wall (replica names are 1000-deep by
+    construction, and real corpora duplicate author/site names just
+    the same)."""
     norm = _norm(df, id_col, s_col, lowercase)
+    members = None
+    if collapse_exact:
+        from .dedup import _collapse_exact
+
+        norm, members = _collapse_exact(norm, "__id", "__s")
     v = _variant_hashes(norm, max_distance, prefix_len)
     cand = (
         v.select(F.col("__id").alias("id_l"), "__h")
@@ -137,7 +158,40 @@ def fuzzy_self_pairs(
     )
     names_l = norm.select(F.col("__id").alias("id_l"), F.col("__s").alias("s_l"))
     names_r = norm.select(F.col("__id").alias("id_r"), F.col("__s").alias("s_r"))
-    return _verified(cand, names_l, names_r, "id_l", "id_r", max_distance)
+    pairs = _verified(cand, names_l, names_r, "id_l", "id_r", max_distance)
+    if members is None:
+        return pairs
+    # expand representative-level pairs back to member level. The
+    # id_l < id_r order must hold on MEMBER ids, and each string
+    # column follows its id's group, so a swapped pair swaps strings.
+    ma = members.select(F.col("__rep").alias("__rl"), F.col("__id").alias("__il"))
+    mb = members.select(F.col("__rep").alias("__rr"), F.col("__id").alias("__ir"))
+    swap = F.col("__il") > F.col("__ir")
+    inter = (
+        pairs.join(ma, F.col("id_l") == F.col("__rl"))
+        .join(mb, F.col("id_r") == F.col("__rr"))
+        .select(
+            F.least("__il", "__ir").alias("id_l"),
+            F.greatest("__il", "__ir").alias("id_r"),
+            F.when(swap, F.col("s_r")).otherwise(F.col("s_l")).alias("s_l"),
+            F.when(swap, F.col("s_l")).otherwise(F.col("s_r")).alias("s_r"),
+            "dist",
+        )
+    )
+    # intra-group pairs: identical normalized strings, dist exactly 0
+    reps_s = norm.select(F.col("__id").alias("__rl"), F.col("__s").alias("__rs"))
+    intra = (
+        ma.join(reps_s, "__rl")
+        .join(mb, (F.col("__rl") == F.col("__rr")) & (F.col("__il") < F.col("__ir")))
+        .select(
+            F.col("__il").alias("id_l"),
+            F.col("__ir").alias("id_r"),
+            F.col("__rs").alias("s_l"),
+            F.col("__rs").alias("s_r"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 def fuzzy_join(

@@ -112,3 +112,36 @@ def test_entity_resolution_composition(spark):
         pairs, df.select("id"), "id").collect()}
     # 1-2 dist 1, 2-3 dist 1, 1-3 dist 2: transitivity via CC
     assert groups == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_fuzzy_self_pairs_collapse_equals_uncollapsed(spark):
+    # identical-key clusters collapse to a representative; the
+    # expanded output must equal the uncollapsed pipeline row for row
+    # (id order, string columns following their ids, dist values)
+    from malstrom_spark.functions.linkage import fuzzy_self_pairs
+
+    rows = [
+        (1, "Smith"), (2, "Smyth"), (3, "Wholly Different"),
+        # deep exact-copy cluster (case-folds equal under lowercase)
+        (10, "smith"), (11, "Smith"), (12, "SMITH"), (13, "smith"),
+        (20, "Smyth"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    def run(collapse):
+        return sorted(
+            tuple(r) for r in fuzzy_self_pairs(
+                df, "id", "name", max_distance=1, collapse_exact=collapse
+            ).collect()
+        )
+
+    col, unc = run(True), run(False)
+    assert col == unc and len(col) > 0
+    got = {(a, b): (sl, sr, d) for a, b, sl, sr, d in col}
+    # intra-cluster pairs at dist 0, strings normalized
+    assert got[(1, 10)] == ("smith", "smith", 0)
+    assert got[(10, 11)] == ("smith", "smith", 0)
+    # cross-cluster pairs inherited by every member, dist 1
+    assert got[(2, 12)] == ("smyth", "smith", 1)
+    assert got[(12, 20)] == ("smith", "smyth", 1)
+    assert not any(3 in p for p in got)

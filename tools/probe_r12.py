@@ -42,6 +42,10 @@ DIRECT = [
     "customer_entity_groups",
 ]
 
+#: above this, the second warm run of a decade is skipped (booked as
+#: min-of-1): the exponent reading doesn't justify another half hour
+SECOND_RUN_CAP_SEC = 1200.0
+
 
 def _bitext_ivf(spark, sf_dir, mult):
     # same builder as tools/probe_r11.py, third decade added
@@ -66,6 +70,9 @@ def _min_of_2(build):
         t0 = time.time()
         build().write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
+        if times[-1] > SECOND_RUN_CAP_SEC:
+            print(f"    (min-of-1: first run {times[-1]:.0f}s > cap)", flush=True)
+            break
     return min(times)
 
 
