@@ -204,13 +204,24 @@ def fuzzy_join(
     max_distance: int = 2,
     prefix_len: int | None = None,
     lowercase: bool = True,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Two-table linkage: every (left, right) pair within
     `max_distance` edits. Output: <left_id>, <right_id>, s_l, s_r,
     dist. Same completeness contract (and shuffle diet) as
-    fuzzy_self_pairs."""
+    fuzzy_self_pairs, including the exact-copy collapse: each side's
+    identical normalized keys collapse independently, the candidate
+    join runs rep x rep, and every (left member, right member)
+    combination inherits its rep pair verbatim (pure-function-of-
+    the-strings argument; adaptive per-side probes)."""
+    from .dedup import _collapse_exact
+
     ln = _norm(left, left_id, left_col, lowercase)
     rn = _norm(right, right_id, right_col, lowercase)
+    lm = rm = None
+    if collapse_exact:
+        ln, lm = _collapse_exact(ln, "__id", "__s")
+        rn, rm = _collapse_exact(rn, "__id", "__s")
     lv = _variant_hashes(ln, max_distance, prefix_len)
     rv = _variant_hashes(rn, max_distance, prefix_len)
     cand = (
@@ -223,4 +234,19 @@ def fuzzy_join(
     )
     names_l = ln.select(F.col("__id").alias(left_id), F.col("__s").alias("s_l"))
     names_r = rn.select(F.col("__id").alias(right_id), F.col("__s").alias("s_r"))
-    return _verified(cand, names_l, names_r, left_id, right_id, max_distance)
+    pairs = _verified(cand, names_l, names_r, left_id, right_id, max_distance)
+    if lm is not None:
+        pairs = (
+            pairs.withColumnRenamed(left_id, "__rep")
+            .join(lm, "__rep")
+            .drop("__rep")
+            .withColumnRenamed("__id", left_id)
+        )
+    if rm is not None:
+        pairs = (
+            pairs.withColumnRenamed(right_id, "__rep")
+            .join(rm, "__rep")
+            .drop("__rep")
+            .withColumnRenamed("__id", right_id)
+        )
+    return pairs.select(left_id, right_id, "s_l", "s_r", "dist")

@@ -145,3 +145,30 @@ def test_fuzzy_self_pairs_collapse_equals_uncollapsed(spark):
     assert got[(2, 12)] == ("smyth", "smith", 1)
     assert got[(12, 20)] == ("smith", "smyth", 1)
     assert not any(3 in p for p in got)
+
+
+def test_fuzzy_join_collapse_equals_uncollapsed(spark):
+    from malstrom_spark.functions.linkage import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "Smith"), (2, "smith"), (3, "SMITH"), (4, "Jones")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "Smyth"), (11, "smyth"), (12, "Other")],
+        "rid long, rname string",
+    )
+
+    def run(collapse):
+        return sorted(
+            tuple(r) for r in fuzzy_join(
+                left, right, "lid", "rid", "lname", "rname",
+                max_distance=1, collapse_exact=collapse,
+            ).collect()
+        )
+
+    col, unc = run(True), run(False)
+    assert col == unc
+    got = {(a, b) for a, b, *_ in col}
+    # every smith-variant left row pairs with every smyth right row
+    assert got == {(l, r) for l in (1, 2, 3) for r in (10, 11)}
