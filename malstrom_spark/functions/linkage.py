@@ -105,6 +105,70 @@ def _verified(cand: DataFrame, names_l: DataFrame, names_r: DataFrame,
     )
 
 
+def _self_pairs_core(
+    norm: DataFrame, max_distance: int, prefix_len: int | None
+) -> DataFrame:
+    """Verified (id_l, id_r, s_l, s_r, dist) self-pairs over a
+    normalized (__id, __s) frame: variant-hash candidates, two name
+    lookups, one levenshtein verify per distinct pair."""
+    v = _variant_hashes(norm, max_distance, prefix_len)
+    cand = (
+        v.select(F.col("__id").alias("id_l"), "__h")
+        .join(v.select(F.col("__id").alias("id_r"),
+                       F.col("__h").alias("__h2")),
+              (F.col("__h") == F.col("__h2"))
+              & (F.col("id_l") < F.col("id_r")))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    names_l = norm.select(F.col("__id").alias("id_l"), F.col("__s").alias("s_l"))
+    names_r = norm.select(F.col("__id").alias("id_r"), F.col("__s").alias("s_r"))
+    return _verified(cand, names_l, names_r, "id_l", "id_r", max_distance)
+
+
+def fuzzy_entity_edges(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_distance: int = 2,
+    prefix_len: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """CC-SUFFICIENT fuzzy-match edge set (id_a, id_b): rep-level
+    verified pairs over DISTINCT normalized keys plus (rep, member)
+    star edges for collapsed identical keys — feed `dedup_groups`
+    for entity resolution at corpus scale.
+
+    Connected components over these edges equal components over the
+    full member-level pair set (`fuzzy_self_pairs`): members of an
+    identical-key cluster are mutually connected through their rep
+    star edges, and any member-level cross edge (x, y) exists iff
+    the rep edge (rep(x), rep(y)) is here (candidacy and the verify
+    are pure functions of the normalized strings). Edge count is
+    LINEAR in corpus size plus pairs over distinct keys — the
+    member-level pair list is quadratic in copy-cluster depth by
+    contract (a 1000-deep name cluster alone is 500k pairs), which
+    is the wrong input to iterated CC shuffles; this is the same
+    rep-level contraction `dedup_clusters` applies to MinHash
+    near-dup groups. No adaptive skip: the star edges are what CC
+    needs anyway, so the collapse here is never overhead."""
+    from .dedup import _collapse_exact
+
+    norm = _norm(df, id_col, s_col, lowercase)
+    rep_norm, members = _collapse_exact(norm, "__id", "__s", min_dup_ratio=0.0)
+    if members is None:  # empty input
+        rep_norm, members = norm, None
+    pairs = _self_pairs_core(rep_norm, max_distance, prefix_len).select(
+        F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b")
+    )
+    if members is None:
+        return pairs
+    stars = members.where(F.col("__id") != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col("__id").alias("id_b")
+    )
+    return pairs.unionByName(stars)
+
+
 def fuzzy_self_pairs(
     df: DataFrame,
     id_col: str,
@@ -146,19 +210,7 @@ def fuzzy_self_pairs(
         from .dedup import _collapse_exact
 
         norm, members = _collapse_exact(norm, "__id", "__s")
-    v = _variant_hashes(norm, max_distance, prefix_len)
-    cand = (
-        v.select(F.col("__id").alias("id_l"), "__h")
-        .join(v.select(F.col("__id").alias("id_r"),
-                       F.col("__h").alias("__h2")),
-              (F.col("__h") == F.col("__h2"))
-              & (F.col("id_l") < F.col("id_r")))
-        .select("id_l", "id_r")
-        .distinct()
-    )
-    names_l = norm.select(F.col("__id").alias("id_l"), F.col("__s").alias("s_l"))
-    names_r = norm.select(F.col("__id").alias("id_r"), F.col("__s").alias("s_r"))
-    pairs = _verified(cand, names_l, names_r, "id_l", "id_r", max_distance)
+    pairs = _self_pairs_core(norm, max_distance, prefix_len)
     if members is None:
         return pairs
     # expand representative-level pairs back to member level. The

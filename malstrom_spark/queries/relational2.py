@@ -1489,15 +1489,20 @@ def customer_entity_groups(spark, sf_dir):
     Oracle = recursive-CTE reachability over the brute-force pair
     set (the same first-principles transitive-closure pin as
     dedup_clusters). Both stages stay bucketed: variant-hash
-    candidates, O(log n) CC rounds."""
+    candidates, O(log n) CC rounds.
+
+    CC input is the CC-SUFFICIENT edge set (fuzzy_entity_edges:
+    rep-level pairs over DISTINCT names + linear star edges), not the
+    member-level pair list — components are provably identical, and
+    the member list is quadratic in copy-cluster depth (the round-12
+    sf100 probe: 1000-deep replica name clusters made iterated CC
+    shuffles over ~400M expanded edges the wall)."""
     from ..functions import dedup, linkage
 
     cust = table(spark, sf_dir, "customer").where(
         F.col("c_custkey") % 5 == 0
     ).select(F.col("c_custkey").alias("id"), "c_name")
-    pairs = linkage.fuzzy_self_pairs(
-        cust, "id", "c_name", max_distance=1
-    ).select(F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b"))
+    pairs = linkage.fuzzy_entity_edges(cust, "id", "c_name", max_distance=1)
     groups = dedup.dedup_groups(pairs, cust.select("id"), "id")
     return groups.select(
         "id",

@@ -172,3 +172,33 @@ def test_fuzzy_join_collapse_equals_uncollapsed(spark):
     got = {(a, b) for a, b, *_ in col}
     # every smith-variant left row pairs with every smyth right row
     assert got == {(l, r) for l in (1, 2, 3) for r in (10, 11)}
+
+
+def test_fuzzy_entity_edges_components_equal_member_level(spark):
+    # CC over the rep+star edge set must equal CC over the full
+    # member-level pair set
+    from malstrom_spark.functions.dedup import dedup_groups
+    from malstrom_spark.functions.linkage import (
+        fuzzy_entity_edges,
+        fuzzy_self_pairs,
+    )
+
+    rows = [
+        (1, "Smith"), (2, "Smyth"), (3, "Wholly Different"),
+        (10, "smith"), (11, "SMITH"), (20, "Smyth"), (21, "smythe"),
+        (30, None),  # null key: isolated, own group
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    ids = df.select("id")
+
+    member_pairs = fuzzy_self_pairs(
+        df, "id", "name", max_distance=1
+    ).select(F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b"))
+    want = {r.id: r.group_id for r in dedup_groups(member_pairs, ids, "id").collect()}
+
+    edges = fuzzy_entity_edges(df, "id", "name", max_distance=1)
+    got = {r.id: r.group_id for r in dedup_groups(edges, ids, "id").collect()}
+    assert got == want
+    # one merged smith/smyth entity labeled by the min member id
+    assert got[21] == 1 and got[10] == 1 and got[20] == 1
+    assert got[3] == 3 and got[30] == 30
