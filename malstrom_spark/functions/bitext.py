@@ -219,20 +219,42 @@ def mine_bitext_ivf(
     quantized vectors, so the candidate sets — and hence the mined
     pairs — are engine-reproducible, not just approximately right.
     With n_probe = number of centroids it degrades gracefully to the
-    exact kernel's output (pytest-pinned)."""
-    from .similarity import ivf_topk_portable
+    exact kernel's output (pytest-pinned).
+
+    Each side is assigned ONCE with ranks kept and eagerly
+    checkpointed; the corpus role of each direction is the rank-1
+    slice, the query role the full n_probe set (round 12 — the r11
+    Arrow-twin optimization applied to the Column form: the four
+    separate ivf_assign scans were each an O(n_vectors x n_lists)
+    quantizer pass, and with n_lists scaled to the corpus that term
+    is quadratic — the sf100 probe's wall)."""
+    from .similarity import _ivf_score_assigned, ivf_assign
 
     a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
     b = side_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    fwd = ivf_topk_portable(
-        a.select(F.col("a_id").alias("q_id"), F.col("a_vec").alias("q_vec")),
-        b.select(F.col("b_id").alias("c_id"), F.col("b_vec").alias("c_vec")),
-        centroids, k=k, n_probe=n_probe, broadcast_queries=False,
+    ap = ivf_assign(
+        a, centroids, n_probe, "a_vec", "a_id", rank_col="__rk"
+    ).localCheckpoint(eager=True)
+    bp = ivf_assign(
+        b, centroids, n_probe, "b_vec", "b_id", rank_col="__rk"
+    ).localCheckpoint(eager=True)
+    fwd = _ivf_score_assigned(
+        bp.where(F.col("__rk") == 1).select(
+            F.col("b_id").alias("c_id"), F.col("b_vec").alias("c_vec"), "cell"
+        ),
+        ap.select(
+            F.col("a_id").alias("q_id"), F.col("a_vec").alias("q_vec"), "cell"
+        ),
+        k, "q_id", "c_id", "q_vec", "c_vec", broadcast_queries=False,
     ).select(F.col("q_id").alias("x_id"), F.col("c_id").alias("y_id"), "sim")
-    bwd = ivf_topk_portable(
-        b.select(F.col("b_id").alias("q_id"), F.col("b_vec").alias("q_vec")),
-        a.select(F.col("a_id").alias("c_id"), F.col("a_vec").alias("c_vec")),
-        centroids, k=k, n_probe=n_probe, broadcast_queries=False,
+    bwd = _ivf_score_assigned(
+        ap.where(F.col("__rk") == 1).select(
+            F.col("a_id").alias("c_id"), F.col("a_vec").alias("c_vec"), "cell"
+        ),
+        bp.select(
+            F.col("b_id").alias("q_id"), F.col("b_vec").alias("q_vec"), "cell"
+        ),
+        k, "q_id", "c_id", "q_vec", "c_vec", broadcast_queries=False,
     ).select(F.col("c_id").alias("x_id"), F.col("q_id").alias("y_id"), "sim")
     return mine_bitext_from_knn(fwd, bwd, threshold=threshold, mutual=mutual)
 

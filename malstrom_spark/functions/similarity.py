@@ -645,10 +645,29 @@ def _ivf_score_cells(
     """Shared IVF serve tail: probe-assign the queries, cell
     equi-join against an already-assigned corpus `cb` (columns
     c_id, c_vec, cell), exact cosine, window top-k."""
-    cb = cb.withColumn("__cn", norm(F.col(c_vec)))
-    qb = ivf_assign(queries, centroids, n_probe, q_vec, q_id).withColumn(
-        "__qn", norm(F.col(q_vec))
+    qb = ivf_assign(queries, centroids, n_probe, q_vec, q_id)
+    return _ivf_score_assigned(
+        cb, qb, k, q_id, c_id, q_vec, c_vec, broadcast_queries
     )
+
+
+def _ivf_score_assigned(
+    cb: DataFrame,
+    qb: DataFrame,
+    k: int,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """Score tail over PRE-ASSIGNED sides (cb: c_id, c_vec, cell;
+    qb: q_id, q_vec, cell with n_probe rows per query) — callers that
+    reuse one assignment pass for several roles (bitext mining's
+    fwd/bwd) enter here so the O(n_vectors x n_lists) quantizer scan
+    never runs more than once per side."""
+    cb = cb.withColumn("__cn", norm(F.col(c_vec)))
+    qb = qb.withColumn("__qn", norm(F.col(q_vec)))
     if broadcast_queries:
         qb = F.broadcast(qb)
     scored = cb.join(qb, "cell").select(
