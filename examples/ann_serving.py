@@ -84,6 +84,44 @@ def main(spark, sf_dir=None, tmp_dir=None):
     }
     assert got == want, "persisted serving diverged from in-memory IVF"
 
+    # ---- job 3: nightly index MAINTENANCE (round 12) — a re-embed
+    # batch (every 3rd vector gets a new embedding; one NULL-vector
+    # tombstone) plus an explicit delete set update the persisted
+    # assignments via delete-and-replace (update_ivf_assignments,
+    # same float quantizer engine that built the index), and serving
+    # from the updated cells equals a from-scratch rebuild over the
+    # updated vector set — no stale neighbors, no lost vectors.
+    cells = spark.read.parquet(f"{index_dir}/cells")
+    fresh = corpus.where(F.col("c_id") % 3 == 0).select(
+        "c_id",
+        F.when(F.col("c_id") == 0, F.lit(None).cast(corpus.schema["c_vec"].dataType))
+        .otherwise(F.reverse("c_vec"))
+        .alias("c_vec"),
+    )
+    deleted = corpus.where(F.col("c_id") == 1).select("c_id")
+    updated = similarity.update_ivf_assignments(
+        cells, fresh, cents, deleted_ids=deleted
+    )
+    updated.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_dir}/cells_v2"
+    )
+    rebuilt_corpus = (
+        corpus.where((F.col("c_id") % 3 != 0) & (F.col("c_id") != 1))
+        .unionByName(fresh.where(F.col("c_vec").isNotNull()))
+    )
+    q3 = queries.where(F.col("q_id") >= 2)  # 0 tombstoned, 1 deleted
+    served_v2 = similarity.ivf_topk_partitioned(
+        spark, f"{index_dir}/cells_v2", q3, cents, k=3, n_probe=2
+    )
+    similarity.ivf_write_assignments(rebuilt_corpus, cents, f"{index_dir}/cells_rebuilt")
+    rebuilt_serve = similarity.ivf_topk_partitioned(
+        spark, f"{index_dir}/cells_rebuilt", q3, cents, k=3, n_probe=2
+    )
+    got_v2 = {(r.q_id, r.rank): r.c_id for r in served_v2.collect()}
+    want_v2 = {(r.q_id, r.rank): r.c_id for r in rebuilt_serve.collect()}
+    assert got_v2 == want_v2 and got_v2, "maintained index diverged from rebuild"
+    assert not {0, 1} & set(got_v2.values()), "tombstoned/deleted id served"
+
     # ---- IVFADC tier: the same two-job pattern with PQ codes ----
     # job 1b: fit per-subspace codebooks, persist (c_id, cell, codes)
     # partitioned by cell — 8 one-byte codes per vector instead of 64
@@ -124,6 +162,7 @@ def main(spark, sf_dir=None, tmp_dir=None):
         "n_lists": len(cents),
         "neighbors_served": len(got),
         "partition_pruned": True,
+        "maintained_equals_rebuild": True,
         "pq_neighbors_served": len(got_pq),
         "pq_self_hit_rank1": True,
     }

@@ -684,13 +684,14 @@ def _ivf_score_assigned(
 def update_ivf_assignments(
     assignments: DataFrame,
     fresh_vectors: DataFrame,
-    centroids: DataFrame,
+    centroids,
     c_id: str = "c_id",
     c_vec: str = "c_vec",
     deleted_ids: DataFrame | None = None,
     broadcast_touched: bool = True,
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Delete-and-replace maintenance for an IVF cell-assignment
     table against a FROZEN coarse quantizer — the
@@ -717,14 +718,27 @@ def update_ivf_assignments(
     hash join — a map-side filter that preserves the persisted
     index's list_id-partitioned layout with no exchange; fresh rows
     stay unpartitioned until the next ivf_write_assignments
-    compaction, like any LSM delta."""
+    compaction, like any LSM delta.
+
+    Works with BOTH quantizer representations, matching whichever
+    built the index (mixing them would corrupt cell membership):
+    a centroid DataFrame assigns via the portable integer-L2
+    `ivf_assign` (cell column ``cell``), a list-of-lists quantizer
+    via `with_nearest_list` — the float engine behind
+    `ivf_write_assignments` (cell column ``list_id``). Override
+    ``cell_col`` if the index used a custom name."""
     touched = fresh_vectors.select(c_id).distinct()
     if deleted_ids is not None:
         touched = touched.unionByName(deleted_ids.select(c_id)).distinct()
     if broadcast_touched:
         touched = F.broadcast(touched)
     live = fresh_vectors.where(F.col(c_vec).isNotNull()).select(c_id, c_vec)
-    fresh_rows = ivf_assign(live, centroids, 1, c_vec, c_id, cent_id, cent_vec)
+    if isinstance(centroids, DataFrame):
+        fresh_rows = ivf_assign(live, centroids, 1, c_vec, c_id, cent_id, cent_vec)
+        if cell_col and cell_col != "cell":
+            fresh_rows = fresh_rows.withColumnRenamed("cell", cell_col)
+    else:
+        fresh_rows = with_nearest_list(live, c_vec, centroids, cell_col or "list_id")
     return (
         assignments.join(touched, c_id, "left_anti")
         .select(*assignments.columns)
