@@ -208,6 +208,8 @@ def mine_bitext_ivf(
     mutual: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    super_centroids: DataFrame | None = None,
+    n_probe_super: int = 1,
 ) -> DataFrame:
     """Bitext mining with IVF-approximate kNN — the corpus-scale
     shape: both sides share ONE coarse quantizer (they live in the
@@ -227,17 +229,31 @@ def mine_bitext_ivf(
     Arrow-twin optimization applied to the Column form: the four
     separate ivf_assign scans were each an O(n_vectors x n_lists)
     quantizer pass, and with n_lists scaled to the corpus that term
-    is quadratic — the sf100 probe's wall)."""
-    from .similarity import _ivf_score_assigned, ivf_assign
+    is quadratic — the sf100 probe's wall).
+
+    The flat-assignment limit (BASELINE.md round-12 #3): even a
+    SINGLE flat scan is O(n x n_lists), quadratic when n_lists scales
+    with the corpus. Pass `super_centroids` (and `centroids` carrying
+    a `super_id` column — see `assign_leaves_to_supers`) to route
+    assignment through the two-level quantizer: O(n x (n_super +
+    n_probe_super * leaves_per_super)) ~ O(n x 2 sqrt(n_lists)). With
+    n_probe_super = n_super the mined pairs are IDENTICAL to the flat
+    form (pytest-pinned); smaller n_probe_super trades boundary
+    recall for the sub-quadratic scan, exactly like n_probe."""
+    from .similarity import _ivf_score_assigned, ivf_assign, ivf_assign_hier
+
+    def _assign(df, vc, ic):
+        if super_centroids is None:
+            return ivf_assign(df, centroids, n_probe, vc, ic, rank_col="__rk")
+        return ivf_assign_hier(
+            df, super_centroids, centroids, n_probe, vc, ic,
+            n_probe_super=n_probe_super, rank_col="__rk",
+        )
 
     a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
     b = side_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    ap = ivf_assign(
-        a, centroids, n_probe, "a_vec", "a_id", rank_col="__rk"
-    ).localCheckpoint(eager=True)
-    bp = ivf_assign(
-        b, centroids, n_probe, "b_vec", "b_id", rank_col="__rk"
-    ).localCheckpoint(eager=True)
+    ap = _assign(a, "a_vec", "a_id").localCheckpoint(eager=True)
+    bp = _assign(b, "b_vec", "b_id").localCheckpoint(eager=True)
     fwd = _ivf_score_assigned(
         bp.where(F.col("__rk") == 1).select(
             F.col("b_id").alias("c_id"), F.col("b_vec").alias("c_vec"), "cell"

@@ -22,6 +22,7 @@ with a verified pair join, mirroring the MinHash pipeline shape in
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 import pandas as pd  # module-level: pandas_udf type hints ('pd.Series'
                      # under future-annotations) resolve via __globals__
@@ -1155,6 +1156,403 @@ def ivf_topk_partitioned(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------- hierarchical (two-level) IVF (round 12)
+#
+# Flat coarse quantization is O(n_vectors * n_lists) per assignment
+# pass. Production IVF scales n_lists WITH the corpus (constant cell
+# size keeps the probe join linear), which makes the flat scan
+# quadratic — the measured sf100 wall in the round-12 bitext probe
+# (BASELINE.md round-12 #3). The escalation every billion-vector
+# system uses (IMI / two-level residual quantizers) is a hierarchy:
+# ~sqrt(n_lists) super-cells, each holding ~sqrt(n_lists) leaf cells;
+# a vector scans the supers, descends into its nearest super(s), and
+# scans only those leaves — O(n * 2 sqrt(n_lists)) total. The LEAF id
+# is the served cell, so everything downstream (cell equi-joins,
+# partitioned layouts, incremental maintenance) is unchanged: the
+# hierarchy only changes how a vector FINDS its cell.
+
+
+def assign_leaves_to_supers(
+    leaf_cents: DataFrame,
+    super_cents: DataFrame,
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+    super_col: str = "super_id",
+) -> DataFrame:
+    """Attach each leaf centroid to its nearest super centroid (exact
+    integer L2 over quantized vectors, ties by super id — the same
+    argmin `ivf_assign` uses, so an SQL oracle reproduces the tree
+    exactly). Output: leaf_cents columns + `super_col`. Both tables
+    are quantizer-sized (k rows), so this is a broadcast crossJoin of
+    two tiny relations — negligible next to any corpus pass."""
+    out = ivf_assign(leaf_cents, super_cents, 1, cent_vec, cent_id, cent_id, cent_vec)
+    return out.withColumnRenamed("cell", super_col)
+
+
+def ivf_assign_hier(
+    vecs: DataFrame,
+    super_cents: DataFrame,
+    leaf_cents: DataFrame,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+    n_probe_super: int = 1,
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+    super_col: str = "super_id",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Two-level cell assignment: each vector ranks the SUPER
+    centroids (exact integer L2, ties by id), descends into its
+    `n_probe_super` nearest super-cells, and ranks only THOSE cells'
+    leaf centroids — emitting its `n_probe` nearest leaves among the
+    candidates. Output contract is identical to `ivf_assign` (input
+    cols + `cell` [+ rank]), so every serve/maintenance path
+    (`_ivf_score_assigned`, `update_ivf_assignments`) composes
+    unchanged.
+
+    `leaf_cents` must carry `super_col` (see `assign_leaves_to_supers`
+    — or any externally-fit hierarchy). Both centroid tables broadcast
+    (quantizer-sized); per-vector work is O(n_super +
+    n_probe_super * leaves_per_super) ~ O(2 sqrt(n_lists)) instead of
+    the flat O(n_lists) — sub-quadratic when n_lists scales with the
+    corpus.
+
+    Exactness contract (pytest-pinned): with n_probe_super = n_super
+    every leaf is a candidate, and the output row set EQUALS
+    `ivf_assign(vecs, leaf_cents, n_probe)` — the hierarchy is a
+    candidate-pruning structure over the same leaf argmin, not a
+    different geometry. With n_probe_super < n_super a vector near a
+    super-cell boundary may miss a leaf across the boundary — the
+    standard two-level recall trade, recovered by raising
+    n_probe_super (exactly like n_probe in flat IVF)."""
+    sup = super_cents.select(
+        F.col(cent_id).alias("_sid"), quantize_vec(F.col(cent_vec)).alias("_sq")
+    )
+    leaf = leaf_cents.select(
+        F.col(super_col).alias("_lsid"),
+        F.col(cent_id).alias("_lid"),
+        quantize_vec(F.col(cent_vec)).alias("_lq"),
+    )
+    staged = (
+        vecs.withColumn("_q", quantize_vec(F.col(vec_col)))
+        .crossJoin(F.broadcast(sup))
+        .withColumn("_sd2", _quant_dist2(F.col("_q"), F.col("_sq")))
+    )
+    ws = Window.partitionBy(id_col).orderBy(F.asc("_sd2"), F.asc("_sid"))
+    descended = (
+        staged.withColumn("_srk", F.row_number().over(ws))
+        .filter(F.col("_srk") <= n_probe_super)
+        .drop("_sq", "_sd2", "_srk")
+    )
+    scored = descended.join(
+        F.broadcast(leaf), descended["_sid"] == leaf["_lsid"]
+    ).withColumn("_d2", _quant_dist2(F.col("_q"), F.col("_lq")))
+    wl = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("_lid"))
+    extra = [F.col("_rk").alias(rank_col)] if rank_col else []
+    return (
+        scored.withColumn("_rk", F.row_number().over(wl))
+        .filter(F.col("_rk") <= n_probe)
+        .select(*vecs.columns, F.col("_lid").alias("cell"), *extra)
+    )
+
+
+def ivf_topk_hier_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    super_cents: DataFrame,
+    leaf_cents: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    n_probe_super: int = 1,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """`ivf_topk_portable` served through the two-level quantizer:
+    corpus descends to 1 leaf cell, queries probe `n_probe` leaves
+    under their `n_probe_super` nearest supers, then the identical
+    cell equi-join / exact-cosine / window top-k tail. Integer-exact
+    bucketing end to end, so a DuckDB oracle reproduces the result
+    set (registry row `similarity_ann_ivf_hier`)."""
+    cb = ivf_assign_hier(
+        corpus, super_cents, leaf_cents, 1, c_vec, c_id,
+        n_probe_super=n_probe_super,
+    )
+    qb = ivf_assign_hier(
+        queries, super_cents, leaf_cents, n_probe, q_vec, q_id,
+        n_probe_super=n_probe_super,
+    )
+    return _ivf_score_assigned(
+        cb, qb, k, q_id, c_id, q_vec, c_vec, broadcast_queries
+    )
+
+
+class HierQuantizer(NamedTuple):
+    """Two-level coarse quantizer: `supers` (n_super x dim),
+    `leaves` (n_leaves x dim, globally indexed — the served cell
+    ids), `leaf_super[i]` = the super-cell leaf i lives under."""
+
+    supers: list[list[float]]
+    leaves: list[list[float]]
+    leaf_super: list[int]
+
+
+def ivf_build_hier_centroids(
+    corpus: DataFrame,
+    vec_col: str = "c_vec",
+    n_lists: int = 64,
+    n_iters: int = 2,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    n_super: int | None = None,
+) -> HierQuantizer:
+    """Fit the two-level quantizer: k-means over `n_super` ~
+    sqrt(n_lists) super-cells (reusing `ivf_build_centroids`), then
+    PER-SUPER-CELL k-means over ceil(n_lists/n_super) leaves — seeds
+    by xxhash order WITHIN each super-cell (deterministic), Lloyd
+    rounds as grouped DataFrame aggregations keyed by (leaf, dim).
+    Only the centroid matrices reach the driver; every corpus-sized
+    pass is distributed. `sample_fraction` bounds fit cost exactly as
+    in `ivf_build_centroids` (the 100 TB fit path). Super-cells the
+    sample never hits keep zero leaves — their probability mass is
+    zero by construction, and assignment never descends there."""
+    fit = (
+        corpus
+        if sample_fraction is None or sample_fraction >= 1.0
+        else corpus.sample(fraction=sample_fraction, seed=seed)
+    ).select(F.col(vec_col).alias("v"))
+    fit = fit.persist()
+    try:
+        n_super = n_super or max(2, int(round(n_lists**0.5)))
+        n_leaf = max(1, -(-n_lists // n_super))  # ceil division
+        supers = ivf_build_centroids(fit, "v", n_super, n_iters)
+        assigned = with_nearest_list(fit, "v", supers, "super_id").persist()
+        try:
+            ws = Window.partitionBy("super_id").orderBy("h")
+            seeds = (
+                assigned.withColumn(
+                    "h",
+                    F.xxhash64(F.col("v").cast("array<double>").cast("string")),
+                )
+                .withColumn("rk", F.row_number().over(ws))
+                .filter(F.col("rk") <= n_leaf)
+                .select("super_id", "rk", "v")
+                .collect()
+            )
+            # global leaf ids: dense enumeration in (super, seed-rank)
+            # order — stable across runs (hash order is deterministic)
+            seeds.sort(key=lambda r: (r.super_id, r.rk))
+            leaves = [[float(x) for x in r.v] for r in seeds]
+            leaf_super = [int(r.super_id) for r in seeds]
+            for _ in range(n_iters):
+                hq = HierQuantizer(supers, leaves, leaf_super)
+                reassigned = _with_leaf_in_super(assigned, "v", "super_id", hq)
+                means = (
+                    reassigned.select(
+                        "leaf_id",
+                        F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"),
+                    )
+                    .groupBy("leaf_id", "pos")
+                    .agg(F.avg("x").alias("m"))
+                    .collect()
+                )
+                by_leaf: dict[int, dict[int, float]] = {}
+                for r in means:
+                    by_leaf.setdefault(r.leaf_id, {})[r.pos] = r.m
+                for lid, dims in by_leaf.items():
+                    leaves[lid] = [dims[i] for i in range(len(leaves[lid]))]
+        finally:
+            assigned.unpersist()
+    finally:
+        fit.unpersist()
+    return HierQuantizer(supers, leaves, leaf_super)
+
+
+def _hier_bc(spark, hq: HierQuantizer):
+    """Broadcast the hierarchy once per distinct content (the
+    `content_keyed_broadcast` discipline): numpy super/leaf matrices,
+    their squared norms, and the per-super leaf-id index."""
+    import numpy as np
+
+    S = np.asarray(hq.supers, dtype=np.float64)
+    L = np.asarray(hq.leaves, dtype=np.float64)
+    ls = np.asarray(hq.leaf_super, dtype=np.int64)
+    packed = np.concatenate([S.ravel(), L.ravel(), ls.astype(np.float64)])
+
+    def build(_):
+        by_super = [np.nonzero(ls == s)[0] for s in range(len(S))]
+        return (S, (S * S).sum(axis=1), L, (L * L).sum(axis=1), by_super)
+
+    return content_keyed_broadcast(spark, f"ivf-hier-{S.shape}-{L.shape}", packed, build)
+
+
+def _with_leaf_in_super(
+    df: DataFrame, vec_col: str, super_col: str, hq: HierQuantizer,
+    out_col: str = "leaf_id",
+) -> DataFrame:
+    """Nearest leaf WITHIN an already-chosen super-cell (the Lloyd
+    re-assignment inner step): batched per-super BLAS, one matmul per
+    distinct super id in the batch."""
+    import numpy as np
+    import pandas as pd
+
+    bc = _hier_bc(df.sparkSession, hq)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series, sup: pd.Series) -> pd.Series:
+        _, _, L, Ln2, by_super = bc.value
+        res: list = [None] * len(v)
+        mask = (v.notna() & sup.notna()).to_numpy()
+        if mask.any():
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in v[mask]])
+            sp = sup[mask].to_numpy(dtype=np.int64)
+            rows = np.nonzero(mask)[0]
+            for s in np.unique(sp):
+                idx = by_super[s]
+                if len(idx) == 0:
+                    continue
+                sel = sp == s
+                d = -2.0 * (M[sel] @ L[idx].T) + Ln2[idx][None, :]
+                d[np.isnan(d)] = np.inf
+                ids = idx[np.argmin(d, axis=1)]
+                for pos, lid in zip(rows[sel], ids):
+                    res[pos] = int(lid)
+        return pd.Series(res, dtype="Int32")
+
+    return df.withColumn(out_col, assign(F.col(vec_col), F.col(super_col)))
+
+
+def with_nearest_list_hier(
+    df: DataFrame, vec_col: str, hq: HierQuantizer, out_col: str = "list_id"
+) -> DataFrame:
+    """`with_nearest_list` through the hierarchy: one batched matmul
+    against the supers (argmin), then one per distinct super in the
+    batch against only ITS leaves — O(batch x (n_super +
+    leaves_per_super)) where the flat assigner is O(batch x n_lists).
+    Output cell ids are GLOBAL leaf ids, so persisted layouts
+    (`ivf_write_assignments`-style partitionBy) and the maintenance
+    path compose unchanged. Null vectors assign NULL; NaN distances
+    rank last (the flat engines' convention)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = _hier_bc(df.sparkSession, hq)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        S, Sn2, L, Ln2, by_super = bc.value
+        res: list = [None] * len(v)
+        mask = v.notna().to_numpy()
+        if mask.any():
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in v[mask]])
+            ds = -2.0 * (M @ S.T) + Sn2[None, :]
+            ds[np.isnan(ds)] = np.inf
+            sp = np.argmin(ds, axis=1)
+            rows = np.nonzero(mask)[0]
+            for s in np.unique(sp):
+                idx = by_super[s]
+                if len(idx) == 0:
+                    continue
+                sel = sp == s
+                d = -2.0 * (M[sel] @ L[idx].T) + Ln2[idx][None, :]
+                d[np.isnan(d)] = np.inf
+                ids = idx[np.argmin(d, axis=1)]
+                for pos, lid in zip(rows[sel], ids):
+                    res[pos] = int(lid)
+        return pd.Series(res, dtype="Int32")
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def with_probe_lists_hier(
+    df: DataFrame,
+    vec_col: str,
+    hq: HierQuantizer,
+    n_probe: int,
+    n_probe_super: int = 2,
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Query-side hierarchical probing: rank the supers (stable), take
+    the `n_probe_super` nearest, pool THEIR leaves as candidates, emit
+    the `n_probe` nearest candidates by (distance, leaf id) — the
+    exact tie-break `with_probe_lists` uses, so with n_probe_super =
+    n_super the probe set equals the flat probe set over the same
+    leaves (pytest-pinned). Rows are batched by identical super-tuple
+    (np.unique on the ranked prefix), one candidate matmul per
+    distinct tuple per batch."""
+    import numpy as np
+    import pandas as pd
+
+    bc = _hier_bc(df.sparkSession, hq)
+
+    @F.pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        S, Sn2, L, Ln2, by_super = bc.value
+        k_sup = min(n_probe_super, len(S))
+        res: list = [None] * len(v)
+        mask = v.notna().to_numpy()
+        if mask.any():
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in v[mask]])
+            ds = -2.0 * (M @ S.T) + Sn2[None, :]
+            ds[np.isnan(ds)] = np.inf
+            order = np.argsort(ds, axis=1, kind="stable")[:, :k_sup]
+            rows = np.nonzero(mask)[0]
+            tuples, inverse = np.unique(order, axis=0, return_inverse=True)
+            inverse = np.asarray(inverse).reshape(-1)  # numpy 2.0 axis quirk
+            for t in range(len(tuples)):
+                idx = np.concatenate([by_super[s] for s in tuples[t]])
+                if len(idx) == 0:
+                    continue
+                idx = np.sort(idx)  # (d, leaf_id) tie-break via stable sort
+                sel = inverse == t
+                d = -2.0 * (M[sel] @ L[idx].T) + Ln2[idx][None, :]
+                d[np.isnan(d)] = np.inf
+                ranked = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+                for pos, row in zip(rows[sel], ranked):
+                    res[pos] = [int(idx[i]) for i in row]
+        return pd.Series(res)
+
+    return df.withColumn(out_col, F.explode(probes(F.col(vec_col))))
+
+
+def ivf_topk_hier(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 64,
+    n_probe: int = 4,
+    n_probe_super: int = 2,
+    n_iters: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    hq: HierQuantizer | None = None,
+    sample_fraction: float | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """`ivf_topk` with the two-level quantizer — the configuration for
+    corpus-scaled n_lists where the flat assignment scan is the
+    quadratic term. Same serve tail (cell equi-join, exact cosine,
+    window top-k); `broadcast_queries=False` for corpus-sized query
+    sides (the bitext shape)."""
+    hq = hq or ivf_build_hier_centroids(
+        corpus, c_vec, n_lists, n_iters, sample_fraction=sample_fraction
+    )
+    cb = with_nearest_list_hier(corpus, c_vec, hq, "cell").select(
+        F.col(c_id), F.col(c_vec), "cell"
+    )
+    qb = with_probe_lists_hier(queries, q_vec, hq, n_probe, n_probe_super, "cell").select(
+        F.col(q_id), F.col(q_vec), "cell"
+    )
+    return _ivf_score_assigned(
+        cb, qb, k, q_id, c_id, q_vec, c_vec, broadcast_queries
+    )
 
 
 # --------------------------------------------- SemDeDup (round 10)

@@ -480,6 +480,75 @@ ANN_IVF_UPDATED_SRC = """
 """
 
 
+def ann_ivf_hier_oracle(
+    dim: int = 64,
+    n_super: int = 3,
+    n_leaves: int = 9,
+    n_probe: int = 3,
+    n_probe_super: int = 2,
+    k: int = 5,
+    n_queries: int = 8,
+) -> str:
+    """Two-level (hierarchical) IVF rebuilt in SQL: leaves attach to
+    their integer-argmin super, every vector ranks the supers then
+    only its probed supers' leaves — the exact candidate-pruning
+    `ivf_assign_hier` performs, windowed argmins with identical
+    (distance, id) tie-breaks. Frozen head-row quantizer (supers =
+    first n_super embeddings, leaves = first n_leaves)."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_quant('embedding')} AS q
+      FROM embeddings
+    ),
+    sup AS (SELECT vec_id AS sid, q AS sq FROM e WHERE vec_id < {n_super}),
+    leaf0 AS (SELECT vec_id AS lid, q AS lq FROM e WHERE vec_id < {n_leaves}),
+    leafsup AS (
+      SELECT lid, lq, sid,
+             ROW_NUMBER() OVER (PARTITION BY lid ORDER BY {d2('lq', 'sq')}, sid) AS rk
+      FROM leaf0, sup
+    ),
+    leaf AS (SELECT lid, lq, sid FROM leafsup WHERE rk = 1),
+    vsup AS (
+      SELECT e.vec_id, e.v, e.q, sup.sid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2('e.q', 'sup.sq')}, sup.sid) AS srk
+      FROM e, sup
+    ),
+    corpc AS (
+      SELECT vs.vec_id, vs.v, l.lid,
+             ROW_NUMBER() OVER (PARTITION BY vs.vec_id ORDER BY {d2('vs.q', 'l.lq')}, l.lid) AS rk
+      FROM vsup vs JOIN leaf l ON l.sid = vs.sid
+      WHERE vs.srk <= {n_probe_super}
+    ),
+    corp AS (SELECT vec_id AS c_id, v AS cd, lid AS cell FROM corpc WHERE rk = 1),
+    qryc AS (
+      SELECT vs.vec_id, vs.v, l.lid,
+             ROW_NUMBER() OVER (PARTITION BY vs.vec_id ORDER BY {d2('vs.q', 'l.lq')}, l.lid) AS rk
+      FROM vsup vs JOIN leaf l ON l.sid = vs.sid
+      WHERE vs.srk <= {n_probe_super} AND vs.vec_id < {n_queries}
+    ),
+    qry AS (SELECT vec_id AS q_id, v AS qd, lid AS cell FROM qryc WHERE rk <= {n_probe}),
+    scored AS (SELECT q_id, c_id, qd, cd FROM corp JOIN qry USING (cell)),
+    ranked AS (
+      SELECT q_id, c_id, {_COS} AS sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY list_dot_product(qd, cd)
+                 / (sqrt(list_dot_product(qd, qd)) * sqrt(list_dot_product(cd, cd))) DESC,
+               c_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def ann_ivf_updated_oracle(
     dim: int = 64, n_lists: int = 8, n_probe: int = 3, k: int = 5, n_queries: int = 8
 ) -> str:

@@ -18,6 +18,7 @@ from ._oracle_sql import (
     H60 as _H60,
 )
 from ._oracle_sql import (
+    ann_ivf_hier_oracle,
     ann_ivf_oracle,
     ann_ivf_updated_oracle,
     ann_lsh_oracle,
@@ -787,6 +788,40 @@ def similarity_ann_ivf_updated(spark, sf_dir):
     )
     out = similarity.ivf_topk_from_assignments(
         updated, queries, centroids, k=5, n_probe=3
+    )
+    return out.select(
+        "q_id", "c_id", F.round("sim", 6).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register("similarity_ann_ivf_hier", oracle=ann_ivf_hier_oracle())
+def similarity_ann_ivf_hier(spark, sf_dir):
+    """Two-level (hierarchical) coarse quantization
+    (functions/similarity.py ivf_assign_hier / ivf_topk_hier_portable,
+    round 12): flat IVF assignment is O(n x n_lists), quadratic once
+    n_lists scales with the corpus — the measured sf100 wall in the
+    round-12 bitext probe. Here each vector ranks ~sqrt(n_lists)
+    SUPER-cells and descends into only its probed supers' leaves,
+    O(n x 2 sqrt(n_lists)), and the served cell is still the global
+    leaf id so every downstream join/maintenance path is unchanged.
+    Frozen head-row hierarchy (supers = first 3 embeddings, leaves =
+    first 9, leaf->super by integer argmin) keeps every bucketing
+    decision integer-exact; the oracle rebuilds the full tree in SQL."""
+    emb = table(spark, sf_dir, "embeddings")
+    supers = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    leaves = emb.filter(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    leaves = similarity.assign_leaves_to_supers(leaves, supers)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = similarity.ivf_topk_hier_portable(
+        queries, corpus, supers, leaves, k=5, n_probe=3, n_probe_super=2
     )
     return out.select(
         "q_id", "c_id", F.round("sim", 6).alias("sim"),

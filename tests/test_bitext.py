@@ -206,3 +206,63 @@ def test_from_knn_drops_null_and_nan_sims(spark):
     # with the junk edges dropped, (0,1) is each side's only neighbor:
     # margin is exactly 1.0 (its own average), cnt_x = cnt_y = 1
     assert len(got) == 1 and got[0].margin == 1.0
+
+
+def test_ivf_bitext_hier_all_supers_equals_flat(spark):
+    """Routing bitext assignment through the two-level quantizer with
+    every super probed must mine the IDENTICAL pair set as the flat
+    form — the hierarchy only prunes candidates (round 12; the
+    sub-quadratic escape from the flat-assignment sf100 wall)."""
+    from malstrom_spark.functions.bitext import mine_bitext_ivf
+    from malstrom_spark.functions.similarity import assign_leaves_to_supers
+    from malstrom_spark.queries import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    supers = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    leaves = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    leaves = assign_leaves_to_supers(leaves, supers)
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    flat = mine_bitext_ivf(a, b, leaves, k=3, n_probe=2, threshold=1.0)
+    hier = mine_bitext_ivf(
+        a, b, leaves, k=3, n_probe=2, threshold=1.0,
+        super_centroids=supers, n_probe_super=2,
+    )
+    f = {(r.x_id, r.y_id, r.sim_q) for r in flat.collect()}
+    h = {(r.x_id, r.y_id, r.sim_q) for r in hier.collect()}
+    assert f == h and len(f) > 0
+
+
+def test_ivf_bitext_hier_partial_descent_mines_pairs(spark):
+    """Partial super descent (the production configuration) still
+    mines a non-empty pair set honoring the margin threshold and
+    one-to-one mutuality. (No subset relation to the flat form is
+    asserted: partial descent changes the kNN neighbor sets, hence
+    margins and mutual-best outcomes — the standard recall trade.)"""
+    from malstrom_spark.functions.bitext import mine_bitext_ivf
+    from malstrom_spark.functions.similarity import assign_leaves_to_supers
+    from malstrom_spark.queries import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    supers = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    leaves = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    leaves = assign_leaves_to_supers(leaves, supers)
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    part = mine_bitext_ivf(
+        a, b, leaves, k=3, n_probe=2, threshold=1.0,
+        super_centroids=supers, n_probe_super=1,
+    ).collect()
+    assert len(part) > 0
+    assert all(r.margin >= 1.0 for r in part)
+    xs = [r.x_id for r in part]
+    ys = [r.y_id for r in part]
+    assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))

@@ -1,0 +1,215 @@
+"""Hierarchical (two-level) coarse quantizer — round 12.
+
+Flat IVF assignment is O(n_vectors * n_lists); with n_lists scaled to
+the corpus (constant cell size) that term is quadratic — the measured
+sf100 wall in the round-12 bitext probe (BASELINE.md round-12 #3).
+The two-level quantizer bounds assignment at O(n * 2 sqrt(n_lists)).
+
+Pinned contracts:
+- portable hier assignment with n_probe_super = n_super EQUALS flat
+  `ivf_assign` over the same leaf table (the hierarchy prunes
+  candidates, it does not change the leaf argmin);
+- hier top-k with full probing EQUALS brute-force cosine top-k;
+- the Arrow probe path with n_probe_super = n_super matches the flat
+  Arrow `with_probe_lists` over the same leaves;
+- partial probing keeps sane recall.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from malstrom_spark.functions import similarity
+from malstrom_spark.queries import table
+
+
+def _sides(spark, sf_dir, n_queries=8):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return emb, queries, corpus
+
+
+def _frozen_hierarchy(emb, n_super=3, n_leaves=9):
+    """Frozen head-row quantizer (the similarity_ann_ivf pattern):
+    supers = first n_super embeddings, leaves = first n_leaves, each
+    leaf attached to its integer-argmin super."""
+    supers = emb.filter(F.col("vec_id") < n_super).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    leaves = emb.filter(F.col("vec_id") < n_leaves).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    leaves = similarity.assign_leaves_to_supers(leaves, supers)
+    return supers, leaves
+
+
+def test_hier_assign_all_supers_equals_flat(spark, sf_dir):
+    """With every super probed the candidate set is every leaf, so the
+    two-level assignment must equal flat ivf_assign over the leaf
+    table — same cells, same ranks, same tie-breaks."""
+    emb, _, corpus = _sides(spark, sf_dir)
+    supers, leaves = _frozen_hierarchy(emb)
+    flat = {
+        (r.c_id, r.cell, r.rk)
+        for r in similarity.ivf_assign(
+            corpus, leaves, 3, "c_vec", "c_id", rank_col="rk"
+        ).collect()
+    }
+    hier = {
+        (r.c_id, r.cell, r.rk)
+        for r in similarity.ivf_assign_hier(
+            corpus, supers, leaves, 3, "c_vec", "c_id",
+            n_probe_super=3, rank_col="rk",
+        ).collect()
+    }
+    assert hier == flat
+
+
+def test_hier_topk_full_probe_is_exact(spark, sf_dir):
+    """n_probe = n_leaves and n_probe_super = n_super: every corpus
+    cell is probed, so the result must equal brute-force top-k."""
+    emb, queries, corpus = _sides(spark, sf_dir, n_queries=4)
+    supers, leaves = _frozen_hierarchy(emb)
+    exact = {
+        (r.q_id, r.rank): r.c_id
+        for r in similarity.cosine_topk(queries, corpus, k=3).collect()
+    }
+    hier = {
+        (r.q_id, r.rank): r.c_id
+        for r in similarity.ivf_topk_hier_portable(
+            queries, corpus, supers, leaves, k=3, n_probe=9, n_probe_super=3
+        ).collect()
+    }
+    assert hier == exact
+
+
+def test_hier_topk_partial_probe_recall(spark, sf_dir):
+    """Partial probing (2 of 3 supers, 3 of 9 leaves) keeps recall
+    above the flat-IVF sanity bound."""
+    emb, queries, corpus = _sides(spark, sf_dir)
+    supers, leaves = _frozen_hierarchy(emb)
+    exact = {
+        (r.q_id, r.c_id)
+        for r in similarity.cosine_topk(queries, corpus, k=3).collect()
+    }
+    approx = {
+        (r.q_id, r.c_id)
+        for r in similarity.ivf_topk_hier_portable(
+            queries, corpus, supers, leaves, k=3, n_probe=3, n_probe_super=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"hier IVF recall {recall:.2f} below sanity bound"
+
+
+def test_hier_probe_arrow_matches_flat_all_supers(spark, sf_dir):
+    """Float engine: with n_probe_super = n_super the hier probe set
+    must equal the flat Arrow probe set over the same leaf matrix
+    (same (distance, leaf id) tie-break)."""
+    emb, queries, _ = _sides(spark, sf_dir)
+    sup_rows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    leaf_rows = emb.filter(F.col("vec_id") < 9).orderBy("vec_id").collect()
+    supers = [[float(x) for x in r.embedding] for r in sup_rows]
+    leaves = [[float(x) for x in r.embedding] for r in leaf_rows]
+    import numpy as np
+
+    S = np.asarray(supers)
+    leaf_super = []
+    for lv in leaves:
+        d = ((S - np.asarray(lv)[None, :]) ** 2).sum(axis=1)
+        leaf_super.append(int(np.argmin(d)))
+    hq = similarity.HierQuantizer(supers, leaves, leaf_super)
+    flat = {
+        (r.q_id, r.list_id)
+        for r in similarity.with_probe_lists(
+            queries, "q_vec", leaves, 4, use_arrow=True
+        ).select("q_id", "list_id").collect()
+    }
+    hier = {
+        (r.q_id, r.list_id)
+        for r in similarity.with_probe_lists_hier(
+            queries, "q_vec", hq, 4, n_probe_super=3
+        ).select("q_id", "list_id").collect()
+    }
+    assert hier == flat
+
+
+def test_hier_nearest_single_super_matches_flat(spark, sf_dir):
+    """Float engine: a 1-super hierarchy degrades to flat assignment
+    over its leaves (every leaf is always a candidate)."""
+    emb, _, corpus = _sides(spark, sf_dir)
+    leaf_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    leaves = [[float(x) for x in r.embedding] for r in leaf_rows]
+    hq = similarity.HierQuantizer([leaves[0]], leaves, [0] * len(leaves))
+    flat = {
+        (r.c_id, r.list_id)
+        for r in similarity.with_nearest_list(
+            corpus, "c_vec", leaves, use_arrow=True
+        ).select("c_id", "list_id").collect()
+    }
+    hier = {
+        (r.c_id, r.list_id)
+        for r in similarity.with_nearest_list_hier(corpus, "c_vec", hq)
+        .select("c_id", "list_id")
+        .collect()
+    }
+    assert hier == flat
+
+
+def test_hier_nearest_null_vector(spark):
+    """Null vectors assign NULL (the flat engines' convention), and
+    probe rows for them vanish at the explode."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None)], "c_id long, c_vec array<double>"
+    )
+    hq = similarity.HierQuantizer(
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]],
+        [0, 0, 1, 1],
+    )
+    got = {
+        r.c_id: r.list_id
+        for r in similarity.with_nearest_list_hier(emb, "c_vec", hq).collect()
+    }
+    assert got == {0: 0, 1: None}
+    probed = similarity.with_probe_lists_hier(emb, "c_vec", hq, 2, 1).collect()
+    assert {r.c_id for r in probed} == {0}
+
+
+@pytest.mark.slow
+def test_hier_build_and_topk_recall(spark, sf_dir):
+    """End-to-end fitted hierarchy (two-level k-means) keeps recall at
+    partial probing — the production configuration."""
+    emb, queries, corpus = _sides(spark, sf_dir)
+    exact = {
+        (r.q_id, r.c_id)
+        for r in similarity.cosine_topk(queries, corpus, k=3).collect()
+    }
+    approx = {
+        (r.q_id, r.c_id)
+        for r in similarity.ivf_topk_hier(
+            queries, corpus, k=3, n_lists=9, n_probe=4, n_probe_super=2,
+            n_iters=1,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"fitted hier recall {recall:.2f} below bound"
+
+
+@pytest.mark.slow
+def test_hier_build_assignment_cost_shape(spark, sf_dir):
+    """The fitted hierarchy's structure is sane: ~sqrt(n_lists)
+    supers, every leaf mapped to a live super, and every corpus
+    vector assigned a leaf that exists."""
+    emb, _, corpus = _sides(spark, sf_dir)
+    hq = similarity.ivf_build_hier_centroids(corpus, "c_vec", n_lists=16, n_iters=1)
+    assert len(hq.supers) == 4
+    assert len(hq.leaves) <= 16 + len(hq.supers)
+    assert all(0 <= s < len(hq.supers) for s in hq.leaf_super)
+    assigned = similarity.with_nearest_list_hier(corpus, "c_vec", hq)
+    ids = {r.list_id for r in assigned.select("list_id").distinct().collect()}
+    assert ids <= set(range(len(hq.leaves)))
