@@ -721,11 +721,12 @@ def update_ivf_assignments(
     stay unpartitioned until the next ivf_write_assignments
     compaction, like any LSM delta.
 
-    Works with BOTH quantizer representations, matching whichever
+    Works with ALL quantizer representations, matching whichever
     built the index (mixing them would corrupt cell membership):
     a centroid DataFrame assigns via the portable integer-L2
     `ivf_assign` (cell column ``cell``), a list-of-lists quantizer
-    via `with_nearest_list` — the float engine behind
+    via `with_nearest_list`, and a `HierQuantizer` via
+    `with_nearest_list_hier` — the float engines behind
     `ivf_write_assignments` (cell column ``list_id``). Override
     ``cell_col`` if the index used a custom name."""
     touched = fresh_vectors.select(c_id).distinct()
@@ -738,6 +739,8 @@ def update_ivf_assignments(
         fresh_rows = ivf_assign(live, centroids, 1, c_vec, c_id, cent_id, cent_vec)
         if cell_col and cell_col != "cell":
             fresh_rows = fresh_rows.withColumnRenamed("cell", cell_col)
+    elif isinstance(centroids, HierQuantizer):
+        fresh_rows = with_nearest_list_hier(live, c_vec, centroids, cell_col or "list_id")
     else:
         fresh_rows = with_nearest_list(live, c_vec, centroids, cell_col or "list_id")
     return (
@@ -1115,7 +1118,7 @@ def embedding_dedup_clusters(
 
 def ivf_write_assignments(
     corpus: DataFrame,
-    centroids: list[list[float]],
+    centroids,
     path: str,
     c_vec: str = "c_vec",
 ) -> None:
@@ -1125,8 +1128,17 @@ def ivf_write_assignments(
     probes n_probe of n_lists cells READS only those directories
     (partition pruning), ~n_probe/n_lists of the bytes, with no
     shuffle and no recomputed quantizer map per query batch. The
-    assignment pass itself is one pure map over the corpus."""
-    assigned = with_nearest_list(corpus, c_vec, centroids)
+    assignment pass itself is one pure map over the corpus.
+
+    `centroids` is a flat list-of-lists quantizer OR a
+    `HierQuantizer` — at corpus-scaled n_lists the two-level form
+    keeps this (the biggest single pass in the index lifecycle)
+    sub-quadratic; leaf ids are global either way, so the on-disk
+    layout is identical."""
+    if isinstance(centroids, HierQuantizer):
+        assigned = with_nearest_list_hier(corpus, c_vec, centroids)
+    else:
+        assigned = with_nearest_list(corpus, c_vec, centroids)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
 
@@ -1134,21 +1146,28 @@ def ivf_topk_partitioned(
     spark,
     path: str,
     queries: DataFrame,
-    centroids: list[list[float]],
+    centroids,
     k: int = 5,
     n_probe: int = 4,
     q_id: str = "q_id",
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    n_probe_super: int = 2,
 ) -> DataFrame:
     """IVF top-k against persisted `ivf_write_assignments` output:
     the query batch's probed cells form a LITERAL IN-list filter, so
     the scan prunes to exactly those partition directories (verify:
     PartitionFilters in the plan — tests/test_similarity.py). Rank
     results are identical to `ivf_topk` with the same centroids
-    (scoring and probing logic are shared)."""
-    qb = with_probe_lists(queries, q_vec, centroids, n_probe)
+    (scoring and probing logic are shared). With a `HierQuantizer`
+    the query batch probes through the two-level structure
+    (`n_probe_super` supers, then `n_probe` leaves) — same pruned
+    scan, sub-quadratic probe assignment."""
+    if isinstance(centroids, HierQuantizer):
+        qb = with_probe_lists_hier(queries, q_vec, centroids, n_probe, n_probe_super)
+    else:
+        qb = with_probe_lists(queries, q_vec, centroids, n_probe)
     probed = sorted({r.list_id for r in qb.select("list_id").distinct().collect()})
     cb = spark.read.parquet(path).where(F.col("list_id").isin(probed))
     scored = cb.join(F.broadcast(qb), "list_id").select(

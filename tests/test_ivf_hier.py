@@ -213,3 +213,77 @@ def test_hier_build_assignment_cost_shape(spark, sf_dir):
     assigned = similarity.with_nearest_list_hier(corpus, "c_vec", hq)
     ids = {r.list_id for r in assigned.select("list_id").distinct().collect()}
     assert ids <= set(range(len(hq.leaves)))
+
+
+@pytest.mark.slow
+def test_hier_partitioned_serving_prunes_cells(spark, sf_dir, tmp_path):
+    """The persisted-assignment serving path accepts the two-level
+    quantizer end-to-end: write partitions by global leaf id, the
+    probed query batch prunes the scan to its cells, and ranks equal
+    the in-memory hier serve with the same hierarchy."""
+    import io
+    from contextlib import redirect_stdout
+
+    emb, queries, corpus = _sides(spark, sf_dir, n_queries=4)
+    hq = similarity.ivf_build_hier_centroids(corpus, "c_vec", n_lists=9, n_iters=1)
+    path = str(tmp_path / "ivf_hier_cells")
+    similarity.ivf_write_assignments(corpus, hq, path)
+
+    served = similarity.ivf_topk_partitioned(
+        spark, path, queries, hq, k=3, n_probe=2, n_probe_super=2
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    pf = buf.getvalue().split("PartitionFilters")[1].split("\n")[0]
+    assert "list_id" in pf, f"no partition pruning: {pf}"
+
+    want = {
+        (r.q_id, r.rank): r.c_id
+        for r in similarity.ivf_topk_hier(
+            queries, corpus, k=3, n_probe=2, n_probe_super=2, hq=hq
+        ).collect()
+    }
+    got = {(r.q_id, r.rank): r.c_id for r in served.collect()}
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.slow
+def test_hier_update_assignments_equals_rebuild(spark, sf_dir):
+    """Delete-and-replace maintenance under a frozen HierQuantizer:
+    updating a base assignment table must equal a from-scratch rebuild
+    over the post-update vector set (the update_ivf_assignments
+    contract extended to the two-level representation)."""
+    emb, _, corpus = _sides(spark, sf_dir)
+    hq = similarity.ivf_build_hier_centroids(corpus, "c_vec", n_lists=9, n_iters=1)
+    base = similarity.with_nearest_list_hier(corpus, "c_vec", hq)
+    vec_t = corpus.schema["c_vec"].dataType
+    src = corpus.select(
+        F.col("c_id").alias("s_id"), F.col("c_vec").alias("s_vec")
+    )
+    fresh = (
+        corpus.where(F.col("c_id") % 5 == 0)
+        .select("c_id", F.expr("c_id div 5").alias("s_id"))
+        .join(src, "s_id")
+        .select(
+            "c_id",
+            F.when(F.col("c_id") % 25 == 0, F.lit(None).cast(vec_t))
+            .otherwise(F.col("s_vec"))
+            .alias("c_vec"),
+        )
+    )
+    deleted = corpus.where(
+        (F.col("c_id") % 9 == 1) & (F.col("c_id") % 5 != 0)
+    ).select("c_id")
+    updated = similarity.update_ivf_assignments(
+        base, fresh, hq, deleted_ids=deleted
+    )
+    post = (
+        corpus.join(fresh.select("c_id"), "c_id", "left_anti")
+        .unionByName(fresh.where(F.col("c_vec").isNotNull()))
+        .join(deleted, "c_id", "left_anti")
+    )
+    rebuilt = similarity.with_nearest_list_hier(post, "c_vec", hq)
+    u = {(r.c_id, r.list_id) for r in updated.collect()}
+    rb = {(r.c_id, r.list_id) for r in rebuilt.collect()}
+    assert u == rb and len(u) > 0
