@@ -235,6 +235,9 @@ HEADLINE = [
     # replace against the frozen quantizer, served from the updated
     # assignments — closes the index family's incremental asymmetry)
     "similarity_ann_ivf_updated",
+    # round-12: two-level coarse quantizer (the sub-quadratic
+    # assignment for corpus-scaled n_lists; BASELINE round-12 #3)
+    "similarity_ann_ivf_hier",
 ]
 
 

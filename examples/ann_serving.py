@@ -158,6 +158,34 @@ def main(spark, sf_dir=None, tmp_dir=None):
     }
     assert got_pq == want_pq, "persisted IVFADC diverged from in-memory"
 
+    # ---- hierarchical tier (round 12): the same two-job pattern at
+    # corpus-scaled n_lists, where FLAT assignment is the quadratic
+    # term (BASELINE round-12 #3). The two-level quantizer persists as
+    # plain JSON like the flat one (supers + leaves + leaf->super map);
+    # write/serve/maintain all take the HierQuantizer directly, and
+    # the on-disk layout is identical (global leaf ids).
+    hq = similarity.ivf_build_hier_centroids(corpus, "c_vec", n_lists=9, n_iters=1)
+    with open(f"{index_dir}/hier_quantizer.json", "w") as f:
+        json.dump({"supers": hq.supers, "leaves": hq.leaves,
+                   "leaf_super": hq.leaf_super}, f)
+    similarity.ivf_write_assignments(corpus, hq, f"{index_dir}/cells_hier")
+    with open(f"{index_dir}/hier_quantizer.json") as f:
+        hq2 = similarity.HierQuantizer(**json.load(f))
+    served_hier = similarity.ivf_topk_partitioned(
+        spark, f"{index_dir}/cells_hier", queries, hq2, k=3, n_probe=2,
+        n_probe_super=2,
+    )
+    got_hier = {(r.q_id, r.rank): r.c_id for r in served_hier.collect()}
+    want_hier = {
+        (r.q_id, r.rank): r.c_id
+        for r in similarity.ivf_topk_hier(
+            queries, corpus, k=3, n_probe=2, n_probe_super=2, hq=hq2
+        ).collect()
+    }
+    assert got_hier == want_hier and got_hier, (
+        "persisted hier serving diverged from in-memory"
+    )
+
     return {
         "n_lists": len(cents),
         "neighbors_served": len(got),
@@ -165,6 +193,7 @@ def main(spark, sf_dir=None, tmp_dir=None):
         "maintained_equals_rebuild": True,
         "pq_neighbors_served": len(got_pq),
         "pq_self_hit_rank1": True,
+        "hier_neighbors_served": len(got_hier),
     }
 
 
