@@ -1255,6 +1255,14 @@ def ivf_assign_hier(
         F.col(cent_id).alias("_lid"),
         quantize_vec(F.col(cent_vec)).alias("_lq"),
     )
+    # a super with no leaves must never win the descent (the vector
+    # would vanish at the leaf join) — rank only live supers; both
+    # tables are quantizer-sized, so the semi-join is a broadcast
+    sup = sup.join(
+        F.broadcast(leaf.select(F.col("_lsid").alias("_sid")).distinct()),
+        "_sid",
+        "semi",
+    )
     staged = (
         vecs.withColumn("_q", quantize_vec(F.col(vec_col)))
         .crossJoin(F.broadcast(sup))
@@ -1337,65 +1345,79 @@ def ivf_build_hier_centroids(
     rounds as grouped DataFrame aggregations keyed by (leaf, dim).
     Only the centroid matrices reach the driver; every corpus-sized
     pass is distributed. `sample_fraction` bounds fit cost exactly as
-    in `ivf_build_centroids` (the 100 TB fit path). Super-cells the
-    sample never hits keep zero leaves — their probability mass is
-    zero by construction, and assignment never descends there."""
+    in `ivf_build_centroids` (the 100 TB fit path). A super-cell the
+    sample never hits would get zero leaves, yet UNSAMPLED corpus
+    vectors can still argmin to it at assignment time — so dead
+    supers are DROPPED from the returned quantizer (leaf ids stay
+    dense; super ids renumber, which is invisible downstream since
+    the served cell is the leaf id)."""
     fit = (
         corpus
         if sample_fraction is None or sample_fraction >= 1.0
         else corpus.sample(fraction=sample_fraction, seed=seed)
-    ).select(F.col(vec_col).alias("v"))
-    fit = fit.persist()
+    ).select(F.col(vec_col).alias("v")).where(F.col("v").isNotNull())
+    # not persisted here: ivf_build_centroids persists its own copy
+    # for the super fit (double-caching the sample would evict other
+    # storage at the 100 TB sample sizes this path exists for); the
+    # one extra sample scan below is the cheaper trade
+    n_super = n_super or max(2, int(round(n_lists**0.5)))
+    n_leaf = max(1, -(-n_lists // n_super))  # ceil division
+    supers = ivf_build_centroids(fit, "v", n_super, n_iters)
+    assigned = with_nearest_list(fit, "v", supers, "super_id").persist()
     try:
-        n_super = n_super or max(2, int(round(n_lists**0.5)))
-        n_leaf = max(1, -(-n_lists // n_super))  # ceil division
-        supers = ivf_build_centroids(fit, "v", n_super, n_iters)
-        assigned = with_nearest_list(fit, "v", supers, "super_id").persist()
-        try:
-            ws = Window.partitionBy("super_id").orderBy("h")
-            seeds = (
-                assigned.withColumn(
-                    "h",
-                    F.xxhash64(F.col("v").cast("array<double>").cast("string")),
+        ws = Window.partitionBy("super_id").orderBy("h")
+        seeds = (
+            assigned.withColumn(
+                "h",
+                F.xxhash64(F.col("v").cast("array<double>").cast("string")),
+            )
+            .withColumn("rk", F.row_number().over(ws))
+            .filter(F.col("rk") <= n_leaf)
+            .select("super_id", "rk", "v")
+            .collect()
+        )
+        # global leaf ids: dense enumeration in (super, seed-rank)
+        # order — stable across runs (hash order is deterministic)
+        seeds.sort(key=lambda r: (r.super_id, r.rk))
+        leaves = [[float(x) for x in r.v] for r in seeds]
+        leaf_super = [int(r.super_id) for r in seeds]
+        for _ in range(n_iters):
+            hq = HierQuantizer(supers, leaves, leaf_super)
+            reassigned = _with_leaf_in_super(assigned, "v", "super_id", hq)
+            means = (
+                reassigned.select(
+                    "leaf_id",
+                    F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"),
                 )
-                .withColumn("rk", F.row_number().over(ws))
-                .filter(F.col("rk") <= n_leaf)
-                .select("super_id", "rk", "v")
+                .groupBy("leaf_id", "pos")
+                .agg(F.avg("x").alias("m"))
                 .collect()
             )
-            # global leaf ids: dense enumeration in (super, seed-rank)
-            # order — stable across runs (hash order is deterministic)
-            seeds.sort(key=lambda r: (r.super_id, r.rk))
-            leaves = [[float(x) for x in r.v] for r in seeds]
-            leaf_super = [int(r.super_id) for r in seeds]
-            for _ in range(n_iters):
-                hq = HierQuantizer(supers, leaves, leaf_super)
-                reassigned = _with_leaf_in_super(assigned, "v", "super_id", hq)
-                means = (
-                    reassigned.select(
-                        "leaf_id",
-                        F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"),
-                    )
-                    .groupBy("leaf_id", "pos")
-                    .agg(F.avg("x").alias("m"))
-                    .collect()
-                )
-                by_leaf: dict[int, dict[int, float]] = {}
-                for r in means:
-                    by_leaf.setdefault(r.leaf_id, {})[r.pos] = r.m
-                for lid, dims in by_leaf.items():
-                    leaves[lid] = [dims[i] for i in range(len(leaves[lid]))]
-        finally:
-            assigned.unpersist()
+            by_leaf: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_leaf.setdefault(r.leaf_id, {})[r.pos] = r.m
+            for lid, dims in by_leaf.items():
+                leaves[lid] = [dims[i] for i in range(len(leaves[lid]))]
     finally:
-        fit.unpersist()
+        assigned.unpersist()
+    # drop dead supers (no leaves: the sample never reached them) so
+    # assignment can never descend into an empty cell and silently
+    # NULL-out a vector; leaf order — hence leaf ids — is unchanged
+    live = sorted(set(leaf_super))
+    if len(live) < len(supers):
+        remap = {old: new for new, old in enumerate(live)}
+        supers = [supers[s] for s in live]
+        leaf_super = [remap[s] for s in leaf_super]
     return HierQuantizer(supers, leaves, leaf_super)
 
 
 def _hier_bc(spark, hq: HierQuantizer):
     """Broadcast the hierarchy once per distinct content (the
     `content_keyed_broadcast` discipline): numpy super/leaf matrices,
-    their squared norms, and the per-super leaf-id index."""
+    their squared norms, and the per-super leaf-id index. Supers with
+    no leaves (possible in a hand-built HierQuantizer; the fitted
+    builder drops them) get +inf super distance so the descent can
+    never choose an empty cell and NULL-out a vector."""
     import numpy as np
 
     S = np.asarray(hq.supers, dtype=np.float64)
@@ -1405,9 +1427,34 @@ def _hier_bc(spark, hq: HierQuantizer):
 
     def build(_):
         by_super = [np.nonzero(ls == s)[0] for s in range(len(S))]
-        return (S, (S * S).sum(axis=1), L, (L * L).sum(axis=1), by_super)
+        sn2 = (S * S).sum(axis=1) + np.where(
+            [len(b) == 0 for b in by_super], np.inf, 0.0
+        )
+        return (S, sn2, L, (L * L).sum(axis=1), by_super)
 
     return content_keyed_broadcast(spark, f"ivf-hier-{S.shape}-{L.shape}", packed, build)
+
+
+def _leaf_argmin_scatter(M, sp, rows, res, L, Ln2, by_super):
+    """Shared per-super leaf argmin: for batch rows `M` whose chosen
+    super ids are `sp`, scatter each row's nearest-leaf GLOBAL id into
+    `res` at positions `rows` — one BLAS matmul per distinct super in
+    the batch, NaN distances masked to +inf (the flat engines' NaN
+    ordering), ties to the lowest leaf id (idx is sorted). The single
+    distance/tie-break kernel behind both the Lloyd re-assignment and
+    serving-time assignment, so they cannot drift apart."""
+    import numpy as np
+
+    for s in np.unique(sp):
+        idx = by_super[s]
+        if len(idx) == 0:
+            continue
+        sel = sp == s
+        d = -2.0 * (M[sel] @ L[idx].T) + Ln2[idx][None, :]
+        d[np.isnan(d)] = np.inf
+        ids = idx[np.argmin(d, axis=1)]
+        for pos, lid in zip(rows[sel], ids):
+            res[pos] = int(lid)
 
 
 def _with_leaf_in_super(
@@ -1430,17 +1477,9 @@ def _with_leaf_in_super(
         if mask.any():
             M = np.stack([np.asarray(x, dtype=np.float64) for x in v[mask]])
             sp = sup[mask].to_numpy(dtype=np.int64)
-            rows = np.nonzero(mask)[0]
-            for s in np.unique(sp):
-                idx = by_super[s]
-                if len(idx) == 0:
-                    continue
-                sel = sp == s
-                d = -2.0 * (M[sel] @ L[idx].T) + Ln2[idx][None, :]
-                d[np.isnan(d)] = np.inf
-                ids = idx[np.argmin(d, axis=1)]
-                for pos, lid in zip(rows[sel], ids):
-                    res[pos] = int(lid)
+            _leaf_argmin_scatter(
+                M, sp, np.nonzero(mask)[0], res, L, Ln2, by_super
+            )
         return pd.Series(res, dtype="Int32")
 
     return df.withColumn(out_col, assign(F.col(vec_col), F.col(super_col)))
@@ -1472,17 +1511,9 @@ def with_nearest_list_hier(
             ds = -2.0 * (M @ S.T) + Sn2[None, :]
             ds[np.isnan(ds)] = np.inf
             sp = np.argmin(ds, axis=1)
-            rows = np.nonzero(mask)[0]
-            for s in np.unique(sp):
-                idx = by_super[s]
-                if len(idx) == 0:
-                    continue
-                sel = sp == s
-                d = -2.0 * (M[sel] @ L[idx].T) + Ln2[idx][None, :]
-                d[np.isnan(d)] = np.inf
-                ids = idx[np.argmin(d, axis=1)]
-                for pos, lid in zip(rows[sel], ids):
-                    res[pos] = int(lid)
+            _leaf_argmin_scatter(
+                M, sp, np.nonzero(mask)[0], res, L, Ln2, by_super
+            )
         return pd.Series(res, dtype="Int32")
 
     return df.withColumn(out_col, assign(F.col(vec_col)))

@@ -287,3 +287,52 @@ def test_hier_update_assignments_equals_rebuild(spark, sf_dir):
     u = {(r.c_id, r.list_id) for r in updated.collect()}
     rb = {(r.c_id, r.list_id) for r in rebuilt.collect()}
     assert u == rb and len(u) > 0
+
+
+def test_hier_build_tolerates_null_vectors(spark):
+    """A corpus carrying NULL-vector tombstones (the maintenance
+    convention) must refit cleanly — nulls are excluded from the fit
+    set instead of crashing the seed sort."""
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+    rows += [(100, None), (101, None)]
+    corpus = spark.createDataFrame(rows, "c_id long, c_vec array<double>")
+    hq = similarity.ivf_build_hier_centroids(corpus, "c_vec", n_lists=4, n_iters=1)
+    assert len(hq.leaves) >= 1
+    assigned = similarity.with_nearest_list_hier(corpus, "c_vec", hq)
+    got = {r.c_id: r.list_id for r in assigned.collect()}
+    assert got[100] is None and got[101] is None
+    assert all(v is not None for k, v in got.items() if k < 100)
+
+
+def test_hier_dead_super_never_wins_descent(spark, sf_dir):
+    """A super-cell with zero leaves (possible in a hand-built
+    hierarchy) must never capture a vector — the float engine masks it
+    to +inf, the portable engine ranks only live supers — so every
+    non-null vector still gets a cell instead of silently vanishing."""
+    emb, _, corpus = _sides(spark, sf_dir)
+    n = corpus.count()
+    # float engine: super 1 is nearest for many vectors but has no leaves
+    leaf_rows = emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    leaves = [[float(x) for x in r.embedding] for r in leaf_rows]
+    dead = [0.0] * len(leaves[0])
+    hq = similarity.HierQuantizer([leaves[0], dead], leaves, [0] * len(leaves))
+    assigned = similarity.with_nearest_list_hier(corpus, "c_vec", hq)
+    assert assigned.where(F.col("list_id").isNotNull()).count() == n
+    probed = similarity.with_probe_lists_hier(corpus, "c_vec", hq, 2, 1)
+    assert probed.select("c_id").distinct().count() == n
+    # portable engine: super table contains an id absent from the leaf
+    # table's super_id column
+    supers = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    leaf_t = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 7)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    leaf_t = similarity.assign_leaves_to_supers(leaf_t, supers)
+    live = {r.super_id for r in leaf_t.select("super_id").distinct().collect()}
+    if len(live) == 3:
+        leaf_t = leaf_t.where(F.col("super_id") != sorted(live)[0])
+    out = similarity.ivf_assign_hier(
+        corpus, supers, leaf_t, 1, "c_vec", "c_id", n_probe_super=1
+    )
+    assert out.count() == n

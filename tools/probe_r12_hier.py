@@ -43,8 +43,6 @@ SECOND_RUN_CAP_SEC = 1200.0
 
 
 def _quantizer(spark, sf_dir, mult):
-    from malstrom_spark.functions.similarity import assign_leaves_to_supers
-
     emb = table(spark, sf_dir, "embeddings")
     n_lists = 8 * mult
     n_super = max(2, int(round(n_lists**0.5)))
@@ -94,7 +92,13 @@ def main():
         ts = []
         for sf_dir, mult in SCALES:
             t = _min_of_2(lambda d=sf_dir, m=mult: _build(spark, d, m, mode == "hier"))
-            pairs = _build(spark, sf_dir, mult, mode == "hier").count()
+            # pair count (recall proxy) only on the cheap decades — a
+            # third full pipeline run at sf100 would cost as much as
+            # the measurement itself
+            pairs = (
+                _build(spark, sf_dir, mult, mode == "hier").count()
+                if mult < 1000 else "-"
+            )
             print(f"  bitext_{mode}_scaled_lists @ {sf_dir}: {t:.2f}s "
                   f"({pairs} pairs)", flush=True)
             ts.append(t)
