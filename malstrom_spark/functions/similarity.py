@@ -1736,6 +1736,114 @@ def _assign_cells_int(
     )
 
 
+def _assign_cells_int_hier(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    super_centroids: list[list[int]],
+) -> DataFrame:
+    """`_assign_cells_int` through a two-level integer hierarchy —
+    SemDeDup's escape from the flat-assignment wall when the cluster
+    count scales with the corpus (the paper's regime: constant mean
+    cluster size): argmin over ~sqrt(k) SUPER centroids, then argmin
+    over only that super's leaf clusters, O(n x 2 sqrt(k)) instead of
+    O(n x k). Output contract identical ((id, __v, cluster, dist2),
+    cluster = GLOBAL leaf index, dist2 = exact int64 squared L2 to
+    it). Leaf->super attachment is the same integer argmin, computed
+    driver-side over two quantizer-sized matrices. With ONE super
+    every leaf is always a candidate and the output equals
+    `_assign_cells_int` exactly (pytest-pinned); with more supers a
+    vector near a super boundary may land in a neighboring cluster —
+    cluster granularity is the approximate part of SemDeDup anyway,
+    and the dedup semantics downstream are unchanged. A super with no
+    leaves gets a +2^62 distance penalty (exact-int analog of the
+    float engines' +inf mask) so it can never capture a vector."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)
+    S = np.asarray(super_centroids, dtype=np.int64)
+    dls = (C * C).sum(1)[:, None] - 2 * (C @ S.T) + (S * S).sum(1)[None, :]
+    ls = np.argmin(dls, axis=1)
+    packed = np.concatenate([S.ravel(), C.ravel(), ls])
+
+    def build(_):
+        by_super = [np.nonzero(ls == s)[0] for s in range(len(S))]
+        sn2 = (S * S).sum(axis=1) + np.where(
+            [len(b) == 0 for b in by_super], np.int64(1) << 62, 0
+        )
+        return (S, sn2, C, (C * C).sum(axis=1), by_super)
+
+    bc = content_keyed_broadcast(df.sparkSession, "semdedup-hier", packed, build)
+    q = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    )
+
+    @F.pandas_udf("struct<cluster:long,dist2:long>")
+    def assign(qv: pd.Series) -> pd.DataFrame:
+        Sm, sn2, Cm, cn2, by_super = bc.value
+        cell: list = [None] * len(qv)
+        d2: list = [None] * len(qv)
+        mask = qv.notna().to_numpy()
+        if mask.any():
+            Q = np.stack([np.asarray(x, dtype=np.int64) for x in qv[mask]])
+            qn2 = (Q * Q).sum(axis=1)
+            dsup = qn2[:, None] - 2 * (Q @ Sm.T) + sn2[None, :]
+            sp = np.argmin(dsup, axis=1)
+            rows = np.nonzero(mask)[0]
+            for s in np.unique(sp):
+                idx = by_super[s]
+                if len(idx) == 0:
+                    continue
+                sel = sp == s
+                d = (qn2[sel][:, None] - 2 * (Q[sel] @ Cm[idx].T)
+                     + cn2[idx][None, :])
+                loc = np.argmin(d, axis=1)
+                mins = d[np.arange(len(loc)), loc]
+                for pos, li, dv in zip(rows[sel], idx[loc], mins):
+                    cell[pos] = int(li)
+                    d2[pos] = int(dv)
+        return pd.DataFrame(
+            {"cluster": pd.array(cell, dtype="Int64"),
+             "dist2": pd.array(d2, dtype="Int64")}
+        )
+
+    return (
+        q.withColumn("__a", assign(F.col("__q")))
+        .select(id_col, "__v",
+                F.col("__a.cluster").alias("cluster"),
+                F.col("__a.dist2").alias("dist2"))
+    )
+
+
+def semdedup_hier_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_clusters: int,
+    n_iters: int = 2,
+    sample_fraction: float | None = None,
+    n_super: int | None = None,
+) -> tuple[list[list[int]], list[list[int]]]:
+    """Production fit for hierarchical SemDeDup: two-level k-means
+    (`ivf_build_hier_centroids`) quantized to the exact-integer
+    representation `semdedup` assigns against. Returns (super_ints,
+    leaf_ints); the leaf->super attachment is recomputed by integer
+    argmin inside `_assign_cells_int_hier`, so the served tree is
+    self-consistent with the integer geometry."""
+    hq = ivf_build_hier_centroids(
+        df.select(F.col(vec_col).alias("c_vec")), "c_vec", n_clusters,
+        n_iters, sample_fraction=sample_fraction, n_super=n_super,
+    )
+
+    def qz(M):
+        return [[int(round(x * QUANT_SCALE)) for x in c] for c in M]
+
+    return qz(hq.supers), qz(hq.leaves)
+
+
 def semdedup(
     df: DataFrame,
     id_col: str,
@@ -1744,6 +1852,7 @@ def semdedup(
     threshold: float = 0.9,
     max_iters: int = 10,
     collapse_exact: bool | None = None,
+    super_centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic dedup by
     k-means clustering + WITHIN-CLUSTER cosine pruning — the member
@@ -1795,9 +1904,15 @@ def semdedup(
     # probe/members, and the final label join — without an eager
     # checkpoint each reference re-runs the k x dim argmin over the
     # whole corpus (the dedup-family lineage discipline; measured
-    # sf10 k=800: 633 s -> see BASELINE round-10)
-    assigned = _assign_cells_int(df, id_col, vec_col, centroids) \
-        .localCheckpoint(eager=True)
+    # sf10 k=800: 633 s -> see BASELINE round-10).
+    # `super_centroids` routes through the two-level integer argmin
+    # (O(n x 2 sqrt(k))) — the opt-in for corpus-scaled k, where the
+    # flat scan is the quadratic term (see _assign_cells_int_hier).
+    assigned = (
+        _assign_cells_int_hier(df, id_col, vec_col, centroids, super_centroids)
+        if super_centroids is not None
+        else _assign_cells_int(df, id_col, vec_col, centroids)
+    ).localCheckpoint(eager=True)
 
     members = None
     if collapse_exact is not False and threshold <= 1.0:

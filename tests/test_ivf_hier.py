@@ -336,3 +336,64 @@ def test_hier_dead_super_never_wins_descent(spark, sf_dir):
         corpus, supers, leaf_t, 1, "c_vec", "c_id", n_probe_super=1
     )
     assert out.count() == n
+
+
+def test_semdedup_hier_one_super_equals_flat(spark, sf_dir):
+    """SemDeDup routed through the two-level integer argmin with ONE
+    super must produce row-identical output to the flat path (every
+    leaf cluster is always a candidate)."""
+    emb, _, _ = _sides(spark, sf_dir)
+    df = emb.limit(400)
+    cents = similarity.semdedup_head_centroids(df, "vec_id", "embedding", 6)
+    flat = {
+        (r.vec_id, r.cluster, r.dist2, r.group_id, r.is_keeper)
+        for r in similarity.semdedup(
+            df, "vec_id", "embedding", cents, threshold=0.9
+        ).collect()
+    }
+    hier = {
+        (r.vec_id, r.cluster, r.dist2, r.group_id, r.is_keeper)
+        for r in similarity.semdedup(
+            df, "vec_id", "embedding", cents, threshold=0.9,
+            super_centroids=[cents[0]],
+        ).collect()
+    }
+    assert hier == flat and len(hier) > 0
+
+
+def test_semdedup_hier_partial_descent_valid(spark, sf_dir):
+    """Multi-super descent keeps the SemDeDup output contract: one row
+    per vector, clusters inside the leaf range, exact dist2 to the
+    assigned cluster, one keeper per duplicate group."""
+    emb, _, _ = _sides(spark, sf_dir)
+    df = emb.limit(400)
+    sup, cents = similarity.semdedup_hier_centroids(
+        df, "embedding", n_clusters=8, n_iters=1, n_super=3
+    )
+    out = similarity.semdedup(
+        df, "vec_id", "embedding", cents, threshold=0.9,
+        super_centroids=sup,
+    ).collect()
+    assert len(out) == 400
+    assert all(0 <= r.cluster < len(cents) for r in out if r.cluster is not None)
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, []).append(r.is_keeper)
+    assert all(sum(ks) == 1 for ks in by_group.values())
+    # dist2 is the exact integer distance to the assigned leaf
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.int64)
+    rows = {r.vec_id: r for r in out}
+    # engine-quantized vectors (Spark round is HALF_UP; Python's
+    # round() is half-to-even — recompute via the engine)
+    sample = (
+        emb.limit(20)
+        .select("vec_id", similarity.quantize_vec(F.col("embedding")).alias("q"))
+        .collect()
+    )
+    for r in sample:
+        q = np.asarray(r.q, dtype=np.int64)
+        got = rows[r.vec_id]
+        want = int(((q - C[got.cluster]) ** 2).sum())
+        assert got.dist2 == want
