@@ -984,26 +984,37 @@ def _free_local_checkpoint(df: DataFrame) -> None:
 def _groups_alternating(
     pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iters: int
 ) -> DataFrame:
+    # LAZY localCheckpoint + a count() action: one job materializes
+    # the checkpoint (count computes every partition) AND yields the
+    # edge count the per-round fixpoint test needs (round-12: the
+    # eager-checkpoint-then-isEmpty shape paid 2 jobs + 2 exceptAll
+    # shuffles per round; this shape pays 1 job + 1 join per round).
     edges = (
         pairs.select(
             F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)  # truncate upstream pipeline lineage
+        .localCheckpoint(eager=False)  # truncate upstream pipeline lineage
     )
+    n_edges = edges.count()
     for _ in range(max_iters):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # Fixpoint test is EXACT (both sides are distinct sets): empty
-        # symmetric difference <=> set equality, evaluated as ONE
-        # limit-1 action per round. A checksum compare would risk a
-        # silent wrong-label convergence.
-        sym_diff = new_edges.exceptAll(edges).unionAll(edges.exceptAll(new_edges))
-        converged = sym_diff.isEmpty()
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        # Fixpoint test is EXACT (both sides are distinct sets):
+        # |new| == |old| AND new ⊆ old <=> set equality — evaluated as
+        # ONE aggregate per round whose job also materializes the lazy
+        # checkpoint (the left-join's map stage computes every
+        # new_edges partition). A checksum compare would risk a silent
+        # wrong-label convergence; this containment test cannot.
+        n_new, n_matched = new_edges.join(
+            edges.select("u", "v", F.lit(1).alias("__old")), ["u", "v"], "left"
+        ).agg(F.count(F.lit(1)), F.count("__old")).first()
+        converged = n_new == n_edges and n_matched == n_new
         # new_edges is materialized and the fixpoint test has run: the
         # prior round's checkpoint blocks are dead — free them now so
         # executor storage stays O(1) in rounds, not O(rounds).
         _free_local_checkpoint(edges)
+        n_edges = n_new
         if converged:
             edges = new_edges
             break
