@@ -248,27 +248,44 @@ def public_suffix_len(host: Column, rules: list[str] | None = None) -> Column:
     def last_k(k: int) -> Column:
         return F.array_join(F.slice(parts, -k, k), ".")
 
-    # F.slice with negative start needs n >= k; guard with n
-    ps = F.lit(1)
+    # F.slice with negative start needs n >= k; guard with n.
+    # One flat greatest() over INDEPENDENT per-k terms (round-12):
+    # the former iterative `ps = when(...).otherwise(ps)` accumulation
+    # embedded the whole previous expression twice per step, doubling
+    # the tree 9 times (~2^9 copies of the literal maps) — measured as
+    # 1.5 s of analysis/codegen per query plus an equally slow
+    # interpreted projection. Equivalence: the loop computed
+    # max(1, matching exact k's, matching wild k+1's) in increasing-k
+    # greatest() steps, which is exactly this flat maximum.
+    terms = [F.lit(1)]
     for k in range(1, max_k + 1):
         cand = last_k(k)
         ok = n >= k
         if m_exact is not None:
-            ps = F.when(ok & m_exact[cand].isNotNull(), F.greatest(ps, F.lit(k))).otherwise(ps)
+            terms.append(
+                F.when(ok & m_exact[cand].isNotNull(), F.lit(k)).otherwise(F.lit(1))
+            )
         # wildcard base matched by the last k labels extends the
         # suffix one label further (requires that label to exist)
         if m_wild is not None:
-            ps = F.when(
-                (n >= k + 1) & m_wild[last_k(k)].isNotNull(),
-                F.greatest(ps, F.lit(k + 1)),
-            ).otherwise(ps)
+            terms.append(
+                F.when(
+                    (n >= k + 1) & m_wild[last_k(k)].isNotNull(), F.lit(k + 1)
+                ).otherwise(F.lit(1))
+            )
+    ps = F.greatest(*terms) if len(terms) > 1 else terms[0]
     if m_exc is not None:
         # exception rules PREVAIL: public suffix = rule minus its
-        # leading label
-        for k in range(1, max_k + 1):
-            ps = F.when(
-                (n >= k) & m_exc[last_k(k)].isNotNull(), F.lit(k - 1)
-            ).otherwise(ps)
+        # leading label; the loop form overwrote in increasing-k
+        # order, i.e. the LARGEST matching k won — a flat maximum too
+        exc_terms = [F.lit(0)] + [
+            F.when((n >= k) & m_exc[last_k(k)].isNotNull(), F.lit(k)).otherwise(
+                F.lit(0)
+            )
+            for k in range(1, max_k + 1)
+        ]
+        exc_k = F.greatest(*exc_terms)
+        ps = F.when(exc_k > 0, exc_k - F.lit(1)).otherwise(ps)
     return ps
 
 
