@@ -297,18 +297,23 @@ def unigram_fit(
         .groupBy("piece")
         .agg(F.sum("cnt").cast("long").alias("c"))
     )
-    singles_rows = (
-        sub_counts.where(F.length("piece") == 1).collect()
-    )  # bounded: alphabet size
-    top_rows = (
+    # ONE action collects singles + top seed pieces (round-12: was
+    # two). Both sides stay bounded (alphabet + seed_size); the true
+    # top-seed_size set is recovered exactly on the driver — adding
+    # the singles rows to the pool cannot change which pieces rank in
+    # the top seed_size by (c desc, piece asc).
+    pool_rows = (
         sub_counts.orderBy(F.desc("c"), F.asc("piece"))
         .limit(seed_size)
+        .unionByName(sub_counts.where(F.length("piece") == 1))
         .collect()
-    )  # bounded: seed_size
-    seed_counts = {r["piece"]: r["c"] for r in top_rows}
-    singles = {r["piece"] for r in singles_rows}
-    for r in singles_rows:
-        seed_counts.setdefault(r["piece"], r["c"])
+    )
+    pool = {r["piece"]: r["c"] for r in pool_rows}
+    top = sorted(pool.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_size]
+    seed_counts = dict(top)
+    singles = {p for p in pool if len(p) == 1}
+    for p in singles:
+        seed_counts.setdefault(p, pool[p])
     scores = _mstep(seed_counts, singles)
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
