@@ -1250,38 +1250,55 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
+    def _fill_to(self, n: int) -> None:
+        """Buffer at least `n` bits (round-12: bulk fill + a MASKED
+        accumulator — the former one-byte _fill never cleared consumed
+        high bits, so `acc` grew by 8 bits per byte read and every
+        shift walked an ever-longer bigint; per-bit method calls were
+        the rest of the measured entropy-decode wall)."""
         d = self.data
-        if self.pos >= len(d):
-            raise ValueError("truncated JPEG entropy data")
-        b = d[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = d[self.pos] if self.pos < len(d) else None
-            if nxt == 0x00:
-                self.pos += 1  # stuffed
+        ln = len(d)
+        acc = self.acc & ((1 << self.nbits) - 1)
+        nbits = self.nbits
+        pos = self.pos
+        while nbits < n:
+            if pos >= ln:
+                self.acc, self.nbits, self.pos = acc, nbits, pos
+                raise ValueError("truncated JPEG entropy data")
+            b = d[pos]
+            if b == 0xFF:
+                nxt = d[pos + 1] if pos + 1 < ln else None
+                if nxt == 0x00:
+                    pos += 2  # stuffed 0xFF data byte
+                else:
+                    # hit a marker mid-read: T.81 pads the last byte
+                    # with 1-bits, so feeding 0xFF (without consuming
+                    # the marker) lets the final partial MCU finish;
+                    # the marker is re-found by restart()/EOI
+                    acc = (acc << 8) | 0xFF
+                    nbits += 8
+                    continue
             else:
-                # hit a marker mid-read: T.81 pads the last byte with
-                # 1-bits, so feeding 0xFF here lets the final partial
-                # MCU finish; the marker is re-found by restart()/EOI
-                self.pos -= 1
-                b = 0xFF
-                self.acc = (self.acc << 8) | b
-                self.nbits += 8
-                return
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                pos += 1
+            acc = (acc << 8) | b
+            nbits += 8
+        self.acc, self.nbits, self.pos = acc, nbits, pos
 
     def read_bit(self) -> int:
         if self.nbits == 0:
-            self._fill()
+            self._fill_to(1)
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill_to(n)
+        nb = self.nbits - n
+        v = (self.acc >> nb) & ((1 << n) - 1)
+        self.nbits = nb
+        self.acc &= (1 << nb) - 1
         return v
 
     def restart(self) -> None:
@@ -1298,17 +1315,42 @@ class _BitReader:
 
 
 def _huff_decode_table(bits, vals):
-    """{(length, code): symbol} for decoding — the same _huff_walk
-    the encoder uses, with the dict orientation flipped."""
-    return {(ln, code): sym for sym, code, ln in _huff_walk(bits, vals)}
+    """{(length << 16) | code: symbol} for decoding — the same
+    _huff_walk the encoder uses, with the dict orientation flipped
+    (int keys, round-12: tuple hashing was measurable in the per-
+    symbol loop)."""
+    return {(ln << 16) | code: sym for sym, code, ln in _huff_walk(bits, vals)}
 
 
 def _read_symbol(br: _BitReader, table) -> int:
+    # decode from locally-buffered bits: at most 16 are needed, and
+    # _fill_to feeds 0xFF pad bits at a marker, so buffering ahead
+    # never over-consumes the payload (round-12: the per-bit
+    # read_bit() call chain was the dominant decode cost)
+    if br.nbits < 16:
+        try:
+            br._fill_to(16)
+        except ValueError:
+            # truncated payload (no EOI marker to pad from): decode
+            # bit-by-bit so a final symbol that fits in the remaining
+            # bits still resolves exactly as before
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | br.read_bit()
+                sym = table.get((length << 16) | code)
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid JPEG Huffman code")
+    acc = br.acc
+    nbits = br.nbits
     code = 0
+    get = table.get
     for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
+        nbits -= 1
+        code = (code << 1) | ((acc >> nbits) & 1)
+        sym = get((length << 16) | code)
         if sym is not None:
+            br.nbits = nbits
             return sym
     raise ValueError("invalid JPEG Huffman code")
 
