@@ -665,7 +665,7 @@ def _bit_masks(bits: int = 64) -> Column:
     bits=64) is the long sign bit (INT64_MIN) — bitwiseAND with it
     still tests the bit correctly."""
     vals = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
-    return F.array(*[F.lit(v).cast("long") for v in vals])
+    return F.lit(vals).cast("array<bigint>")  # one py4j call (round-12)
 
 
 def _simhash_bit_sums(h: Column, bits: int = 64) -> Column:

@@ -190,16 +190,19 @@ def lang_id(col: Column, model: LangIdModel) -> Column:
         lambda i: F.substring(s, i, model.n),
     )
     vocab = sorted(set().union(*(model.weights[l] for l in langs)))
-    args: list[Column] = []
-    for g in vocab:
-        args.append(F.lit(g))
-        args.append(F.array(*[
-            F.lit(model.weights[l].get(g, model.oov[l])).cast("long")
-            for l in langs
-        ]))
-    wmap = F.create_map(*args)
-    oov_vec = F.array(*[F.lit(model.oov[l]).cast("long") for l in langs])
-    prior_vec = F.array(*[F.lit(model.prior[l]).cast("long") for l in langs])
+    # map_from_arrays over TWO one-call literals (round-12: the
+    # former per-entry create_map built vocab x langs Column objects,
+    # one py4j round-trip each — pure plan-construction cost)
+    wmat = [
+        [int(model.weights[l].get(g, model.oov[l])) for l in langs]
+        for g in vocab
+    ]
+    wmap = F.map_from_arrays(
+        F.lit(vocab).cast("array<string>"),
+        F.lit(wmat).cast("array<array<bigint>>"),
+    )
+    oov_vec = F.lit([int(model.oov[l]) for l in langs]).cast("array<bigint>")
+    prior_vec = F.lit([int(model.prior[l]) for l in langs]).cast("array<bigint>")
     totals = F.aggregate(
         grams,
         prior_vec,
@@ -215,7 +218,7 @@ def lang_id(col: Column, model: LangIdModel) -> Column:
         )
     )
     guess = F.element_at(
-        F.array(*[F.lit(l) for l in langs]),
+        F.lit(list(langs)).cast("array<string>"),
         (F.lit(1) - best["ni"]).cast("int"),
     )
     return F.when(

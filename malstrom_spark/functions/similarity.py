@@ -113,7 +113,9 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:
     planes = _hyperplanes(dim, n_planes)
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
+        # one-call literal array (round-12: per-element F.lit cost one
+        # py4j round-trip each — plan construction, not execution)
+        lit_plane = F.lit(list(plane)).cast("array<double>")
         d = dot(vec, lit_plane)
         bit = F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
@@ -216,7 +218,7 @@ def with_probe_buckets(
     see _bucket_from_quantized)."""
     planes = _hyperplanes(dim, n_planes)
     dots = F.array(
-        *[dot(F.col(vec_col), F.array(*[F.lit(v) for v in p])) for p in planes]
+        *[dot(F.col(vec_col), F.lit(list(p)).cast("array<double>")) for p in planes]
     )
     ddf = df.withColumn("__dots", dots)
     base = F.lit(0).cast("long")
@@ -379,7 +381,7 @@ def _bucket_from_quantized(q: Column, dim: int, n_planes: int) -> Column:
     planes = _rademacher_signs(dim, n_planes)
     sig = F.lit(0).cast("long")
     for p, signs in enumerate(planes):
-        lit_signs = F.array(*[F.lit(s).cast("long") for s in signs])
+        lit_signs = F.lit(list(signs)).cast("array<bigint>")
         d = F.aggregate(
             F.zip_with(q, lit_signs, lambda a, b: a * b),
             F.lit(0).cast("long"),
@@ -479,7 +481,7 @@ def with_probe_buckets_portable(
             F.aggregate(
                 F.zip_with(
                     F.col("__q"),
-                    F.array(*[F.lit(s).cast("long") for s in signs]),
+                    F.lit(list(signs)).cast("array<bigint>"),
                     lambda a, b: a * b,
                 ),
                 F.lit(0).cast("long"),
@@ -873,7 +875,7 @@ def _nearest_list(vec: Column, centroids: list[list[float]]) -> Column:
     to all lists and dropped, so each distance is -2<v,c> + ||c||^2."""
     dists = []
     for c in centroids:
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        lit_c = F.lit([float(x) for x in c]).cast("array<double>")
         c_norm2 = sum(x * x for x in c)
         dists.append(F.lit(-2.0) * dot(vec, lit_c) + F.lit(float(c_norm2)))
     darr = F.array(*dists)
@@ -884,7 +886,7 @@ def _nearest_lists(vec: Column, centroids: list[list[float]], n_probe: int) -> C
     """The n_probe nearest list ids, via argsort on the distance array."""
     dists = []
     for c in centroids:
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        lit_c = F.lit([float(x) for x in c]).cast("array<double>")
         c_norm2 = sum(x * x for x in c)
         dists.append(F.lit(-2.0) * dot(vec, lit_c) + F.lit(float(c_norm2)))
     darr = F.array(*dists)
@@ -1677,7 +1679,7 @@ def _assign_cells_int(
     if not use_arrow:
         dists = []
         for c in centroids:
-            lit_c = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            lit_c = F.lit([int(x) for x in c]).cast("array<bigint>")
             dists.append(
                 F.aggregate(
                     F.zip_with("__q", lit_c, lambda a, b: (a - b) * (a - b)),

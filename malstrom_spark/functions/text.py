@@ -91,7 +91,7 @@ def lang_guess(col: Column) -> Column:
     hits wins; ties broken by fixed language order; no hits -> 'und'."""
     t = F.split(F.trim(F.lower(col)), r"\s+")
     scores = {
-        lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words])))
+        lang: F.size(F.array_intersect(t, F.lit(list(words)).cast("array<string>")))
         for lang, words in LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())
@@ -290,7 +290,7 @@ def gopher_filter(
     stop_hits = F.size(
         F.array_intersect(
             F.array_distinct(F.transform(F.col("_t"), F.lower)),
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            F.lit(list(GOPHER_STOPWORDS)).cast("array<string>"),
         )
     )
     flags = base.select(
