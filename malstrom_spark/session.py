@@ -76,6 +76,15 @@ def build_session(
         )
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # round-12: PySpark's DataFrame-debugging origin capture does
+        # THREE extra py4j round-trips (conf read + PySparkCurrentOrigin
+        # set/clear) plus a Python stack walk on EVERY DataFrame/Column
+        # API call — measured as a material share of driver-side plan
+        # construction across the 109-query bench. It only enriches
+        # error messages with Python call sites; semantics unchanged.
+        # Scale-neutral: plan-construction cost is driver-side on any
+        # cluster size. Re-enable ad hoc when debugging a query.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
