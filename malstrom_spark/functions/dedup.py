@@ -340,13 +340,13 @@ def _signature_from_hash_sets(hash_sets: DataFrame, id_col: str, n_hashes: int) 
     slower: Catalyst collapses projections, so the shingle-hash array
     expression gets inlined and re-evaluated once per permutation
     (measured 9.7 s -> 0.9 s at 50k docs, file-backed input)."""
-    params = F.array(
-        *[
-            F.struct(
-                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
-            )
+    # one py4j call for the whole (a, b) param array (round-12): the
+    # per-element F.struct/F.lit form cost one round-trip per node
+    params = F.expr(
+        "array(" + ",".join(
+            f"named_struct('a',{a}L,'b',{b}L)"
             for (a, b) in _perm_params(n_hashes)
-        ]
+        ) + ")"
     )
     m = F.lit(_MERSENNE)
     init = F.array_repeat(m.cast("long"), n_hashes)
