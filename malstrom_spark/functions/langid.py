@@ -133,11 +133,13 @@ def fit_ngram_lang_id(
 
 
 def _lit_map(d: dict[str, int]) -> Column:
-    args: list[Column] = []
-    for k in sorted(d):
-        args.append(F.lit(k))
-        args.append(F.lit(d[k]))
-    return F.create_map(*args)
+    # map_from_arrays over two one-call list literals (round-12: the
+    # per-entry create_map form paid one py4j round-trip per element).
+    ks = sorted(d)
+    return F.map_from_arrays(
+        F.lit(ks).cast("array<string>"),
+        F.lit([int(d[k]) for k in ks]).cast("array<bigint>"),
+    )
 
 
 def lang_scores(col: Column, model: LangIdModel) -> dict[str, Column]:

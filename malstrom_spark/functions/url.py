@@ -216,11 +216,14 @@ def _compile_psl(rules: list[str]):
 def _lit_map(d: dict[str, int]) -> Column | None:
     if not d:
         return None
-    args: list[Column] = []
-    for k in sorted(d):
-        args.append(F.lit(k))
-        args.append(F.lit(d[k]))
-    return F.create_map(*args)
+    # map_from_arrays over two one-call list literals (round-12: the
+    # per-entry create_map form paid one py4j round-trip per element).
+    # Values are only probed via .isNotNull(), so the int cast is free.
+    ks = sorted(d)
+    return F.map_from_arrays(
+        F.lit(ks).cast("array<string>"),
+        F.lit([int(d[k]) for k in ks]).cast("array<int>"),
+    )
 
 
 def public_suffix_len(host: Column, rules: list[str] | None = None) -> Column:

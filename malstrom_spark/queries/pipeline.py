@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bpe as _bpe
 from ..functions import corpus, dedup, multimodal, similarity, text
-from . import REGISTRY, register, table
+from . import REGISTRY, register, spread, table
 from ._oracle_sql import (
     H60 as _H60,
 )
@@ -2191,7 +2191,7 @@ def doc_repeated_span_removal(spark, sf_dir):
     re-emitted. Portable md5 window hashes; the oracle replays the
     interval union and the cut with index lambdas, so every surviving
     token of every document is hash-exact."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(spark, table(spark, sf_dir, "documents"), sf_dir, "documents")
     return dedup.remove_repeated_spans(
         docs, "doc_id", window=8, min_docs=2, portable=True
     )
@@ -2210,7 +2210,7 @@ def doc_exact_substring_dedup(spark, sf_dir):
     md5 window hashes; the oracle replays the canonical min-(id,pos)
     struct selection and the cut, so every surviving token is
     hash-exact."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(spark, table(spark, sf_dir, "documents"), sf_dir, "documents")
     return dedup.exact_substring_dedup(
         docs, "doc_id", min_len=8, keep_first=True, portable=True
     )
@@ -2805,7 +2805,7 @@ def doc_bm25_search(spark, sf_dir):
     df counted for query terms only, one-row stats broadcast, and the
     top-k reduction two-stage skew-safe (no mega-query single-task
     sort)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(spark, table(spark, sf_dir, "documents"), sf_dir, "documents")
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
     return _search.bm25_topk(docs, queries, "doc_id", k=10)
 
@@ -3007,7 +3007,7 @@ def doc_dsir_selected(spark, sf_dir):
     for the fit, one broadcast of the <= 8192-row weight table, one
     (doc, partial-sum) shuffle for scoring, skew-safe two-stage
     top-k."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(spark, table(spark, sf_dir, "documents"), sf_dir, "documents")
     target = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0))
     w = corpus.dsir_fit(target, docs, n_buckets=8192, portable=True)
     sel = corpus.dsir_resample(
@@ -3076,8 +3076,17 @@ def image_phash_near_dup(spark, sf_dir):
 
     from ..functions import multimodal as mm
 
-    docs = table(spark, sf_dir, "documents").select("doc_id").where(
-        F.col("doc_id") < 400
+    # The probe set survives in ONE scan partition (documents.parquet
+    # is a single small file), so without an exchange the whole
+    # encode+decode+DCT chain runs serially in one task (~4.2 s of
+    # kernel CPU at sf0.1). spread() round-robins the bounded id list
+    # across the cores first (size-guarded, scale-adaptive).
+    docs = spread(
+        spark,
+        table(spark, sf_dir, "documents").select("doc_id").where(
+            F.col("doc_id") < 400
+        ),
+        sf_dir, "documents",
     )
     schema = StructType([
         StructField("doc_id", LongType()), StructField("payload", BinaryType()),
@@ -3142,6 +3151,11 @@ def audio_fingerprint_pairs(spark, sf_dir):
 
     from ..functions import multimodal as mm
 
+    # No spread() here, unlike the sibling multimodal rows: the WAV+
+    # STFT chain is only ~0.3 s of serial kernel CPU at sf0.1 and the
+    # interleaved A/B measured the extra exchange as a net LOSS
+    # (1.76 -> 1.96 s); the landmark-join shuffle already parallelizes
+    # the heavy part.
     docs = table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id") < 150
     )
@@ -3209,8 +3223,16 @@ def video_frame_phash(spark, sf_dir):
 
     from ..functions import multimodal as mm
 
-    docs = table(spark, sf_dir, "documents").select("doc_id").where(
-        F.col("doc_id") < 200
+    # Single-scan-partition hazard (see image_phash_near_dup): the
+    # MJPEG encode + entropy decode chain is ~6.5 s of kernel CPU at
+    # sf0.1 and runs in ONE task without this exchange. spread()
+    # round-robins the bounded id list across cores first.
+    docs = spread(
+        spark,
+        table(spark, sf_dir, "documents").select("doc_id").where(
+            F.col("doc_id") < 200
+        ),
+        sf_dir, "documents",
     )
     schema = StructType([
         StructField("doc_id", LongType()), StructField("payload", BinaryType()),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from . import register, table
+from . import register, spread, table
 from .relational import dsum
 
 
@@ -1170,7 +1170,11 @@ def customer_fuzzy_pairs(spark, sf_dir):
     variant equi-join, never an all-pairs product."""
     from ..functions import linkage
 
-    cust = table(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    cust = spread(
+        spark,
+        table(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0),
+        sf_dir, "customer",
+    )
     return linkage.fuzzy_self_pairs(
         cust.select(F.col("c_custkey").alias("id"), "c_name"),
         "id", "c_name", max_distance=2, lowercase=True,
