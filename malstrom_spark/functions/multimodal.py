@@ -1314,19 +1314,48 @@ class _BitReader:
         self.pos += 2
 
 
+#: (lut, dmap) decode tables memoized by the DHT spec bytes. JPEG
+#: Huffman codes are <= 16 bits, so a 65,536-entry table indexed by
+#: the next 16 bits resolves ANY symbol in one list lookup (entry =
+#: (code_len << 8) | symbol; 0 = invalid prefix). Building it costs
+#: ~1 ms, so it is cached per table spec — a pure function of the DHT
+#: bytes (every frame of an MJPEG stream, and every image from one
+#: encoder, reuses the same four tables). Bounded: cleared past 256
+#: distinct specs so adversarial per-image optimized tables cannot
+#: grow a long-lived worker.
+_HUFF_TABLE_CACHE: dict[bytes, tuple] = {}
+
+
 def _huff_decode_table(bits, vals):
-    """{(length << 16) | code: symbol} for decoding — the same
-    _huff_walk the encoder uses, with the dict orientation flipped
-    (int keys, round-12: tuple hashing was measurable in the per-
-    symbol loop)."""
-    return {(ln << 16) | code: sym for sym, code, ln in _huff_walk(bits, vals)}
+    """(16-bit-peek LUT as a Python list, {(length << 16) | code:
+    symbol} dict) for decoding — the dict is the bit-by-bit fallback
+    for truncated payloads, same walk the encoder uses."""
+    import numpy as np
+
+    key = bytes(bits) + b"\x00" + bytes(vals)
+    t = _HUFF_TABLE_CACHE.get(key)
+    if t is None:
+        walk = list(_huff_walk(bits, vals))
+        dmap = {(ln << 16) | code: sym for sym, code, ln in walk}
+        lut = np.zeros(65536, np.uint16)
+        for sym, code, ln in walk:
+            start = code << (16 - ln)
+            lut[start:start + (1 << (16 - ln))] = (ln << 8) | sym
+        if len(_HUFF_TABLE_CACHE) >= 256:
+            _HUFF_TABLE_CACHE.clear()
+        t = (lut.tolist(), dmap)
+        _HUFF_TABLE_CACHE[key] = t
+    return t
 
 
 def _read_symbol(br: _BitReader, table) -> int:
     # decode from locally-buffered bits: at most 16 are needed, and
     # _fill_to feeds 0xFF pad bits at a marker, so buffering ahead
-    # never over-consumes the payload (round-12: the per-bit
-    # read_bit() call chain was the dominant decode cost)
+    # never over-consumes the payload. Round-12 session 2: ONE list
+    # lookup on the next 16 bits replaces the former
+    # probe-per-code-length dict loop (up to 16 dict gets per symbol
+    # — the measured majority of the entropy-decode wall).
+    lut, dmap = table
     if br.nbits < 16:
         try:
             br._fill_to(16)
@@ -1337,22 +1366,16 @@ def _read_symbol(br: _BitReader, table) -> int:
             code = 0
             for length in range(1, 17):
                 code = (code << 1) | br.read_bit()
-                sym = table.get((length << 16) | code)
+                sym = dmap.get((length << 16) | code)
                 if sym is not None:
                     return sym
             raise ValueError("invalid JPEG Huffman code")
-    acc = br.acc
     nbits = br.nbits
-    code = 0
-    get = table.get
-    for length in range(1, 17):
-        nbits -= 1
-        code = (code << 1) | ((acc >> nbits) & 1)
-        sym = get((length << 16) | code)
-        if sym is not None:
-            br.nbits = nbits
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+    e = lut[(br.acc >> (nbits - 16)) & 0xFFFF]
+    if e == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    br.nbits = nbits - (e >> 8)
+    return e & 0xFF
 
 
 def _extend(v: int, cat: int) -> int:
@@ -1484,13 +1507,20 @@ def decode_jpeg_pixels(payload: bytes):
     mcus_y = (fh + mcu_h - 1) // mcu_h
 
     m = _dct8()
-    planes = {}
+    # round-12 session 2: entropy-decode ALL blocks into one zigzag
+    # coefficient matrix per component, then dequantize + IDCT the
+    # whole plane in three batched numpy ops (the former per-block
+    # zeros/scatter/8x8-matmul chain paid numpy call overhead 2x per
+    # block; outputs verified bit-identical — same float64 dequant,
+    # same per-slice dgemm, same placement).
+    zz_all = {}
+    fill = {}
     for cid, hs, vs, tq in comps:
-        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
+        zz_all[cid] = np.zeros((mcus_y * mcus_x * vs * hs, 64), np.int32)
+        fill[cid] = 0
 
     br = _BitReader(payload, data_pos)
     pred = {cid: 0 for cid, _, _ in scomps}
-    zz_buf = np.zeros(64, np.int32)
     mcu_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -1505,13 +1535,15 @@ def decode_jpeg_pixels(payload: bytes):
                 ac_tab = huff.get((1, ta))
                 if dc_tab is None or ac_tab is None or tq not in qt:
                     raise ValueError("JPEG references undefined table")
+                buf = zz_all[cid]
                 for yy in range(vs):
                     for xx in range(hs):
-                        zz_buf[:] = 0
+                        row = buf[fill[cid]]
+                        fill[cid] += 1
                         cat = _read_symbol(br, dc_tab)
                         diff = _extend(br.receive(cat), cat)
                         pred[cid] += diff
-                        zz_buf[0] = pred[cid]
+                        row[0] = pred[cid]
                         k = 1
                         while k < 64:
                             rs = _read_symbol(br, ac_tab)
@@ -1524,15 +1556,23 @@ def decode_jpeg_pixels(payload: bytes):
                             k += run
                             if k > 63:
                                 raise ValueError("JPEG AC index overflow")
-                            zz_buf[k] = _extend(br.receive(cat), cat)
+                            row[k] = _extend(br.receive(cat), cat)
                             k += 1
-                        nat = np.zeros(64, np.float64)
-                        nat[_ZIGZAG] = zz_buf
-                        coef = (nat * qt[tq]).reshape(8, 8)
-                        blk = m.T @ coef @ m + 128.0
-                        py0 = (my * vs + yy) * 8
-                        px0 = (mx * hs + xx) * 8
-                        planes[cid][py0:py0 + 8, px0:px0 + 8] = blk
+
+    # batched dequant + inverse zigzag + 2D IDCT + MCU-grid placement
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        nat = np.zeros((mcus_y * mcus_x * vs * hs, 64), np.float64)
+        nat[:, _ZIGZAG] = zz_all[cid]
+        coef = (nat * qt[tq]).reshape(-1, 8, 8)
+        blk = m.T @ coef @ m + 128.0
+        # block fill order per component is (my, mx, yy, xx); plane
+        # row index is (my*vs + yy)*8 + r, column (mx*hs + xx)*8 + c
+        planes[cid] = (
+            blk.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * vs * 8, mcus_x * hs * 8)
+        )
 
     # upsample to full MCU grid by sample replication, crop, transform
     full = []
