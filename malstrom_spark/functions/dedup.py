@@ -981,6 +981,16 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         pass  # best-effort: ContextCleaner frees blocks on GC otherwise
 
 
+# How many large*+small* rounds to compose into ONE driver action
+# (checkpoint + fixpoint test). Large-star/small-star strictly shrink
+# a potential function every non-fixpoint round and star edge sets are
+# fixed points of both halves, so testing set equality every k-th
+# composition is still exact (equality after k composed rounds implies
+# the single-round fixpoint); the cost is at most k-1 wasted rounds
+# past convergence. Module-level so the round-12 A/B probe can flip it.
+_CC_ROUNDS_PER_ACTION = 1
+
+
 def _groups_alternating(
     pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iters: int
 ) -> DataFrame:
@@ -998,8 +1008,12 @@ def _groups_alternating(
         .localCheckpoint(eager=False)  # truncate upstream pipeline lineage
     )
     n_edges = edges.count()
+    steps = max(1, int(_CC_ROUNDS_PER_ACTION))
     for _ in range(max_iters):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        new_edges = edges
+        for _step in range(steps):
+            new_edges = _small_star(_large_star(new_edges))
+        new_edges = new_edges.localCheckpoint(eager=False)
         # Fixpoint test is EXACT (both sides are distinct sets):
         # |new| == |old| AND new ⊆ old <=> set equality — evaluated as
         # ONE aggregate per round whose job also materializes the lazy
