@@ -1385,6 +1385,68 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _read_dc(br: _BitReader, table) -> int:
+    """Huffman symbol + magnitude bits + EXTEND for one DC coefficient
+    in ONE call (round-12 session 3: _read_symbol/receive/_extend call
+    overhead was the largest surviving slice of the entropy-decode
+    profile). Refills to 48 bits so one _fill_to covers the 16-bit
+    code peek AND the magnitude bits (and usually the next symbol);
+    the truncated-payload exception path delegates to the original
+    functions, so the error surface and decoded values are identical."""
+    if br.nbits < 32:
+        try:
+            br._fill_to(48)
+        except ValueError:
+            cat = _read_symbol(br, table)
+            return _extend(br.receive(cat), cat)
+    nbits = br.nbits
+    acc = br.acc
+    e = table[0][(acc >> (nbits - 16)) & 0xFFFF]
+    if e == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    nbits -= e >> 8
+    cat = e & 0xFF
+    if cat == 0:
+        br.nbits = nbits
+        return 0
+    if cat > nbits:  # adversarial table: category wider than buffered
+        br.nbits = nbits
+        return _extend(br.receive(cat), cat)
+    nbits -= cat
+    br.nbits = nbits
+    v = (acc >> nbits) & ((1 << cat) - 1)
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _read_ac(br: _BitReader, table):
+    """One AC (run/size, EXTENDed value) pair in ONE call — same
+    contract and fallback discipline as _read_dc. The fast path never
+    under-buffers: after a 48-bit fill at least 32 bits remain, the
+    code consumes <= 16 and an AC category is <= 15."""
+    if br.nbits < 32:
+        try:
+            br._fill_to(48)
+        except ValueError:
+            rs = _read_symbol(br, table)
+            cat = rs & 0xF
+            return rs, _extend(br.receive(cat), cat)
+    nbits = br.nbits
+    acc = br.acc
+    e = table[0][(acc >> (nbits - 16)) & 0xFFFF]
+    if e == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    nbits -= e >> 8
+    rs = e & 0xFF
+    cat = rs & 0xF
+    if cat == 0:
+        br.nbits = nbits
+        return rs, 0
+    nbits -= cat
+    br.nbits = nbits
+    v = (acc >> nbits) & ((1 << cat) - 1)
+    return rs, (v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1)
+
+
 def decode_jpeg_pixels(payload: bytes):
     """Full pixel decode for BASELINE SEQUENTIAL JPEGs (SOF0, 8-bit,
     Huffman): parses DQT/DHT/SOF0/DRI/SOS, entropy-decodes every MCU
@@ -1521,43 +1583,43 @@ def decode_jpeg_pixels(payload: bytes):
 
     br = _BitReader(payload, data_pos)
     pred = {cid: 0 for cid, _, _ in scomps}
-    mcu_idx = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_idx and \
-                    mcu_idx % restart_interval == 0:
-                br.restart()
-                pred = {cid: 0 for cid, _, _ in scomps}
-            mcu_idx += 1
-            for cid, td, ta in scomps:
-                hs, vs, tq = by_id[cid]
-                dc_tab = huff.get((0, td))
-                ac_tab = huff.get((1, ta))
-                if dc_tab is None or ac_tab is None or tq not in qt:
-                    raise ValueError("JPEG references undefined table")
-                buf = zz_all[cid]
-                for yy in range(vs):
-                    for xx in range(hs):
-                        row = buf[fill[cid]]
-                        fill[cid] += 1
-                        cat = _read_symbol(br, dc_tab)
-                        diff = _extend(br.receive(cat), cat)
-                        pred[cid] += diff
-                        row[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(br, ac_tab)
-                            run, cat = rs >> 4, rs & 0xF
-                            if cat == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            row[k] = _extend(br.receive(cat), cat)
-                            k += 1
+    # hoist per-MCU table/geometry lookups out of the MCU loop (tables
+    # and qt cannot change after SOS — parsing breaks there), and
+    # decode DC/AC coefficients via the combined one-call readers
+    comp_plan = []
+    for cid, td, ta in scomps:
+        hs, vs, tq = by_id[cid]
+        dc_tab = huff.get((0, td))
+        ac_tab = huff.get((1, ta))
+        if dc_tab is None or ac_tab is None or tq not in qt:
+            raise ValueError("JPEG references undefined table")
+        comp_plan.append((cid, dc_tab, ac_tab, vs * hs, zz_all[cid]))
+    for mcu_idx in range(mcus_y * mcus_x):
+        if restart_interval and mcu_idx and \
+                mcu_idx % restart_interval == 0:
+            br.restart()
+            pred = {cid: 0 for cid, _, _ in scomps}
+        for cid, dc_tab, ac_tab, nblk, buf in comp_plan:
+            for _blk in range(nblk):
+                f = fill[cid]
+                row = buf[f]
+                fill[cid] = f + 1
+                pred[cid] += _read_dc(br, dc_tab)
+                row[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    rs, val = _read_ac(br, ac_tab)
+                    cat = rs & 0xF
+                    if cat == 0:
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    row[k] = val
+                    k += 1
 
     # batched dequant + inverse zigzag + 2D IDCT + MCU-grid placement
     planes = {}
