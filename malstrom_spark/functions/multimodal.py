@@ -1145,68 +1145,106 @@ def make_jpeg(
     dc_c = _huff_codes(*_HT_DC_CHR)
     ac_c = _huff_codes(*_HT_AC_CHR)
 
-    def block_coefs(plane, by, bx, qt):
-        blk = plane[by:by + 8, bx:bx + 8] - 128.0
-        coef = m @ blk @ m.T
-        return np.round(coef / qt.reshape(8, 8)).astype(np.int64)
-
-    bw = _BitWriter()
-    pred = [0, 0, 0]
-
-    def emit_block(q, dc_t, ac_t, ci):
-        zz = q.flatten()[_ZIGZAG]
-        diff = int(zz[0]) - pred[ci]
-        pred[ci] = int(zz[0])
-        cat, bits = _mag_bits(diff)
-        code, ln = dc_t[cat]
-        bw.write(code, ln)
-        if cat:
-            bw.write(bits, cat)
-        run = 0
-        for k in range(1, 64):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_t[0xF0]  # ZRL
-                bw.write(code, ln)
-                run -= 16
-            cat, bits = _mag_bits(v)
-            code, ln = ac_t[(run << 4) | cat]
-            bw.write(code, ln)
-            bw.write(bits, cat)
-            run = 0
-        if run:
-            code, ln = ac_t[0x00]  # EOB
-            bw.write(code, ln)
-
     if gray:
         hs, vs = 1, 1
+
+    # round-12 session 3: DCT + quantize + zigzag for ALL blocks of a
+    # plane as batched numpy ops (stacked matmul does the same
+    # per-slice dgemm — the decoder's verified-bit-identical trick),
+    # nonzero AC positions found once with np.nonzero, and each
+    # (Huffman code, magnitude bits) pair fused into ONE _BitWriter
+    # call ((code << cat) | bits over ln + cat bits emits the exact
+    # same stream). The former per-block matmul + per-coefficient
+    # Python loop was the measured majority of the encode wall.
+    def plane_stream(plane, qt, vs_, hs_):
+        """Quantized zigzag blocks of a padded plane in MCU emission
+        order ((my, mx, yy, xx)) -> (dc list, flat nonzero-AC position
+        /value lists, per-block start offsets)."""
+        hh, ww = plane.shape
+        nby, nbx = hh // 8, ww // 8
+        blocks = (
+            plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8) - 128.0
+        )
+        coef = m @ blocks @ m.T
+        q = np.round(coef / qt.reshape(8, 8)).astype(np.int64).reshape(-1, 64)
+        zz = q[:, _ZIGZAG]
+        if vs_ > 1 or hs_ > 1:  # luma sub-block order within each MCU
+            zz = (
+                zz.reshape(nby // vs_, vs_, nbx // hs_, hs_, 64)
+                .transpose(0, 2, 1, 3, 4).reshape(-1, 64)
+            )
+        blk_idx, c_ = np.nonzero(zz[:, 1:])
+        starts = np.searchsorted(
+            blk_idx, np.arange(zz.shape[0] + 1)
+        ).tolist()
+        return (
+            zz[:, 0].tolist(), (c_ + 1).tolist(),
+            zz[blk_idx, c_ + 1].tolist(), starts,
+        )
+
+    bw = _BitWriter()
+    write = bw.write
+    pred = [0, 0, 0]
+
+    def emit_block(bi, stream, dc_t, ac_t, ci):
+        dcs, pos, vals, starts = stream
+        dc = dcs[bi]
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        if diff == 0:
+            code, ln = dc_t[0]
+            write(code, ln)
+        else:
+            a = diff if diff > 0 else -diff
+            cat = a.bit_length()
+            bits = diff if diff > 0 else diff + (1 << cat) - 1
+            code, ln = dc_t[cat]
+            write((code << cat) | bits, ln + cat)
+        prev = 0
+        for j in range(starts[bi], starts[bi + 1]):
+            k = pos[j]
+            run = k - prev - 1
+            prev = k
+            while run > 15:
+                code, ln = ac_t[0xF0]  # ZRL
+                write(code, ln)
+                run -= 16
+            v = vals[j]
+            a = v if v > 0 else -v
+            cat = a.bit_length()
+            bits = v if v > 0 else v + (1 << cat) - 1
+            code, ln = ac_t[(run << 4) | cat]
+            write((code << cat) | bits, ln + cat)
+        if prev != 63:  # trailing zeros (or an all-zero AC set)
+            code, ln = ac_t[0x00]  # EOB
+            write(code, ln)
+
     mcu_h, mcu_w = 8 * vs, 8 * hs
+    y_stream = plane_stream(y_p, qt_l, vs, hs)
+    if not gray:
+        cb_stream = plane_stream(cb_s, qt_c, 1, 1)
+        cr_stream = plane_stream(cr_s, qt_c, 1, 1)
+    n_mcus = (y_p.shape[0] // mcu_h) * (y_p.shape[1] // mcu_w)
+    blocks_per_mcu = vs * hs
     body = bytearray()
-    mcu_idx = 0
     rst_n = 0
-    for my in range(0, y_p.shape[0], mcu_h):
-        for mx in range(0, y_p.shape[1], mcu_w):
-            if (restart_interval and mcu_idx
-                    and mcu_idx % restart_interval == 0):
-                bw.flush()
-                body += bytes(bw.out)
-                body += bytes([0xFF, 0xD0 + rst_n])
-                rst_n = (rst_n + 1) % 8
-                bw.out = bytearray()
-                pred[0] = pred[1] = pred[2] = 0
-            mcu_idx += 1
-            for yy in range(vs):
-                for xx in range(hs):
-                    emit_block(
-                        block_coefs(y_p, my + 8 * yy, mx + 8 * xx, qt_l),
-                        dc_l, ac_l, 0)
-            if not gray:
-                cy, cx = my // vs, mx // hs
-                emit_block(block_coefs(cb_s, cy, cx, qt_c), dc_c, ac_c, 1)
-                emit_block(block_coefs(cr_s, cy, cx, qt_c), dc_c, ac_c, 2)
+    yb = 0
+    for mcu_idx in range(n_mcus):
+        if (restart_interval and mcu_idx
+                and mcu_idx % restart_interval == 0):
+            bw.flush()
+            body += bytes(bw.out)
+            body += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+            bw.out = bytearray()
+            pred[0] = pred[1] = pred[2] = 0
+        for _ in range(blocks_per_mcu):
+            emit_block(yb, y_stream, dc_l, ac_l, 0)
+            yb += 1
+        if not gray:
+            emit_block(mcu_idx, cb_stream, dc_c, ac_c, 1)
+            emit_block(mcu_idx, cr_stream, dc_c, ac_c, 2)
     bw.flush()
     body += bytes(bw.out)
 
