@@ -59,6 +59,22 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # round-12: prefer shuffled-hash over sort-merge when the
+        # planner's size conditions hold, and let AQE rewrite SMJ ->
+        # SHJ at runtime when every post-shuffle partition is under
+        # 64 MB (measured: every build side fits by construction).
+        # Interleaved A/B at sf0.1: doc_host_reputation -45%,
+        # doc_bm25_updated -23%, customer_fuzzy_pairs -20%,
+        # dedup_containment -18%, q9 -17%, no regressions. Scale-safe:
+        # both gates are PER-PARTITION size bounds (not cluster-size
+        # bounds) — a <=64 MB partition builds a <=64 MB hash map on
+        # any cluster, and AQE skew-split keeps partitions bounded;
+        # sort-merge remains the fallback whenever the conditions
+        # fail. (Guide §3.1/§9 baseline.)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
