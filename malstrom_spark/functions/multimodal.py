@@ -1620,33 +1620,139 @@ def decode_jpeg_pixels(payload: bytes):
         fill[cid] = 0
 
     br = _BitReader(payload, data_pos)
-    pred = {cid: 0 for cid, _, _ in scomps}
     # hoist per-MCU table/geometry lookups out of the MCU loop (tables
-    # and qt cannot change after SOS — parsing breaks there), and
-    # decode DC/AC coefficients via the combined one-call readers
+    # and qt cannot change after SOS — parsing breaks there). Round-12
+    # session 4: the bit-reader state (acc/nbits) lives in LOCALS
+    # inside the MCU loop and DC/AC decode is fully inlined — the
+    # per-coefficient _read_dc/_read_ac calls were the largest
+    # surviving slice of the kernel profile. The reader object is
+    # synced only at refill/restart boundaries, and the
+    # truncated-payload refill failure delegates the WHOLE coefficient
+    # to the original one-call readers (identical error surface,
+    # identical decoded values — sha256-pinned by the kernel probe).
     comp_plan = []
-    for cid, td, ta in scomps:
+    for ci, (cid, td, ta) in enumerate(scomps):
         hs, vs, tq = by_id[cid]
         dc_tab = huff.get((0, td))
         ac_tab = huff.get((1, ta))
         if dc_tab is None or ac_tab is None or tq not in qt:
             raise ValueError("JPEG references undefined table")
-        comp_plan.append((cid, dc_tab, ac_tab, vs * hs, zz_all[cid]))
+        comp_plan.append(
+            (ci, dc_tab[0], dc_tab, ac_tab[0], ac_tab, vs * hs, zz_all[cid])
+        )
+    preds = [0] * len(comp_plan)
+    fills = [0] * len(comp_plan)
+    acc = 0
+    nbits = 0
+    fill_to = br._fill_to
     for mcu_idx in range(mcus_y * mcus_x):
         if restart_interval and mcu_idx and \
                 mcu_idx % restart_interval == 0:
+            br.acc = acc
+            br.nbits = nbits
             br.restart()
-            pred = {cid: 0 for cid, _, _ in scomps}
-        for cid, dc_tab, ac_tab, nblk, buf in comp_plan:
+            acc = 0
+            nbits = 0
+            preds = [0] * len(comp_plan)
+        for ci, dc_lut, dc_tab, ac_lut, ac_tab, nblk, buf in comp_plan:
+            pred_c = preds[ci]
+            f = fills[ci]
             for _blk in range(nblk):
-                f = fill[cid]
                 row = buf[f]
-                fill[cid] = f + 1
-                pred[cid] += _read_dc(br, dc_tab)
-                row[0] = pred[cid]
-                k = 1
+                f += 1
+                # ---- DC: Huffman symbol + magnitude + EXTEND, inline
+                if nbits < 32:
+                    br.acc = acc
+                    br.nbits = nbits
+                    try:
+                        fill_to(48)
+                    except ValueError:
+                        pred_c += _read_dc(br, dc_tab)
+                        acc = br.acc
+                        nbits = br.nbits
+                        row[0] = pred_c
+                        k = 1
+                        # AC loop below handles the rest of the block
+                        while k < 64:
+                            if nbits >= 32:
+                                break  # back to the fast path
+                            rs, val = _read_ac(br, ac_tab)
+                            acc = br.acc
+                            nbits = br.nbits
+                            cat = rs & 0xF
+                            if cat == 0:
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k = 64  # EOB
+                                break
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            row[k] = val
+                            k += 1
+                        if k >= 64:
+                            continue  # next block
+                        # enough buffered again: resume fast AC loop
+                        # (shared tail below via the while-k loop)
+                    else:
+                        acc = br.acc
+                        nbits = br.nbits
+                        k = 0
+                else:
+                    k = 0
+                if k == 0:
+                    e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    nbits -= e >> 8
+                    cat = e & 0xFF
+                    if cat:
+                        if cat > nbits:  # adversarial wide category
+                            br.acc = acc
+                            br.nbits = nbits
+                            pred_c += _extend(br.receive(cat), cat)
+                            acc = br.acc
+                            nbits = br.nbits
+                        else:
+                            nbits -= cat
+                            v = (acc >> nbits) & ((1 << cat) - 1)
+                            pred_c += (
+                                v if v >= (1 << (cat - 1))
+                                else v - (1 << cat) + 1
+                            )
+                    row[0] = pred_c
+                    k = 1
+                # ---- AC: run/size + EXTEND per coefficient, inline
                 while k < 64:
-                    rs, val = _read_ac(br, ac_tab)
+                    if nbits < 32:
+                        br.acc = acc
+                        br.nbits = nbits
+                        try:
+                            fill_to(48)
+                        except ValueError:
+                            rs, val = _read_ac(br, ac_tab)
+                            acc = br.acc
+                            nbits = br.nbits
+                            cat = rs & 0xF
+                            if cat == 0:
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            row[k] = val
+                            k += 1
+                            continue
+                        acc = br.acc
+                        nbits = br.nbits
+                    e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    nbits -= e >> 8
+                    rs = e & 0xFF
                     cat = rs & 0xF
                     if cat == 0:
                         if rs == 0xF0:  # ZRL
@@ -1656,8 +1762,14 @@ def decode_jpeg_pixels(payload: bytes):
                     k += rs >> 4
                     if k > 63:
                         raise ValueError("JPEG AC index overflow")
-                    row[k] = val
+                    nbits -= cat
+                    v = (acc >> nbits) & ((1 << cat) - 1)
+                    row[k] = (
+                        v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+                    )
                     k += 1
+            preds[ci] = pred_c
+            fills[ci] = f
 
     # batched dequant + inverse zigzag + 2D IDCT + MCU-grid placement
     planes = {}
