@@ -512,7 +512,15 @@ def lineitem_stats_by_flag(spark, sf_dir):
     from EXACT decimal moments in one pass — not stddev()/corr(),
     whose float accumulation order differs per engine/partitioning.
     Same single-shuffle cost as a plain sum; bit-identical results."""
-    li = table(spark, sf_dir, "lineitem")
+    # spread(): the map-side decimal moment aggregation otherwise runs
+    # in the single-row-group scan's one task (exact sums, order-free)
+    li = spread(
+        spark,
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ),
+        sf_dir, "lineitem",
+    )
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
