@@ -175,6 +175,30 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(target, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(target)
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the plan (bytes) — file-size-based
+    for scans/projections, a huge default for opaque lineage (so a
+    size GATE fails open to the conservative path). None on any
+    introspection error."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+
+
+def _collapse_probe_min_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_COLLAPSE_PROBE_MIN_BYTES",
+            str(256 * 1024 * 1024),
+        )
+    )
+
+
 def _collapse_exact(df: DataFrame, id_col: str, text_col: str, min_dup_ratio: float = 0.05):
     """Exact-duplicate collapse: group byte-identical texts on
     md5(text) and elect min(id) as the group representative.
@@ -207,6 +231,16 @@ def _collapse_exact(df: DataFrame, id_col: str, text_col: str, min_dup_ratio: fl
     signature tables the same way. This is the local-mode stand-in
     for the materialized stage table a 100 TB deployment writes
     between the exact and near-dup passes."""
+    # The probe itself is one Spark job. Below an input-size floor
+    # (round-12 session 4, same rationale as queries.spread) even a
+    # maximally dup-heavy input cannot repay that job — candidate
+    # blow-up is already bounded by the hot-bucket caps at such sizes
+    # — so skip probe AND collapse outright; output is identical
+    # either way. Opaque lineage estimates default to huge, so an
+    # unknown size fails open to the probe.
+    size = _plan_size_bytes(df)
+    if size is not None and size < _collapse_probe_min_bytes():
+        return df, None
     fps = df.select(F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("__fp"))
     total, distinct = fps.agg(
         F.count(F.lit(1)), F.approx_count_distinct("__fp", 0.02)

@@ -150,8 +150,11 @@ def fuzzy_entity_edges(
     contract (a 1000-deep name cluster alone is 500k pairs), which
     is the wrong input to iterated CC shuffles; this is the same
     rep-level contraction `dedup_clusters` applies to MinHash
-    near-dup groups. No adaptive skip: the star edges are what CC
-    needs anyway, so the collapse here is never overhead."""
+    near-dup groups. min_dup_ratio=0 keeps the contraction on for any
+    measured duplicate mass; below `_collapse_exact`'s input-size
+    floor (round-12 session 4) the probe and collapse are skipped and
+    CC runs on member-level pairs — components identical, and at such
+    sizes the quadratic term cannot bite."""
     from .dedup import _collapse_exact
 
     norm = _norm(df, id_col, s_col, lowercase)

@@ -1930,10 +1930,22 @@ def semdedup(
             F.col(id_col), F.md5(F.col("__v").cast("string")).alias("__fp")
         )
         if collapse_exact is None:
-            total, distinct = fps.agg(
-                F.count(F.lit(1)), F.approx_count_distinct("__fp", 0.02)
-            ).first()
-            collapse_exact = total > 0 and (total - distinct) / total >= 0.05
+            # size-gate the probe job (round-12 session 4, the
+            # dedup._collapse_exact discipline): below the input-size
+            # floor even a maximally dup-heavy input cannot repay the
+            # probe — run uncollapsed, output identical either way
+            from .dedup import _collapse_probe_min_bytes, _plan_size_bytes
+
+            size = _plan_size_bytes(assigned)
+            if size is not None and size < _collapse_probe_min_bytes():
+                collapse_exact = False
+            else:
+                total, distinct = fps.agg(
+                    F.count(F.lit(1)), F.approx_count_distinct("__fp", 0.02)
+                ).first()
+                collapse_exact = (
+                    total > 0 and (total - distinct) / total >= 0.05
+                )
         if collapse_exact:
             reps = fps.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
             members = (

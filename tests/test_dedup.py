@@ -102,6 +102,31 @@ def test_collapse_probe_skips_on_distinct_corpus(spark):
     assert {(r[0], r[1]) for r in members.collect()} == {(0, 0), (1, 0), (2, 2)}
 
 
+def test_collapse_probe_size_gate(spark, tmp_path, monkeypatch):
+    """Round-12 session 4: for FILE-backed inputs below the size floor
+    the probe job and the collapse are both skipped (the probe cannot
+    repay itself there) — even on a maximally dup-heavy corpus — and
+    the env floor restores the probe, which then collapses. In-memory
+    inputs have no size estimate and always fail open to the probe
+    (pinned by test_collapse_probe_skips_on_distinct_corpus)."""
+    p = str(tmp_path / "dups.parquet")
+    spark.createDataFrame(
+        [(i, BASE) for i in range(6)] + [(6, "other")],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    # default floor (256 MB): tiny scan -> no probe, uncollapsed
+    _, members = dedup._collapse_exact(docs, "doc_id", "text")
+    assert members is None
+    # floor 0: probe runs and the dup-heavy corpus collapses
+    monkeypatch.setenv("SPARK_GRAFT_COLLAPSE_PROBE_MIN_BYTES", "0")
+    _, members = dedup._collapse_exact(docs, "doc_id", "text")
+    assert members is not None
+    assert {(r[0], r[1]) for r in members.collect()} == {
+        (i, 0) for i in range(6)
+    } | {(6, 6)}
+
+
 def test_decontaminate_flags_ngram_overlap(spark):
     """Docs sharing a 5-gram window with the benchmark set are removed;
     docs with fewer than 5 shared consecutive tokens survive. Short
