@@ -133,13 +133,13 @@ def fit_ngram_lang_id(
 
 
 def _lit_map(d: dict[str, int]) -> Column:
-    # map_from_arrays over two one-call list literals (round-12: the
-    # per-entry create_map form paid one py4j round-trip per element).
-    ks = sorted(d)
-    return F.map_from_arrays(
-        F.lit(ks).cast("array<string>"),
-        F.lit([int(d[k]) for k in ks]).cast("array<bigint>"),
-    )
+    # ONE foldable literal via from_json (round-12 session 4: even
+    # F.lit(list) pays one py4j round-trip per element — see
+    # functions/litutil.py; Catalyst constant-folds this to the same
+    # map literal).
+    from .litutil import json_lit_map
+
+    return json_lit_map({k: int(v) for k, v in d.items()}, "bigint")
 
 
 def lang_scores(col: Column, model: LangIdModel) -> dict[str, Column]:
@@ -192,19 +192,27 @@ def lang_id(col: Column, model: LangIdModel) -> Column:
         lambda i: F.substring(s, i, model.n),
     )
     vocab = sorted(set().union(*(model.weights[l] for l in langs)))
-    # map_from_arrays over TWO one-call literals (round-12: the
-    # former per-entry create_map built vocab x langs Column objects,
-    # one py4j round-trip each — pure plan-construction cost)
-    wmat = [
-        [int(model.weights[l].get(g, model.oov[l])) for l in langs]
-        for g in vocab
-    ]
-    wmap = F.map_from_arrays(
-        F.lit(vocab).cast("array<string>"),
-        F.lit(wmat).cast("array<array<bigint>>"),
+    # ONE foldable literal for the whole gram -> weight-vector map
+    # (round-12 session 4: the nested-list F.lit form still paid one
+    # py4j round-trip per ELEMENT — vocab x langs of them, ~6.5 s of
+    # driver time; see functions/litutil.py)
+    from .litutil import json_lit_map
+
+    wmap = json_lit_map(
+        {
+            g: [int(model.weights[l].get(g, model.oov[l])) for l in langs]
+            for g in vocab
+        },
+        "array<bigint>",
     )
-    oov_vec = F.lit([int(model.oov[l]) for l in langs]).cast("array<bigint>")
-    prior_vec = F.lit([int(model.prior[l]) for l in langs]).cast("array<bigint>")
+    import numpy as np
+
+    oov_vec = F.lit(
+        np.asarray([int(model.oov[l]) for l in langs], dtype=np.int64)
+    ).cast("array<bigint>")
+    prior_vec = F.lit(
+        np.asarray([int(model.prior[l]) for l in langs], dtype=np.int64)
+    ).cast("array<bigint>")
     totals = F.aggregate(
         grams,
         prior_vec,

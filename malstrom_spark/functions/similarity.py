@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import numpy as np  # module-level: one-call ndarray literals (litutil)
 import pandas as pd  # module-level: pandas_udf type hints ('pd.Series'
                      # under future-annotations) resolve via __globals__
 
@@ -147,7 +148,6 @@ def cosine_topk_pandas(
     Degenerate inputs match `cosine_topk` too: zero-norm vectors are
     dropped (NaN sim — undefined similarity) and an empty query set
     returns an empty result instead of a (dim, 0) matmul error."""
-    import numpy as np
     import pandas as pd
 
     # id columns keep their input types (not hardcoded long), so the
@@ -428,7 +428,6 @@ def with_lsh_bucket_pandas(
     recommended bucketing for batch corpus runs; the HOF fold remains
     the zero-Python-dependency default inside the oracle-gated
     pipelines. Both are zero-shuffle maps."""
-    import numpy as np
     import pandas as pd
 
     signs = np.array(_rademacher_signs(dim, n_planes), dtype=np.int64).T  # dim×planes
@@ -875,7 +874,7 @@ def _nearest_list(vec: Column, centroids: list[list[float]]) -> Column:
     to all lists and dropped, so each distance is -2<v,c> + ||c||^2."""
     dists = []
     for c in centroids:
-        lit_c = F.lit([float(x) for x in c]).cast("array<double>")
+        lit_c = F.lit(np.asarray(c, dtype=np.float64)).cast("array<double>")
         c_norm2 = sum(x * x for x in c)
         dists.append(F.lit(-2.0) * dot(vec, lit_c) + F.lit(float(c_norm2)))
     darr = F.array(*dists)
@@ -886,7 +885,7 @@ def _nearest_lists(vec: Column, centroids: list[list[float]], n_probe: int) -> C
     """The n_probe nearest list ids, via argsort on the distance array."""
     dists = []
     for c in centroids:
-        lit_c = F.lit([float(x) for x in c]).cast("array<double>")
+        lit_c = F.lit(np.asarray(c, dtype=np.float64)).cast("array<double>")
         c_norm2 = sum(x * x for x in c)
         dists.append(F.lit(-2.0) * dot(vec, lit_c) + F.lit(float(c_norm2)))
     darr = F.array(*dists)
@@ -948,7 +947,6 @@ def content_keyed_broadcast(spark, tag: str, arr, build):
 
 
 def _centroid_bc(spark, centroids: list[list[float]]):
-    import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
     return content_keyed_broadcast(
@@ -984,7 +982,6 @@ def with_nearest_list(
     if not use_arrow:
         return df.withColumn(out_col, _nearest_list(F.col(vec_col), centroids))
 
-    import numpy as np
     import pandas as pd
 
     bc = _centroid_bc(df.sparkSession, centroids)
@@ -1031,7 +1028,6 @@ def with_probe_lists(
             out_col, F.explode(_nearest_lists(F.col(vec_col), centroids, n_probe))
         )
 
-    import numpy as np
     import pandas as pd
 
     bc = _centroid_bc(df.sparkSession, centroids)
@@ -1420,7 +1416,6 @@ def _hier_bc(spark, hq: HierQuantizer):
     no leaves (possible in a hand-built HierQuantizer; the fitted
     builder drops them) get +inf super distance so the descent can
     never choose an empty cell and NULL-out a vector."""
-    import numpy as np
 
     S = np.asarray(hq.supers, dtype=np.float64)
     L = np.asarray(hq.leaves, dtype=np.float64)
@@ -1445,7 +1440,6 @@ def _leaf_argmin_scatter(M, sp, rows, res, L, Ln2, by_super):
     ordering), ties to the lowest leaf id (idx is sorted). The single
     distance/tie-break kernel behind both the Lloyd re-assignment and
     serving-time assignment, so they cannot drift apart."""
-    import numpy as np
 
     for s in np.unique(sp):
         idx = by_super[s]
@@ -1466,7 +1460,6 @@ def _with_leaf_in_super(
     """Nearest leaf WITHIN an already-chosen super-cell (the Lloyd
     re-assignment inner step): batched per-super BLAS, one matmul per
     distinct super id in the batch."""
-    import numpy as np
     import pandas as pd
 
     bc = _hier_bc(df.sparkSession, hq)
@@ -1498,7 +1491,6 @@ def with_nearest_list_hier(
     (`ivf_write_assignments`-style partitionBy) and the maintenance
     path compose unchanged. Null vectors assign NULL; NaN distances
     rank last (the flat engines' convention)."""
-    import numpy as np
     import pandas as pd
 
     bc = _hier_bc(df.sparkSession, hq)
@@ -1537,7 +1529,6 @@ def with_probe_lists_hier(
     leaves (pytest-pinned). Rows are batched by identical super-tuple
     (np.unique on the ranked prefix), one candidate matmul per
     distinct tuple per batch."""
-    import numpy as np
     import pandas as pd
 
     bc = _hier_bc(df.sparkSession, hq)
@@ -1679,7 +1670,7 @@ def _assign_cells_int(
     if not use_arrow:
         dists = []
         for c in centroids:
-            lit_c = F.lit([int(x) for x in c]).cast("array<bigint>")
+            lit_c = F.lit(np.asarray(c, dtype=np.int64)).cast("array<bigint>")
             dists.append(
                 F.aggregate(
                     F.zip_with("__q", lit_c, lambda a, b: (a - b) * (a - b)),
@@ -1699,7 +1690,6 @@ def _assign_cells_int(
             )
         )
 
-    import numpy as np
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.int64)
@@ -1761,7 +1751,6 @@ def _assign_cells_int_hier(
     and the dedup semantics downstream are unchanged. A super with no
     leaves gets a +2^62 distance penalty (exact-int analog of the
     float engines' +inf mask) so it can never capture a vector."""
-    import numpy as np
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.int64)

@@ -216,14 +216,12 @@ def _compile_psl(rules: list[str]):
 def _lit_map(d: dict[str, int]) -> Column | None:
     if not d:
         return None
-    # map_from_arrays over two one-call list literals (round-12: the
-    # per-entry create_map form paid one py4j round-trip per element).
-    # Values are only probed via .isNotNull(), so the int cast is free.
-    ks = sorted(d)
-    return F.map_from_arrays(
-        F.lit(ks).cast("array<string>"),
-        F.lit([int(d[k]) for k in ks]).cast("array<int>"),
-    )
+    # ONE foldable literal via from_json (round-12 session 4: even
+    # F.lit(list) pays one py4j round-trip per element — see
+    # functions/litutil.py). Values are only probed via .isNotNull().
+    from .litutil import json_lit_map
+
+    return json_lit_map({k: int(v) for k, v in d.items()}, "int")
 
 
 def public_suffix_len(host: Column, rules: list[str] | None = None) -> Column:
