@@ -290,12 +290,12 @@ def bpe_token_ids(
     """Map an array<string> token column to array<int> ids through a
     LITERAL map (JVM-side, zero Python in the row path — vocab sizes
     are thousands, far under literal-plan limits). Unknown tokens map
-    to `oov_id`."""
-    pairs: list[Column] = []
-    for tok, i in vocab.items():
-        pairs.append(F.lit(tok))
-        pairs.append(F.lit(i))
-    m = F.create_map(*pairs)
+    to `oov_id`. The map literal is built in ONE py4j call (round-12
+    session 4: the per-entry create_map paid two round-trips per
+    vocab token — see functions/litutil.py)."""
+    from .litutil import json_lit_map
+
+    m = json_lit_map({t: int(i) for t, i in vocab.items()}, "int")
     return F.transform(
         tokens, lambda t: F.coalesce(m[t], F.lit(oov_id)).cast("int")
     )

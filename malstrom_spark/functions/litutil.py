@@ -28,6 +28,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def json_lit_array(vals: list, element_type: str) -> Column:
+    """A foldable ``array<{element_type}>`` literal (nested lists
+    allowed) in ONE py4j call. Values must be JSON-exact for the
+    target type (ints, or finite floats — json round-trips IEEE
+    doubles via repr)."""
+    try:
+        payload = json.dumps(vals)
+    except (TypeError, ValueError):
+        return F.lit(vals).cast(f"array<{element_type}>")
+    return F.from_json(F.lit(payload), f"array<{element_type}>")
+
+
 def json_lit_map(d: dict, value_type: str) -> Column:
     """A foldable ``map<string,{value_type}>`` literal from ``d`` in
     ONE py4j call. Values must be JSON-exact for the target type

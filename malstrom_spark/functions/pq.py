@@ -193,18 +193,18 @@ def _sq_l2_int(a: Column, b: Column) -> Column:
     )
 
 
-def _lit_arr(vals, cast: str) -> Column:
-    return F.array(*[F.lit(v).cast(cast) for v in vals])
-
-
 def _codebook_lits(book, cast: str, to_num) -> tuple[Column, Column]:
     """One subspace codebook as two literals: the k x dsub entry
-    matrix and the k-vector of ||c||^2 — single py4j call each
-    (nested-list F.lit), cast wide so int products can't overflow."""
+    matrix and the k-vector of ||c||^2 — ONE py4j call each via the
+    constant-folded from_json form (round-12 session 4: nested-list
+    F.lit still paid one round-trip per ELEMENT; see
+    functions/litutil.py), cast wide so int products can't overflow."""
+    from .litutil import json_lit_array
+
     entries = [[to_num(x) for x in e] for e in book]
     n2 = [sum(x * x for x in e) for e in entries]
-    cb2d = F.lit(entries).cast(f"array<array<{cast}>>")
-    c2s = F.lit(n2).cast(f"array<{cast}>")
+    cb2d = json_lit_array(entries, f"array<{cast}>")
+    c2s = json_lit_array(n2, cast)
     return cb2d, c2s
 
 

@@ -231,8 +231,8 @@ def with_probe_buckets(
     ddf = ddf.withColumn("__base", base)
     if n_probe <= 1:
         return ddf.withColumn(out_col, F.col("__base")).drop("__dots", "__base")
-    idx = F.array(*[F.lit(i) for i in range(n_planes)])
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    idx = F.lit(np.arange(n_planes, dtype=np.int32)).cast("array<int>")
+    masks = F.lit((np.int64(1) << np.arange(n_planes, dtype=np.int64))).cast("array<bigint>")
     by_closeness = F.transform(
         F.array_sort(
             F.zip_with(
@@ -505,7 +505,7 @@ def with_probe_buckets_portable(
         lambda i: F.abs(F.element_at("__dots", i + 1)) * n_planes + i,
     )
     flips = F.slice(F.array_sort(keys), 1, min(n_probe - 1, n_planes))
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    masks = F.lit((np.int64(1) << np.arange(n_planes, dtype=np.int64))).cast("array<bigint>")
     buckets = F.concat(
         F.array(F.col("__base")),
         F.transform(
