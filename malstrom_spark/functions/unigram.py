@@ -274,9 +274,13 @@ def unigram_fit(
     Every collect is bounded (seed_size pieces / max_words types) by
     contract. Bit-identical to `unigram_fit_local` on the same word
     counts (integer counts are order-free; pinned by test)."""
+    # LAZY checkpoint: materialized by the seeding collect below (its
+    # scan computes every partition), so fit actions drop from 5 to 4;
+    # EM rounds then read the same materialized blocks as before
+    # (round 13, guide §1.2 fewer passes — A/B'd in probe_r13_unigram).
     wc = _word_counts_df(
         df, text_col, max_words, sample_fraction, seed, lowercase
-    ).localCheckpoint(eager=True)  # reused by seeding + every round
+    ).localCheckpoint(eager=False)  # reused by seeding + every round
 
     # seed: substring explode, JVM-side
     w = F.col("word")

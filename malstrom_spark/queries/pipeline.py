@@ -3223,16 +3223,18 @@ def video_frame_phash(spark, sf_dir):
 
     from ..functions import multimodal as mm
 
-    # Single-scan-partition hazard (see image_phash_near_dup): the
-    # MJPEG encode + entropy decode chain is ~6.5 s of kernel CPU at
-    # sf0.1 and runs in ONE task without this exchange. spread()
-    # round-robins the bounded id list across cores first.
-    docs = spread(
-        spark,
-        table(spark, sf_dir, "documents").select("doc_id").where(
-            F.col("doc_id") < 200
-        ),
-        sf_dir, "documents",
+    # Round 13 (VERDICT r12 #3): spread() REMOVED from this row. It was
+    # added when the MJPEG encode+decode chain was ~6.5 s of kernel CPU;
+    # after the round-12 kernel work (batched DCT/IDCT, LUT Huffman,
+    # inlined bit reader — sha256-identical output) the whole chain is
+    # ~2 s serial, and in a churned 109-query session the 32-way
+    # round-robin exchange + python-worker fan-out costs MORE than it
+    # buys: interleaved F/T/F/T A/B after a 40-query bench prefix
+    # (tools/probe_r13_vfp.py) measured spread_off 1.70/1.92/2.13 s vs
+    # spread_on 3.21/3.70/3.82 s. The driver bench read 4.91 s (r12)
+    # and 7.48 s (r13 baseline) for this row with spread on.
+    docs = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
     )
     schema = StructType([
         StructField("doc_id", LongType()), StructField("payload", BinaryType()),
@@ -4612,12 +4614,22 @@ def doc_tokenizer_fertility(spark, sf_dir):
     is exact and each ratio is ONE division of exact BIGINT sums.
     The encodes are per-doc projections; the report adds one
     lang-keyed aggregation."""
-    bpe_df = REGISTRY["doc_bpe_tokens"].fn(spark, sf_dir).select(
-        "doc_id", "n_words", "n_bpe_tokens"
-    )
-    uni_df = REGISTRY["doc_unigram_tokens"].fn(spark, sf_dir).select(
-        "doc_id", "n_pieces"
-    )
+    # Round 13 (guide §2.6 "overlap independent jobs"): the two
+    # component encodes each run a driver-action-bound tokenizer FIT
+    # over the constant seed table (BPE: one bounded collect; unigram:
+    # checkpoint + seed collect + 3 EM rounds) before any document is
+    # touched — ~2.3 s of the row's 3.1 s was this serial build. The
+    # fits are independent, so construct both component DataFrames from
+    # two driver threads; the plans joined below are identical to the
+    # sequential build (the fits are deterministic and the driver-side
+    # actions commute), only the idle driver time overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bpe = pool.submit(REGISTRY["doc_bpe_tokens"].fn, spark, sf_dir)
+        f_uni = pool.submit(REGISTRY["doc_unigram_tokens"].fn, spark, sf_dir)
+        bpe_df = f_bpe.result().select("doc_id", "n_words", "n_bpe_tokens")
+        uni_df = f_uni.result().select("doc_id", "n_pieces")
     d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
         "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
     )
