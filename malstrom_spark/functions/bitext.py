@@ -210,6 +210,7 @@ def mine_bitext_ivf(
     vec_col: str = "embedding",
     super_centroids: DataFrame | None = None,
     n_probe_super: int = 1,
+    salt_n: int = 1,
 ) -> DataFrame:
     """Bitext mining with IVF-approximate kNN — the corpus-scale
     shape: both sides share ONE coarse quantizer (they live in the
@@ -262,6 +263,7 @@ def mine_bitext_ivf(
             F.col("a_id").alias("q_id"), F.col("a_vec").alias("q_vec"), "cell"
         ),
         k, "q_id", "c_id", "q_vec", "c_vec", broadcast_queries=False,
+        salt_n=salt_n,
     ).select(F.col("q_id").alias("x_id"), F.col("c_id").alias("y_id"), "sim")
     bwd = _ivf_score_assigned(
         ap.where(F.col("__rk") == 1).select(
@@ -271,6 +273,7 @@ def mine_bitext_ivf(
             F.col("b_id").alias("q_id"), F.col("b_vec").alias("q_vec"), "cell"
         ),
         k, "q_id", "c_id", "q_vec", "c_vec", broadcast_queries=False,
+        salt_n=salt_n,
     ).select(F.col("c_id").alias("x_id"), F.col("q_id").alias("y_id"), "sim")
     return mine_bitext_from_knn(fwd, bwd, threshold=threshold, mutual=mutual)
 

@@ -662,17 +662,47 @@ def _ivf_score_assigned(
     q_vec: str,
     c_vec: str,
     broadcast_queries: bool,
+    salt_n: int = 1,
 ) -> DataFrame:
     """Score tail over PRE-ASSIGNED sides (cb: c_id, c_vec, cell;
     qb: q_id, q_vec, cell with n_probe rows per query) — callers that
     reuse one assignment pass for several roles (bitext mining's
     fwd/bwd) enter here so the O(n_vectors x n_lists) quantizer scan
-    never runs more than once per side."""
+    never runs more than once per side.
+
+    ``salt_n`` (round 13, guide §2.5 hot keys): the shuffle form's
+    join key is `cell`, whose cardinality is the quantizer's n_lists —
+    when that is SMALLER than the cluster's core count every pair
+    cosine of the quadratic candidate set is folded inside at most
+    n_lists join tasks while the rest of the cluster idles (Catalyst
+    rightly projects `sim` before the window exchange to avoid
+    shipping vectors, so the window's q_id repartition cannot rescue
+    parallelism). With salt_n > 1 the corpus side is salted by a
+    DETERMINISTIC hash of its id (retry-safe, see SPARK-38388) and the
+    query side is exploded across all salts — the matched (q, c) pair
+    set is exactly unchanged (each pair meets at exactly one salt), so
+    sims, ranks and results are identical; only the join's task count
+    changes. Callers derive salt_n from cores / n_lists, which goes to
+    1 by itself once n_lists scales past the core count (production),
+    making the query-side replication a no-op exactly where it would
+    cost. Ignored under broadcast_queries (that join is already a map
+    over corpus partitions)."""
     cb = cb.withColumn("__cn", norm(F.col(c_vec)))
     qb = qb.withColumn("__qn", norm(F.col(q_vec)))
     if broadcast_queries:
         qb = F.broadcast(qb)
-    scored = cb.join(qb, "cell").select(
+    join_on = ["cell"]
+    if not broadcast_queries and salt_n > 1:
+        cb = cb.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(c_id)), F.lit(salt_n)).cast("int"),
+        )
+        qb = qb.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0), F.lit(int(salt_n) - 1))),
+        )
+        join_on = ["cell", "__salt"]
+    scored = cb.join(qb, join_on).select(
         F.col(q_id),
         F.col(c_id),
         F.try_divide(

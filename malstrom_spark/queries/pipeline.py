@@ -4501,8 +4501,18 @@ def embedding_bitext_ivf(spark, sf_dir):
     )
     side_a = emb.filter(F.col("vec_id") % 2 == 0)
     side_b = emb.filter(F.col("vec_id") % 2 == 1)
+    # Round 13 (guide §2.5 hot keys): this row's quantizer is 8 cells
+    # by declaration, so the cell-keyed scoring join runs on at most 8
+    # tasks while the rest of the cluster idles — and the candidate
+    # set is quadratic in cell occupancy, the dominant cost at sf1+
+    # (114.7 s at sf1/c32, 8-core ratio ~1). Salt = cores/n_cells
+    # parallelizes the scoring with an IDENTICAL pair set (see
+    # _ivf_score_assigned); at production n_lists >= cores the factor
+    # is 1 and the salting vanishes by construction.
+    salt_n = max(1, (2 * spark.sparkContext.defaultParallelism) // 8)
     return mine_bitext_ivf(
-        side_a, side_b, centroids, k=_BITEXT_K, n_probe=3, threshold=1.0
+        side_a, side_b, centroids, k=_BITEXT_K, n_probe=3, threshold=1.0,
+        salt_n=salt_n,
     )
 
 
