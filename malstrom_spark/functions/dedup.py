@@ -189,12 +189,27 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
 
 
 def _collapse_probe_min_bytes() -> int:
+    # Round 13: floor lowered 256 MiB -> 1 MiB. The round-12 floor
+    # assumed "below it even a maximally dup-heavy input cannot repay
+    # the probe job" — MEASURED FALSE at sf1: the 10x replica's name
+    # clusters put customer_fuzzy_pairs at 117.8 s with the probe
+    # skipped (member-level variant buckets go quadratic in copy
+    # depth) vs 22.4 s with it on, entity_groups 22.4 -> 6.5 s,
+    # containment 28.1 -> 10.2 s, while the probe costs one ~0.3 s
+    # job. 1 MiB keeps every round-12 bench-scale win (the largest
+    # sf0.1 dedup input, embeddings, estimates 799 KiB — all sf0.1
+    # probes stay skipped, jobs unchanged) and restores the probe from
+    # sf1 up (smallest probing input estimates 1.04 MiB; anything
+    # bigger clears the floor further). Worst-case regret below the
+    # floor is bounded: <=1 MiB of collapsed rows whose candidate
+    # blow-up the levenshtein/band verify chews through in seconds.
+    # Opaque lineage still fails OPEN to the probe.
     import os
 
     return int(
         os.environ.get(
             "SPARK_GRAFT_COLLAPSE_PROBE_MIN_BYTES",
-            str(256 * 1024 * 1024),
+            str(1024 * 1024),
         )
     )
 

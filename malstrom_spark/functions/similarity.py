@@ -1955,7 +1955,13 @@ def semdedup(
             # probe — run uncollapsed, output identical either way
             from .dedup import _collapse_probe_min_bytes, _plan_size_bytes
 
-            size = _plan_size_bytes(assigned)
+            # gate on the SOURCE frame, not the checkpointed
+            # assignment: a localCheckpoint is a LogicalRDD whose size
+            # estimate is not scan-derived, so it lands on the wrong
+            # side of a file-size floor; `df`'s lineage is the scan
+            # (round 13 — restores the round-12 skip at bench scale
+            # after the floor drop to 1 MiB)
+            size = _plan_size_bytes(df)
             if size is not None and size < _collapse_probe_min_bytes():
                 collapse_exact = False
             else:
