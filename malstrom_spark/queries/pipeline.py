@@ -3873,8 +3873,15 @@ def doc_host_reputation(spark, sf_dir):
         F.lit('<a href="/local.html">same host, dropped</a>'),
         F.lit('<a href="https://hub.example.org/index.html">hub</a>'),
     )
+    # Round 13: spread() the doc scan — the stdlib HTML link parse
+    # (Arrow mapInPandas) and the classifier features fuse onto the
+    # scan, which is ONE task for any local-sized file (byte-range
+    # splits, not row groups, set scan parallelism: even sf1's 5.4 MB
+    # file is a single 128 MB split). sf1 c8/c32 ratio was 1.05 —
+    # the corpus-sized Python work ran serially at any core count.
+    # Integer-exact dataflow throughout (BIGINT ranks/quality sums).
     docs = (
-        table(spark, sf_dir, "documents")
+        spread(spark, table(spark, sf_dir, "documents"), sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", "text", url.alias("url"), page.alias("page"))
     )
